@@ -1,0 +1,303 @@
+"""Shape → DataFrame compiler.
+
+The Spark counterpart of the reference's whole-shape → single-SQL-SELECT
+compiler (/root/reference/graph/sql/optimizer.go:80-565): each shape
+lowers to a declarative DataFrame transformation and Catalyst/AQE play
+the role of the reference's cost-based iterator optimizer
+(graph/iterator/and_optimize.go) — join order, broadcast-vs-shuffle,
+empty-relation propagation and predicate pushdown are all delegated
+(SURVEY.md §4).
+
+Design rules that matter at 100 TB:
+
+- Fixed value sets become *literal* predicates (``col == lit`` /
+  ``isin``) — they reach the Parquet scan as PushedFilters, replacing
+  the reference's per-direction B-tree indexes.
+- An Intersect branch that binds no tags compiles to a LEFT SEMI join
+  (the Contains-probe of reference graph/iterator/and.go) — this both
+  preserves Cayley's multiplicity semantics (probes never multiply
+  rows) and lets Spark build the small hash side.
+- Tag bindings are plain columns; NextPath multiplicity (one result row
+  per distinct binding combination, reference graph/hasa.go:26-35) falls
+  out of join semantics for free.
+- Recursion is the one non-relational construct: a driver-side BFS loop
+  with per-round ``localCheckpoint()`` to cut lineage growth.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F
+
+from .. import shapes as S
+from ..store import GraphStore
+from ..values import IRI, BNode, Bool, Float, Int, String, Time
+import re
+
+
+@dataclass(frozen=True)
+class _DFShape(S.Shape):
+    """Internal: a pre-compiled frontier (used by the recursion loop)."""
+
+    df: object
+
+
+def tags_of(df: DataFrame) -> list[str]:
+    return [c for c in df.columns if c != "id" and not c.startswith("__")]
+
+
+def compile_nodes(store: GraphStore, shape: S.Shape) -> DataFrame:
+    """Lower a node shape to DataFrame[id, *tags]."""
+    if isinstance(shape, _DFShape):
+        return shape.df
+    if isinstance(shape, S.AllNodes):
+        return store.nodes.select("id")
+    if isinstance(shape, S.Fixed):
+        ids = [(v.id,) for v in shape.values]
+        return store.spark.createDataFrame(ids, "id: long")
+    if isinstance(shape, S.NodesFrom):
+        q = compile_quads(store, shape.quads)
+        keep = [c for c in q.columns if c not in ("s", "p", "o", "l")]
+        out = q.select(F.col(shape.dir).alias("id"), *keep)
+        if shape.dir == S.LABEL:
+            # quads without a label have no label node (reference treats
+            # the label ref as absent, not as a null value)
+            out = out.where(F.col("id").isNotNull())
+        return out
+    if isinstance(shape, S.Tag):
+        df = compile_nodes(store, shape.sub)
+        for t in shape.tags:
+            df = df.withColumn(t, F.col("id"))
+        return df
+    if isinstance(shape, S.Back):
+        df = compile_nodes(store, shape.sub)
+        return df.withColumn("id", F.col(shape.tag))
+    if isinstance(shape, S.Intersect):
+        return _compile_intersect(store, shape)
+    if isinstance(shape, S.Union):
+        dfs = [compile_nodes(store, s) for s in shape.sub]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d, allowMissingColumns=True)
+        return out
+    if isinstance(shape, S.Except):
+        all_df = compile_nodes(store, shape.all)
+        excl = compile_nodes(store, shape.exclude).select("id")
+        return all_df.join(excl, "id", "left_anti")
+    if isinstance(shape, S.Unique):
+        df = compile_nodes(store, shape.sub)
+        return df.dropDuplicates(["id"])
+    if isinstance(shape, S.Filter):
+        return _compile_filter(store, shape)
+    if isinstance(shape, S.Page):
+        df = compile_nodes(store, shape.sub)
+        if shape.skip > 0:
+            df = df.offset(shape.skip)
+        if shape.limit > 0:
+            df = df.limit(shape.limit)
+        return df
+    if isinstance(shape, S.Sort):
+        # Sort by the value's canonical string (reference sort.go:69-75).
+        # The __ord column is kept so downstream joins (e.g. result
+        # rendering) can re-establish the order at materialization.
+        df = compile_nodes(store, shape.sub)
+        terms = store.nodes.select("id", F.col("term").alias("__ord"))
+        return df.drop("__ord").join(terms, "id", "left").orderBy("__ord")
+    if isinstance(shape, S.Count):
+        df = compile_nodes(store, shape.sub)
+        return df.agg(F.count(F.lit(1)).alias("count"))
+    if isinstance(shape, S.Recursive):
+        return _compile_recursive(store, shape)
+    if isinstance(shape, S.Materialize):
+        return compile_nodes(store, shape.sub).persist()
+    raise TypeError(f"cannot compile shape {shape!r}")
+
+
+def _compile_intersect(store: GraphStore, shape: S.Intersect) -> DataFrame:
+    # Order: start from the first branch (the reference scans the
+    # cheapest; we let AQE reorder, but put Fixed filters first since
+    # they are free predicate pushdowns, mirroring shape.go:990-1024's
+    # "collect Fixed first"). AllNodes branches are dropped when any
+    # other branch exists (shape.go:990-1024 does the same flatten) —
+    # this also preserves Cayley's path-multiplicity: the remaining
+    # branch drives, per-edge duplicates intact (and.go Contains probes
+    # never multiply nor dedup the primary).
+    subs = list(shape.sub)
+    fixed = [s for s in subs if isinstance(s, S.Fixed)]
+    rest = [s for s in subs if not isinstance(s, (S.Fixed, S.AllNodes))]
+    if not rest:
+        if fixed:
+            # membership must still be verified against the store
+            # ("find non-existent" semantics): semi-join nodes table
+            rest, fixed = [S.AllNodes()], fixed
+        else:
+            rest = [S.AllNodes()]
+    out = compile_nodes(store, rest[0])
+    for fx in fixed:
+        ids = [v.id for v in fx.values]
+        out = out.where(
+            F.col("id") == F.lit(ids[0]) if len(ids) == 1 else F.col("id").isin(ids)
+        )
+    for b in rest[1:]:
+        bdf = compile_nodes(store, b)
+        btags = tags_of(bdf)
+        if not btags:
+            out = out.join(bdf.select("id"), "id", "left_semi")
+        else:
+            bdf = bdf.select("id", *btags)
+            bdf = bdf.drop(*[c for c in btags if c in out.columns])
+            out = out.join(bdf, "id", "inner")
+    for opt in shape.optional:
+        odf = compile_nodes(store, opt)
+        odf = odf.select("id", *tags_of(odf))
+        odf = odf.drop(*[c for c in odf.columns if c != "id" and c in out.columns])
+        out = out.join(odf, "id", "left_outer")
+    return out
+
+
+def compile_quads(store: GraphStore, qshape: S.QuadShape) -> DataFrame:
+    if not isinstance(qshape, S.Quads):
+        raise TypeError(f"cannot compile quad shape {qshape!r}")
+    df = store.quads
+    for qf in qshape.filters:
+        df = _apply_quad_filter(store, df, qf)
+    for d, tag in qshape.save:
+        df = df.withColumn(tag, F.col(d))
+    return df
+
+
+def _apply_quad_filter(store, df: DataFrame, qf: S.QuadFilter) -> DataFrame:
+    vs = qf.values
+    if isinstance(vs, S.AllNodes):
+        return df
+    fx = _as_fixed(vs)
+    if fx is not None:
+        vs = fx
+    if isinstance(vs, S.Fixed):
+        ids = [v.id for v in vs.values]
+        # literal predicate → Parquet pushdown (the "index scan")
+        if len(ids) == 1:
+            return df.where(F.col(qf.dir) == F.lit(ids[0]))
+        return df.where(F.col(qf.dir).isin(ids))
+    sub = compile_nodes(store, vs)
+    stags = tags_of(sub)
+    if not stags:
+        return df.join(
+            sub.select(F.col("id").alias(qf.dir)), qf.dir, "left_semi"
+        )
+    # tagged sub-shape: inner join, carry its bindings through the quad
+    sub = sub.withColumnRenamed("id", "__join_id")
+    out = df.join(sub, df[qf.dir] == F.col("__join_id"), "inner").drop("__join_id")
+    return out
+
+
+def _as_fixed(shape: S.Shape) -> S.Fixed | None:
+    """Normalize ``Intersect((AllNodes, Fixed))`` (the Is-on-start
+    pattern) back to the bare Fixed when used as a quad-direction
+    constraint: hash-equality inside a quad already implies membership,
+    so the membership semi-join is redundant and the constraint becomes
+    a literal pushdown predicate."""
+    if isinstance(shape, S.Fixed):
+        return shape
+    if isinstance(shape, S.Intersect) and not shape.optional:
+        fixed = [s for s in shape.sub if isinstance(s, S.Fixed)]
+        rest = [
+            s
+            for s in shape.sub
+            if not isinstance(s, (S.Fixed, S.AllNodes))
+        ]
+        if len(fixed) == 1 and not rest:
+            return fixed[0]
+    return None
+
+
+def _compile_filter(store: GraphStore, shape: S.Filter) -> DataFrame:
+    df = compile_nodes(store, shape.sub)
+    orig = df.columns
+    nd = store.nodes.select(
+        "id", "kind", F.col("str").alias("__str"), "i64", "f64", "bool", "ts"
+    )
+    j = df.join(nd, "id", "inner")
+    for f in shape.filters:
+        j = j.where(_filter_cond(f))
+    return j.select(*orig)
+
+
+_OPS = {
+    "lt": lambda c, v: c < v,
+    "lte": lambda c, v: c <= v,
+    "gt": lambda c, v: c > v,
+    "gte": lambda c, v: c >= v,
+}
+
+
+def _filter_cond(f: S.ValueFilter):
+    kind = F.col("kind")
+    if isinstance(f, S.Comparison):
+        op = _OPS[f.op]
+        v = f.value
+        # Kind-gating (reference value_comparison.go:62-99): a typed
+        # comparison silently drops values of any other kind — no
+        # cross-type coercion, unlike SQL.
+        if isinstance(v, Int):
+            return (kind == "int") & op(F.col("i64"), F.lit(v.v))
+        if isinstance(v, Float):
+            return (kind == "float") & op(F.col("f64"), F.lit(v.v))
+        if isinstance(v, String):
+            return (kind == "string") & op(F.col("__str"), F.lit(v.s))
+        if isinstance(v, IRI):
+            return (kind == "iri") & op(F.col("__str"), F.lit(v.s))
+        if isinstance(v, BNode):
+            return (kind == "bnode") & op(F.col("__str"), F.lit(v.s))
+        if isinstance(v, Time):
+            return (kind == "time") & op(F.col("ts"), F.lit(v.v))
+        if isinstance(v, Bool):
+            return (kind == "bool") & op(F.col("bool"), F.lit(v.v))
+        raise TypeError(f"uncomparable value {v!r}")
+    if isinstance(f, S.Regexp):
+        base = F.col("__str").rlike(f.pattern)
+        if f.refs:
+            return kind.isin("string", "iri", "bnode") & base
+        return (kind == "string") & base
+    if isinstance(f, S.Wildcard):
+        # reference shape.go:376-407: wildcard compiles to an anchored
+        # regex evaluated WITH refs (IRIs/BNodes match too)
+        pat = re.escape(f.pattern)
+        pat = pat if pat.startswith("%") else "^" + pat
+        pat = pat if pat.endswith("%") else pat + "$"
+        pat = pat.strip("%").replace("%", ".*").replace(r"\?", ".")
+        return kind.isin("string", "iri", "bnode") & F.col("__str").rlike(pat)
+    raise TypeError(f"unknown filter {f!r}")
+
+
+def _compile_recursive(store: GraphStore, shape: S.Recursive) -> DataFrame:
+    """BFS transitive closure (reference graph/iterator/recursive.go:
+    140-193): frontier minus global visited set per round, depth of
+    first visit, early exit on empty frontier. localCheckpoint each
+    round truncates lineage so plans don't grow exponentially."""
+    start = compile_nodes(store, shape.sub).select("id").dropDuplicates(["id"])
+    frontier = start.localCheckpoint(eager=True)
+    seen = frontier
+    rounds: list[DataFrame] = []
+    for depth in range(1, shape.max_depth + 1):
+        nxt = compile_nodes(store, shape.step(_DFShape(frontier)))
+        nxt = nxt.select("id").dropDuplicates(["id"])
+        nxt = nxt.join(seen, "id", "left_anti").localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            break
+        if shape.depth_tag:
+            rounds.append(nxt.withColumn(shape.depth_tag, F.lit(depth)))
+        else:
+            rounds.append(nxt)
+        seen = seen.unionAll(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    if not rounds:
+        empty_schema = "id: long" + (
+            f", {shape.depth_tag}: int" if shape.depth_tag else ""
+        )
+        return store.spark.createDataFrame([], empty_schema)
+    out = rounds[0]
+    for r in rounds[1:]:
+        out = out.unionAll(r)
+    return out

@@ -1,0 +1,385 @@
+"""GraphStore: the quad store as two DataFrames.
+
+Mirrors the reference's storage decomposition (its SQL backend's
+``nodes``/``quads`` tables, /root/reference/graph/sql/database.go:64-97;
+dictionary encoding per graph/refs/refs.go:47-58) re-expressed as
+columnar Parquet-backed DataFrames:
+
+- ``quads(s, p, o, l)``  — one row per edge; each column a 64-bit node id
+  (xxhash64 of the value's canonical key); ``l`` null for triples.
+- ``nodes(id, kind, term, str, lang, datatype, i64, f64, bool, ts, refs)``
+  — the value dictionary. ``term`` is the precomputed N-Quads surface
+  form (used for rendering and for ``Order()``'s canonical string sort,
+  reference graph/iterator/sort.go:69-75).
+
+The per-direction B-tree/LSM indexes of the reference (graph/sql/
+database.go:99-144, graph/kv/indexing.go:55-71) are replaced by Parquet
+min/max + dictionary pushdown: ``save()`` range-partitions quads by
+``(p, s)`` so predicate-constrained scans prune files — predicates are
+the highest-selectivity direction in practice (SURVEY.md §4.3).
+
+Scale notes: all id computation is JVM-side (`xxhash64` over concat'd
+canonical keys) inside whole-stage codegen; nothing here collects to the
+driver except explicit result materialization.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+from .values import XSD, Value, coerce
+
+NODE_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("term", T.StringType(), False),
+        T.StructField("str", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("datatype", T.StringType(), True),
+        T.StructField("i64", T.LongType(), True),
+        T.StructField("f64", T.DoubleType(), True),
+        T.StructField("bool", T.BooleanType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("refs", T.IntegerType(), True),
+    ]
+)
+
+QUAD_SCHEMA = T.StructType(
+    [
+        T.StructField("s", T.LongType(), False),
+        T.StructField("p", T.LongType(), False),
+        T.StructField("o", T.LongType(), False),
+        T.StructField("l", T.LongType(), True),
+    ]
+)
+
+DIRS = ("s", "p", "o", "l")
+
+
+def _node_row(v: Value) -> tuple:
+    from . import values as V
+
+    kind, s, lang, dt, i64, f64, b, ts = (None,) * 8
+    if isinstance(v, V.IRI):
+        kind, s = "iri", v.s
+    elif isinstance(v, V.BNode):
+        kind, s = "bnode", v.s
+    elif isinstance(v, V.String):
+        kind, s = "string", v.s
+    elif isinstance(v, V.LangString):
+        kind, s, lang = "lang_string", v.s, v.lang
+    elif isinstance(v, V.TypedString):
+        kind, s, dt = "typed_string", v.s, v.datatype
+    elif isinstance(v, V.Int):
+        kind, i64 = "int", v.v
+    elif isinstance(v, V.Float):
+        kind, f64 = "float", v.v
+    elif isinstance(v, V.Bool):
+        kind, b = "bool", v.v
+    elif isinstance(v, V.Time):
+        kind, ts = "time", v.v
+    elif isinstance(v, V.Raw):
+        kind, s = "raw", v.s
+    else:  # pragma: no cover
+        raise TypeError(f"unknown value type {v!r}")
+    return (v.id, kind, v.term(), s, lang, dt, i64, f64, b, ts, 1)
+
+
+@dataclass
+class GraphStore:
+    """Immutable pair of nodes/quads DataFrames + a SparkSession."""
+
+    spark: SparkSession
+    nodes: DataFrame
+    quads: DataFrame
+
+    # ---------------- constructors ----------------
+
+    @classmethod
+    def from_quad_values(
+        cls, spark: SparkSession, quads: list[tuple]
+    ) -> "GraphStore":
+        """Driver-side constructor from a list of 3/4-tuples of Values
+        (or coercible natives). The memstore equivalent — for fixtures
+        and tests; use the distributed paths for scale."""
+        vals: dict[int, Value] = {}
+        qrows = []
+        for q in quads:
+            q = tuple(coerce(x) if x is not None else None for x in q)
+            if len(q) == 3:
+                q = (*q, None)
+            s, p, o, lab = q
+            ids = []
+            for v in (s, p, o, lab):
+                if v is None:
+                    ids.append(None)
+                else:
+                    vals[v.id] = v
+                    ids.append(v.id)
+            qrows.append(tuple(ids))
+        nrows = [_node_row(v) for v in vals.values()]
+        nodes = spark.createDataFrame(nrows, NODE_SCHEMA)
+        qdf = spark.createDataFrame(qrows, QUAD_SCHEMA)
+        return cls(spark, nodes, qdf)
+
+    @classmethod
+    def from_term_quads(cls, term_quads: DataFrame) -> "GraphStore":
+        """Distributed constructor from a DataFrame with string columns
+        ``st, pt, ot, lt`` holding N-Quads terms (``lt`` nullable).
+        All decomposition/hash work stays JVM-side and map-side (no
+        shuffle for the quads table: each direction's id is computed by
+        expression, not by a dictionary join)."""
+        spark = term_quads.sparkSession
+        # Per the N-Quads grammar only the OBJECT position can hold a
+        # literal: subject is IRI|bnode, predicate is IRI, label is
+        # IRI|bnode. Exploiting this keeps the generated code small
+        # (the literal-parsing regexes appear once, for ``ot`` only) —
+        # the naive per-direction inline form blew janino's 64 KB
+        # method limit and knocked the whole ingest out of
+        # whole-stage codegen.
+        staged = term_quads.select(
+            "st",
+            "pt",
+            "lt",
+            *_parts(F.col("ot"), "_o"),
+        ).withColumn("__kind_o", _kind_expr("_o"))
+        quads = staged.select(
+            F.xxhash64(_iri_bnode_key(F.col("st"))).alias("s"),
+            F.xxhash64(_iri_bnode_key(F.col("pt"))).alias("p"),
+            F.xxhash64(_key_from_parts("_o")).alias("o"),
+            F.when(
+                F.col("lt").isNotNull(),
+                F.xxhash64(_iri_bnode_key(F.col("lt"))),
+            ).alias("l"),
+        )
+        terms = (
+            term_quads.select(
+                F.explode(
+                    F.array(F.col("st"), F.col("pt"), F.col("ot"), F.col("lt"))
+                ).alias("t")
+            )
+            .where(F.col("t").isNotNull())
+            .distinct()
+        )
+        nodes = _decompose_terms(terms)
+        return cls(spark, nodes, quads)
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "GraphStore":
+        return cls(
+            spark,
+            spark.read.parquet(f"{path}/nodes"),
+            spark.read.parquet(f"{path}/quads"),
+        )
+
+    # ---------------- persistence ----------------
+
+    def save(self, path: str, mode: str = "overwrite") -> None:
+        # Predicate-major layout: range partitioning by (p, s) gives the
+        # Parquet footer min/max stats the role of the reference's
+        # pos/pso indexes — a filter on p prunes whole files.
+        self.quads.repartitionByRange("p", "s").write.mode(mode).parquet(
+            f"{path}/quads"
+        )
+        self.nodes.repartition("id").write.mode(mode).parquet(f"{path}/nodes")
+
+    def persist(self) -> "GraphStore":
+        return GraphStore(self.spark, self.nodes.persist(), self.quads.persist())
+
+    # ---------------- stats (reference graph/quadstore.go:77-88) -----
+
+    def stats(self) -> dict:
+        return {
+            "nodes": self.nodes.count(),
+            "quads": self.quads.count(),
+        }
+
+    # ---------------- write model (reference graph/quadwriter.go) ----
+
+    def apply_deltas(
+        self, add: list[tuple] = (), delete: list[tuple] = ()
+    ) -> "GraphStore":
+        """Batch add/delete of quads → new GraphStore (immutable DFs).
+        Mirrors ApplyDeltas (reference graph/quadstore.go:96) with
+        refcount maintenance via SplitDeltas semantics
+        (graph/log/graphlog.go:79). Duplicate adds are kept (bag
+        semantics, per-backend IgnoreDup is an opt-in the caller does
+        with dropDuplicates)."""
+        out = self
+        if add:
+            other = GraphStore.from_quad_values(self.spark, list(add))
+            merged_nodes = (
+                out.nodes.unionByName(other.nodes)
+                .groupBy("id")
+                .agg(
+                    *[
+                        F.first(c, ignorenulls=True).alias(c)
+                        for c in NODE_SCHEMA.fieldNames()
+                        if c not in ("id", "refs")
+                    ],
+                    F.sum("refs").cast("int").alias("refs"),
+                )
+            )
+            out = GraphStore(
+                self.spark, merged_nodes, out.quads.unionByName(other.quads)
+            )
+        if delete:
+            dels = GraphStore.from_quad_values(self.spark, list(delete))
+            remaining = out.quads.join(
+                dels.quads, on=["s", "p", "o"], how="left_anti"
+            )
+            # recompute refs from surviving quads; drop orphaned nodes
+            used = None
+            for d in DIRS:
+                u = remaining.select(F.col(d).alias("id")).where(
+                    F.col("id").isNotNull()
+                )
+                used = u if used is None else used.unionAll(u)
+            refc = used.groupBy("id").agg(F.count("*").cast("int").alias("refs"))
+            nodes = (
+                out.nodes.drop("refs")
+                .join(refc, "id", "inner")
+            )
+            out = GraphStore(self.spark, nodes, remaining)
+        return out
+
+    # ---------------- rendering ----------------
+
+    def resolve(self, df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+        """Replace node-id columns with their N-Quads term strings.
+        Broadcast-joins the dictionary per column when small; at scale
+        this is a shuffle-join on id — still one join per rendered
+        column, applied only at result materialization."""
+        cols = cols if cols is not None else [
+            c for c in df.columns if not c.startswith("__")
+        ]
+        terms = self.nodes.select("id", "term")
+        out = df
+        for c in cols:
+            t = terms.withColumnRenamed("id", f"__{c}_id").withColumnRenamed(
+                "term", f"__{c}_term"
+            )
+            out = (
+                out.join(t, out[c] == F.col(f"__{c}_id"), "left")
+                .drop(c, f"__{c}_id")
+                .withColumnRenamed(f"__{c}_term", c)
+            )
+        return out.select(*df.columns)
+
+
+# ---------------- JVM-side term decomposition ----------------
+
+_IRI_RE = r"^<(.*)>$"
+_BNODE_RE = r"^_:(.*)$"
+# literal body with escapes, then optional @lang or ^^<dt>
+_LIT_RE = r'^"((?:[^"\\]|\\.)*)"(?:@([A-Za-z0-9\-]+)|\^\^<([^>]*)>)?$'
+
+
+def _unescape_col(c):
+    # Handle the standard N-Quads escapes. Sequential-scan fidelity for
+    # pathological adjacent backslashes is provided by the driver-side
+    # parser (values.parse_term); this covers the distributed fast path.
+    c = F.regexp_replace(c, r"\\t", "\t")
+    c = F.regexp_replace(c, r"\\r", "\r")
+    c = F.regexp_replace(c, r"\\n", "\n")
+    c = F.regexp_replace(c, r'\\"', '"')
+    c = F.regexp_replace(c, r"\\\\", "\\\\")
+    return c
+
+
+def _iri_bnode_key(term):
+    """Hash key for positions the N-Quads grammar restricts to
+    IRI|bnode — plain substring ops, no regex."""
+    return (
+        F.when(
+            term.startswith("<"),
+            F.concat(F.lit("I:"), F.substring(term, F.lit(2), F.length(term) - 2)),
+        )
+        .when(
+            term.startswith("_:"),
+            F.concat(F.lit("B:"), F.substring(term, F.lit(3), F.length(term))),
+        )
+        .otherwise(F.concat(F.lit("R:"), term))
+    )
+
+
+def _parts(term, sfx: str = ""):
+    """Stage-1 extraction: each regex runs exactly once; downstream
+    stages reference these by alias so generated code stays small."""
+    return [
+        term.alias(f"__t{sfx}"),
+        F.regexp_extract(term, _IRI_RE, 1).alias(f"__iri{sfx}"),
+        F.regexp_extract(term, _BNODE_RE, 1).alias(f"__bn{sfx}"),
+        _unescape_col(F.regexp_extract(term, _LIT_RE, 1)).alias(f"__body{sfx}"),
+        F.regexp_extract(term, _LIT_RE, 2).alias(f"__lang{sfx}"),
+        F.regexp_extract(term, _LIT_RE, 3).alias(f"__dt{sfx}"),
+    ]
+
+
+def _kind_expr(sfx: str = ""):
+    t, dt, lang = F.col(f"__t{sfx}"), F.col(f"__dt{sfx}"), F.col(f"__lang{sfx}")
+    is_lit = t.startswith('"')
+    return (
+        F.when(t.startswith("<"), F.lit("iri"))
+        .when(t.startswith("_:"), F.lit("bnode"))
+        .when(is_lit & (dt == F.lit(XSD + "integer")), F.lit("int"))
+        .when(is_lit & (dt == F.lit(XSD + "double")), F.lit("float"))
+        .when(is_lit & (dt == F.lit(XSD + "boolean")), F.lit("bool"))
+        .when(is_lit & (dt == F.lit(XSD + "dateTime")), F.lit("time"))
+        .when(is_lit & (dt != F.lit("")), F.lit("typed_string"))
+        .when(is_lit & (lang != F.lit("")), F.lit("lang_string"))
+        .when(is_lit, F.lit("string"))
+        .otherwise(F.lit("raw"))
+    )
+
+
+def _key_from_parts(sfx: str = ""):
+    """Canonical hash key from stage-1 part columns + __kind
+    (must agree with values.Value.key())."""
+    t, body = F.col(f"__t{sfx}"), F.col(f"__body{sfx}")
+    lang, dt = F.col(f"__lang{sfx}"), F.col(f"__dt{sfx}")
+    kind = F.col(f"__kind{sfx}")
+    return (
+        F.when(kind == "iri", F.concat(F.lit("I:"), F.col(f"__iri{sfx}")))
+        .when(kind == "bnode", F.concat(F.lit("B:"), F.col(f"__bn{sfx}")))
+        .when(kind == "int", F.concat(F.lit("i:"), body.cast("long").cast("string")))
+        .when(kind == "float", F.concat(F.lit("f:"), body.cast("double").cast("string")))
+        .when(kind == "bool", F.concat(F.lit("b:"), body))
+        .when(kind == "time", F.concat(F.lit("t:"), body.cast("timestamp").cast("string")))
+        .when(kind == "typed_string", F.concat(F.lit("T:"), dt, F.lit(":"), body))
+        .when(kind == "lang_string", F.concat(F.lit("L:"), lang, F.lit(":"), body))
+        .when(kind == "string", F.concat(F.lit("S:"), body))
+        .when(t.isNull(), F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("R:"), t))
+    )
+
+
+def _decompose_terms(terms: DataFrame) -> DataFrame:
+    """DataFrame[t: string] of distinct N-Quads terms → nodes table.
+    Cascaded selects; each intermediate column is computed once
+    (CollapseProject keeps multi-referenced non-cheap aliases)."""
+    staged = terms.select(*_parts(F.col("t")))
+    staged = staged.withColumn("__kind", _kind_expr())
+    kind = F.col("__kind")
+    body = F.col("__body")
+    return staged.select(
+        F.xxhash64(_key_from_parts()).alias("id"),
+        kind.alias("kind"),
+        F.col("__t").alias("term"),
+        F.when(kind == "iri", F.col("__iri"))
+        .when(kind == "bnode", F.col("__bn"))
+        .when(kind.isin("string", "lang_string", "typed_string"), body)
+        .when(kind == "raw", F.col("__t"))
+        .alias("str"),
+        F.when(kind == "lang_string", F.col("__lang")).alias("lang"),
+        F.when(kind == "typed_string", F.col("__dt")).alias("datatype"),
+        F.when(kind == "int", body.cast("long")).alias("i64"),
+        F.when(kind == "float", body.cast("double")).alias("f64"),
+        F.when(kind == "bool", body == "true").alias("bool"),
+        F.when(kind == "time", body.cast("timestamp")).alias("ts"),
+        F.lit(1).alias("refs"),
+    )
