@@ -1,38 +1,767 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises one operator family from SURVEY.md
+§2 (prefix ``g_`` = graph operators over the deterministic TPC-H-
+derived graph in cayley_spark/graphs/tpch.py, ``q`` = relational
+analytics, ``t_``/``d_``/``s_`` = text / dedup / similarity training-
+data operators). ``oracle_sql()`` gives the DuckDB-equivalent ANSI SQL
+over the same parquet views.
+
+Cross-engine determinism rules used throughout:
+- graph results are rendered as N-Quads term strings (pure string
+  concat both sides);
+- double aggregations go through exact DECIMAL sums, cast to double
+  at the end (identical bits both engines);
+- top-k queries always carry a total tie-break order.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from cayley_spark import IRI, Float, Path, String
+from cayley_spark import shapes as S
+from cayley_spark.graphs.tpch import tpch_graph
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------
+# graph queries (cayley Path API over the TPC-H-derived graph)
+# ---------------------------------------------------------------
+
+
+def g_in(spark, sf):
+    """In-hop (LinksTo/HasA): members of nation 7."""
+    g = tpch_graph(spark, sf)
+    return Path.start(g, IRI("nation:7")).in_(IRI("in_nation")).values_df()
+
+
+def g_out2(spark, sf):
+    """Two out-hops: regions of BUILDING customers (per-path dups)."""
+    g = tpch_graph(spark, sf)
+    return (
+        Path.start(g)
+        .has(IRI("in_segment"), String("BUILDING"))
+        .out(IRI("in_nation"))
+        .out(IRI("in_region"))
+        .values_df()
+    )
+
+
+def g_tags(spark, sf):
+    """Save/Tag: BUILDING customers with nation + nation name tags."""
+    g = tpch_graph(spark, sf)
+    return (
+        Path.start(g)
+        .has(IRI("in_segment"), String("BUILDING"))
+        .tag("cust")
+        .out(IRI("in_nation"))
+        .save(IRI("named"), "nname")
+        .values_df()
+    )
+
+
+def g_union(spark, sf):
+    g = tpch_graph(spark, sf)
+    a = Path.start(g).has(IRI("in_segment"), String("AUTOMOBILE"))
+    b = Path.start(g).has(IRI("in_segment"), String("MACHINERY"))
+    return a.or_(b).values_df()
+
+
+def g_except(spark, sf):
+    g = tpch_graph(spark, sf)
+    return (
+        Path.start(g)
+        .has(IRI("in_segment"))
+        .except_(Path.start(g).has(IRI("in_segment"), String("BUILDING")))
+        .values_df()
+    )
+
+
+def g_intersect(spark, sf):
+    g = tpch_graph(spark, sf)
+    rich = Path.start(g).has_filter(IRI("balance"), S.Comparison("gt", Float(5000.0)))
+    return (
+        Path.start(g)
+        .has(IRI("in_segment"), String("BUILDING"))
+        .and_(rich)
+        .values_df()
+    )
+
+
+def g_unique(spark, sf):
+    g = tpch_graph(spark, sf)
+    return (
+        Path.start(g)
+        .has(IRI("in_segment"), String("BUILDING"))
+        .out(IRI("in_nation"))
+        .unique()
+        .values_df()
+    )
+
+
+def g_count(spark, sf):
+    """Count with path multiplicity: one per contains-edge."""
+    g = tpch_graph(spark, sf)
+    return Path.start(g).in_(IRI("contains")).count_df()
+
+
+def g_allnodes(spark, sf):
+    """AllNodes scan cardinality."""
+    g = tpch_graph(spark, sf)
+    return Path.start(g).count_df()
+
+
+def g_labeled(spark, sf):
+    """LabelContext: parts shipped under label <supplier:3>."""
+    g = tpch_graph(spark, sf)
+    return (
+        Path.start(g)
+        .label_context(IRI("supplier:3"))
+        .out(IRI("contains"))
+        .values_df()
+    )
+
+
+def g_compare(spark, sf):
+    """Typed comparison (kind-gated): customers with balance > 5000."""
+    g = tpch_graph(spark, sf)
+    return (
+        Path.start(g)
+        .has_filter(IRI("balance"), S.Comparison("gt", Float(5000.0)))
+        .values_df()
+    )
+
+
+def g_regex(spark, sf):
+    """Regexp value filter: nations named NATION_1*."""
+    g = tpch_graph(spark, sf)
+    return (
+        Path.start(g)
+        .has(IRI("in_region"))
+        .has_filter(IRI("named"), S.Regexp("^NATION_1"))
+        .values_df()
+    )
+
+
+def g_order_limit(spark, sf):
+    g = tpch_graph(spark, sf)
+    return (
+        Path.start(g)
+        .has(IRI("in_segment"), String("BUILDING"))
+        .order()
+        .limit(5)
+        .values_df()
+    )
+
+
+def g_skip(spark, sf):
+    g = tpch_graph(spark, sf)
+    return (
+        Path.start(g)
+        .has(IRI("in_segment"), String("BUILDING"))
+        .order()
+        .skip(3)
+        .limit(4)
+        .values_df()
+    )
+
+
+def g_optional(spark, sf):
+    """SaveOptional: nations with optional successor."""
+    g = tpch_graph(spark, sf)
+    return (
+        Path.start(g)
+        .has(IRI("in_region"))
+        .save_opt(IRI("next"), "nxt")
+        .values_df()
+    )
+
+
+def g_both(spark, sf):
+    g = tpch_graph(spark, sf)
+    return Path.start(g, IRI("nation:7")).both(IRI("in_nation")).values_df()
+
+
+def g_follow(spark, sf):
+    """Follow morphism: nation of each finished (status F) order."""
+    g = tpch_graph(spark, sf)
+    m = Path.morphism().out(IRI("placed_by")).out(IRI("in_nation"))
+    return (
+        Path.start(g).has(IRI("status"), String("F")).follow(m).values_df()
+    )
+
+
+def g_followr(spark, sf):
+    """FollowReverse: who points into nation 3 via in_nation."""
+    g = tpch_graph(spark, sf)
+    m = Path.morphism().out(IRI("in_nation"))
+    return Path.start(g, IRI("nation:3")).follow_r(m).values_df()
+
+
+def g_recursive(spark, sf):
+    """FollowRecursive: transitive closure of the nation chain."""
+    g = tpch_graph(spark, sf)
+    return (
+        Path.start(g, IRI("nation:0"))
+        .follow_recursive(IRI("next"), depth_tag="depth")
+        .values_df()
+    )
+
+
+# ---------------------------------------------------------------
+# relational analytics (Spark-first; TPC-H-style)
+# ---------------------------------------------------------------
+
+
+def _dec(col, scale):
+    return col.cast(f"decimal(18,{scale})")
+
+
+def q1(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec(F.col("l_quantity"), 2)).cast("double").alias("sum_qty"),
+            F.sum(_dec(F.col("l_extendedprice"), 2)).cast("double").alias("sum_base_price"),
+            F.sum(_dec(disc_price, 4)).cast("double").alias("sum_disc_price"),
+            F.sum(_dec(charge, 6)).cast("double").alias("sum_charge"),
+            (F.sum(_dec(F.col("l_quantity"), 2)).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(_dec(F.col("l_discount"), 2)).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q3(spark, sf):
+    cust = _t(spark, sf, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf, "orders").where(F.col("o_orderdate") < "1998-01-01")
+    li = _t(spark, sf, "lineitem").where(F.col("l_shipdate") > "1998-01-01")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.sum(_dec(rev, 4)).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q5(spark, sf):
+    """Revenue per nation for ASIA-region customers, TPC-H Q5 shape:
+    customer and supplier co-located in the same nation."""
+    nat = _t(spark, sf, "nation")
+    reg = _t(spark, sf, "region").where(F.col("r_name") == "ASIA")
+    cust = _t(spark, sf, "customer")
+    supp = _t(spark, sf, "supplier")
+    orders = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.sum(_dec(rev, 4)).cast("double").alias("revenue"))
+    )
+
+
+def q6(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_dec(F.col("l_extendedprice") * F.col("l_discount"), 4))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+def _events(spark, sf):
+    """events.parquet stores TIMESTAMP(NANOS) which the vectorized
+    reader rejects; read nanos as long and truncate to micros (exactly
+    what DuckDB's TIMESTAMP cast does, so oracles agree)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = _t(spark, sf, "events")
+    return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def q_events_hourly(spark, sf):
+    ev = _events(spark, sf)
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec(F.col("value"), 4)).cast("double").alias("sum_value"),
+        )
+    )
+
+
+def q_events_topuser(spark, sf):
+    """Window function: top event per user by value (dense ranking)."""
+    from pyspark.sql.window import Window
+
+    ev = _events(spark, sf)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type")
+    )
+
+
+# ---------------------------------------------------------------
+# text / dedup / similarity (training-data operators)
+# ---------------------------------------------------------------
+
+
+def t_tokens(spark, sf):
+    from cayley_spark.functions.text import token_count
+
+    docs = _t(spark, sf, "documents")
+    return docs.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+
+
+def t_quality(spark, sf):
+    from cayley_spark.functions.text import quality_stats
+
+    return quality_stats(_t(spark, sf, "documents"))
+
+
+def t_fingerprint(spark, sf):
+    from cayley_spark.functions.text import fingerprint
+
+    docs = _t(spark, sf, "documents")
+    return docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+def t_langid(spark, sf):
+    from cayley_spark.functions.text import language_guess
+
+    docs = _t(spark, sf, "documents")
+    return docs.select("doc_id", language_guess(F.col("text")).alias("lang_guess"))
+
+
+def d_exact(spark, sf):
+    from cayley_spark.functions.dedup import exact_duplicate_groups
+
+    docs = _t(spark, sf, "documents")
+    g = exact_duplicate_groups(docs)
+    return g.select("digest", "n_docs", F.explode("doc_ids").alias("doc_id"))
+
+
+def d_lsh(spark, sf):
+    """MinHash-LSH near-dup pairs with exact-Jaccard verification."""
+    from cayley_spark.functions.dedup import minhash_lsh_pairs
+
+    docs = _t(spark, sf, "documents")
+    return minhash_lsh_pairs(
+        docs, k=3, num_hashes=16, bands=4, jaccard_threshold=0.2
+    )
+
+
+def d_jaccard(spark, sf):
+    """Exact 2-gram Jaccard pairs, blocked by language."""
+    from cayley_spark.functions.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf, "documents")
+    return ngram_jaccard_pairs(docs, "lang", k=2, threshold=0.35)
+
+
+def d_simhash(spark, sf):
+    """SimHash fingerprints (xxhash64-based; rows-only check)."""
+    from cayley_spark.functions.dedup import simhash64
+
+    docs = _t(spark, sf, "documents")
+    return docs.select("doc_id", simhash64(F.col("text"), k=2).alias("simhash"))
+
+
+KNN_QUERIES = [0, 1, 2]
+
+
+def s_knn(spark, sf):
+    from cayley_spark.functions.similarity import cosine_topk
+
+    emb = _t(spark, sf, "embeddings")
+    return cosine_topk(emb, KNN_QUERIES, k=5).select("query_id", "neighbor_id")
+
+
+def s_knn_lsh(spark, sf):
+    """Hyperplane-LSH ANN (approximate; rows-only check)."""
+    from cayley_spark.functions.similarity import lsh_topk
+
+    emb = _t(spark, sf, "embeddings")
+    return lsh_topk(emb, KNN_QUERIES, k=5).select("query_id", "neighbor_id")
+
+
+# ---------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return g_tags(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "g_in": g_in,
+        "g_out2": g_out2,
+        "g_tags": g_tags,
+        "g_union": g_union,
+        "g_except": g_except,
+        "g_intersect": g_intersect,
+        "g_unique": g_unique,
+        "g_count": g_count,
+        "g_allnodes": g_allnodes,
+        "g_labeled": g_labeled,
+        "g_compare": g_compare,
+        "g_regex": g_regex,
+        "g_order_limit": g_order_limit,
+        "g_skip": g_skip,
+        "g_optional": g_optional,
+        "g_both": g_both,
+        "g_follow": g_follow,
+        "g_followr": g_followr,
+        "g_recursive": g_recursive,
+        "q1": q1,
+        "q3": q3,
+        "q5": q5,
+        "q6": q6,
+        "q_events_hourly": q_events_hourly,
+        "q_events_topuser": q_events_topuser,
+        "t_tokens": t_tokens,
+        "t_quality": t_quality,
+        "t_fingerprint": t_fingerprint,
+        "t_langid": t_langid,
+        "d_exact": d_exact,
+        "d_lsh": d_lsh,
+        "d_jaccard": d_jaccard,
+        "d_simhash": d_simhash,
+        "s_knn": s_knn,
+        "s_knn_lsh": s_knn_lsh,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_CUST = "'<customer:' || c_custkey || '>'"
+_NAT = "'<nation:' || n_nationkey || '>'"
+
+_SHINGLE3 = (
+    "list_distinct([array_to_string(toks[i:i+2], ' ') "
+    "for i in range(1, len(toks) - 1)])"
+)
+
+_MINHASH = (
+    "[list_min([md5(CAST(j AS VARCHAR) || ':' || s) for s in sh]) "
+    "for j in range(0, 16)]"
+)
+
+_BANDS = (
+    "[{'band': b, 'bh': md5(array_to_string(sig[b*4+1:b*4+4], '|'))} "
+    "for b in range(0, 4)]"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "g_in": f"""
+            SELECT {_CUST} AS id FROM customer WHERE c_nationkey = 7
+            UNION ALL
+            SELECT '<supplier:' || s_suppkey || '>' FROM supplier WHERE s_nationkey = 7
+        """,
+        "g_out2": """
+            SELECT '<region:' || n_regionkey || '>' AS id
+            FROM customer JOIN nation ON n_nationkey = c_nationkey
+            WHERE c_mktsegment = 'BUILDING'
+        """,
+        "g_tags": f"""
+            SELECT {_NAT} AS id, {_CUST} AS cust, '"' || n_name || '"' AS nname
+            FROM customer JOIN nation ON n_nationkey = c_nationkey
+            WHERE c_mktsegment = 'BUILDING'
+        """,
+        "g_union": f"""
+            SELECT {_CUST} AS id FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+            UNION ALL
+            SELECT {_CUST} FROM customer WHERE c_mktsegment = 'MACHINERY'
+        """,
+        "g_except": f"""
+            SELECT {_CUST} AS id FROM customer WHERE c_mktsegment <> 'BUILDING'
+        """,
+        "g_intersect": f"""
+            SELECT {_CUST} AS id FROM customer
+            WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 5000.0
+        """,
+        "g_unique": f"""
+            SELECT DISTINCT {_NAT} AS id
+            FROM customer JOIN nation ON n_nationkey = c_nationkey
+            WHERE c_mktsegment = 'BUILDING'
+        """,
+        "g_count": "SELECT COUNT(*) AS count FROM lineitem",
+        "g_allnodes": """
+            SELECT CAST(
+              (SELECT COUNT(*) FROM customer) + (SELECT COUNT(*) FROM orders)
+              + (SELECT COUNT(*) FROM nation) + (SELECT COUNT(*) FROM region)
+              + (SELECT COUNT(*) FROM supplier)
+              + (SELECT COUNT(DISTINCT l_partkey) FROM lineitem)
+              + (SELECT COUNT(DISTINCT c_mktsegment) FROM customer)
+              + (SELECT COUNT(DISTINCT n_name) FROM nation)
+              + (SELECT COUNT(DISTINCT r_name) FROM region)
+              + (SELECT COUNT(DISTINCT o_orderstatus) FROM orders)
+              + (SELECT COUNT(DISTINCT c_acctbal) FROM customer)
+              + 9 AS BIGINT) AS count
+        """,
+        "g_labeled": """
+            SELECT '<part:' || l_partkey || '>' AS id
+            FROM lineitem WHERE l_suppkey = 3
+        """,
+        "g_compare": f"""
+            SELECT {_CUST} AS id FROM customer WHERE c_acctbal > 5000.0
+        """,
+        "g_regex": f"""
+            SELECT {_NAT} AS id FROM nation WHERE regexp_matches(n_name, '^NATION_1')
+        """,
+        "g_order_limit": f"""
+            SELECT id FROM (
+              SELECT {_CUST} AS id FROM customer WHERE c_mktsegment = 'BUILDING'
+            ) ORDER BY id LIMIT 5
+        """,
+        "g_skip": f"""
+            SELECT id FROM (
+              SELECT {_CUST} AS id FROM customer WHERE c_mktsegment = 'BUILDING'
+            ) ORDER BY id LIMIT 4 OFFSET 3
+        """,
+        "g_optional": f"""
+            SELECT {_NAT.replace('n_nationkey', 'a.n_nationkey')} AS id,
+                   CASE WHEN b.n_nationkey IS NULL THEN NULL
+                        ELSE '<nation:' || b.n_nationkey || '>' END AS nxt
+            FROM nation a LEFT JOIN nation b ON b.n_nationkey = a.n_nationkey + 1
+        """,
+        "g_both": f"""
+            SELECT {_CUST} AS id FROM customer WHERE c_nationkey = 7
+            UNION ALL
+            SELECT '<supplier:' || s_suppkey || '>' FROM supplier WHERE s_nationkey = 7
+        """,
+        "g_follow": f"""
+            SELECT {_NAT} AS id
+            FROM orders
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation ON n_nationkey = c_nationkey
+            WHERE o_orderstatus = 'F'
+        """,
+        "g_followr": f"""
+            SELECT {_CUST} AS id FROM customer WHERE c_nationkey = 3
+            UNION ALL
+            SELECT '<supplier:' || s_suppkey || '>' FROM supplier WHERE s_nationkey = 3
+        """,
+        "g_recursive": """
+            WITH RECURSIVE r(nk, depth) AS (
+              SELECT n_nationkey, 0 FROM nation WHERE n_nationkey = 0
+              UNION ALL
+              SELECT b.n_nationkey, r.depth + 1
+              FROM r JOIN nation b ON b.n_nationkey = r.nk + 1
+              WHERE r.depth < 50
+            )
+            SELECT '<nation:' || nk || '>' AS id, CAST(depth AS INT) AS depth
+            FROM r WHERE depth >= 1
+        """,
+        "q1": """
+            SELECT l_returnflag, l_linestatus,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+              CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+              CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+              CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+              COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q3": """
+            SELECT o_orderkey, o_orderdate,
+              CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+              AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+            GROUP BY o_orderkey, o_orderdate
+            ORDER BY revenue DESC, o_orderkey
+            LIMIT 10
+        """,
+        "q5": """
+            SELECT n_name,
+              CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE c_nationkey = s_nationkey AND r_name = 'ASIA'
+            GROUP BY n_name
+        """,
+        "q6": """
+            SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
+        "q_events_hourly": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+              COUNT(*) AS n,
+              CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "q_events_topuser": """
+            SELECT user_id, event_id, event_type FROM (
+              SELECT user_id, event_id, event_type,
+                ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY value DESC, event_id) AS rn
+              FROM events
+            ) WHERE rn = 1
+        """,
+        "t_tokens": r"""
+            SELECT doc_id,
+              CAST(len(regexp_extract_all(text, '\w+')) AS INT) AS n_tokens
+            FROM documents
+        """,
+        "t_quality": r"""
+            WITH t AS (
+              SELECT doc_id, text,
+                     regexp_extract_all(lower(text), '\w+') AS toks
+              FROM documents
+            )
+            SELECT doc_id,
+              CAST(length(text) AS INT) AS n_chars2,
+              CAST(len(toks) AS INT) AS n_tokens,
+              CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS INT) AS n_punct,
+              CAST(len(list_filter(toks, x -> x IN
+                ('the','and','of','to','a','in','is','it'))) AS INT) AS n_stopwords,
+              CAST(list_sum(list_transform(toks, x -> length(x))) AS INT) AS token_chars
+            FROM t
+        """,
+        "t_fingerprint": r"""
+            SELECT doc_id,
+              md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+            FROM documents
+        """,
+        "t_langid": r"""
+            WITH t AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS toks
+              FROM documents
+            ), s AS (
+              SELECT doc_id,
+                len(list_filter(toks, x -> x IN ('der','und','das'))) AS s_de,
+                len(list_filter(toks, x -> x IN ('the','and','of'))) AS s_en,
+                len(list_filter(toks, x -> x IN ('el','los','de'))) AS s_es,
+                len(list_filter(toks, x -> x IN ('le','les','et'))) AS s_fr
+              FROM t
+            )
+            SELECT doc_id,
+              CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'unknown'
+                   WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                   WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                   WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                   ELSE 'fr' END AS lang_guess
+            FROM s
+        """,
+        "d_exact": """
+            WITH g AS (
+              SELECT md5(text) AS digest, COUNT(*) AS n_docs
+              FROM documents GROUP BY 1 HAVING COUNT(*) > 1
+            )
+            SELECT g.digest, g.n_docs, d.doc_id
+            FROM g JOIN (SELECT doc_id, md5(text) AS digest FROM documents) d
+              ON d.digest = g.digest
+        """,
+        "d_lsh": rf"""
+            WITH sh AS (
+              SELECT doc_id AS id, {_SHINGLE3} AS sh
+              FROM (SELECT doc_id,
+                           regexp_extract_all(lower(text), '\w+') AS toks
+                    FROM documents)
+              WHERE len(toks) >= 3
+            ), sig AS (
+              SELECT id, sh, {_MINHASH} AS sig FROM sh
+            ), banded AS (
+              SELECT id, sh, unnest({_BANDS}, recursive := true)
+              FROM sig
+            ), pairs AS (
+              SELECT DISTINCT a.id AS id_a, b.id AS id_b
+              FROM banded a JOIN banded b
+                ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
+            )
+            SELECT p.id_a, p.id_b,
+              CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS jaccard
+            FROM pairs p
+            JOIN sh x ON x.id = p.id_a
+            JOIN sh y ON y.id = p.id_b
+            WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) >= 0.2
+        """,
+        "d_jaccard": r"""
+            WITH sh AS (
+              SELECT lang AS blk, doc_id AS id,
+                list_distinct([array_to_string(toks[i:i+1], ' ')
+                               for i in range(1, len(toks))]) AS sh
+              FROM (SELECT lang, doc_id,
+                           regexp_extract_all(lower(text), '\w+') AS toks
+                    FROM documents)
+              WHERE len(toks) >= 2
+            )
+            SELECT a.id AS id_a, b.id AS id_b,
+              CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+            FROM sh a JOIN sh b ON a.blk = b.blk AND a.id < b.id
+            WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.35
+        """,
+        "s_knn": """
+            WITH s AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                       CAST(c.embedding AS DOUBLE[])) AS score
+              FROM embeddings q, embeddings c
+              WHERE q.vec_id IN (0, 1, 2) AND c.vec_id <> q.vec_id
+            )
+            SELECT query_id, neighbor_id FROM (
+              SELECT query_id, neighbor_id,
+                ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id) AS rn
+              FROM s
+            ) WHERE rn <= 5
+        """,
+        # d_simhash, s_knn_lsh: engine-specific hashing (xxhash64) —
+        # no SQL oracle; driver records rows-only checks.
+    }

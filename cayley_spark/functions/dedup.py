@@ -1,0 +1,188 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram
+Jaccard — the standard large-corpus near-duplicate stack.
+
+Design for scale:
+
+- Exact dedup is one hash-groupBy (map-side partial agg, one shuffle
+  on the 128-bit digest — uniform keys, no skew).
+- MinHash signatures are pure column expressions over word shingles:
+  ``min(md5(seed || shingle))`` per permutation. Using md5-prefix
+  *strings* (not ints) keeps the whole pipeline portable to any SQL
+  engine (the DuckDB oracle computes the identical signature).
+- LSH banding groups permutations into bands; candidate pairs are an
+  equi-join on (band_index, band_hash) — a shuffle join on uniform
+  hash keys. At 100 TB this is the only shuffle, and it's on the
+  *banded signature* (tiny) rather than the documents.
+- Verification joins candidates back and computes exact n-gram
+  Jaccard with array_intersect/array_union — only on the candidate
+  set, never all-pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .text import TOKEN_RE
+
+
+def exact_duplicate_groups(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Groups of byte-identical documents: (digest, n_docs, doc_ids)
+    for groups with >1 member. doc_ids sorted for determinism."""
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("digest"))
+        .groupBy("digest")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def word_shingles(col: Column, k: int = 3) -> Column:
+    """k-word shingles (lowercased). Returns array<string>; distinct."""
+    toks = F.regexp_extract_all(F.lower(col), F.lit(TOKEN_RE), 0)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    sh = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))
+    )
+    return F.array_distinct(F.when(n >= k, sh).otherwise(F.array()))
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
+    """MinHash signature as array<string>: element i is
+    min(md5(i || ':' || shingle)) over the shingle set — a portable
+    stand-in for i-th hash-permutation minima."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    shingles,
+                    lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s)),
+                )
+            )
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def lsh_bands(sig: Column, bands: int, rows: int) -> Column:
+    """Band hashes: array<string> of length ``bands``; band b is the
+    md5 of the concatenated rows of that band."""
+    return F.array(
+        *[
+            F.md5(F.concat_ws("|", F.slice(sig, b * rows + 1, rows)))
+            for b in range(bands)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    jaccard_threshold: float | None = None,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via MinHash-LSH banding:
+    (id_a, id_b) with id_a < id_b, distinct. If ``jaccard_threshold``
+    is set, candidates are verified with exact shingle-set Jaccard and
+    the score column ``jaccard`` is returned."""
+    rows = num_hashes // bands
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), k).alias("sh"),
+    ).where(F.size("sh") > 0)
+    banded = sh.select(
+        "id",
+        "sh",
+        F.posexplode(lsh_bands(minhash_signature(F.col("sh"), num_hashes), bands, rows)).alias(
+            "band", "bh"
+        ),
+    )
+    a = banded.select(
+        F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "band", "bh"
+    )
+    b = banded.select(
+        F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "band", "bh"
+    )
+    pairs = (
+        a.join(b, ["band", "bh"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    if jaccard_threshold is None:
+        return pairs.select("id_a", "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = inter.cast("double") / union
+    return (
+        pairs.withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    block_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard over pairs within a blocking key (e.g.
+    language or source) — the quadratic-within-block baseline the LSH
+    path approximates. Returns (id_a, id_b, jaccard >= threshold)."""
+    sh = df.select(
+        F.col(block_col).alias("blk"),
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), k).alias("sh"),
+    ).where(F.size("sh") > 0)
+    a = sh.select("blk", F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select("blk", F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        a.join(b, "blk")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", inter.cast("double") / union)
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash64(col: Column, k: int = 2) -> Column:
+    """64-bit SimHash over k-word shingles: for each bit b, sum ±1
+    across shingle hashes (xxhash64), take the sign. Pure column
+    expressions; Hamming-distance bucketing pairs via bit_count(xor).
+    (No SQL oracle — xxhash64 is Spark-specific; checked rows-only.)"""
+    sh = word_shingles(col, k)
+    h = F.transform(sh, lambda s: F.xxhash64(s))
+    bits = [
+        F.when(
+            F.aggregate(
+                h,
+                F.lit(0),
+                lambda acc, x: acc
+                + F.when(x.bitwiseAND(F.lit(1 << b) if b < 63 else F.lit(-(1 << 63))) != 0, 1).otherwise(-1),
+            )
+            > 0,
+            F.lit(1),
+        ).otherwise(F.lit(0)).cast("long")
+        for b in range(64)
+    ]
+    out = F.lit(0).cast("long")
+    for i, bit in enumerate(bits):
+        if i < 63:
+            out = out + F.shiftleft(bit, i)
+        else:
+            # avoid long overflow on the sign bit
+            out = out + F.when(bit == 1, F.lit(-(1 << 63))).otherwise(F.lit(0))
+    return out

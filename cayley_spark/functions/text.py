@@ -1,0 +1,98 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot-path logic is built-in Spark SQL functions (JVM-side, inside
+whole-stage codegen) — no Python UDFs. Every operator is designed to
+have a closed-form ANSI-SQL equivalent (see __spark_entry__.oracle_sql)
+so correctness is checkable against DuckDB on the same parquet.
+
+Scale notes: each operator is a narrow map over the documents table —
+no shuffle, no driver collection; at 100 TB these run at scan speed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+TOKEN_RE = r"\w+"
+
+# deliberately tiny, deterministic stopword set (shared with oracles)
+STOPWORDS = ("the", "and", "of", "to", "a", "in", "is", "it")
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace/punctuation-agnostic token count (ASCII \\w runs —
+    same semantics in Java regex and RE2/DuckDB)."""
+    return F.size(F.regexp_extract_all(col, F.lit(TOKEN_RE), 0))
+
+
+def tokens(col: Column) -> Column:
+    return F.regexp_extract_all(F.lower(col), F.lit(TOKEN_RE), 0)
+
+
+def punct_count(col: Column) -> Column:
+    return F.length(col) - F.length(F.regexp_replace(col, r"[^\w\s]", ""))
+
+
+def stopword_count(col: Column) -> Column:
+    toks = tokens(col)
+    return F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+
+
+def quality_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality metrics: length, token count, punctuation
+    count, stopword count, mean token length. Integer-valued columns
+    only (float ratios are left to the caller) so oracle hash-matching
+    is exact."""
+    c = F.col(text_col)
+    toks = tokens(c)
+    return df.select(
+        "doc_id",
+        F.length(c).alias("n_chars2"),
+        token_count(c).alias("n_tokens"),
+        punct_count(c).alias("n_punct"),
+        stopword_count(c).alias("n_stopwords"),
+        F.aggregate(
+            toks, F.lit(0), lambda acc, t: acc + F.length(t)
+        ).alias("token_chars"),
+    )
+
+
+# Character frequency profiles per language for the n-gram-free
+# language-ID heuristic: score = stopword hits per language list.
+_LANG_MARKERS = {
+    "en": ("the", "and", "of"),
+    "de": ("der", "und", "das"),
+    "es": ("el", "los", "de"),
+    "fr": ("le", "les", "et"),
+}
+
+
+def language_guess(col: Column) -> Column:
+    """Deterministic language-ID heuristic: count marker-word hits per
+    language, pick the argmax (ties break by language code order).
+    A real pipeline would use fastText/CLD3 — out of scope here; the
+    point is the distributed shape: pure column expressions."""
+    toks = tokens(col)
+
+    def hits(markers):
+        # one-parameter lambda: pyspark maps each python param to a
+        # lambda variable, so defaults must stay out of the signature
+        return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+    scores = [
+        (lang, hits(markers))
+        for lang, markers in sorted(_LANG_MARKERS.items())
+    ]
+    best = F.greatest(*[s for _, s in scores])
+    out = F.lit("unknown")
+    for lang, s in reversed(scores):
+        out = F.when(s == best, F.lit(lang)).otherwise(out)
+    return F.when(best == 0, F.lit("unknown")).otherwise(out)
+
+
+def fingerprint(col: Column) -> Column:
+    """Document fingerprint: md5 of the normalized text (lowercased,
+    non-alphanumeric collapsed) — the dedup key for exact-after-
+    normalization duplicates."""
+    norm = F.regexp_replace(F.lower(col), r"[^a-z0-9]+", " ")
+    return F.md5(F.trim(norm))

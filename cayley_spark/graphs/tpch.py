@@ -1,0 +1,201 @@
+"""Deterministic property graph derived from the TPC-H-ish testdata.
+
+This is the bridge between the graph engine and the driver's
+DuckDB-oracle correctness gate: every entity/edge below has a closed-
+form relational definition, so each graph query in __spark_entry__.py
+has an equivalent ANSI-SQL oracle over the base tables.
+
+Node terms (IRIs):      <customer:K> <order:K> <nation:K> <region:K>
+                        <supplier:K> <part:K>
+Literal nodes:          segment/status/name strings, balance doubles
+Edges (predicate → relational definition):
+  <placed_by>   order    → customer      (orders.o_custkey)
+  <in_nation>   customer → nation        (customer.c_nationkey)
+  <in_nation>   supplier → nation        (supplier.s_nationkey)
+  <in_region>   nation   → region        (nation.n_regionkey)
+  <in_segment>  customer → "SEGMENT"     (customer.c_mktsegment)
+  <named>       nation   → "NAME"        (nation.n_name)
+  <named>       region   → "NAME"        (region.r_name)
+  <balance>     customer → double        (customer.c_acctbal)
+  <status>      order    → "S"           (orders.o_orderstatus)
+  <next>        nation k → nation k+1    (k < max(n_nationkey))
+  <contains>    order → part, label=<supplier:K>   (lineitem rows)
+
+Everything is built with JVM-side expressions (concat + xxhash64); the
+per-edge-type quad branches carry a *literal* predicate id so Catalyst
+prunes unused branches from any predicate-constrained plan
+(PropagateEmptyRelation after constant-folding p == lit).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..hashing import hash_str
+from ..store import NODE_SCHEMA, GraphStore
+
+PREDICATES = [
+    "placed_by",
+    "in_nation",
+    "in_region",
+    "in_segment",
+    "named",
+    "balance",
+    "status",
+    "next",
+    "contains",
+]
+
+
+def pid(name: str) -> int:
+    """Literal node id of predicate IRI <name> (constant-folded)."""
+    return hash_str(f"I:{name}")
+
+
+def ent_id(cls: str, col):
+    """Node id expression for entity IRI <cls:K>."""
+    return F.xxhash64(F.concat(F.lit(f"I:{cls}:"), F.col(col).cast("string")))
+
+
+def _ent_nodes(df: DataFrame, cls: str, col: str) -> DataFrame:
+    body = F.concat(F.lit(f"{cls}:"), F.col(col).cast("string"))
+    return df.select(
+        F.xxhash64(F.concat(F.lit("I:"), body)).alias("id"),
+        F.lit("iri").alias("kind"),
+        F.concat(F.lit("<"), body, F.lit(">")).alias("term"),
+        body.alias("str"),
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("string").alias("datatype"),
+        F.lit(None).cast("long").alias("i64"),
+        F.lit(None).cast("double").alias("f64"),
+        F.lit(None).cast("boolean").alias("bool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        F.lit(1).alias("refs"),
+    )
+
+
+def _str_nodes(df: DataFrame, col: str) -> DataFrame:
+    s = F.col(col)
+    return df.select(s.alias("__s")).distinct().select(
+        F.xxhash64(F.concat(F.lit("S:"), F.col("__s"))).alias("id"),
+        F.lit("string").alias("kind"),
+        F.concat(F.lit('"'), F.col("__s"), F.lit('"')).alias("term"),
+        F.col("__s").alias("str"),
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("string").alias("datatype"),
+        F.lit(None).cast("long").alias("i64"),
+        F.lit(None).cast("double").alias("f64"),
+        F.lit(None).cast("boolean").alias("bool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        F.lit(1).alias("refs"),
+    )
+
+
+def _float_nodes(df: DataFrame, col: str) -> DataFrame:
+    XSD = "http://www.w3.org/2001/XMLSchema#"
+    v = F.col(col).cast("double")
+    return df.select(v.alias("__v")).distinct().select(
+        F.xxhash64(
+            F.concat(F.lit("f:"), F.col("__v").cast("string"))
+        ).alias("id"),
+        F.lit("float").alias("kind"),
+        F.concat(
+            F.lit('"'), F.col("__v").cast("string"), F.lit(f'"^^<{XSD}double>')
+        ).alias("term"),
+        F.lit(None).cast("string").alias("str"),
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("string").alias("datatype"),
+        F.lit(None).cast("long").alias("i64"),
+        F.col("__v").alias("f64"),
+        F.lit(None).cast("boolean").alias("bool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        F.lit(1).alias("refs"),
+    )
+
+
+def _edge(df, s_expr, p_name: str, o_expr, l_expr=None) -> DataFrame:
+    return df.select(
+        s_expr.alias("s"),
+        F.lit(pid(p_name)).alias("p"),
+        o_expr.alias("o"),
+        (l_expr if l_expr is not None else F.lit(None).cast("long")).alias("l"),
+    )
+
+
+def str_id(col):
+    return F.xxhash64(F.concat(F.lit("S:"), F.col(col)))
+
+
+def float_id(col):
+    return F.xxhash64(F.concat(F.lit("f:"), F.col(col).cast("double").cast("string")))
+
+
+def tpch_graph(spark: SparkSession, sf_dir: str) -> GraphStore:
+    t = {
+        n: spark.read.parquet(f"{sf_dir}/{n}.parquet")
+        for n in ("region", "nation", "customer", "supplier", "orders", "lineitem")
+    }
+    cust, nat, reg, supp = t["customer"], t["nation"], t["region"], t["supplier"]
+    orders, li = t["orders"], t["lineitem"]
+
+    nat_next = nat.alias("a").join(
+        nat.alias("b"),
+        F.col("a.n_nationkey") + 1 == F.col("b.n_nationkey"),
+        "inner",
+    )
+
+    edges = [
+        _edge(orders, ent_id("order", "o_orderkey"), "placed_by",
+              ent_id("customer", "o_custkey")),
+        _edge(cust, ent_id("customer", "c_custkey"), "in_nation",
+              ent_id("nation", "c_nationkey")),
+        _edge(supp, ent_id("supplier", "s_suppkey"), "in_nation",
+              ent_id("nation", "s_nationkey")),
+        _edge(nat, ent_id("nation", "n_nationkey"), "in_region",
+              ent_id("region", "n_regionkey")),
+        _edge(cust, ent_id("customer", "c_custkey"), "in_segment",
+              str_id("c_mktsegment")),
+        _edge(nat, ent_id("nation", "n_nationkey"), "named", str_id("n_name")),
+        _edge(reg, ent_id("region", "r_regionkey"), "named", str_id("r_name")),
+        _edge(cust, ent_id("customer", "c_custkey"), "balance",
+              float_id("c_acctbal")),
+        _edge(orders, ent_id("order", "o_orderkey"), "status",
+              str_id("o_orderstatus")),
+        _edge(
+            nat_next,
+            F.xxhash64(F.concat(F.lit("I:nation:"),
+                                F.col("a.n_nationkey").cast("string"))),
+            "next",
+            F.xxhash64(F.concat(F.lit("I:nation:"),
+                                F.col("b.n_nationkey").cast("string"))),
+        ),
+        _edge(li, ent_id("order", "l_orderkey"), "contains",
+              ent_id("part", "l_partkey"), ent_id("supplier", "l_suppkey")),
+    ]
+    quads = edges[0]
+    for e in edges[1:]:
+        quads = quads.unionAll(e)
+
+    part_keys = li.select(F.col("l_partkey").alias("k")).distinct()
+    node_dfs = [
+        _ent_nodes(cust, "customer", "c_custkey"),
+        _ent_nodes(orders, "order", "o_orderkey"),
+        _ent_nodes(nat, "nation", "n_nationkey"),
+        _ent_nodes(reg, "region", "r_regionkey"),
+        _ent_nodes(supp, "supplier", "s_suppkey"),
+        _ent_nodes(part_keys, "part", "k"),
+        _str_nodes(cust, "c_mktsegment"),
+        _str_nodes(nat, "n_name"),
+        _str_nodes(reg, "r_name"),
+        _str_nodes(orders, "o_orderstatus"),
+        _float_nodes(cust, "c_acctbal"),
+    ]
+    from ..values import IRI
+    from ..store import _node_row
+
+    pred_rows = [_node_row(IRI(p)) for p in PREDICATES]
+    node_dfs.append(spark.createDataFrame(pred_rows, NODE_SCHEMA))
+    nodes = node_dfs[0]
+    for d in node_dfs[1:]:
+        nodes = nodes.unionAll(d)
+    return GraphStore(spark, nodes, quads)

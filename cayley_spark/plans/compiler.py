@@ -182,14 +182,40 @@ def _apply_quad_filter(store, df: DataFrame, qf: S.QuadFilter) -> DataFrame:
         return df.where(F.col(qf.dir).isin(ids))
     sub = compile_nodes(store, vs)
     stags = tags_of(sub)
-    if not stags:
+    if not stags and _is_distinct(vs):
+        # Provably duplicate-free node set: a semi-join is equivalent
+        # and lets Spark build the small hash side without multiplying.
         return df.join(
             sub.select(F.col("id").alias(qf.dir)), qf.dir, "left_semi"
+        )
+    if not stags:
+        # Per-path multiplicity must be preserved: the reference's
+        # LinksTo scans the sub-iterator and emits quads once per
+        # sub-row (graph/linksto.go:44-53) — duplicates in the frontier
+        # multiply. An inner join keeps exactly that bag semantics.
+        return df.join(
+            sub.select(F.col("id").alias(qf.dir)), qf.dir, "inner"
         )
     # tagged sub-shape: inner join, carry its bindings through the quad
     sub = sub.withColumnRenamed("id", "__join_id")
     out = df.join(sub, df[qf.dir] == F.col("__join_id"), "inner").drop("__join_id")
     return out
+
+
+def _is_distinct(shape: S.Shape) -> bool:
+    """True iff the shape's output provably has unique node ids (so a
+    semi-join against it cannot change multiplicities). Conservative:
+    unknown shapes return False and compile to multiplicity-preserving
+    inner joins."""
+    if isinstance(shape, (S.AllNodes, S.Fixed, S.Unique, S.Recursive, S.Count)):
+        return True
+    if isinstance(shape, (S.Filter, S.Page, S.Sort, S.Materialize, S.Tag)):
+        return _is_distinct(shape.sub)
+    if isinstance(shape, S.Intersect):
+        return all(_is_distinct(s) for s in shape.sub) and all(
+            _is_distinct(s) for s in shape.optional
+        )
+    return False
 
 
 def _as_fixed(shape: S.Shape) -> S.Fixed | None:

@@ -471,8 +471,12 @@ class Path:
         return compile_nodes(self.store, self.shape())
 
     def count(self) -> int:
-        shape = S.Count(self.shape())
-        return compile_nodes(self.store, shape).collect()[0][0]
+        return self.count_df().collect()[0][0]
+
+    def count_df(self) -> DataFrame:
+        """Count as a one-row DataFrame[count: long] (path multiplicity
+        included — reference graph/iterator/count.go semantics)."""
+        return compile_nodes(self.store, S.Count(self.shape()))
 
     def values_df(self) -> DataFrame:
         """Rendered result: every id/tag column as its N-Quads term.

@@ -254,9 +254,15 @@ class GraphStore:
         Broadcast-joins the dictionary per column when small; at scale
         this is a shuffle-join on id — still one join per rendered
         column, applied only at result materialization."""
-        cols = cols if cols is not None else [
-            c for c in df.columns if not c.startswith("__")
-        ]
+        if cols is None:
+            # node ids are LongType; non-long columns (depth tags,
+            # counts carried alongside) pass through unresolved
+            cols = [
+                f.name
+                for f in df.schema.fields
+                if not f.name.startswith("__")
+                and f.dataType.typeName() == "long"
+            ]
         terms = self.nodes.select("id", "term")
         out = df
         for c in cols:
