@@ -30,6 +30,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _t_wide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read a table destined for CPU-heavy per-row operators
+    (shingling, hashing, vector math). The testdata files are single
+    row groups, so the scan yields ONE partition and the whole
+    operator runs on one core; spread it across the cluster first.
+    Gated: at real scale inputs already have >= parallelism splits and
+    this is a no-op (no shuffle)."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+    return df
+
+
 # ---------------------------------------------------------------
 # graph queries (cayley Path API over the TPC-H-derived graph)
 # ---------------------------------------------------------------
@@ -343,34 +357,34 @@ def q_events_topuser(spark, sf):
 def t_tokens(spark, sf):
     from cayley_spark.functions.text import token_count
 
-    docs = _t(spark, sf, "documents")
+    docs = _t_wide(spark, sf, "documents")
     return docs.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
 
 
 def t_quality(spark, sf):
     from cayley_spark.functions.text import quality_stats
 
-    return quality_stats(_t(spark, sf, "documents"))
+    return quality_stats(_t_wide(spark, sf, "documents"))
 
 
 def t_fingerprint(spark, sf):
     from cayley_spark.functions.text import fingerprint
 
-    docs = _t(spark, sf, "documents")
+    docs = _t_wide(spark, sf, "documents")
     return docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
 
 
 def t_langid(spark, sf):
     from cayley_spark.functions.text import language_guess
 
-    docs = _t(spark, sf, "documents")
+    docs = _t_wide(spark, sf, "documents")
     return docs.select("doc_id", language_guess(F.col("text")).alias("lang_guess"))
 
 
 def d_exact(spark, sf):
     from cayley_spark.functions.dedup import exact_duplicate_groups
 
-    docs = _t(spark, sf, "documents")
+    docs = _t_wide(spark, sf, "documents")
     g = exact_duplicate_groups(docs)
     return g.select("digest", "n_docs", F.explode("doc_ids").alias("doc_id"))
 
@@ -379,7 +393,7 @@ def d_lsh(spark, sf):
     """MinHash-LSH near-dup pairs with exact-Jaccard verification."""
     from cayley_spark.functions.dedup import minhash_lsh_pairs
 
-    docs = _t(spark, sf, "documents")
+    docs = _t_wide(spark, sf, "documents")
     return minhash_lsh_pairs(
         docs, k=3, num_hashes=16, bands=4, jaccard_threshold=0.2
     )
@@ -389,7 +403,7 @@ def d_jaccard(spark, sf):
     """Exact 2-gram Jaccard pairs, blocked by language."""
     from cayley_spark.functions.dedup import ngram_jaccard_pairs
 
-    docs = _t(spark, sf, "documents")
+    docs = _t_wide(spark, sf, "documents")
     return ngram_jaccard_pairs(docs, "lang", k=2, threshold=0.35)
 
 
@@ -397,7 +411,7 @@ def d_simhash(spark, sf):
     """SimHash fingerprints (xxhash64-based; rows-only check)."""
     from cayley_spark.functions.dedup import simhash64
 
-    docs = _t(spark, sf, "documents")
+    docs = _t_wide(spark, sf, "documents")
     return docs.select("doc_id", simhash64(F.col("text"), k=2).alias("simhash"))
 
 
@@ -407,7 +421,7 @@ KNN_QUERIES = [0, 1, 2]
 def s_knn(spark, sf):
     from cayley_spark.functions.similarity import cosine_topk
 
-    emb = _t(spark, sf, "embeddings")
+    emb = _t_wide(spark, sf, "embeddings")
     return cosine_topk(emb, KNN_QUERIES, k=5).select("query_id", "neighbor_id")
 
 
@@ -415,7 +429,7 @@ def s_knn_lsh(spark, sf):
     """Hyperplane-LSH ANN (approximate; rows-only check)."""
     from cayley_spark.functions.similarity import lsh_topk
 
-    emb = _t(spark, sf, "embeddings")
+    emb = _t_wide(spark, sf, "embeddings")
     return lsh_topk(emb, KNN_QUERIES, k=5).select("query_id", "neighbor_id")
 
 

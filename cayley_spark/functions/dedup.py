@@ -136,21 +136,42 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     k: int = 3,
     threshold: float = 0.5,
+    grid: int = 8,
 ) -> DataFrame:
     """Exact n-gram Jaccard over pairs within a blocking key (e.g.
     language or source) — the quadratic-within-block baseline the LSH
-    path approximates. Returns (id_a, id_b, jaccard >= threshold)."""
+    path approximates. Returns (id_a, id_b, jaccard >= threshold).
+
+    Parallelism: a plain self-join on the block key puts every pair of
+    one block into a single task (a 2k-doc block = 2M comparisons on
+    one core). Instead each side is bucketed by id-hash into ``grid``
+    cells and replicated across the other axis, so the join key
+    (blk, ua, ub) spreads one block over grid² tasks; every unordered
+    pair still meets exactly once after the id_a < id_b filter."""
     sh = df.select(
         F.col(block_col).alias("blk"),
         F.col(id_col).alias("id"),
         word_shingles(F.col(text_col), k).alias("sh"),
     ).where(F.size("sh") > 0)
-    a = sh.select("blk", F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sh.select("blk", F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    cells = F.sequence(F.lit(0), F.lit(grid - 1))
+    a = sh.select(
+        "blk",
+        F.col("id").alias("id_a"),
+        F.col("sh").alias("sh_a"),
+        F.pmod(F.xxhash64("id"), F.lit(grid)).alias("ua"),
+        F.explode(cells).alias("ub"),
+    )
+    b = sh.select(
+        "blk",
+        F.col("id").alias("id_b"),
+        F.col("sh").alias("sh_b"),
+        F.explode(cells).alias("ua"),
+        F.pmod(F.xxhash64("id"), F.lit(grid)).alias("ub"),
+    )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (
-        a.join(b, "blk")
+        a.join(b, ["blk", "ua", "ub"])
         .where(F.col("id_a") < F.col("id_b"))
         .withColumn("jaccard", inter.cast("double") / union)
         .where(F.col("jaccard") >= threshold)
@@ -162,27 +183,33 @@ def simhash64(col: Column, k: int = 2) -> Column:
     """64-bit SimHash over k-word shingles: for each bit b, sum ±1
     across shingle hashes (xxhash64), take the sign. Pure column
     expressions; Hamming-distance bucketing pairs via bit_count(xor).
-    (No SQL oracle — xxhash64 is Spark-specific; checked rows-only.)"""
+    (No SQL oracle — xxhash64 is Spark-specific; checked rows-only.)
+
+    Single aggregate pass with an array<int>[64] accumulator — one
+    generated loop instead of 64 (64 separate aggregates blow the
+    janino 64 KB method limit and fall back to interpreted eval)."""
     sh = word_shingles(col, k)
     h = F.transform(sh, lambda s: F.xxhash64(s))
-    bits = [
-        F.when(
-            F.aggregate(
-                h,
-                F.lit(0),
-                lambda acc, x: acc
-                + F.when(x.bitwiseAND(F.lit(1 << b) if b < 63 else F.lit(-(1 << 63))) != 0, 1).otherwise(-1),
-            )
-            > 0,
-            F.lit(1),
-        ).otherwise(F.lit(0)).cast("long")
-        for b in range(64)
-    ]
+    bit_idx = F.sequence(F.lit(0), F.lit(63))
+
+    def signs(x: Column) -> Column:
+        # ±1 per bit of x; shiftright accepts a column shift at the
+        # SQL-function layer (the python wrapper insists on int)
+        return F.transform(
+            bit_idx,
+            lambda b: F.when(
+                F.call_function("shiftright", x, b).bitwiseAND(F.lit(1)) == 1,
+                F.lit(1),
+            ).otherwise(F.lit(-1)),
+        )
+
+    counts = F.aggregate(
+        h,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, x: F.zip_with(acc, signs(x), lambda a, s: a + s),
+    )
+    # pack sign bits into a long: sum(counts[b] > 0 ? 2^b : 0)
     out = F.lit(0).cast("long")
-    for i, bit in enumerate(bits):
-        if i < 63:
-            out = out + F.shiftleft(bit, i)
-        else:
-            # avoid long overflow on the sign bit
-            out = out + F.when(bit == 1, F.lit(-(1 << 63))).otherwise(F.lit(0))
-    return out
+    for b in range(63):
+        out = out + F.when(counts[b] > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return out + F.when(counts[63] > 0, F.lit(-(1 << 63))).otherwise(F.lit(0))

@@ -309,14 +309,17 @@ def _compile_recursive(store: GraphStore, shape: S.Recursive) -> DataFrame:
     for depth in range(1, shape.max_depth + 1):
         nxt = compile_nodes(store, shape.step(_DFShape(frontier)))
         nxt = nxt.select("id").dropDuplicates(["id"])
+        # one action per round: the eager checkpoint materializes nxt,
+        # so count() afterwards is driver-side metadata, and `seen`
+        # stays a shallow union of checkpointed rounds (no re-persist)
         nxt = nxt.join(seen, "id", "left_anti").localCheckpoint(eager=True)
-        if nxt.isEmpty():
+        if nxt.count() == 0:
             break
         if shape.depth_tag:
             rounds.append(nxt.withColumn(shape.depth_tag, F.lit(depth)))
         else:
             rounds.append(nxt)
-        seen = seen.unionAll(nxt).localCheckpoint(eager=True)
+        seen = seen.unionAll(nxt)
         frontier = nxt
     if not rounds:
         empty_schema = "id: long" + (

@@ -1,0 +1,132 @@
+"""Training-data operator tests: text, dedup, similarity, multimodal.
+
+Small deterministic inputs; every operator's distributed shape
+(schema, partitioning, batch semantics) is exercised for real even
+where the media decode kernel is a deterministic fake."""
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        Row(doc_id=0, lang="en", text="the cat and the hat is in the house"),
+        Row(doc_id=1, lang="en", text="the cat and the hat is in the home"),
+        Row(doc_id=2, lang="en", text="a completely different sentence here"),
+        Row(doc_id=3, lang="de", text="der hund und das haus"),
+        Row(doc_id=4, lang="en", text="the cat and the hat is in the house"),
+        Row(doc_id=5, lang="fr", text="le chat et les maisons"),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_token_count(docs):
+    from cayley_spark.functions.text import token_count
+
+    out = {
+        r["doc_id"]: r["n"]
+        for r in docs.select("doc_id", token_count(F.col("text")).alias("n")).collect()
+    }
+    assert out[0] == 9 and out[3] == 5
+
+
+def test_language_guess(docs):
+    from cayley_spark.functions.text import language_guess
+
+    out = {
+        r["doc_id"]: r["lang"]
+        for r in docs.select(
+            "doc_id", language_guess(F.col("text")).alias("lang")
+        ).collect()
+    }
+    assert out[0] == "en" and out[3] == "de" and out[5] == "fr"
+
+
+def test_exact_dedup(docs):
+    from cayley_spark.functions.dedup import exact_duplicate_groups
+
+    groups = exact_duplicate_groups(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["doc_ids"] == [0, 4]
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    from cayley_spark.functions.dedup import minhash_lsh_pairs
+
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(
+            docs, k=3, num_hashes=16, bands=8, jaccard_threshold=0.5
+        ).collect()
+    }
+    assert (0, 4) in pairs  # exact dup always collides
+    assert (0, 1) in pairs  # one-word-off near dup
+    assert (0, 2) not in pairs
+
+
+def test_ngram_jaccard_grid_join(docs):
+    from cayley_spark.functions.dedup import ngram_jaccard_pairs
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, "lang", k=2, threshold=0.5).collect()
+    }
+    assert pairs[(0, 4)] == 1.0
+    assert (0, 1) in pairs
+    # grid replication must not double-count a pair
+    assert len([p for p in pairs if p == (0, 4)]) == 1
+
+
+def test_simhash_properties(docs):
+    from cayley_spark.functions.dedup import simhash64
+
+    out = {
+        r["doc_id"]: r["sh"]
+        for r in docs.select("doc_id", simhash64(F.col("text")).alias("sh")).collect()
+    }
+    assert out[0] == out[4]  # identical docs → identical simhash
+    # near-dup docs → small hamming distance
+    ham = bin((out[0] ^ out[1]) & (2**64 - 1)).count("1")
+    assert ham <= 16
+    ham_far = bin((out[0] ^ out[3]) & (2**64 - 1)).count("1")
+    assert ham_far > ham
+
+
+def test_cosine_topk_exact(spark):
+    from cayley_spark.functions.similarity import cosine_topk
+
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0, 0.0]),
+        Row(vec_id=1, embedding=[0.9, 0.1, 0.0]),
+        Row(vec_id=2, embedding=[0.0, 1.0, 0.0]),
+        Row(vec_id=3, embedding=[0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows)
+    out = cosine_topk(df, [0], k=2).collect()
+    assert [r["neighbor_id"] for r in out] == [1, 2]
+
+
+def test_media_decode_plumbing(spark):
+    from cayley_spark.functions.multimodal import (
+        decode_image_info,
+        image_features,
+        sample_frames,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, n=20)
+    info = decode_image_info(media)
+    rows = info.collect()
+    assert len(rows) == 20
+    assert all(r["width"] >= 16 and r["format"] in ("jpeg", "png", "webp") for r in rows)
+    # determinism across runs
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, info.collect()))
+
+    feats = image_features(media, dim=8).collect()
+    assert len(feats) == 20 and all(len(r["embedding"]) == 8 for r in feats)
+
+    frames = sample_frames(media, every_ms=5000)
+    fr = frames.collect()
+    assert len(fr) >= 20  # at least one frame per item
+    assert frames.schema["frame"].dataType.typeName() == "binary"
