@@ -22,6 +22,86 @@ import sys
 import time
 
 
+def _movie_bench(spark) -> dict[str, float]:
+    """The reference's own timed integration queries over its 30k-movie
+    dataset (471,705 quads) — the only historical baseline numbers
+    (BASELINE.md: empty 2-set intersect ~20ms, 3-set intersect ~4s on
+    2014 single-core memstore). Skipped when the dataset (or a cached
+    parquet store) is unavailable."""
+    import gzip
+    import os
+    import shutil
+
+    SRC_GZ = "/root/reference/data/30kmoviedata.nq.gz"
+    NQ = "/tmp/30kmoviedata.nq"
+    STORE = "/tmp/movies_store"
+
+    from cayley_spark import GraphStore
+
+    if not os.path.exists(os.path.join(STORE, "quads")):
+        if not os.path.exists(SRC_GZ):
+            return {}
+        if not os.path.exists(NQ):
+            with gzip.open(SRC_GZ, "rb") as fin, open(NQ + ".tmp", "wb") as fout:
+                shutil.copyfileobj(fin, fout)
+            os.rename(NQ + ".tmp", NQ)
+        from cayley_spark.sources.nquads import read_nquads
+
+        read_nquads(spark, NQ).save(STORE)
+
+    from cayley_spark.query.gizmo import graph
+
+    st = GraphStore.load(spark, STORE).persist()
+    st.quads.count()
+    st.nodes.count()
+    g = graph(st)
+
+    NAME = "<name>"
+    STARRING = "</film/film/starring>"
+    P_ACTOR = "</film/performance/actor>"
+
+    def get_id(x):
+        return g.V(x).In(NAME)
+
+    atf = g.M().In(P_ACTOR).In(STARRING)
+
+    def q_2set():
+        return (
+            get_id("Oliver Hardy").Follow(atf).Out(NAME)
+            .Intersect(get_id("Mel Blanc").Follow(atf).Out(NAME))
+        )
+
+    def q_3set():
+        a = get_id("Oliver Hardy").Follow(atf).FollowR(atf)
+        b = get_id("Mel Blanc").Follow(atf).FollowR(atf)
+        c = get_id("Billy Gilbert").Follow(atf).FollowR(atf)
+        return a.Intersect(b).Intersect(c).Unique()
+
+    def q_costars():
+        m1 = g.V().Has(NAME, "The Net")
+        a1 = g.V().Has(NAME, "Sandra Bullock")
+        a2 = g.V().Has(NAME, "Keanu Reeves")
+        fta = g.M().Out(STARRING).Out(P_ACTOR)
+        cs1 = g.M().In(P_ACTOR).In(STARRING).Save(NAME, "c1m").Follow(fta)
+        cs2 = g.M().In(P_ACTOR).In(STARRING).Save(NAME, "c2m").Follow(fta)
+        return (
+            a1.Save(NAME, "c1a").Follow(cs1)
+            .Intersect(a2.Save(NAME, "c2a").Follow(cs2)).Out(NAME)
+        )
+
+    out: dict[str, float] = {}
+    for name, fn in [
+        ("movies_name_lookup", lambda: g.V("Humphrey Bogart").In(NAME)),
+        ("movies_2set_empty_intersect", q_2set),
+        ("movies_3set_small_intersect", q_3set),
+        ("movies_costars", q_costars),
+    ]:
+        t0 = time.time()
+        fn()._p.values_df().write.mode("overwrite").format("noop").save()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -36,6 +116,12 @@ def main() -> None:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "24g"))
+        # local mode + big heap → driver GCs are rare → ContextCleaner
+        # never reclaims finished broadcasts/shuffles; dozens of
+        # queries accumulate GBs of block-manager state and late
+        # queries degrade 10-30x. Forcing a periodic GC keeps the
+        # cleaner draining (default is 30min).
+        .config("spark.cleaner.periodicGC.interval", "30s")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
@@ -58,6 +144,8 @@ def main() -> None:
         df = fn(spark, sf_dir)
         df.write.mode("overwrite").format("noop").save()
         timings[name] = round(time.time() - t0, 3)
+
+    timings.update(_movie_bench(spark))
 
     out = {
         "metric": "suite_seconds",

@@ -94,36 +94,45 @@ def minhash_lsh_pairs(
     is set, candidates are verified with exact shingle-set Jaccard and
     the score column ``jaccard`` is returned."""
     rows = num_hashes // bands
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        word_shingles(F.col(text_col), k).alias("sh"),
-    ).where(F.size("sh") > 0)
-    banded = sh.select(
-        "id",
-        "sh",
-        F.posexplode(lsh_bands(minhash_signature(F.col("sh"), num_hashes), bands, rows)).alias(
-            "band", "bh"
-        ),
+    # Persist the two expensive intermediates: `sh` (tokenize+shingle)
+    # and `banded` (16 md5 minima per doc). Without this, the a/b
+    # sides of the bucket self-join and the verification joins each
+    # recompute the whole pipeline, and Catalyst's project-collapse
+    # inlines the signature tree into every band slice (4x the md5
+    # work) — measured as the dominant cost, not the joins.
+    sh = (
+        df.select(
+            F.col(id_col).alias("id"),
+            word_shingles(F.col(text_col), k).alias("sh"),
+        )
+        .where(F.size("sh") > 0)
+        .persist()
     )
-    a = banded.select(
-        F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "band", "bh"
+    sig = sh.select(
+        "id", minhash_signature(F.col("sh"), num_hashes).alias("sig")
+    ).persist()
+    banded = sig.select(
+        "id", F.posexplode(lsh_bands(F.col("sig"), bands, rows)).alias("band", "bh")
     )
-    b = banded.select(
-        F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "band", "bh"
-    )
+    a = banded.select(F.col("id").alias("id_a"), "band", "bh")
+    b = banded.select(F.col("id").alias("id_b"), "band", "bh")
     pairs = (
         a.join(b, ["band", "bh"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
     if jaccard_threshold is None:
-        return pairs.select("id_a", "id_b")
+        return pairs
+    sh_a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     jac = inter.cast("double") / union
     return (
-        pairs.withColumn("jaccard", jac)
+        pairs.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn("jaccard", jac)
         .where(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -142,38 +151,43 @@ def ngram_jaccard_pairs(
     language or source) — the quadratic-within-block baseline the LSH
     path approximates. Returns (id_a, id_b, jaccard >= threshold).
 
-    Parallelism: a plain self-join on the block key puts every pair of
-    one block into a single task (a 2k-doc block = 2M comparisons on
-    one core). Instead each side is bucketed by id-hash into ``grid``
-    cells and replicated across the other axis, so the join key
-    (blk, ua, ub) spreads one block over grid² tasks; every unordered
-    pair still meets exactly once after the id_a < id_b filter."""
+    Inverted-index plan (the scalable exact-Jaccard shape): explode
+    distinct shingles to postings, self-join on (block, shingle) to
+    count the overlap per pair with one hash aggregate, then join the
+    two set sizes and filter. Everything stays inside whole-stage
+    codegen — no per-pair ``array_intersect``, whose interpreted
+    fallback allocates a hash set per comparison and convoys hard at
+    high task counts. Pairs sharing zero shingles (jaccard 0) never
+    materialize. Skew bound: a shingle appearing in df docs produces
+    df² join rows — at web scale cap df by dropping ubiquitous
+    shingles (loses exactness; not done here).
+
+    ``grid`` kept for API stability; the inverted index parallelizes
+    by shingle so it is unused."""
     sh = df.select(
         F.col(block_col).alias("blk"),
         F.col(id_col).alias("id"),
         word_shingles(F.col(text_col), k).alias("sh"),
     ).where(F.size("sh") > 0)
-    cells = F.sequence(F.lit(0), F.lit(grid - 1))
-    a = sh.select(
-        "blk",
-        F.col("id").alias("id_a"),
-        F.col("sh").alias("sh_a"),
-        F.pmod(F.xxhash64("id"), F.lit(grid)).alias("ua"),
-        F.explode(cells).alias("ub"),
-    )
-    b = sh.select(
-        "blk",
-        F.col("id").alias("id_b"),
-        F.col("sh").alias("sh_b"),
-        F.explode(cells).alias("ua"),
-        F.pmod(F.xxhash64("id"), F.lit(grid)).alias("ub"),
-    )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
-    return (
-        a.join(b, ["blk", "ua", "ub"])
+    sizes = sh.select("blk", "id", F.size("sh").alias("n"))
+    postings = sh.select("blk", "id", F.explode("sh").alias("s"))
+    a = postings.select("blk", F.col("id").alias("id_a"), "s")
+    b = postings.select("blk", F.col("id").alias("id_b"), "s")
+    inter = (
+        a.join(b, ["blk", "s"])
         .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("jaccard", inter.cast("double") / union)
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb"))
+    jac = F.col("inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("inter")
+    )
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn("jaccard", jac)
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

@@ -1,0 +1,308 @@
+"""Gizmo-style query surface (the reference's primary language).
+
+Method-for-method Python mirror of the Gizmo JS API
+(/root/reference/query/gizmo/environ.go:45-122 graph object;
+/root/reference/query/gizmo/traversals.go path methods;
+/root/reference/query/gizmo/finals.go finals). Gizmo programs are
+JavaScript; the reference runs them in a goja VM. Running real JS is
+out of scope — instead the full method surface exists in Python with
+the reference's exact names (both Gizmo PascalCase and JS camelCase
+aliases), so the 77-case gizmo corpus ports mechanically:
+
+    g = graph(store)
+    g.V("<bob>").In("<follows>").All()
+    g.V().Has("<name>", "Speed").Save("<name>", "movie").All()
+
+Finals return JSON-collated results (gizmo.go:124-136): IRIs/BNodes as
+bracketed terms, strings bare, numbers/bools native — matching the
+reference's integration-test expectations byte for byte.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from .path import Path
+from ..store import GraphStore
+from ..values import IRI, Value, coerce
+
+
+def _json_native(term: str):
+    """N-Quads term → gizmo JSON collation value."""
+    from ..values import parse_term
+
+    if term is None:
+        return None
+    v = parse_term(term)
+    from ..values import BNode, IRI as _IRI
+
+    if isinstance(v, (_IRI, BNode)):
+        return term  # bracketed IRI / _:bnode, as the reference emits
+    return v.native()
+
+
+class GizmoPath:
+    """Fluent path with Gizmo naming; wraps the core Path."""
+
+    def __init__(self, g: "graph", p: Path):
+        self._g = g
+        self._p = p
+
+    def _wrap(self, p: Path) -> "GizmoPath":
+        return GizmoPath(self._g, p)
+
+    def _other(self, o):
+        return o._p if isinstance(o, GizmoPath) else o
+
+    # -------- traversals (traversals.go) --------
+
+    def Is(self, *nodes):
+        return self._wrap(self._p.is_(*nodes))
+
+    def In(self, *preds, tags=()):
+        return self._wrap(self._p.in_(*map(self._via, preds), tags=tags))
+
+    def Out(self, *preds, tags=()):
+        return self._wrap(self._p.out(*map(self._via, preds), tags=tags))
+
+    def Both(self, *preds):
+        return self._wrap(self._p.both(*map(self._via, preds)))
+
+    def Follow(self, m):
+        return self._wrap(self._p.follow(self._other(m)))
+
+    def FollowR(self, m):
+        return self._wrap(self._p.follow_r(self._other(m)))
+
+    def FollowRecursive(self, via, max_depth: int = 50, depth_tag=None):
+        return self._wrap(
+            self._p.follow_recursive(
+                self._other(via) if isinstance(via, GizmoPath) else self._via(via),
+                max_depth,
+                depth_tag,
+            )
+        )
+
+    def And(self, other):
+        return self._wrap(self._p.and_(self._other(other)))
+
+    Intersect = And
+
+    def Or(self, other):
+        return self._wrap(self._p.or_(self._other(other)))
+
+    Union = Or
+
+    def Except(self, other):
+        return self._wrap(self._p.except_(self._other(other)))
+
+    Difference = Except
+
+    def Back(self, tag):
+        return self._wrap(self._p.back(tag))
+
+    def Tag(self, *tags):
+        return self._wrap(self._p.tag(*tags))
+
+    As = Tag
+
+    def Has(self, pred, *values):
+        return self._wrap(self._p.has(self._via(pred), *values))
+
+    def HasR(self, pred, *values):
+        return self._wrap(self._p.has_r(self._via(pred), *values))
+
+    def Save(self, pred, tag):
+        return self._wrap(self._p.save(self._via(pred), tag))
+
+    def SaveR(self, pred, tag):
+        return self._wrap(self._p.save_r(self._via(pred), tag))
+
+    def SaveOpt(self, pred, tag):
+        return self._wrap(self._p.save_opt(self._via(pred), tag))
+
+    def SaveOptR(self, pred, tag):
+        return self._wrap(self._p.save_opt_r(self._via(pred), tag))
+
+    def Unique(self):
+        return self._wrap(self._p.unique())
+
+    def Labels(self):
+        return self._wrap(self._p.labels())
+
+    def InPredicates(self):
+        return self._wrap(self._p.in_predicates())
+
+    def OutPredicates(self):
+        return self._wrap(self._p.out_predicates())
+
+    def SaveInPredicates(self, tag):
+        return self._wrap(self._p.save_in_predicates(tag))
+
+    def SaveOutPredicates(self, tag):
+        return self._wrap(self._p.save_out_predicates(tag))
+
+    def LabelContext(self, *labels):
+        return self._wrap(self._p.label_context(*labels))
+
+    def Filter(self, *filters):
+        return self._wrap(self._p.filter(*filters))
+
+    def Regex(self, pattern, refs: bool = False):
+        return self._wrap(self._p.regex(pattern, refs))
+
+    def Like(self, pattern):
+        return self._wrap(self._p.like(pattern))
+
+    def Limit(self, n):
+        return self._wrap(self._p.limit(n))
+
+    def Skip(self, n):
+        return self._wrap(self._p.skip(n))
+
+    def Order(self):
+        return self._wrap(self._p.order())
+
+    def _via(self, pred):
+        """Gizmo via argument: string/value or a path (resolved to its
+        node set at compile time)."""
+        if isinstance(pred, GizmoPath):
+            return pred._p
+        return pred
+
+    # -------- finals (finals.go) --------
+
+    def All(self) -> list[dict]:
+        return [
+            {k: _json_native(v) for k, v in row.items()}
+            for row in self._p.all()
+        ]
+
+    def GetLimit(self, n: int) -> list[dict]:
+        return self._wrap(self._p.limit(n)).All()
+
+    def ToArray(self) -> list:
+        return [r["id"] for r in self.All()]
+
+    def TagArray(self) -> list[dict]:
+        return self.All()
+
+    def ToValue(self):
+        arr = self.GetLimit(1)
+        return arr[0]["id"] if arr else None
+
+    def TagValue(self):
+        arr = self.GetLimit(1)
+        return arr[0] if arr else None
+
+    def Count(self) -> int:
+        return self._p.count()
+
+    def ForEach(self, callback: Callable[[dict], None], limit: int = -1):
+        """gizmo forEach: stream results through a driver callback
+        (finals.go:138-163). Uses toLocalIterator so only one partition
+        is resident driver-side at a time."""
+        df = (self._p.limit(limit) if limit > 0 else self._p).values_df()
+        for row in df.toLocalIterator():
+            callback({k: _json_native(v) for k, v in row.asDict().items()})
+
+    Map = ForEach
+
+    # js-style camelCase aliases (gizmo accepts both: docs use .all())
+    is_ = Is
+    in_ = In
+    out = Out
+    both = Both
+    follow = Follow
+    followR = FollowR
+    followRecursive = FollowRecursive
+    and_ = And
+    intersect = And
+    or_ = Or
+    union = Or
+    except_ = Except
+    difference = Except
+    back = Back
+    tag = Tag
+    has = Has
+    hasR = HasR
+    save = Save
+    saveR = SaveR
+    saveOpt = SaveOpt
+    saveOptR = SaveOptR
+    unique = Unique
+    labels = Labels
+    inPredicates = InPredicates
+    outPredicates = OutPredicates
+    saveInPredicates = SaveInPredicates
+    saveOutPredicates = SaveOutPredicates
+    labelContext = LabelContext
+    filter = Filter
+    regex = Regex
+    like = Like
+    limit = Limit
+    skip = Skip
+    order = Order
+    all = All
+    getLimit = GetLimit
+    toArray = ToArray
+    tagArray = TagArray
+    toValue = ToValue
+    tagValue = TagValue
+    count = Count
+    forEach = ForEach
+    map = ForEach
+
+
+class graph:
+    """The gizmo ``g`` object (environ.go:45-122)."""
+
+    def __init__(self, store: GraphStore):
+        self.store = store
+        self._ns: dict[str, str] = {}
+        self._emitted: list = []
+
+    def V(self, *nodes) -> GizmoPath:
+        return GizmoPath(self, Path.start(self.store, *nodes))
+
+    Vertex = V
+
+    def M(self) -> GizmoPath:
+        return GizmoPath(self, Path.morphism())
+
+    Morphism = M
+
+    def IRI(self, s: str) -> Value:
+        """Expand a prefixed name against registered namespaces."""
+        if ":" in s:
+            pref, _, rest = s.partition(":")
+            if pref in self._ns:
+                return IRI(self._ns[pref] + rest)
+        return IRI(s)
+
+    def AddNamespace(self, pref: str, uri: str):
+        self._ns[pref] = uri
+
+    addNamespace = AddNamespace
+
+    def AddDefaultNamespaces(self):
+        self.AddNamespace("rdf", "http://www.w3.org/1999/02/22-rdf-syntax-ns#")
+        self.AddNamespace("rdfs", "http://www.w3.org/2000/01/rdf-schema#")
+        self.AddNamespace("schema", "http://schema.org/")
+
+    addDefaultNamespaces = AddDefaultNamespaces
+
+    def Emit(self, value):
+        """g.emit — append an arbitrary value to the session output
+        (environ.go:112-122)."""
+        self._emitted.append(value)
+
+    emit = Emit
+
+    def emitted(self) -> list:
+        out, self._emitted = self._emitted, []
+        return out
+
+
+def gizmo_graph(store: GraphStore) -> graph:
+    return graph(store)
