@@ -1,0 +1,169 @@
+"""LinkedQL — JSON-LD step-object query language.
+
+Re-expression of /root/reference/query/linkedql/ (registry-driven: one
+step type per file under query/linkedql/steps/, JSON test cases in
+steps/test-cases/). A query is a JSON-LD object whose ``@type`` names
+a step and whose ``from`` chains the previous step; the registry maps
+each step onto the Path API.
+
+Covered steps (the traversal/filter/paging core): Vertex, Match,
+Visit, VisitReverse, Out, In, Both, Has, HasReverse, Intersect, Union,
+Difference, Back, As, Select, Count, Limit, Skip, Order, Unique,
+Like, RegExp, LessThan, LessThanEquals, GreaterThan, GreaterThanEquals,
+Labels, PropertyNames, ReversePropertyNames.
+
+Results use JSON-LD value encoding: IRIs as {"@id": iri}, literals
+native, Count as a bare number list."""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+from .. import shapes as S
+from .path import Path
+from ..store import GraphStore
+from ..values import BNode, IRI, Value, coerce, parse_term
+
+VOCAB = "http://cayley.io/linkedql#"
+
+
+def _to_value(v) -> Value:
+    if isinstance(v, dict):
+        if "@id" in v:
+            return IRI(v["@id"])
+        if "@value" in v:
+            return coerce(v["@value"])
+    return coerce(v)
+
+
+def _pred_values(v) -> list[Value]:
+    """Property references: bare strings are IRIs in LinkedQL."""
+    vs = v if isinstance(v, list) else [v]
+    return [IRI(x) if isinstance(x, str) else _to_value(x) for x in vs]
+
+
+def _from_json(term: str):
+    """N-Quads term → JSON-LD value."""
+    v = parse_term(term)
+    if isinstance(v, IRI):
+        return {"@id": v.s}
+    if isinstance(v, BNode):
+        return {"@id": "_:" + v.s}
+    return v.native()
+
+
+class LinkedQLSession:
+    def __init__(self, store: GraphStore):
+        self.store = store
+
+    def execute(self, query: str | dict) -> list:
+        q = json.loads(query) if isinstance(query, str) else query
+        step_type = q.get("@type", "")
+        path = self._build(q)
+        if step_type == "Count":
+            return [path.count()]
+        if step_type == "Select":
+            tags = q.get("tags") or None
+            rows = path.all()
+            out = []
+            for r in rows:
+                sel = {
+                    k: _from_json(v)
+                    for k, v in r.items()
+                    if k != "id" and v is not None and (not tags or k in tags)
+                }
+                out.append(sel)
+            return out
+        return [
+            _from_json(r["id"]) for r in path.all() if r["id"] is not None
+        ]
+
+    # ---------------- step registry ----------------
+
+    def _build(self, q: dict) -> Path:
+        t = q.get("@type", "").removeprefix(VOCAB)
+        if t == "Vertex":
+            vals = [_to_value(v) for v in q.get("values", [])]
+            return Path.start(self.store, *vals)
+        if t == "Match":
+            pat = q.get("pattern", {})
+            p = Path.start(self.store)
+            if "@id" in pat:
+                p = p.is_(IRI(pat["@id"]))
+            for k, v in pat.items():
+                if k.startswith("@"):
+                    continue
+                p = p.has(IRI(k), *_pred_values(v))
+            return p
+        if t == "Back" and not q.get("name"):
+            # anonymous Back: reposition at the previous step's input
+            # (reference steps/back.go with name "") — tag the inner
+            # step's source invisibly, apply the step, jump back
+            inner = q["from"]
+            if "from" not in inner:
+                return self._build(inner)
+            base = self._build(inner["from"]).tag("back_anon_")
+            return self._apply(inner, base).back("back_anon_")
+        p = self._build(q["from"]) if "from" in q else Path.start(self.store)
+        return self._apply(q, p)
+
+    def _apply(self, q: dict, p: Path) -> Path:
+        t = q.get("@type", "").removeprefix(VOCAB)
+        if t in ("Visit", "Out", "View"):
+            return p.out(*_pred_values(q.get("properties", [])))
+        if t in ("VisitReverse", "In", "ViewReverse"):
+            return p.in_(*_pred_values(q.get("properties", [])))
+        if t == "Both":
+            return p.both(*_pred_values(q.get("properties", [])))
+        if t == "Has":
+            return p.has(
+                _pred_values(q["property"])[0],
+                *[_to_value(v) for v in q.get("values", [])],
+            )
+        if t == "HasReverse":
+            return p.has_r(
+                _pred_values(q["property"])[0],
+                *[_to_value(v) for v in q.get("values", [])],
+            )
+        if t == "Intersect":
+            return p.and_(self._build(q["steps"][0] if "steps" in q else q["intersectee"]))
+        if t == "Union":
+            return p.or_(self._build(q["steps"][0] if "steps" in q else q["unionized"]))
+        if t == "Difference":
+            return p.except_(self._build(q["steps"][0] if "steps" in q else q["step"]))
+        if t == "Back":
+            return p.back(q["name"])
+        if t == "As":
+            return p.tag(q["name"])
+        if t in ("Select", "Documents", "Collect"):
+            return p
+        if t == "Count":
+            return p
+        if t == "Limit":
+            return p.limit(int(q["limit"]))
+        if t == "Skip":
+            return p.skip(int(q["offset"] if "offset" in q else q["skip"]))
+        if t == "Order":
+            return p.order()
+        if t == "Unique":
+            return p.unique()
+        if t == "Like":
+            return p.like(q["likePattern"])
+        if t == "RegExp":
+            return p.regex(q["pattern"], refs=bool(q.get("includeIRIs")))
+        for op, name in [
+            ("lt", "LessThan"),
+            ("lte", "LessThanEquals"),
+            ("gt", "GreaterThan"),
+            ("gte", "GreaterThanEquals"),
+        ]:
+            if t == name:
+                return p.filter(S.Comparison(op, _to_value(q["value"])))
+        if t == "Labels":
+            return p.labels()
+        if t == "PropertyNames":
+            return p.out_predicates()
+        if t == "ReversePropertyNames":
+            return p.in_predicates()
+        raise ValueError(f"linkedql: unsupported step @type {t!r}")

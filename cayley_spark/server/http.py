@@ -1,0 +1,195 @@
+"""HTTP API — the reference's v1/v2 endpoints over the Spark store.
+
+Mirrors /root/reference/internal/http/api_v1.go:29-35 and
+/root/reference/server/http/api_v2.go:125-139:
+
+    POST /api/v1/query/{lang}     body = query text → {"result": [...]}
+    POST /api/v1/write            body = n-quads → {"result": "Successfully wrote N quads.", "count": N}
+    POST /api/v1/delete           body = n-quads → {"result": "Successfully deleted N quads.", "count": N}
+    POST /api/v2/query?lang=x     same as v1 query
+    POST /api/v2/write /delete    same as v1
+    POST /api/v2/read             → n-quads dump of the store
+    GET  /api/v2/formats          → registered formats
+
+Language registry (the reference's query.Session contract,
+query/session.go:97-141): gizmo, mql, graphql, sexp, linkedql.
+Gizmo queries are Python expressions over the ``g`` graph object
+(the reference runs arbitrary JS in a goja VM — same trust model:
+this server executes queries, queries are programs; bind to
+localhost).
+
+Driver-side HTTP is a thin shell over the DataFrame engine: one
+store object lives in the server; writes swap it atomically
+(immutable GraphStore semantics make that a pointer swap)."""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+from ..store import GraphStore
+from ..values import parse_term
+
+
+def _parse_nquads_lines(text: str) -> list[tuple]:
+    import re
+
+    from ..sources.nquads import _TERM
+
+    out = []
+    for line in text.splitlines():
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        terms = [m.group(0) for m in re.finditer(_TERM, line)]
+        if len(terms) in (3, 4):
+            out.append(tuple(parse_term(t) for t in terms))
+    return out
+
+
+class CayleyHandler(BaseHTTPRequestHandler):
+    server_version = "cayley_spark/0.1"
+
+    def log_message(self, *args):  # quiet
+        pass
+
+    # ------------- helpers -------------
+
+    def _json(self, obj, code: int = 200):
+        body = json.dumps(obj, default=str).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _text(self, s: str, code: int = 200, ctype="text/plain"):
+        body = s.encode()
+        self.send_response(code)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _body(self) -> str:
+        n = int(self.headers.get("Content-Length", 0))
+        return self.rfile.read(n).decode()
+
+    # ------------- routes -------------
+
+    def do_GET(self):
+        if urlparse(self.path).path == "/api/v2/formats":
+            return self._json(
+                [
+                    {"id": "nquads", "read": True, "write": True},
+                    {"id": "jsonld", "read": True, "write": True},
+                    {"id": "graphml", "read": False, "write": True},
+                    {"id": "gml", "read": False, "write": True},
+                    {"id": "dot", "read": False, "write": True},
+                ]
+            )
+        self._json({"error": "not found"}, 404)
+
+    def do_POST(self):
+        u = urlparse(self.path)
+        parts = u.path.strip("/").split("/")
+        try:
+            if parts[:2] == ["api", "v1"] and len(parts) >= 3:
+                if parts[2] == "query":
+                    return self._query(parts[3], self._body())
+                if parts[2] == "write":
+                    return self._write(self._body(), delete=False)
+                if parts[2] == "delete":
+                    return self._write(self._body(), delete=True)
+            if parts[:2] == ["api", "v2"]:
+                if parts[2] == "query":
+                    lang = parse_qs(u.query).get("lang", ["gizmo"])[0]
+                    return self._query(lang, self._body())
+                if parts[2] == "write":
+                    return self._write(self._body(), delete=False)
+                if parts[2] == "delete":
+                    return self._write(self._body(), delete=True)
+                if parts[2] == "read":
+                    from ..sources.nquads import write_nquads
+
+                    lines = [
+                        r["value"]
+                        for r in write_nquads(self.server.store).collect()
+                    ]
+                    return self._text("\n".join(lines) + "\n",
+                                      ctype="application/n-quads")
+            self._json({"error": "not found"}, 404)
+        except Exception as e:  # reference returns {"error": ...}
+            self._json({"error": str(e)}, 400)
+
+    # ------------- implementations -------------
+
+    def _query(self, lang: str, query: str):
+        store = self.server.store
+        if lang == "gizmo":
+            from ..query.gizmo import graph
+
+            g = graph(store)
+            result = eval(  # noqa: S307 - queries are programs (see module doc)
+                compile(query, "<gizmo>", "eval"), {"__builtins__": {}}, {"g": g}
+            )
+            out = result if isinstance(result, (list, int, str)) else g.emitted()
+        elif lang == "mql":
+            from ..query.mql import MQLSession
+
+            out = MQLSession(store).execute(query)
+        elif lang == "graphql":
+            from ..query.graphql import GraphQLSession
+
+            out = GraphQLSession(store).execute(query)
+        elif lang == "sexp":
+            from ..query.sexp import SexpSession
+
+            out = SexpSession(store).execute(query)
+        elif lang == "linkedql":
+            from ..query.linkedql import LinkedQLSession
+
+            out = LinkedQLSession(store).execute(query)
+        else:
+            return self._json({"error": f"unknown language {lang!r}"}, 400)
+        self._json({"result": out})
+
+    def _write(self, body: str, delete: bool):
+        quads = _parse_nquads_lines(body)
+        with self.server.write_lock:
+            st = self.server.store
+            st = (
+                st.apply_deltas(delete=quads)
+                if delete
+                else st.apply_deltas(add=quads)
+            )
+            self.server.store = st
+        verb = "deleted" if delete else "wrote"
+        self._json(
+            {"result": f"Successfully {verb} {len(quads)} quads.",
+             "count": len(quads)}
+        )
+
+
+class CayleyHTTPServer(ThreadingHTTPServer):
+    daemon_threads = True
+
+    def __init__(self, store: GraphStore, host: str = "127.0.0.1", port: int = 0):
+        super().__init__((host, port), CayleyHandler)
+        self.store = store
+        self.write_lock = threading.Lock()
+
+
+def serve(store: GraphStore, host: str = "127.0.0.1", port: int = 64210):
+    """Blocking serve (the reference's default port is 64210)."""
+    CayleyHTTPServer(store, host, port).serve_forever()
+
+
+def start_background(store: GraphStore, host: str = "127.0.0.1", port: int = 0):
+    """Start on a free port; returns (server, thread). For tests/REPL."""
+    srv = CayleyHTTPServer(store, host, port)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    return srv, t

@@ -169,12 +169,25 @@ class GraphStore:
         return cls(spark, nodes, quads)
 
     @classmethod
-    def load(cls, spark: SparkSession, path: str) -> "GraphStore":
-        return cls(
-            spark,
-            spark.read.parquet(f"{path}/nodes"),
-            spark.read.parquet(f"{path}/quads"),
-        )
+    def load(
+        cls, spark: SparkSession, path: str, dedup_nodes: bool = False
+    ) -> "GraphStore":
+        """``dedup_nodes=True`` collapses duplicate dictionary rows by
+        id (summing refcounts) — needed for stores built by streaming
+        appends (streaming/ingest.py), where each micro-batch writes
+        its own node increment. Batch ``save()`` output is already
+        unique, so the default skips the shuffle."""
+        nodes = spark.read.parquet(f"{path}/nodes")
+        if dedup_nodes:
+            nodes = nodes.groupBy("id").agg(
+                *[
+                    F.first(c, ignorenulls=True).alias(c)
+                    for c in NODE_SCHEMA.fieldNames()
+                    if c not in ("id", "refs")
+                ],
+                F.sum("refs").cast("int").alias("refs"),
+            )
+        return cls(spark, nodes, spark.read.parquet(f"{path}/quads"))
 
     # ---------------- persistence ----------------
 

@@ -1,0 +1,89 @@
+"""HTTP API tests (reference api_v1/api_v2 endpoint behavior)."""
+
+import json
+import urllib.request
+
+import pytest
+
+from cayley_spark.server.http import start_background
+
+
+@pytest.fixture(scope="module")
+def srv(social):
+    server, _ = start_background(social)
+    yield f"http://127.0.0.1:{server.server_address[1]}"
+    server.shutdown()
+
+
+def post(url, body, ctype="text/plain"):
+    req = urllib.request.Request(
+        url, data=body.encode(), headers={"Content-Type": ctype}
+    )
+    with urllib.request.urlopen(req) as r:
+        return json.loads(r.read())
+
+
+def get(url):
+    with urllib.request.urlopen(url) as r:
+        return json.loads(r.read())
+
+
+def test_gizmo_query(srv):
+    out = post(
+        f"{srv}/api/v1/query/gizmo", 'g.V("<bob>").In("<follows>").All()'
+    )
+    ids = sorted(r["id"] for r in out["result"])
+    assert ids == ["<alice>", "<charlie>", "<dani>"]
+
+
+def test_v2_query_lang_param(srv):
+    out = post(
+        f"{srv}/api/v2/query?lang=mql", '[{"id": null, "<status>": "cool_person"}]'
+    )
+    assert len(out["result"]) == 3
+
+
+def test_graphql_over_http(srv):
+    out = post(
+        f"{srv}/api/v2/query?lang=graphql",
+        '{ me(status: "cool_person") { id } }',
+    )
+    assert sorted(o["id"] for o in out["result"]["me"]) == [
+        "<bob>", "<dani>", "<greg>",
+    ]
+
+
+def test_formats(srv):
+    fmts = {f["id"] for f in get(f"{srv}/api/v2/formats")}
+    assert {"nquads", "jsonld", "graphml", "gml", "dot"} <= fmts
+
+
+def test_write_query_delete_roundtrip(srv):
+    out = post(f"{srv}/api/v1/write", "<zeke> <follows> <bob> .\n")
+    assert out["count"] == 1
+    out = post(
+        f"{srv}/api/v1/query/gizmo", 'g.V("<bob>").In("<follows>").ToArray()'
+    )
+    assert "<zeke>" in out["result"]
+    out = post(f"{srv}/api/v1/delete", "<zeke> <follows> <bob> .\n")
+    assert out["count"] == 1
+    out = post(
+        f"{srv}/api/v1/query/gizmo", 'g.V("<bob>").In("<follows>").ToArray()'
+    )
+    assert "<zeke>" not in out["result"]
+
+
+def test_read_dump(srv):
+    req = urllib.request.Request(f"{srv}/api/v2/read", data=b"")
+    with urllib.request.urlopen(req) as r:
+        lines = [l for l in r.read().decode().splitlines() if l.strip()]
+    assert len(lines) == 15  # simple_social quad count
+    assert any("<alice> <follows> <bob> ." in l for l in lines)
+
+
+def test_unknown_language(srv):
+    try:
+        post(f"{srv}/api/v1/query/nope", "x")
+        assert False
+    except urllib.error.HTTPError as e:
+        assert e.code == 400

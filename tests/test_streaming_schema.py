@@ -1,0 +1,80 @@
+"""Structured Streaming ingest + schema ORM roundtrip tests."""
+
+import os
+import shutil
+import time
+import uuid
+
+import pytest
+from dataclasses import dataclass, field
+
+from cayley_spark import GraphStore, IRI, Path
+from cayley_spark.schema import load_to, quad_field, register_type, write_as_quads
+
+
+def test_stream_ingest_roundtrip(spark, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("stream"))
+    src, store, ckpt = f"{base}/in", f"{base}/store", f"{base}/ckpt"
+    os.makedirs(src)
+    with open(f"{src}/batch1.nq", "w") as f:
+        f.write("<alice> <follows> <bob> .\n<bob> <follows> <carol> .\n")
+    with open(f"{src}/batch2.nq", "w") as f:
+        f.write("<carol> <follows> <alice> .\n<alice> <follows> <carol> .\n")
+
+    from cayley_spark.streaming.ingest import read_quad_stream, stream_to_store
+
+    q = stream_to_store(
+        read_quad_stream(spark, src), store, ckpt, trigger_available_now=True
+    )
+    q.awaitTermination(120)
+
+    st = GraphStore.load(spark, store, dedup_nodes=True)
+    assert st.stats()["quads"] == 4
+    got = sorted(Path.start(st, IRI("carol")).in_(IRI("follows")).all_values())
+    assert got == ["<alice>", "<bob>"]
+
+    # incremental: a third file appears, the stream picks it up
+    with open(f"{src}/batch3.nq", "w") as f:
+        f.write("<dave> <follows> <carol> .\n")
+    q2 = stream_to_store(
+        read_quad_stream(spark, src), store, ckpt, trigger_available_now=True
+    )
+    q2.awaitTermination(120)
+    st2 = GraphStore.load(spark, store, dedup_nodes=True)
+    assert st2.stats()["quads"] == 5
+    got = sorted(Path.start(st2, IRI("carol")).in_(IRI("follows")).all_values())
+    assert got == ["<alice>", "<bob>", "<dave>"]
+
+
+@dataclass
+class Person:
+    id: object = None
+    name: str = quad_field("<name>")
+    follows: list = quad_field("<follows>", default_factory=list)
+
+
+def test_schema_roundtrip(spark):
+    register_type(Person, "<Person>")
+    alice = Person(id=IRI("alice"), name="Alice", follows=[IRI("bob")])
+    bob = Person(id=IRI("bob"), name="Bob")
+    quads = write_as_quads([alice, bob])
+    # 2 type rows + 2 names + 1 follows
+    assert len(quads) == 5
+
+    st = GraphStore.from_quad_values(spark, quads)
+    people = load_to(st, Person)
+    assert [p.name for p in people] == ["Alice", "Bob"]
+    assert people[0].follows == ["<bob>"]  # IRI native form
+
+    only_bob = load_to(st, Person, ids=[IRI("bob")])
+    assert len(only_bob) == 1 and only_bob[0].name == "Bob"
+
+
+def test_schema_required_field_skip(spark):
+    register_type(Person, "<Person>")
+    quads = write_as_quads([Person(id=IRI("x"), name="X")])
+    # a typed node with no <name> edge must be skipped on load
+    quads.append((IRI("ghost"), IRI("rdf:type"), IRI("Person")))
+    st = GraphStore.from_quad_values(spark, quads)
+    people = load_to(st, Person)
+    assert [p.name for p in people] == ["X"]
