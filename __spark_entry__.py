@@ -433,6 +433,15 @@ def s_knn_lsh(spark, sf):
     return lsh_topk(emb, KNN_QUERIES, k=5).select("query_id", "neighbor_id")
 
 
+def s_knn_ivf(spark, sf):
+    """IVF ANN: kmeans-bucketed index, nprobe-bucket search
+    (approximate; rows-only check)."""
+    from cayley_spark.functions.similarity import ivf_topk
+
+    emb = _t_wide(spark, sf, "embeddings")
+    return ivf_topk(emb, KNN_QUERIES, k=5).select("query_id", "neighbor_id")
+
+
 # ---------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------
@@ -480,6 +489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_simhash": d_simhash,
         "s_knn": s_knn,
         "s_knn_lsh": s_knn_lsh,
+        "s_knn_ivf": s_knn_ivf,
     }
 
 

@@ -106,6 +106,127 @@ def hyperplane_signature(
     return sig
 
 
+def kmeans_centroids(
+    df: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic mini-kmeans for IVF coarse quantization: seeds =
+    first ``n_centroids`` vectors in id order, then ``iters`` Lloyd
+    rounds. Assignment is one distributed pass per round (argmin over
+    broadcast centroid literals); the re-centering aggregate is
+    (cluster, dim) → avg, tiny. Centroids return to the driver —
+    n_centroids × dim floats, by construction small."""
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    cents = [
+        list(r["v"])
+        for r in base.orderBy("id").limit(n_centroids).collect()
+    ]
+    for _ in range(iters):
+        assigned = base.withColumn("c", _nearest(F.col("v"), cents))
+        stats = (
+            assigned.select("c", F.posexplode("v").alias("pos", "x"))
+            .groupBy("c", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        new = {c: list(cent) for c, cent in enumerate(cents)}
+        by_c: dict[int, dict[int, float]] = {}
+        for r in stats:
+            by_c.setdefault(r["c"], {})[r["pos"]] = r["m"]
+        for c, dims in by_c.items():
+            for pos, m in dims.items():
+                new[c][pos] = m
+        cents = [new[c] for c in range(len(cents))]
+    return cents
+
+
+def _nearest(v: Column, cents: list[list[float]]) -> Column:
+    """Index of the nearest centroid (squared L2) as one expression.
+    Implemented as array_min over (dist, idx) structs — a chained
+    when(d < best, ...) formulation duplicates the running best into
+    every next comparison and the expression tree grows 2^n_centroids
+    (planner OOM at 16 centroids)."""
+    entries = []
+    for i, c in enumerate(cents):
+        d = F.aggregate(
+            F.zip_with(
+                v,
+                F.array(*[F.lit(x) for x in c]),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        entries.append(F.struct(d.alias("d"), F.lit(i).alias("i")))
+    return F.array_min(F.array(*entries))["i"]
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: vectors are bucketed by nearest centroid
+    once; each query exactly scores only the ``nprobe`` closest
+    buckets. At scale the bucketed table is the persisted index and a
+    query touches ~nprobe/n_centroids of the corpus. Recall is tunable
+    via nprobe (nprobe == n_centroids → exact brute force)."""
+    import math
+
+    from pyspark.sql.window import Window
+
+    cents = kmeans_centroids(df, n_centroids, id_col=id_col, vec_col=vec_col)
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    bucketed = base.withColumn("c", _nearest(F.col("v"), cents))
+
+    qvecs = {
+        r["id"]: list(r["v"])
+        for r in base.where(F.col("id").isin(query_ids)).collect()
+    }
+
+    def probes(qv: list[float]) -> list[int]:
+        ds = [
+            (sum((a - b) * (a - b) for a, b in zip(qv, c)), i)
+            for i, c in enumerate(cents)
+        ]
+        return [i for _, i in sorted(ds)[:nprobe]]
+
+    probe_rows = [
+        (qid, c, qvecs[qid]) for qid in qvecs for c in probes(qvecs[qid])
+    ]
+    probe_df = df.sparkSession.createDataFrame(
+        probe_rows, "query_id long, c int, q array<double>"
+    )
+    scored = (
+        bucketed.join(F.broadcast(probe_df), "c")
+        .where(F.col("id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            cosine(F.col("q"), F.col("v")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "score")
+    )
+
+
 def lsh_topk(
     df: DataFrame,
     query_ids: list[int],

@@ -180,6 +180,17 @@ def _apply_quad_filter(store, df: DataFrame, qf: S.QuadFilter) -> DataFrame:
         if len(ids) == 1:
             return df.where(F.col(qf.dir) == F.lit(ids[0]))
         return df.where(F.col(qf.dir).isin(ids))
+    tags = _pure_tag_chain(vs)
+    if tags is not None and qf.dir != S.LABEL:  # null labels ≠ a node
+        # Tag(AllNodes) used as a direction constraint (the
+        # g.V().As("x").In(...) pattern): every node matches, so the
+        # membership join is the identity — binding the tag is a pure
+        # projection of the direction column. Kills a quads×nodes join
+        # in every tagged full-scan traversal.
+        out = df
+        for t in tags:
+            out = out.withColumn(t, F.col(qf.dir))
+        return out
     sub = compile_nodes(store, vs)
     stags = tags_of(sub)
     if not stags and _is_distinct(vs):
@@ -200,6 +211,16 @@ def _apply_quad_filter(store, df: DataFrame, qf: S.QuadFilter) -> DataFrame:
     sub = sub.withColumnRenamed("id", "__join_id")
     out = df.join(sub, df[qf.dir] == F.col("__join_id"), "inner").drop("__join_id")
     return out
+
+
+def _pure_tag_chain(shape: S.Shape) -> list[str] | None:
+    """If shape is Tag(...(Tag(AllNodes))), return the tag names
+    (outermost last); else None."""
+    tags: list[str] = []
+    while isinstance(shape, S.Tag):
+        tags = list(shape.tags) + tags
+        shape = shape.sub
+    return tags if tags and isinstance(shape, S.AllNodes) else None
 
 
 def _is_distinct(shape: S.Shape) -> bool:

@@ -260,6 +260,68 @@ class GraphStore:
             out = GraphStore(self.spark, nodes, remaining)
         return out
 
+    def remove_node(self, value) -> "GraphStore":
+        """Delete a node and every quad incident to it in any
+        direction (reference writer/single.go:84-113 RemoveNode: three
+        g.V(v).Mutate() delete paths — subject, object, label; the
+        predicate direction is included here for symmetry with the
+        reference's all-directions QuadIterator contract)."""
+        vid = coerce(value).id
+        cond = None
+        for d in DIRS:
+            c = F.col(d) == F.lit(vid)
+            cond = c if cond is None else (cond | c)
+        remaining = self.quads.where(~F.coalesce(cond, F.lit(False)))
+        used = None
+        for d in DIRS:
+            u = remaining.select(F.col(d).alias("id")).where(
+                F.col("id").isNotNull()
+            )
+            used = u if used is None else used.unionAll(u)
+        refc = used.groupBy("id").agg(F.count("*").cast("int").alias("refs"))
+        nodes = self.nodes.drop("refs").join(refc, "id", "inner")
+        return GraphStore(self.spark, nodes, remaining)
+
+    def dedup_bnodes(self) -> "GraphStore":
+        """Merge blank nodes whose outgoing edge sets are identical
+        (reference cmd/cayley/command/dedup.go:32-33: bnodes deduped by
+        a content hash of their properties). Distributed: hash each
+        bnode's sorted (p,o) set, pick the min-id representative per
+        hash, remap s/o/l through the representative map."""
+        bn = self.nodes.where(F.col("kind") == "bnode").select("id")
+        sig = (
+            self.quads.join(bn.withColumnRenamed("id", "s"), "s", "left_semi")
+            .groupBy("s")
+            .agg(
+                F.xxhash64(
+                    F.concat_ws(
+                        "|",
+                        F.sort_array(
+                            F.collect_list(F.concat_ws(":", "p", "o"))
+                        ),
+                    )
+                ).alias("sig")
+            )
+        )
+        rep = sig.groupBy("sig").agg(F.min("s").alias("rep"))
+        remap = (
+            sig.join(rep, "sig")
+            .where(F.col("s") != F.col("rep"))
+            .select(F.col("s").alias("old"), F.col("rep").alias("new"))
+        )
+        q = self.quads
+        for d in DIRS:
+            m = remap.withColumnRenamed("old", d)
+            q = (
+                q.join(F.broadcast(m), d, "left")
+                .withColumn(d, F.coalesce(F.col("new"), F.col(d)))
+                .drop("new")
+            )
+        q = q.dropDuplicates(["s", "p", "o", "l"])
+        dropped = remap.select(F.col("old").alias("id"))
+        nodes = self.nodes.join(dropped, "id", "left_anti")
+        return GraphStore(self.spark, nodes, q)
+
     # ---------------- rendering ----------------
 
     def resolve(self, df: DataFrame, cols: list[str] | None = None) -> DataFrame:
