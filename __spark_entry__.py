@@ -218,6 +218,23 @@ def g_followr(spark, sf):
     return Path.start(g, IRI("nation:3")).follow_r(m).values_df()
 
 
+def g_write_delete(spark, sf):
+    """Write path (ApplyDeltas): add an unlabeled + labeled variant of
+    the same (s,p,o), delete the unlabeled one — the labeled quad must
+    survive (deltas key on all four directions, reference
+    graph/log/graphlog.go QuadHash; regression for the round-1 bug
+    where delete anti-joined on (s,p,o) only)."""
+    g = tpch_graph(spark, sf)
+    tmp = String("TEMP_NAME")
+    g2 = g.apply_deltas(
+        add=[
+            (IRI("nation:7"), IRI("named"), tmp),
+            (IRI("nation:7"), IRI("named"), tmp, IRI("tempgraph")),
+        ]
+    ).apply_deltas(delete=[(IRI("nation:7"), IRI("named"), tmp)])
+    return Path.start(g2, IRI("nation:7")).out(IRI("named")).values_df()
+
+
 def g_recursive(spark, sf):
     """FollowRecursive: transitive closure of the nation chain."""
     g = tpch_graph(spark, sf)
@@ -472,6 +489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_both": g_both,
         "g_follow": g_follow,
         "g_followr": g_followr,
+        "g_write_delete": g_write_delete,
         "g_recursive": g_recursive,
         "q1": q1,
         "q3": q3,
@@ -602,6 +620,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT {_CUST} AS id FROM customer WHERE c_nationkey = 3
             UNION ALL
             SELECT '<supplier:' || s_suppkey || '>' FROM supplier WHERE s_nationkey = 3
+        """,
+        "g_write_delete": """
+            SELECT '"' || n_name || '"' AS id FROM nation WHERE n_nationkey = 7
+            UNION ALL
+            SELECT '"TEMP_NAME"' AS id
         """,
         "g_recursive": """
             WITH RECURSIVE r(nk, depth) AS (

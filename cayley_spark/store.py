@@ -242,8 +242,25 @@ class GraphStore:
             )
         if delete:
             dels = GraphStore.from_quad_values(self.spark, list(delete))
-            remaining = out.quads.join(
-                dels.quads, on=["s", "p", "o"], how="left_anti"
+            # Delete the exact 4-tuple including label — the reference
+            # resolves all four directions (graph/memstore/quadstore.go:
+            # 396-402 findQuad; SQL uniqueness is per (s,p,o,l),
+            # graph/sql/database.go:103-110). In a multigraph, deleting
+            # the unlabeled triple must NOT touch labeled variants, so
+            # the label compares null-safely. Note: a delete removes
+            # every duplicate copy of the matching quad (anti-join), not
+            # one instance per delta — callers needing per-instance bag
+            # deletion should dedup adds first.
+            q, d = out.quads.alias("q"), dels.quads.alias("d")
+            remaining = q.join(
+                F.broadcast(d),
+                on=(
+                    (F.col("q.s") == F.col("d.s"))
+                    & (F.col("q.p") == F.col("d.p"))
+                    & (F.col("q.o") == F.col("d.o"))
+                    & F.col("q.l").eqNullSafe(F.col("d.l"))
+                ),
+                how="left_anti",
             )
             # recompute refs from surviving quads; drop orphaned nodes
             used = None
@@ -361,14 +378,18 @@ _LIT_RE = r'^"((?:[^"\\]|\\.)*)"(?:@([A-Za-z0-9\-]+)|\^\^<([^>]*)>)?$'
 
 
 def _unescape_col(c):
-    # Handle the standard N-Quads escapes. Sequential-scan fidelity for
-    # pathological adjacent backslashes is provided by the driver-side
-    # parser (values.parse_term); this covers the distributed fast path.
+    # Handle the standard N-Quads escapes in an order-safe way: first
+    # swap escaped backslashes for a sentinel (a raw NUL byte cannot
+    # occur inside an N-Quads literal), then decode the
+    # single-char escapes, then restore the sentinel. This makes the
+    # distributed path agree with the driver-side parser on inputs like
+    # "\\t" (backslash + t, not TAB).
+    c = F.regexp_replace(c, r"\\\\", "\x00")
     c = F.regexp_replace(c, r"\\t", "\t")
     c = F.regexp_replace(c, r"\\r", "\r")
     c = F.regexp_replace(c, r"\\n", "\n")
     c = F.regexp_replace(c, r'\\"', '"')
-    c = F.regexp_replace(c, r"\\\\", "\\\\")
+    c = F.regexp_replace(c, "\x00", "\\\\")
     return c
 
 

@@ -152,6 +152,33 @@ def test_label_context_scoping(multi):
     assert got == ['"cool_person"', '"cool_person"', '"smart_person"']
 
 
+def test_labeled_delete_scoping(spark, multi):
+    """Deltas are keyed by all four directions (reference
+    graph/log/graphlog.go QuadHash; SQL uniqueness per (s,p,o,l),
+    graph/sql/database.go:103-110): deleting an unlabeled triple must
+    not touch labeled variants sharing (s,p,o), and vice-versa."""
+    # add the unlabeled twin of the multigraph-labeled edge, delete it:
+    # the labeled variant must survive
+    st = multi.apply_deltas(add=[(IRI("dani"), IRI("follows"), IRI("bob"))])
+    st = st.apply_deltas(delete=[(IRI("dani"), IRI("follows"), IRI("bob"))])
+    got = sorted(
+        Path.start(st, IRI("dani"))
+        .label_context(IRI("multigraph"))
+        .out(IRI("follows"))
+        .all_values()
+    )
+    assert got == ["<bob>", "<greg>"]
+    # symmetric: deleting the labeled quad must not touch the unlabeled
+    st2 = multi.apply_deltas(
+        add=[(IRI("emily"), IRI("follows"), IRI("fred"), IRI("multigraph"))]
+    )
+    st2 = st2.apply_deltas(
+        delete=[(IRI("emily"), IRI("follows"), IRI("fred"), IRI("multigraph"))]
+    )
+    got = Path.start(st2, IRI("emily")).out(IRI("follows")).all_values()
+    assert got == ["<fred>"]
+
+
 def test_tag_allnodes_projection_plan(social):
     """The g.V().As(x).Out(...) pattern must not join the nodes table
     for the tag binding (compiler fast path)."""
