@@ -425,7 +425,7 @@ def d_jaccard(spark, sf):
 
 
 def d_simhash(spark, sf):
-    """SimHash fingerprints (xxhash64-based; rows-only check)."""
+    """SimHash fingerprints (md5-hex-based, portable to the oracle)."""
     from cayley_spark.functions.dedup import simhash64
 
     docs = _t_wide(spark, sf, "documents")
@@ -528,6 +528,141 @@ _BANDS = (
     "[{'band': b, 'bh': md5(array_to_string(sig[b*4+1:b*4+4], '|'))} "
     "for b in range(0, 4)]"
 )
+
+
+def _lsh_planes_values() -> str:
+    """The deterministic hyperplanes as SQL VALUES rows ``(t, p, pv)``,
+    generated from the same ``_plane()`` the Spark path uses — the
+    oracle recomputes identical signatures from plain constants (no
+    engine-specific hash function in the SQL)."""
+    from cayley_spark.functions.similarity import _plane
+
+    rows = []
+    for t in range(4):
+        for p in range(8):
+            arr = ", ".join(repr(x) for x in _plane(64, p, t))
+            rows.append(f"({t}, {p}, [{arr}])")
+    return ",\n              ".join(rows)
+
+
+def _sqdist(a: str, b: str) -> str:
+    """Squared-L2 between two DOUBLE[] columns, summed in dimension
+    order (matches the Spark side's sequential F.aggregate)."""
+    return (
+        f"list_sum([({a}[i] - {b}[i]) * ({a}[i] - {b}[i]) "
+        f"for i in range(1, len({a})+1)])"
+    )
+
+
+def _ivf_round(n: int, prev: str) -> str:
+    """One Lloyd round as SQL CTEs: assignment a{n} against centroids
+    ``prev``, exact-decimal per-dimension means m{n}, new centroids
+    c{n} (empty clusters keep their previous centroid) — mirrors
+    cayley_spark.functions.similarity.kmeans_centroids."""
+    return f"""
+            a{n} AS (
+              SELECT id, v, c FROM (
+                SELECT b.id, b.v, s.c,
+                  ROW_NUMBER() OVER (PARTITION BY b.id
+                    ORDER BY {_sqdist('b.v', 's.v')}, s.c) AS rn
+                FROM base b CROSS JOIN {prev} s
+              ) WHERE rn = 1
+            ), m{n} AS (
+              SELECT c, pos,
+                CAST(SUM(CAST(x AS DECIMAL(27,12))) AS DOUBLE)
+                  / COUNT(*) AS m
+              FROM (SELECT c, unnest(
+                      [{{'pos': i, 'x': v[i]}} for i in range(1, len(v)+1)],
+                      recursive := true)
+                    FROM a{n})
+              GROUP BY c, pos
+            ), c{n} AS (
+              SELECT p.c, coalesce(g.gv, p.v) AS v
+              FROM {prev} p LEFT JOIN
+                (SELECT c, list(m ORDER BY pos) AS gv FROM m{n} GROUP BY c) g
+                USING (c)
+            )"""
+
+
+def _ivf_oracle(n_centroids: int = 16, nprobe: int = 4, k: int = 5) -> str:
+    qids = ", ".join(str(q) for q in KNN_QUERIES)
+    return f"""
+            WITH base AS (
+              SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings
+            ), c0 AS (
+              SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS c, v
+              FROM (SELECT id, v FROM base ORDER BY id LIMIT {n_centroids})
+            ),{_ivf_round(1, 'c0')},{_ivf_round(2, 'c1')},
+            bucketed AS (
+              SELECT id, c FROM (
+                SELECT b.id, s.c,
+                  ROW_NUMBER() OVER (PARTITION BY b.id
+                    ORDER BY {_sqdist('b.v', 's.v')}, s.c) AS rn
+                FROM base b CROSS JOIN c2 s
+              ) WHERE rn = 1
+            ), probe AS (
+              SELECT query_id, c FROM (
+                SELECT b.id AS query_id, s.c,
+                  ROW_NUMBER() OVER (PARTITION BY b.id
+                    ORDER BY {_sqdist('b.v', 's.v')}, s.c) AS rn
+                FROM base b CROSS JOIN c2 s WHERE b.id IN ({qids})
+              ) WHERE rn <= {nprobe}
+            ), cand AS (
+              SELECT p.query_id, bk.id AS neighbor_id
+              FROM probe p JOIN bucketed bk ON bk.c = p.c
+              WHERE bk.id <> p.query_id
+            ), scored AS (
+              SELECT c.query_id, c.neighbor_id,
+                list_cosine_similarity(qb.v, nb.v) AS score
+              FROM cand c
+              JOIN base qb ON qb.id = c.query_id
+              JOIN base nb ON nb.id = c.neighbor_id
+            )
+            SELECT query_id, neighbor_id FROM (
+              SELECT query_id, neighbor_id,
+                ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, neighbor_id) AS rn
+              FROM scored
+            ) WHERE rn <= {k}
+    """
+
+
+def _lsh_oracle(n_planes: int = 8, k: int = 5) -> str:
+    qids = ", ".join(str(q) for q in KNN_QUERIES)
+    return f"""
+            WITH planes(t, p, pv) AS (VALUES
+              {_lsh_planes_values()}
+            ), base AS (
+              SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings
+            ), sigs AS (
+              SELECT b.id, pl.t,
+                CAST(SUM(CASE WHEN list_inner_product(b.v, pl.pv) > 0
+                     THEN (CAST(1 AS BIGINT) << pl.p) ELSE 0 END) AS BIGINT) AS sig
+              FROM base b CROSS JOIN planes pl
+              GROUP BY b.id, pl.t
+            ), q AS (
+              SELECT id AS query_id, t, sig FROM sigs
+              WHERE id IN ({qids})
+            ), cand AS (
+              SELECT DISTINCT q.query_id, s.id AS neighbor_id
+              FROM sigs s JOIN q ON s.t = q.t AND s.sig = q.sig
+              WHERE s.id <> q.query_id
+            ), scored AS (
+              SELECT c.query_id, c.neighbor_id,
+                list_cosine_similarity(qb.v, nb.v) AS score
+              FROM cand c
+              JOIN base qb ON qb.id = c.query_id
+              JOIN base nb ON nb.id = c.neighbor_id
+            )
+            SELECT query_id, neighbor_id FROM (
+              SELECT query_id, neighbor_id,
+                ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, neighbor_id) AS rn
+              FROM scored
+            ) WHERE rn <= {k}
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -794,6 +929,37 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.35
         """,
+        "d_simhash": r"""
+            WITH t AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS toks
+              FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                CASE WHEN len(toks) >= 2 THEN
+                  list_distinct([array_to_string(toks[i:i+1], ' ')
+                                 for i in range(1, len(toks))])
+                ELSE [] END AS sh
+              FROM t
+            ), hs AS (
+              SELECT doc_id,
+                [md5('0:' || s) || md5('1:' || s) for s in sh] AS hs
+              FROM sh
+            ), cnt AS (
+              SELECT doc_id,
+                [list_sum([CASE WHEN substr(h, b+1, 1) >= '8'
+                           THEN 1 ELSE -1 END for h in hs])
+                 for b in range(0, 64)] AS cnt
+              FROM hs
+            )
+            SELECT doc_id, CAST(
+              coalesce(list_sum([CASE WHEN cnt[b+1] > 0
+                        THEN CAST(1 AS BIGINT) << b
+                        ELSE 0 END for b in range(0, 63)]), 0)
+              + CASE WHEN cnt[64] > 0
+                     THEN CAST(-9223372036854775808 AS HUGEINT) ELSE 0 END
+              AS BIGINT) AS simhash
+            FROM cnt
+        """,
         "s_knn": """
             WITH s AS (
               SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -809,6 +975,6 @@ def oracle_sql() -> dict[str, str]:
               FROM s
             ) WHERE rn <= 5
         """,
-        # d_simhash, s_knn_lsh: engine-specific hashing (xxhash64) —
-        # no SQL oracle; driver records rows-only checks.
+        "s_knn_lsh": _lsh_oracle(),
+        "s_knn_ivf": _ivf_oracle(),
     }

@@ -195,25 +195,34 @@ def ngram_jaccard_pairs(
 
 def simhash64(col: Column, k: int = 2) -> Column:
     """64-bit SimHash over k-word shingles: for each bit b, sum ±1
-    across shingle hashes (xxhash64), take the sign. Pure column
-    expressions; Hamming-distance bucketing pairs via bit_count(xor).
-    (No SQL oracle — xxhash64 is Spark-specific; checked rows-only.)
+    across shingle hashes, take the sign. Pure column expressions;
+    Hamming-distance bucketing pairs via bit_count(xor).
+
+    The per-shingle hash is the 64 hex digits of
+    ``md5('0:'||s) || md5('1:'||s)``; bit b is the high bit of hex
+    digit b (digit >= '8'). md5-on-strings is computable by any SQL
+    engine, so the DuckDB oracle produces bit-identical fingerprints
+    (same portability trick as the MinHash signatures above).
 
     Single aggregate pass with an array<int>[64] accumulator — one
     generated loop instead of 64 (64 separate aggregates blow the
     janino 64 KB method limit and fall back to interpreted eval)."""
     sh = word_shingles(col, k)
-    h = F.transform(sh, lambda s: F.xxhash64(s))
+    h = F.transform(
+        sh,
+        lambda s: F.concat(
+            F.md5(F.concat(F.lit("0:"), s)), F.md5(F.concat(F.lit("1:"), s))
+        ),
+    )
     bit_idx = F.sequence(F.lit(0), F.lit(63))
 
     def signs(x: Column) -> Column:
-        # ±1 per bit of x; shiftright accepts a column shift at the
-        # SQL-function layer (the python wrapper insists on int)
+        # ±1 per hex digit: '8'..'f' (high nibble bit set) → +1.
+        # Lexicographic >= '8' is exact for lowercase hex digits.
         return F.transform(
             bit_idx,
             lambda b: F.when(
-                F.call_function("shiftright", x, b).bitwiseAND(F.lit(1)) == 1,
-                F.lit(1),
+                F.substring(x, b + 1, F.lit(1)) >= "8", F.lit(1)
             ).otherwise(F.lit(-1)),
         )
 

@@ -128,10 +128,19 @@ def kmeans_centroids(
     ]
     for _ in range(iters):
         assigned = base.withColumn("c", _nearest(F.col("v"), cents))
+        # Means via exact DECIMAL sums, not F.avg: decimal addition is
+        # order-independent, so the centroids are bit-identical across
+        # runs/partitionings AND reproducible by the SQL oracle (double
+        # summation order varies with shuffle arrival order).
         stats = (
             assigned.select("c", F.posexplode("v").alias("pos", "x"))
             .groupBy("c", "pos")
-            .agg(F.avg("x").alias("m"))
+            .agg(
+                (
+                    F.sum(F.col("x").cast("decimal(27,12)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("m")
+            )
             .collect()
         )
         new = {c: list(cent) for c, cent in enumerate(cents)}
