@@ -147,35 +147,63 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     grid: int = 8,
 ) -> DataFrame:
-    """Exact n-gram Jaccard over pairs within a blocking key (e.g.
-    language or source) — the quadratic-within-block baseline the LSH
-    path approximates. Returns (id_a, id_b, jaccard >= threshold).
+    """Exact n-gram Jaccard pairs within a blocking key (e.g. language
+    or source). Returns (id_a, id_b, jaccard >= threshold).
 
-    Inverted-index plan (the scalable exact-Jaccard shape): explode
-    distinct shingles to postings, self-join on (block, shingle) to
-    count the overlap per pair with one hash aggregate, then join the
-    two set sizes and filter. Everything stays inside whole-stage
-    codegen — no per-pair ``array_intersect``, whose interpreted
-    fallback allocates a hash set per comparison and convoys hard at
-    high task counts. Pairs sharing zero shingles (jaccard 0) never
-    materialize. Skew bound: a shingle appearing in df docs produces
-    df² join rows — at web scale cap df by dropping ubiquitous
-    shingles (loses exactness; not done here).
+    Prefix-filtered inverted-index plan (AllPairs, Bayardo et al.
+    WWW'07 — exact, no approximation): rank each document's shingles
+    by ascending document frequency (rarest first, ties by shingle);
+    a pair with J >= t shares >= ceil(t*n) shingles with a document of
+    n shingles, so its intersection must hit the document's first
+    n - ceil(t*n) + 1 shingles in any global order. Candidate
+    generation therefore self-joins only these PREFIX postings — the
+    ubiquitous shingles that make the naive postings self-join
+    quadratic (df² rows for a shingle of document frequency df) sort
+    LAST and never enter a prefix unless a document is tiny. The full
+    intersection is then counted only for candidate pairs by joining
+    candidates back to the complete postings — linear in
+    |candidates| × avg-set-size, never all-pairs.
+
+    Everything stays inside whole-stage codegen — no per-pair
+    ``array_intersect``, whose interpreted fallback allocates a hash
+    set per comparison and convoys hard at high task counts.
 
     ``grid`` kept for API stability; the inverted index parallelizes
     by shingle so it is unused."""
+    from pyspark.sql.window import Window
+
     sh = df.select(
         F.col(block_col).alias("blk"),
         F.col(id_col).alias("id"),
         word_shingles(F.col(text_col), k).alias("sh"),
     ).where(F.size("sh") > 0)
     sizes = sh.select("blk", "id", F.size("sh").alias("n"))
-    postings = sh.select("blk", "id", F.explode("sh").alias("s"))
-    a = postings.select("blk", F.col("id").alias("id_a"), "s")
-    b = postings.select("blk", F.col("id").alias("id_b"), "s")
-    inter = (
-        a.join(b, ["blk", "s"])
+    postings = sh.select("blk", "id", F.explode("sh").alias("s")).persist()
+    dfreq = postings.groupBy("blk", "s").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("blk", "id").orderBy("df", "s")
+    prefix = (
+        postings.join(dfreq, ["blk", "s"])
+        .withColumn("rank", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("blk", "id")))
+        .where(
+            F.col("rank")
+            <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+        )
+        .select("blk", "id", "s")
+    )
+    cand = (
+        prefix.select("blk", F.col("id").alias("id_a"), "s")
+        .join(prefix.select("blk", F.col("id").alias("id_b"), "s"), ["blk", "s"])
         .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    # full intersection count, candidates only
+    pa = cand.join(
+        postings.select(F.col("id").alias("id_a"), "s"), "id_a"
+    )
+    inter = (
+        pa.join(postings.select(F.col("id").alias("id_b"), "s"), ["id_b", "s"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
