@@ -318,22 +318,35 @@ def _filter_cond(f: S.ValueFilter):
     raise TypeError(f"unknown filter {f!r}")
 
 
+_SEEN_COLLAPSE_EVERY = 16
+
+
 def _compile_recursive(store: GraphStore, shape: S.Recursive) -> DataFrame:
     """BFS transitive closure (reference graph/iterator/recursive.go:
     140-193): frontier minus global visited set per round, depth of
-    first visit, early exit on empty frontier. localCheckpoint each
-    round truncates lineage so plans don't grow exponentially."""
+    first visit, early exit on empty frontier.
+
+    One Spark job per round: the frontier is LAZILY localCheckpointed
+    and the empty-test count() materializes its blocks and truncates
+    lineage within that same job (an eager checkpoint + count costs
+    two job launches per round — measured as ~half the traversal
+    latency on deep chains). Every _SEEN_COLLAPSE_EVERY rounds the
+    growing `seen` union is collapsed the same way, so the anti-join
+    plan stays shallow on unbounded traversals; if the session has a
+    checkpoint directory configured (sc.setCheckpointDir — the
+    cluster deployment mode), the collapse uses a RELIABLE checkpoint
+    instead, so a lost executor cannot kill a deep traversal
+    (localCheckpoint blocks are unreplicated by design)."""
+    sc = store.spark.sparkContext
     start = compile_nodes(store, shape.sub).select("id").dropDuplicates(["id"])
     frontier = start.localCheckpoint(eager=True)
     seen = frontier
     rounds: list[DataFrame] = []
+    since_collapse = 0
     for depth in range(1, shape.max_depth + 1):
         nxt = compile_nodes(store, shape.step(_DFShape(frontier)))
         nxt = nxt.select("id").dropDuplicates(["id"])
-        # one action per round: the eager checkpoint materializes nxt,
-        # so count() afterwards is driver-side metadata, and `seen`
-        # stays a shallow union of checkpointed rounds (no re-persist)
-        nxt = nxt.join(seen, "id", "left_anti").localCheckpoint(eager=True)
+        nxt = nxt.join(seen, "id", "left_anti").localCheckpoint(eager=False)
         if nxt.count() == 0:
             break
         if shape.depth_tag:
@@ -341,6 +354,14 @@ def _compile_recursive(store: GraphStore, shape: S.Recursive) -> DataFrame:
         else:
             rounds.append(nxt)
         seen = seen.unionAll(nxt)
+        since_collapse += 1
+        if since_collapse >= _SEEN_COLLAPSE_EVERY:
+            since_collapse = 0
+            if sc.getCheckpointDir() is not None:
+                seen = seen.checkpoint(eager=True)
+            else:
+                # lazy: next round's anti-join job materializes it
+                seen = seen.localCheckpoint(eager=False)
         frontier = nxt
     if not rounds:
         empty_schema = "id: long" + (
