@@ -13,10 +13,11 @@ Mirrors /root/reference/internal/http/api_v1.go:29-35 and
 
 Language registry (the reference's query.Session contract,
 query/session.go:97-141): gizmo, mql, graphql, sexp, linkedql.
-Gizmo queries are Python expressions over the ``g`` graph object
-(the reference runs arbitrary JS in a goja VM — same trust model:
-this server executes queries, queries are programs; bind to
-localhost).
+Gizmo queries are Python expressions over the ``g`` graph object,
+evaluated through the AST-allowlisted interpreter in
+query/safe_eval.py — the sandbox analogue of the reference's goja JS
+VM (no names but ``g``, no dunders, methods restricted to the gizmo
+surface), so a POSTed query cannot reach the host interpreter.
 
 Driver-side HTTP is a thin shell over the DataFrame engine: one
 store object lives in the server; writes swap it atomically
@@ -130,11 +131,10 @@ class CayleyHandler(BaseHTTPRequestHandler):
         store = self.server.store
         if lang == "gizmo":
             from ..query.gizmo import graph
+            from ..query.safe_eval import safe_gizmo_eval
 
             g = graph(store)
-            result = eval(  # noqa: S307 - queries are programs (see module doc)
-                compile(query, "<gizmo>", "eval"), {"__builtins__": {}}, {"g": g}
-            )
+            result = safe_gizmo_eval(query, g)
             out = result if isinstance(result, (list, int, str)) else g.emitted()
         elif lang == "mql":
             from ..query.mql import MQLSession

@@ -97,6 +97,15 @@ class GraphStore:
     nodes: DataFrame
     quads: DataFrame
 
+    def __post_init__(self):
+        # Pin the session timezone: time-value node ids hash
+        # cast(timestamp as string), which renders in the session tz.
+        # Driver-side keys (values.spark_ts_str) assume UTC; without
+        # the pin, stores built in a non-UTC session would silently
+        # miss every time-literal lookup.
+        if self.spark.conf.get("spark.sql.session.timeZone") != "UTC":
+            self.spark.conf.set("spark.sql.session.timeZone", "UTC")
+
     # ---------------- constructors ----------------
 
     @classmethod

@@ -185,7 +185,14 @@ def java_double_str(x: float) -> str:
 
 def spark_ts_str(dt: datetime) -> str:
     """Spark ``cast(timestamp as string)`` form: microseconds, trailing
-    zeros trimmed, no fractional part if zero."""
+    zeros trimmed, no fractional part if zero. tz-aware datetimes are
+    normalized to UTC wall time first — GraphStore pins
+    ``spark.sql.session.timeZone`` to UTC, so this is exactly what the
+    JVM ingest path renders and driver/JVM node ids agree."""
+    if dt.tzinfo is not None:
+        from datetime import timezone as _tz
+
+        dt = dt.astimezone(_tz.utc).replace(tzinfo=None)
     s = dt.strftime("%Y-%m-%d %H:%M:%S")
     if dt.microsecond:
         frac = f"{dt.microsecond:06d}".rstrip("0")

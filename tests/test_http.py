@@ -87,3 +87,34 @@ def test_unknown_language(srv):
         assert False
     except urllib.error.HTTPError as e:
         assert e.code == 400
+
+
+ESCAPES = [
+    "().__class__.__base__.__subclasses__()",
+    "__import__('os').system('true')",
+    "g.V().__class__",
+    "open('/etc/passwd')",
+    "[x for x in (1,)]",
+    "g.V().df().sparkSession",  # public attrs outside the gizmo surface
+    "x = 5",
+    "exec('1')",
+]
+
+
+@pytest.mark.parametrize("q", ESCAPES)
+def test_gizmo_sandbox_rejects(srv, q):
+    """The gizmo endpoint must reject anything but gizmo-surface
+    method chains on g (sandbox parity with the reference's goja VM)."""
+    try:
+        post(f"{srv}/api/v1/query/gizmo", q)
+        assert False, f"escape not rejected: {q}"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+
+
+def test_gizmo_multi_statement(srv):
+    out = post(
+        f"{srv}/api/v1/query/gizmo",
+        'g.Emit(1)\ng.V("<bob>").In("<follows>").ToArray()',
+    )
+    assert "<alice>" in out["result"]
