@@ -76,6 +76,17 @@ def compile_nodes(store: GraphStore, shape: S.Shape) -> DataFrame:
     if isinstance(shape, S.Intersect):
         return _compile_intersect(store, shape)
     if isinstance(shape, S.Union):
+        if shape.short:
+            # Short-circuit Or (reference or.go:49-56): branches are
+            # evaluated IN ORDER and the first non-empty one is the
+            # whole result. Inherently sequential — one isEmpty()
+            # action per empty prefix branch, then the winner's plan
+            # is returned lazily.
+            for s in shape.sub:
+                d = compile_nodes(store, s)
+                if not d.isEmpty():
+                    return d
+            return compile_nodes(store, shape.sub[0]).limit(0)
         dfs = [compile_nodes(store, s) for s in shape.sub]
         out = dfs[0]
         for d in dfs[1:]:
@@ -263,7 +274,14 @@ def _compile_filter(store: GraphStore, shape: S.Filter) -> DataFrame:
     df = compile_nodes(store, shape.sub)
     orig = df.columns
     nd = store.nodes.select(
-        "id", "kind", F.col("str").alias("__str"), "i64", "f64", "bool", "ts"
+        "id",
+        "kind",
+        F.col("str").alias("__str"),
+        "i64",
+        "f64",
+        "bool",
+        "ts",
+        F.col("term").alias("__term"),
     )
     j = df.join(nd, "id", "inner")
     for f in shape.filters:
@@ -302,6 +320,32 @@ def _filter_cond(f: S.ValueFilter):
         if isinstance(v, Bool):
             return (kind == "bool") & op(F.col("bool"), F.lit(v.v))
         raise TypeError(f"uncomparable value {v!r}")
+    if isinstance(f, S.ValueFilterFunc):
+        if f.expr is not None:
+            # JVM-side fast path: predicate over dictionary columns
+            return f.expr(
+                {
+                    "kind": kind,
+                    "str": F.col("__str"),
+                    "i64": F.col("i64"),
+                    "f64": F.col("f64"),
+                    "bool": F.col("bool"),
+                    "ts": F.col("ts"),
+                    "term": F.col("__term"),
+                }
+            )
+        # general fallback: Value -> bool via Arrow-batched pandas UDF
+        # over the rendered term (reference value_filter.go applies the
+        # func per iterated value — here per Arrow batch)
+        fn = f.fn
+
+        @F.pandas_udf("boolean")
+        def _pred(terms):
+            from ..values import parse_term
+
+            return terms.map(lambda t: bool(fn(parse_term(t))))
+
+        return _pred(F.col("__term"))
     if isinstance(f, S.Regexp):
         base = F.col("__str").rlike(f.pattern)
         if f.refs:

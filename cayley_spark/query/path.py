@@ -193,6 +193,8 @@ class _SetOp(_Op):
             return S.Intersect((shape, o)), ctx
         if self.kind == "or":
             return S.Union((shape, o)), ctx
+        if self.kind == "or_short":
+            return S.Union((shape, o), short=True), ctx
         return S.Except(exclude=o, all=shape), ctx
 
 
@@ -392,6 +394,11 @@ class Path:
 
     union = or_
 
+    def or_short(self, other: "Path"):
+        """Short-circuit union: results come from the first non-empty
+        branch only (reference graph/iterator/or.go:49-56)."""
+        return self._add(_SetOp("or_short", other))
+
     def except_(self, other: "Path"):
         return self._add(_SetOp("except", other))
 
@@ -425,8 +432,15 @@ class Path:
     def label_context(self, *labels):
         return self._add(_LabelContext(_vals(labels) if labels else None))
 
-    def filter(self, *filters: S.ValueFilter):
-        return self._add(_Filter(tuple(filters)))
+    def filter(self, *filters):
+        """Value filters: ValueFilter shapes, or plain Python callables
+        ``Value -> bool`` (wrapped as the generic ValueFilterFunc,
+        reference graph/iterator/value_filter.go:24-75)."""
+        fs = tuple(
+            f if isinstance(f, S.ValueFilter) else S.ValueFilterFunc(fn=f)
+            for f in filters
+        )
+        return self._add(_Filter(fs))
 
     def regex(self, pattern, refs: bool = False):
         return self._add(_Filter((S.Regexp(pattern, refs),)))

@@ -121,9 +121,13 @@ class Intersect(Shape):
 @dataclass(frozen=True)
 class Union(Shape):
     """Bag union; duplicates preserved, missing tags null-filled
-    (Or; reference graph/iterator/or.go:17-49)."""
+    (Or; reference graph/iterator/or.go:17-49). With ``short=True``,
+    only the FIRST non-empty branch contributes results (short-circuit
+    Or, reference or.go:49-56 NewShortCircuitOr) — branches are
+    evaluated in order and evaluation stops at the first with rows."""
 
     sub: tuple[Shape, ...]
+    short: bool = False
 
 
 @dataclass(frozen=True)
@@ -176,6 +180,26 @@ class Wildcard(ValueFilter):
     (reference query/shape/shape.go:362-407)."""
 
     pattern: str
+
+
+@dataclass(frozen=True)
+class ValueFilterFunc(ValueFilter):
+    """Arbitrary value predicate (reference graph/iterator/
+    value_filter.go:24-75 — accepts any ``func(quad.Value) bool``).
+    Two forms, tried in order:
+
+    - ``expr``: a callable receiving a dict of dictionary Columns
+      ``{kind, str, i64, f64, bool, ts, term}`` and returning a
+      boolean Column — stays JVM-side inside whole-stage codegen.
+      Prefer this whenever the predicate is relationally expressible.
+    - ``fn``: a Python callable ``Value -> bool``, applied as an
+      Arrow-batched pandas UDF over the rendered N-Quads term — the
+      fully-general (and slower) path, mirroring the reference's
+      opaque-callback contract.
+    """
+
+    expr: Callable | None = None
+    fn: Callable | None = None
 
 
 @dataclass(frozen=True)

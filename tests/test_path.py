@@ -399,3 +399,40 @@ def test_follow_recursive_has():
 def test_count_as_shape(social):
     df = Path.start(social).has(ST).df()
     assert df.count() == 5
+
+
+def test_value_filter_func_callable(social):
+    """Generic ValueFilter (reference graph/iterator/value_filter.go:
+    24-75): arbitrary Python predicate over Values, pandas-UDF path."""
+    from cayley_spark.values import String as Str
+
+    p = V(social).out(ST).filter(
+        lambda v: isinstance(v, Str) and v.s.startswith("cool")
+    )
+    check(p, ['"cool_person"'] * 3)
+
+
+def test_value_filter_func_expr(social):
+    """JVM-side expr form of the generic ValueFilter."""
+    from pyspark.sql import functions as F
+
+    p = V(social).out(ST).filter(
+        S.ValueFilterFunc(
+            expr=lambda c: (c["kind"] == "string") & c["str"].endswith("person")
+        )
+    )
+    check(p, ['"cool_person"'] * 3 + ['"smart_person"'] * 2)
+
+
+def test_or_short_circuit(social):
+    """Short-circuit Or (reference or.go:49-56): only the first
+    non-empty branch contributes."""
+    empty = V(social, IRI("nobody")).out(F)
+    full = V(social, IRI("bob")).in_(F)
+    # empty first branch → second branch wins
+    check(empty.or_short(full), ["<alice>", "<charlie>", "<dani>"])
+    # non-empty first branch → second branch never contributes
+    check(full.or_short(V(social).has(ST, COOL)),
+          ["<alice>", "<charlie>", "<dani>"])
+    # both empty → empty
+    check(empty.or_short(V(social, IRI("nobody2")).out(F)), [])
