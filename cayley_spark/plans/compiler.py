@@ -47,6 +47,13 @@ def tags_of(df: DataFrame) -> list[str]:
     return [c for c in df.columns if c != "id" and not c.startswith("__")]
 
 
+def bq(name: str):
+    """Column reference by EXACT name, backtick-quoted: tag names may
+    contain dots (e.g. LinkedQL tags are full property IRIs), which the
+    bare-string column parser would treat as struct-field access."""
+    return F.col("`" + name + "`")
+
+
 def compile_nodes(store: GraphStore, shape: S.Shape) -> DataFrame:
     """Lower a node shape to DataFrame[id, *tags]."""
     if isinstance(shape, _DFShape):
@@ -59,7 +66,7 @@ def compile_nodes(store: GraphStore, shape: S.Shape) -> DataFrame:
     if isinstance(shape, S.NodesFrom):
         q = compile_quads(store, shape.quads)
         keep = [c for c in q.columns if c not in ("s", "p", "o", "l")]
-        out = q.select(F.col(shape.dir).alias("id"), *keep)
+        out = q.select(F.col(shape.dir).alias("id"), *[bq(c) for c in keep])
         if shape.dir == S.LABEL:
             # quads without a label have no label node (reference treats
             # the label ref as absent, not as a null value)
@@ -72,7 +79,7 @@ def compile_nodes(store: GraphStore, shape: S.Shape) -> DataFrame:
         return df
     if isinstance(shape, S.Back):
         df = compile_nodes(store, shape.sub)
-        return df.withColumn("id", F.col(shape.tag))
+        return df.withColumn("id", bq(shape.tag))
     if isinstance(shape, S.Intersect):
         return _compile_intersect(store, shape)
     if isinstance(shape, S.Union):
@@ -156,12 +163,12 @@ def _compile_intersect(store: GraphStore, shape: S.Intersect) -> DataFrame:
         if not btags:
             out = out.join(bdf.select("id"), "id", "left_semi")
         else:
-            bdf = bdf.select("id", *btags)
+            bdf = bdf.select("id", *[bq(c) for c in btags])
             bdf = bdf.drop(*[c for c in btags if c in out.columns])
             out = out.join(bdf, "id", "inner")
     for opt in shape.optional:
         odf = compile_nodes(store, opt)
-        odf = odf.select("id", *tags_of(odf))
+        odf = odf.select("id", *[bq(c) for c in tags_of(odf)])
         odf = odf.drop(*[c for c in odf.columns if c != "id" and c in out.columns])
         out = out.join(odf, "id", "left_outer")
     return out
@@ -286,7 +293,7 @@ def _compile_filter(store: GraphStore, shape: S.Filter) -> DataFrame:
     j = df.join(nd, "id", "inner")
     for f in shape.filters:
         j = j.where(_filter_cond(f))
-    return j.select(*orig)
+    return j.select(*[bq(c) for c in orig])
 
 
 _OPS = {

@@ -6,14 +6,17 @@ steps/test-cases/). A query is a JSON-LD object whose ``@type`` names
 a step and whose ``from`` chains the previous step; the registry maps
 each step onto the Path API.
 
-Covered steps (the traversal/filter/paging core): Vertex, Match,
-Visit, VisitReverse, Out, In, Both, Has, HasReverse, Intersect, Union,
-Difference, Back, As, Select, Count, Limit, Skip, Order, Unique,
-Like, RegExp, LessThan, LessThanEquals, GreaterThan, GreaterThanEquals,
-Labels, PropertyNames, ReversePropertyNames.
+Covered steps (the full registry): Vertex, Match, Visit, VisitReverse,
+Out, In, Both, Has, HasReverse, Intersect, Union, Difference, Back,
+As, Select, Documents, Count, Limit, Skip, Order, Unique, Like,
+RegExp, LessThan, LessThanEquals, GreaterThan, GreaterThanEquals,
+Labels, PropertyNames, ReversePropertyNames, Properties,
+ReverseProperties, PropertyNamesAs, ReversePropertyNamesAs, Where,
+Placeholder, Optional, Collect.
 
 Results use JSON-LD value encoding: IRIs as {"@id": iri}, literals
-native, Count as a bare number list."""
+native, Count as a bare number list, Documents as one {"@graph": [...]}
+of per-entity objects with array-valued properties."""
 
 from __future__ import annotations
 
@@ -26,6 +29,7 @@ from ..store import GraphStore
 from ..values import BNode, IRI, Value, coerce, parse_term
 
 VOCAB = "http://cayley.io/linkedql#"
+RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
 
 
 def _to_value(v) -> Value:
@@ -63,6 +67,31 @@ class LinkedQLSession:
         path = self._build(q)
         if step_type == "Count":
             return [path.count()]
+        if step_type == "Documents":
+            # reference iter_docs.go: tag names are predicate IRIs; each
+            # result row contributes (entity, tag, value) triples,
+            # grouped into one JSON-LD-ish document per entity with
+            # array-valued properties (no @list reconstruction).
+            docs: dict[str, dict] = {}
+            for r in path.all():
+                rid = r.get("id")
+                if rid is None:
+                    continue
+                ent = _from_json(rid)
+                key = ent["@id"] if isinstance(ent, dict) else str(ent)
+                d = docs.setdefault(key, {})
+                for k, v in r.items():
+                    if k == "id" or v is None:
+                        continue
+                    jv = _from_json(v)
+                    vals = d.setdefault(k, [])
+                    if jv not in vals:
+                        vals.append(jv)
+            return {
+                "@graph": [
+                    {"@id": k, **docs[k]} for k in sorted(docs)
+                ]
+            }
         if step_type == "Select":
             tags = q.get("tags") or None
             rows = path.all()
@@ -83,6 +112,10 @@ class LinkedQLSession:
 
     def _build(self, q: dict) -> Path:
         t = q.get("@type", "").removeprefix(VOCAB)
+        if t == "Placeholder":
+            # reference steps/placeholder.go: StartMorphism — resolves
+            # to the values of the context it is placed in
+            return Path.morphism()
         if t == "Vertex":
             vals = [_to_value(v) for v in q.get("values", [])]
             return Path.start(self.store, *vals)
@@ -151,7 +184,9 @@ class LinkedQLSession:
         if t == "Like":
             return p.like(q["likePattern"])
         if t == "RegExp":
-            return p.regex(q["pattern"], refs=bool(q.get("includeIRIs")))
+            # reference steps/regexp.go field is `expression`
+            pat = q["expression"] if "expression" in q else q["pattern"]
+            return p.regex(pat, refs=bool(q.get("includeIRIs")))
         for op, name in [
             ("lt", "LessThan"),
             ("lte", "LessThanEquals"),
@@ -166,4 +201,46 @@ class LinkedQLSession:
             return p.out_predicates()
         if t == "ReversePropertyNames":
             return p.in_predicates()
+        if t == "PropertyNamesAs":
+            # reference steps/property_names_as.go: SavePredicates(false)
+            return p.save_out_predicates(q["tag"])
+        if t == "ReversePropertyNamesAs":
+            # reference steps/reverse_property_names_as.go
+            return p.save_in_predicates(q["tag"])
+        if t in ("Properties", "ReverseProperties"):
+            # reference steps/properties.go: one Save per name, tag =
+            # the full property IRI (names are required — the reference
+            # errors on nil names too)
+            names = q.get("names")
+            if names is None:
+                raise ValueError("linkedql: Properties requires names")
+            rev = t == "ReverseProperties"
+            for n in names if isinstance(names, list) else [names]:
+                iri = _pred_values(n)[0]
+                p = p.save_r(iri, iri.s) if rev else p.save(iri, iri.s)
+            return p
+        if t == "Where":
+            # reference steps/where.go: fromPath.And(condition.Reverse())
+            # — the condition chain is rooted at a Placeholder morphism;
+            # reversing it repositions its result at the placeholder
+            cond = self._build(q["condition"])
+            return p.and_(cond.reverse())
+        if t == "Optional":
+            return p.optional(self._build(q["step"]))
+        if t == "Collect":
+            # reference steps/collect.go: resolve RDF collections —
+            # list cells via name / recursive rest, plus the scalar
+            # fallback binding (max_depth caps the reference's
+            # unlimited -1)
+            name = _pred_values(q["name"])[0]
+            first, rest = IRI(RDF + "first"), IRI(RDF + "rest")
+            p1 = p.out(name).save(first, first.s).save(rest, rest.s)
+            p2 = (
+                p.out(name)
+                .follow_recursive(rest)
+                .save(first, first.s)
+                .save(rest, rest.s)
+            )
+            p3 = p.save(name, name.s)
+            return p1.or_(p2).or_(p3)
         raise ValueError(f"linkedql: unsupported step @type {t!r}")

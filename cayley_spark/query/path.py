@@ -16,7 +16,7 @@ from __future__ import annotations
 from dataclasses import dataclass, replace
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
 from .. import shapes as S
 from ..plans.compiler import compile_nodes, tags_of
@@ -235,6 +235,24 @@ class _FollowRecursive(_Op):
 
 
 @dataclass(frozen=True)
+class _OptionalPath(_Op):
+    """Apply a morphism optionally: results keep the current position;
+    the branch's tag bindings attach where the morphism succeeds and
+    are null elsewhere (reference query/path/path.go Optional /
+    morphism.go optionalMorphism). The branch is folded from the
+    current shape with a hidden origin tag and repositioned on it, so
+    the optional join is on the origin node."""
+
+    sub: "Path"
+
+    def apply(self, shape, ctx):
+        tagged = S.Tag(shape, ("__opt_origin",))
+        branch, _ = self.sub._fold(tagged, ctx)
+        branch = S.Back(branch, "__opt_origin")
+        return S.Intersect((shape,), optional=(branch,)), ctx
+
+
+@dataclass(frozen=True)
 class _Labels(_Op):
     """Distinct labels of edges incident (either direction) to the
     current nodes (reference query/shape/path.go:131-143)."""
@@ -414,6 +432,12 @@ class Path:
         sub = via if isinstance(via, Path) else Path(None).out(via)
         return self._add(_FollowRecursive(sub, max_depth, depth_tag))
 
+    def optional(self, sub: "Path"):
+        """Follow ``sub`` optionally: keeps every current result; tag
+        bindings from ``sub`` attach where it succeeds (reference
+        query/path/path.go Optional)."""
+        return self._add(_OptionalPath(sub))
+
     def labels(self):
         return self._add(_Labels())
 
@@ -499,7 +523,13 @@ class Path:
         out = self.store.resolve(df)
         if "__ord" in out.columns:
             out = out.orderBy("__ord").drop("__ord")
-        return out.select(*[c for c in df.columns if not c.startswith("__")])
+        return out.select(
+            *[
+                F.col("`" + c + "`")
+                for c in df.columns
+                if not c.startswith("__")
+            ]
+        )
 
     def all(self) -> list[dict]:
         """Result as a list of {tag: term} dicts ('id' = result node) —

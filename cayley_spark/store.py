@@ -371,11 +371,15 @@ class GraphStore:
                 "term", f"__{c}_term"
             )
             out = (
-                out.join(t, out[c] == F.col(f"__{c}_id"), "left")
+                out.join(
+                    t,
+                    F.col("`" + c + "`") == F.col("`__" + c + "_id`"),
+                    "left",
+                )
                 .drop(c, f"__{c}_id")
                 .withColumnRenamed(f"__{c}_term", c)
             )
-        return out.select(*df.columns)
+        return out.select(*[F.col("`" + c + "`") for c in df.columns])
 
 
 # ---------------- JVM-side term decomposition ----------------
