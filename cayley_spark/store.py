@@ -352,9 +352,14 @@ class GraphStore:
 
     def resolve(self, df: DataFrame, cols: list[str] | None = None) -> DataFrame:
         """Replace node-id columns with their N-Quads term strings.
-        Broadcast-joins the dictionary per column when small; at scale
-        this is a shuffle-join on id — still one join per rendered
-        column, applied only at result materialization."""
+
+        Narrow results (<=2 id columns) use one dictionary join per
+        column — broadcast when the dictionary is small, so zero
+        shuffles on the cached local store. Wider results melt the id
+        columns once, join the dictionary ONCE, and pivot back: at
+        scale a k-tag result then pays one dictionary shuffle join
+        (on k× melted rows) + one pivot instead of k full shuffle
+        joins of the nodes table."""
         if cols is None:
             # node ids are LongType; non-long columns (depth tags,
             # counts carried alongside) pass through unresolved
@@ -364,21 +369,48 @@ class GraphStore:
                 if not f.name.startswith("__")
                 and f.dataType.typeName() == "long"
             ]
+        if not cols:
+            return df
         terms = self.nodes.select("id", "term")
-        out = df
-        for c in cols:
-            t = terms.withColumnRenamed("id", f"__{c}_id").withColumnRenamed(
-                "term", f"__{c}_term"
-            )
-            out = (
-                out.join(
-                    t,
-                    F.col("`" + c + "`") == F.col("`__" + c + "_id`"),
-                    "left",
+        if len(cols) <= 2:
+            out = df
+            for c in cols:
+                t = terms.withColumnRenamed("id", f"__{c}_id").withColumnRenamed(
+                    "term", f"__{c}_term"
                 )
-                .drop(c, f"__{c}_id")
-                .withColumnRenamed(f"__{c}_term", c)
-            )
+                out = (
+                    out.join(
+                        t,
+                        F.col("`" + c + "`") == F.col("`__" + c + "_id`"),
+                        "left",
+                    )
+                    .drop(c, f"__{c}_id")
+                    .withColumnRenamed(f"__{c}_term", c)
+                )
+            return out.select(*[F.col("`" + c + "`") for c in df.columns])
+        rid = "__resolve_rid"
+        out = df.withColumn(rid, F.monotonically_increasing_id())
+        melted = out.select(
+            rid,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("__col"),
+                            F.col("`" + c + "`").alias("id"),
+                        )
+                        for c in cols
+                    ]
+                )
+            ).alias("kv"),
+        ).select(rid, F.col("kv.__col").alias("__col"), F.col("kv.id").alias("id"))
+        wide = (
+            melted.join(terms, "id", "left")
+            .groupBy(rid)
+            .pivot("__col", cols)
+            .agg(F.first("term"))
+        )
+        out = out.drop(*cols).join(wide, rid, "inner").drop(rid)
         return out.select(*[F.col("`" + c + "`") for c in df.columns])
 
 
