@@ -85,6 +85,7 @@ class CayleyHandler(BaseHTTPRequestHandler):
             return self._json(
                 [
                     {"id": "nquads", "read": True, "write": True},
+                    {"id": "pquads", "read": True, "write": True},
                     {"id": "jsonld", "read": True, "write": True},
                     {"id": "graphml", "read": False, "write": True},
                     {"id": "gml", "read": False, "write": True},

@@ -78,3 +78,57 @@ def test_schema_required_field_skip(spark):
     st = GraphStore.from_quad_values(spark, quads)
     people = load_to(st, Person)
     assert [p.name for p in people] == ["X"]
+
+
+def test_pquads_roundtrip(spark, tmp_path):
+    """pquads write → read roundtrip across every value kind
+    (reference quad/pquads; format doc in sources/pquads.py)."""
+    from datetime import datetime
+
+    from cayley_spark import GraphStore, IRI, Path, String
+    from cayley_spark.sources.pquads import (
+        decode_quad,
+        encode_quad,
+        read_pquads,
+        write_pquads,
+    )
+    from cayley_spark.values import (
+        BNode,
+        Bool,
+        Float,
+        Int,
+        LangString,
+        Time,
+        TypedString,
+    )
+
+    quads = [
+        (IRI("alice"), IRI("follows"), IRI("bob")),
+        (IRI("alice"), IRI("name"), LangString("Alice", "en"), IRI("g1")),
+        (BNode("x"), IRI("age"), Int(-42)),
+        (BNode("x"), IRI("score"), Float(2.5)),
+        (BNode("x"), IRI("ok"), Bool(True)),
+        (BNode("x"), IRI("t"), TypedString("z", "http://x/T")),
+        (BNode("x"), IRI("when"), Time(datetime(2006, 1, 2, 15, 4, 5, 123000))),
+        (IRI("s"), IRI("says"), String('multi\nline "quoted"')),
+    ]
+    # codec-level roundtrip (every kind, label and no-label)
+    for q in quads:
+        s, p, o = q[0], q[1], q[2]
+        l = q[3] if len(q) == 4 else None
+        got = decode_quad(encode_quad(s, p, o, l))
+        assert got == (s, p, o, l), q
+    # file-level roundtrip through a store
+    st = GraphStore.from_quad_values(spark, quads)
+    path = str(tmp_path / "dump.pq")
+    n = write_pquads(st, path)
+    assert n == 8
+    st2 = read_pquads(spark, path)
+    assert st2.stats() == st.stats()
+    assert sorted(
+        Path.start(st2, IRI("bob")).in_(IRI("follows")).all_values()
+    ) == ["<alice>"]
+    # gzip variant
+    gz = str(tmp_path / "dump.pq.gz")
+    write_pquads(st, gz)
+    assert read_pquads(spark, gz).stats() == st.stats()
