@@ -173,10 +173,10 @@ class GizmoPath:
     # -------- finals (finals.go) --------
 
     def All(self) -> list[dict]:
-        return [
-            {k: _json_native(v) for k, v in row.items()}
-            for row in self._p.all()
-        ]
+        rows = self._p.all()
+        if self._g.raw:
+            return rows
+        return [{k: _json_native(v) for k, v in row.items()} for row in rows]
 
     def GetLimit(self, n: int) -> list[dict]:
         return self._wrap(self._p.limit(n)).All()
@@ -257,8 +257,11 @@ class GizmoPath:
 class graph:
     """The gizmo ``g`` object (environ.go:45-122)."""
 
-    def __init__(self, store: GraphStore):
+    def __init__(self, store: GraphStore, raw: bool = False):
+        # raw=True: finals return N-Quads term strings instead of JSON
+        # natives (the Raw/REPL collations, query/session.go:52-60)
         self.store = store
+        self.raw = raw
         self._ns: dict[str, str] = {}
         self._emitted: list = []
 

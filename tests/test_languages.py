@@ -224,3 +224,67 @@ def test_graph_writers(social):
     xml = [r["value"] for r in write_graphml(social).collect()]
     assert xml[0].startswith("<?xml") and xml[-1] == "</graphml>"
     assert any("&lt;alice&gt;" in l for l in xml)
+
+
+# ---------------- session collations + REPL ----------------
+
+
+def test_collations_gizmo(social):
+    from cayley_spark.query.session import Collation, get_session
+
+    ses = get_session(social, "gizmo")
+    q = 'g.V("<bob>").Out("<status>").All()'
+    js = ses.execute(q, collation=Collation.JSON)
+    assert [r["id"] for r in js] == ["cool_person"]  # JSON: native string
+    raw = ses.execute(q, collation=Collation.RAW)
+    assert [r["id"] for r in raw] == ['"cool_person"']  # RAW: term string
+    q = 'g.V("<bob>").In("<follows>").All()'
+    repl = ses.execute(q, collation=Collation.REPL)
+    assert all(s.startswith("****\n") for s in repl)
+    assert any("id : <alice>\n" in s for s in repl)
+    # scalar REPL result
+    assert ses.execute(
+        'g.V("<bob>").In("<follows>").Count()', collation=Collation.REPL
+    ) == ["=> 3\n"]
+
+
+def test_collations_limits_and_unsupported(social):
+    import pytest as _pytest
+
+    from cayley_spark.query.session import (
+        Collation,
+        UnsupportedCollation,
+        get_session,
+    )
+
+    ses = get_session(social, "mql")
+    with _pytest.raises(UnsupportedCollation):
+        ses.execute('[{"id": null}]', collation=Collation.JSONLD)
+    out = ses.execute(
+        '[{"id": null, "<status>": "cool_person"}]', collation=Collation.REPL
+    )
+    assert len(out) == 3 and all(s.endswith("\n") for s in out)
+    g = get_session(social, "graphql")
+    repl = g.execute('{ me(status: "cool_person") { id } }',
+                     collation=Collation.REPL)
+    assert len(repl) == 1 and repl[0].lstrip().startswith("{")
+
+
+def test_repl_loop(social):
+    import io
+
+    from cayley_spark.repl import run_repl
+
+    inp = io.StringIO(
+        'g.V("<bob>").In("<follows>").All()\n'
+        ":lang mql\n"
+        '[{"id": null, "<status>": "cool_person"}]\n'
+        ":exit\n"
+    )
+    out = io.StringIO()
+    run_repl(social, inp=inp, out=out)
+    text = out.getvalue()
+    assert "id : <alice>" in text
+    assert "3 Results" in text
+    assert "language: mql" in text
+    assert "Elapsed time" in text
