@@ -234,18 +234,54 @@ class GraphStore:
         out = self
         if add:
             other = GraphStore.from_quad_values(self.spark, list(add))
-            merged_nodes = (
-                out.nodes.unionByName(other.nodes)
-                .groupBy("id")
-                .agg(
-                    *[
-                        F.first(c, ignorenulls=True).alias(c)
-                        for c in NODE_SCHEMA.fieldNames()
-                        if c not in ("id", "refs")
-                    ],
-                    F.sum("refs").cast("int").alias("refs"),
-                )
+            # Delta-sized node merge: the added values' ids are known
+            # driver-side, so finding which already exist is one scan
+            # with a literal isin predicate (no whole-table groupBy —
+            # the previous union+groupBy shuffled every node row per
+            # write batch). Existing nodes get a broadcast refcount
+            # increment; genuinely new rows are unioned in.
+            add_vals: dict[int, Value] = {}
+            for dq in add:
+                for x in dq:
+                    if x is not None:
+                        v = coerce(x)
+                        add_vals[v.id] = v
+            new_ids = sorted(add_vals)
+            existing = {
+                r["id"]
+                for r in out.nodes.where(F.col("id").isin(new_ids))
+                .select("id")
+                .collect()
+            }
+            # per-id occurrence count across directions of added quads
+            occ: dict[int, int] = {}
+            for dq in add:
+                for x in dq:
+                    if x is not None:
+                        occ[coerce(x).id] = occ.get(coerce(x).id, 0) + 1
+            incs = self.spark.createDataFrame(
+                [(i, occ[i]) for i in new_ids if i in existing] or [(0, 0)],
+                "id long, __inc int",
             )
+            merged_nodes = (
+                out.nodes.join(F.broadcast(incs), "id", "left")
+                .withColumn(
+                    "refs",
+                    (
+                        F.col("refs") + F.coalesce(F.col("__inc"), F.lit(0))
+                    ).cast("int"),
+                )
+                .drop("__inc")
+            )
+            fresh_rows = [
+                _node_row(add_vals[i])[:-1] + (occ[i],)
+                for i in new_ids
+                if i not in existing
+            ]
+            if fresh_rows:
+                merged_nodes = merged_nodes.unionByName(
+                    self.spark.createDataFrame(fresh_rows, NODE_SCHEMA)
+                )
             out = GraphStore(
                 self.spark, merged_nodes, out.quads.unionByName(other.quads)
             )
@@ -261,28 +297,74 @@ class GraphStore:
             # one instance per delta — callers needing per-instance bag
             # deletion should dedup adds first.
             q, d = out.quads.alias("q"), dels.quads.alias("d")
-            remaining = q.join(
-                F.broadcast(d),
-                on=(
-                    (F.col("q.s") == F.col("d.s"))
-                    & (F.col("q.p") == F.col("d.p"))
-                    & (F.col("q.o") == F.col("d.o"))
-                    & F.col("q.l").eqNullSafe(F.col("d.l"))
-                ),
-                how="left_anti",
+            match = (
+                (F.col("q.s") == F.col("d.s"))
+                & (F.col("q.p") == F.col("d.p"))
+                & (F.col("q.o") == F.col("d.o"))
+                & F.col("q.l").eqNullSafe(F.col("d.l"))
             )
-            # recompute refs from surviving quads; drop orphaned nodes
-            used = None
-            for d in DIRS:
-                u = remaining.select(F.col(d).alias("id")).where(
+            remaining = q.join(F.broadcast(d), on=match, how="left_anti")
+            # Orphan detection is DELTA-SIZED, not table-sized: only
+            # nodes named by the deleted quads can become orphans, and
+            # those ids are known driver-side. One scan of the
+            # surviving quads with a literal isin predicate (Parquet /
+            # cached-batch pruning applies) finds which candidates are
+            # still referenced — no whole-table explode+groupBy, which
+            # the previous full refcount recompute paid per delete.
+            cand_ids = sorted(
+                {
+                    v.id
+                    for quad_vals in (
+                        tuple(coerce(x) if x is not None else None for x in dq)
+                        for dq in delete
+                    )
+                    for v in quad_vals
+                    if v is not None
+                }
+            )
+            cond = None
+            for dr in DIRS:
+                c = F.col(dr).isin(cand_ids)
+                cond = c if cond is None else (cond | c)
+            used_cand = (
+                remaining.where(cond)
+                .select(
+                    F.explode(
+                        F.array(*[F.col(dr) for dr in DIRS])
+                    ).alias("id")
+                )
+                .where(F.col("id").isin(cand_ids))
+                .distinct()
+            )
+            drop_df = self.spark.createDataFrame(
+                [(i,) for i in cand_ids], "id long"
+            ).join(used_cand, "id", "left_anti")
+            # refs accounting: decrement by occurrences in the removed
+            # rows (tiny aggregate over the matched quads only)
+            removed = q.join(F.broadcast(d), on=match, how="left_semi")
+            dec = None
+            for dr in DIRS:
+                u = removed.select(F.col(dr).alias("id")).where(
                     F.col("id").isNotNull()
                 )
-                used = u if used is None else used.unionAll(u)
-            refc = used.groupBy("id").agg(F.count("*").cast("int").alias("refs"))
-            nodes = (
-                out.nodes.drop("refs")
-                .join(refc, "id", "inner")
+                dec = u if dec is None else dec.unionAll(u)
+            decs = dec.groupBy("id").agg(
+                F.count(F.lit(1)).cast("int").alias("__dec")
             )
+            nodes = (
+                out.nodes.join(F.broadcast(decs), "id", "left")
+                .withColumn(
+                    "refs",
+                    F.greatest(
+                        (
+                            F.col("refs") - F.coalesce(F.col("__dec"), F.lit(0))
+                        ).cast("int"),
+                        F.lit(1),
+                    ),
+                )
+                .drop("__dec")
+            )
+            nodes = nodes.join(F.broadcast(drop_df), "id", "left_anti")
             out = GraphStore(self.spark, nodes, remaining)
         return out
 
