@@ -146,25 +146,31 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.5,
     grid: int = 8,
+    direct_join_budget: int = 50_000_000,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs within a blocking key (e.g. language
     or source). Returns (id_a, id_b, jaccard >= threshold).
 
-    Prefix-filtered inverted-index plan (AllPairs, Bayardo et al.
-    WWW'07 — exact, no approximation): rank each document's shingles
-    by ascending document frequency (rarest first, ties by shingle);
-    a pair with J >= t shares >= ceil(t*n) shingles with a document of
-    n shingles, so its intersection must hit the document's first
-    n - ceil(t*n) + 1 shingles in any global order. Candidate
-    generation therefore self-joins only these PREFIX postings — the
-    ubiquitous shingles that make the naive postings self-join
-    quadratic (df² rows for a shingle of document frequency df) sort
-    LAST and never enter a prefix unless a document is tiny. The full
-    intersection is then counted only for candidate pairs by joining
-    candidates back to the complete postings — linear in
-    |candidates| × avg-set-size, never all-pairs.
+    Two exact plans, chosen adaptively by a measured cost — the
+    postings self-join produces exactly sum(df^2) rows, priced with
+    one tiny aggregate before committing:
 
-    Everything stays inside whole-stage codegen — no per-pair
+    - **direct** (sum(df^2) <= ``direct_join_budget``): inverted-index
+      self-join on (block, shingle) with one pair-count aggregate.
+      Optimal for dense small-vocabulary corpora, where prefix
+      filtering prunes little but its verification re-join would pay
+      |candidates| x set-size anyway.
+    - **prefix-filtered** (AllPairs, Bayardo et al. WWW'07): rank each
+      document's shingles by ascending document frequency; a pair with
+      J >= t shares >= ceil(t*n) shingles, so its intersection must
+      hit the first n - ceil(t*n) + 1 shingles in any global order.
+      Candidates come from the PREFIX postings self-join only — the
+      ubiquitous shingles that make the direct join quadratic sort
+      LAST and rarely enter a prefix — then the full intersection is
+      counted just for candidates. This is the 100 TB path: no term's
+      df² ever materializes.
+
+    Both plans stay inside whole-stage codegen — no per-pair
     ``array_intersect``, whose interpreted fallback allocates a hash
     set per comparison and convoys hard at high task counts.
 
@@ -180,33 +186,56 @@ def ngram_jaccard_pairs(
     sizes = sh.select("blk", "id", F.size("sh").alias("n"))
     postings = sh.select("blk", "id", F.explode("sh").alias("s")).persist()
     dfreq = postings.groupBy("blk", "s").agg(F.count(F.lit(1)).alias("df"))
-    w = Window.partitionBy("blk", "id").orderBy("df", "s")
-    prefix = (
-        postings.join(dfreq, ["blk", "s"])
-        .withColumn("rank", F.row_number().over(w))
-        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("blk", "id")))
-        .where(
-            F.col("rank")
-            <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+    # Adaptive plan choice (the AQE idea, one level up): the direct
+    # postings self-join materializes exactly sum(df^2) rows — cheap
+    # for dense small-vocabulary corpora where prefix filtering prunes
+    # little but its verification re-join pays |cand| x setsize. One
+    # tiny aggregate prices both plans before committing.
+    sum_df2 = dfreq.agg(F.sum(F.col("df") * F.col("df"))).collect()[0][0] or 0
+    if sum_df2 <= direct_join_budget:
+        a = postings.select("blk", F.col("id").alias("id_a"), "s")
+        b = postings.select("blk", F.col("id").alias("id_b"), "s")
+        inter = (
+            a.join(b, ["blk", "s"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
         )
-        .select("blk", "id", "s")
-    )
-    cand = (
-        prefix.select("blk", F.col("id").alias("id_a"), "s")
-        .join(prefix.select("blk", F.col("id").alias("id_b"), "s"), ["blk", "s"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    # full intersection count, candidates only
-    pa = cand.join(
-        postings.select(F.col("id").alias("id_a"), "s"), "id_a"
-    )
-    inter = (
-        pa.join(postings.select(F.col("id").alias("id_b"), "s"), ["id_b", "s"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+    else:
+        w = Window.partitionBy("blk", "id").orderBy("df", "s")
+        prefix = (
+            postings.join(dfreq, ["blk", "s"])
+            .withColumn("rank", F.row_number().over(w))
+            .withColumn(
+                "n", F.count(F.lit(1)).over(Window.partitionBy("blk", "id"))
+            )
+            .where(
+                F.col("rank")
+                <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+            )
+            .select("blk", "id", "s")
+        )
+        cand = (
+            prefix.select("blk", F.col("id").alias("id_a"), "s")
+            .join(
+                prefix.select("blk", F.col("id").alias("id_b"), "s"),
+                ["blk", "s"],
+            )
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        # full intersection count, candidates only
+        pa = cand.join(
+            postings.select(F.col("id").alias("id_a"), "s"), "id_a"
+        )
+        inter = (
+            pa.join(
+                postings.select(F.col("id").alias("id_b"), "s"), ["id_b", "s"]
+            )
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
     na = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na"))
     nb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb"))
     jac = F.col("inter").cast("double") / (
