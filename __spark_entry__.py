@@ -218,6 +218,53 @@ def g_followr(spark, sf):
     return Path.start(g, IRI("nation:3")).follow_r(m).values_df()
 
 
+def g_or_short(spark, sf):
+    """Short-circuit Or (reference or.go:49-56 NewShortCircuitOr):
+    the first branch is non-empty, so the second never contributes —
+    a full union would return both segments."""
+    g = tpch_graph(spark, sf)
+    first = Path.start(g).has(IRI("in_segment"), String("FURNITURE"))
+    second = Path.start(g).has(IRI("in_segment"), String("MACHINERY"))
+    return first.or_short(second).values_df()
+
+
+def g_valuefilter(spark, sf):
+    """Generic ValueFilter, JVM-expression form (reference
+    value_filter.go:24-75): nations whose name ends with '1'."""
+    g = tpch_graph(spark, sf)
+    return (
+        Path.start(g)
+        .has(IRI("in_region"))
+        .has_filter(
+            IRI("named"),
+            S.ValueFilterFunc(
+                expr=lambda c: (c["kind"] == "string")
+                & c["str"].endswith("1")
+            ),
+        )
+        .values_df()
+    )
+
+
+def g_valuefilter_fn(spark, sf):
+    """Generic ValueFilter, Python-callable form (Arrow-batched pandas
+    UDF over rendered terms) — same semantics as g_valuefilter."""
+    from cayley_spark.values import String as Str
+
+    g = tpch_graph(spark, sf)
+    return (
+        Path.start(g)
+        .has(IRI("in_region"))
+        .has_filter(
+            IRI("named"),
+            S.ValueFilterFunc(
+                fn=lambda v: isinstance(v, Str) and v.s.endswith("1")
+            ),
+        )
+        .values_df()
+    )
+
+
 def g_write_delete(spark, sf):
     """Write path (ApplyDeltas): add an unlabeled + labeled variant of
     the same (s,p,o), delete the unlabeled one — the labeled quad must
@@ -489,6 +536,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_both": g_both,
         "g_follow": g_follow,
         "g_followr": g_followr,
+        "g_or_short": g_or_short,
+        "g_valuefilter": g_valuefilter,
+        "g_valuefilter_fn": g_valuefilter_fn,
         "g_write_delete": g_write_delete,
         "g_recursive": g_recursive,
         "q1": q1,
@@ -755,6 +805,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT {_CUST} AS id FROM customer WHERE c_nationkey = 3
             UNION ALL
             SELECT '<supplier:' || s_suppkey || '>' FROM supplier WHERE s_nationkey = 3
+        """,
+        "g_or_short": f"""
+            SELECT {_CUST} AS id FROM customer WHERE c_mktsegment = 'FURNITURE'
+        """,
+        "g_valuefilter": f"""
+            SELECT {_NAT} AS id FROM nation WHERE n_name LIKE '%1'
+        """,
+        "g_valuefilter_fn": f"""
+            SELECT {_NAT} AS id FROM nation WHERE n_name LIKE '%1'
         """,
         "g_write_delete": """
             SELECT '"' || n_name || '"' AS id FROM nation WHERE n_nationkey = 7
