@@ -41,48 +41,87 @@ def _expand(ctx: dict, key: str) -> str:
         pref, _, rest = key.partition(":")
         if pref in ctx and isinstance(ctx[pref], str):
             return ctx[pref] + rest
+        return key  # absolute IRI or unknown-prefix compact IRI
     if "@vocab" in ctx:
         return ctx["@vocab"] + key
     return key
 
 
+RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+
+
 def read_jsonld(spark: SparkSession, path: str) -> GraphStore:
-    """Compacted JSON-LD document → GraphStore. The document is
-    driver-parsed (JSON-LD files are configuration-sized; bulk data
-    belongs in n-quads/parquet), the store build is distributed."""
+    """Compacted JSON-LD document → GraphStore. Supports @context
+    (prefix terms, @vocab, @base), @graph, @id/@type, nested node
+    objects including blank nodes, ``{"@value": ..}`` literals with
+    @type/@language, and ``{"@list": [..]}`` collections expanded to
+    rdf:first/rest chains. The document is driver-parsed (JSON-LD
+    files are configuration-sized; bulk data belongs in
+    n-quads/parquet), the store build is distributed."""
+    from ..values import BNode, LangString, TypedString
+
     with open(path) as f:
         doc = json.load(f)
     ctx = doc.get("@context", {})
-    nodes = doc.get("@graph", doc if isinstance(doc, list) else [doc])
+    base = ctx.get("@base", "")
     quads: list[tuple] = []
+    n_bnodes = [0]
 
-    def node_value(v):
-        if isinstance(v, dict) and "@id" in v:
-            return IRI(_expand(ctx, v["@id"]))
+    def bnode() -> BNode:
+        n_bnodes[0] += 1
+        return BNode(f"b{n_bnodes[0]}")
+
+    def iri(s: str):
+        if s.startswith("_:"):
+            return BNode(s[2:])
+        s = _expand(ctx, s)
+        if ":" not in s and base:
+            s = base + s
+        return IRI(s)
+
+    def value(v):
+        if isinstance(v, dict):
+            if "@list" in v:
+                items = [value(x) for x in v["@list"]]
+                if not items:
+                    return IRI(RDF_NS + "nil")
+                cells = [bnode() for _ in items]
+                for i, (c, it) in enumerate(zip(cells, items)):
+                    quads.append((c, IRI(RDF_NS + "first"), it))
+                    nxt = (
+                        cells[i + 1]
+                        if i + 1 < len(cells)
+                        else IRI(RDF_NS + "nil")
+                    )
+                    quads.append((c, IRI(RDF_NS + "rest"), nxt))
+                return cells[0]
+            if "@value" in v:
+                body = v["@value"]
+                if "@language" in v:
+                    return LangString(str(body), v["@language"])
+                if "@type" in v:
+                    return TypedString(str(body), _expand(ctx, v["@type"]))
+                return coerce(body)
+            return walk(v)
         return coerce(v)
 
     def walk(obj: dict):
-        sid = IRI(_expand(ctx, obj["@id"])) if "@id" in obj else None
-        if sid is None:
-            return None
+        sid = iri(obj["@id"]) if "@id" in obj else bnode()
         for k, v in obj.items():
-            if k == "@id":
+            if k == "@id" or k == "@context":
                 continue
             if k == "@type":
                 for t in v if isinstance(v, list) else [v]:
-                    quads.append(
-                        (sid, IRI(RDF_TYPE_IRI), IRI(_expand(ctx, t)))
-                    )
+                    quads.append((sid, IRI(RDF_TYPE_IRI), iri(t)))
+                continue
+            if k.startswith("@"):
                 continue
             pred = IRI(_expand(ctx, k))
             for x in v if isinstance(v, list) else [v]:
-                if isinstance(x, dict) and "@id" not in x:
-                    continue  # blank nested nodes unsupported in subset
-                quads.append((sid, pred, node_value(x)))
-                if isinstance(x, dict):
-                    walk(x)
+                quads.append((sid, pred, value(x)))
         return sid
 
+    nodes = doc.get("@graph", doc if isinstance(doc, list) else [doc])
     for obj in nodes:
         walk(obj)
     return GraphStore.from_quad_values(spark, quads)

@@ -132,3 +132,58 @@ def test_pquads_roundtrip(spark, tmp_path):
     gz = str(tmp_path / "dump.pq.gz")
     write_pquads(st, gz)
     assert read_pquads(spark, gz).stats() == st.stats()
+
+
+def test_jsonld_full_features(spark, tmp_path):
+    """JSON-LD reader: @base, blank nodes, @value literals, @list
+    collections (rdf:first/rest chains)."""
+    import json as _json
+
+    from cayley_spark import IRI, Path
+    from cayley_spark.sources.formats import read_jsonld
+
+    doc = {
+        "@context": {"@base": "http://x/", "@vocab": "http://x/"},
+        "@graph": [
+            {
+                "@id": "alice",
+                "knows": {"name": "Anon"},  # blank node
+                "age": {"@value": "30", "@type": "http://x/Age"},
+                "friends": {"@list": [{"@id": "bob"}, {"@id": "carol"}]},
+                "label": {"@value": "hi", "@language": "en"},
+            }
+        ],
+    }
+    p = tmp_path / "doc.jsonld"
+    p.write_text(_json.dumps(doc))
+    st = read_jsonld(spark, str(p))
+    alice = IRI("http://x/alice")
+    # blank node object reachable
+    got = Path.start(st, alice).out(IRI("http://x/knows")).out(
+        IRI("http://x/name")
+    ).all_values()
+    assert got == ['"Anon"']
+    # typed + lang literals
+    assert Path.start(st, alice).out(IRI("http://x/age")).all_values() == [
+        '"30"^^<http://x/Age>'
+    ]
+    assert Path.start(st, alice).out(IRI("http://x/label")).all_values() == [
+        '"hi"@en'
+    ]
+    # @list chain: first cell holds bob, rest->rest->nil
+    rdf = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    first_vals = (
+        Path.start(st, alice)
+        .out(IRI("http://x/friends"))
+        .out(IRI(rdf + "first"))
+        .all_values()
+    )
+    assert first_vals == ["<http://x/bob>"]
+    tail = (
+        Path.start(st, alice)
+        .out(IRI("http://x/friends"))
+        .follow_recursive(IRI(rdf + "rest"))
+        .out(IRI(rdf + "first"))
+        .all_values()
+    )
+    assert tail == ["<http://x/carol>"]
