@@ -96,7 +96,9 @@ ESCAPES = [
     "open('/etc/passwd')",
     "[x for x in (1,)]",
     "g.V().df().sparkSession",  # public attrs outside the gizmo surface
-    "x = 5",
+    "x.y = 5",  # attribute assignment
+    "g = 5\ng.V()",  # shadowing g
+    "import os",
     "exec('1')",
 ]
 
@@ -118,3 +120,19 @@ def test_gizmo_multi_statement(srv):
         'g.Emit(1)\ng.V("<bob>").In("<follows>").ToArray()',
     )
     assert "<alice>" in out["result"]
+
+
+def test_gizmo_js_style_program(srv):
+    """JS-style gizmo programs: var declarations + semicolons run
+    unchanged (goja-parity for the common non-callback shape)."""
+    out = post(
+        f"{srv}/api/v1/query/gizmo",
+        'var friends = g.V("<bob>").In("<follows>");\nfriends.ToArray()',
+    )
+    assert sorted(out["result"]) == ["<alice>", "<charlie>", "<dani>"]
+    # assignment cannot shadow g or smuggle names
+    try:
+        post(f"{srv}/api/v1/query/gizmo", "g = 5\ng.V()")
+        assert False
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
