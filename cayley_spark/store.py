@@ -471,7 +471,15 @@ class GraphStore:
                 )
             return out.select(*[F.col("`" + c + "`") for c in df.columns])
         rid = "__resolve_rid"
-        out = df.withColumn(rid, F.monotonically_increasing_id())
+        # The rid column must be IDENTICAL on both sides of the
+        # join-back below. monotonically_increasing_id() is
+        # re-evaluated per use and row order is not stable across
+        # re-evaluations (shuffles, AQE), so the rid-stamped result is
+        # materialized once (lazy localCheckpoint: the first action
+        # computes and stores the blocks both branches then share).
+        out = df.withColumn(
+            rid, F.monotonically_increasing_id()
+        ).localCheckpoint(eager=False)
         melted = out.select(
             rid,
             F.explode(
