@@ -398,6 +398,18 @@ def q_events_hourly(spark, sf):
     )
 
 
+def q_sessions(spark, sf):
+    """Gap-based sessionization (1h gap) — the batch twin of the
+    applyInPandasWithState streaming operator in streaming/sessions.py;
+    window lag + running sum, fully SQL-expressible."""
+    from cayley_spark.streaming.sessions import sessionize
+
+    ev = _events(spark, sf)
+    return sessionize(
+        ev, gap_seconds=3600, id_col="user_id", ts_col="ts", order_col="event_id"
+    ).select("user_id", "session_start", "session_end", "n_events")
+
+
 def q_events_topuser(spark, sf):
     """Window function: top event per user by value (dense ranking)."""
     from pyspark.sql.window import Window
@@ -546,6 +558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5": q5,
         "q6": q6,
         "q_events_hourly": q_events_hourly,
+        "q_sessions": q_sessions,
         "q_events_topuser": q_events_topuser,
         "t_tokens": t_tokens,
         "t_quality": t_quality,
@@ -882,6 +895,25 @@ def oracle_sql() -> dict[str, str]:
               COUNT(*) AS n,
               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "q_sessions": """
+            WITH m AS (
+              SELECT user_id, ts, event_id,
+                CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id)
+                          <= INTERVAL 3600 SECOND
+                     THEN 0 ELSE 1 END AS new_sess
+              FROM events
+            ), s AS (
+              SELECT user_id, ts,
+                SUM(new_sess) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sess
+              FROM m
+            )
+            SELECT user_id, MIN(ts) AS session_start,
+                   MAX(ts) AS session_end, COUNT(*) AS n_events
+            FROM s GROUP BY user_id, sess
         """,
         "q_events_topuser": """
             SELECT user_id, event_id, event_type FROM (

@@ -1,0 +1,122 @@
+"""Sessionization — gap-based event sessions, batch and streaming.
+
+The reference has no streaming surface (SURVEY.md §2.8); this extends
+the engine the way a training-data pipeline needs: the same session
+semantics as one declarative batch operator (window lag + running
+sum — fully SQL-expressible, so the DuckDB oracle can verify it) and
+as a custom STATEFUL streaming operator built on
+``applyInPandasWithState`` (the Structured Streaming escape hatch for
+operators the built-ins can't express).
+
+Session semantics (both paths): events of one key, ordered by event
+time, belong to one session while each gap to the previous event is
+<= ``gap_seconds``; a larger gap closes the session and opens a new
+one.
+
+Scale notes: the batch path is two window functions plus one
+aggregation — all hash-partitioned by the key, no driver involvement.
+The streaming path keeps O(1) state per key (current session bounds +
+count) in the state store; closed sessions are emitted as soon as the
+closing event arrives, and Arrow moves each group's batch in one
+block.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def sessionize(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str | None = None,
+) -> DataFrame:
+    """Batch sessionization. Returns one row per session:
+    (id, session_start, session_end, n_events). ``order_col`` breaks
+    ties among equal timestamps deterministically."""
+    from pyspark.sql.window import Window
+
+    order = [F.col(ts_col)] + ([F.col(order_col)] if order_col else [])
+    w = Window.partitionBy(id_col).orderBy(*order)
+    gap_ns = F.col(ts_col).cast("double") - F.lag(F.col(ts_col)).over(w).cast(
+        "double"
+    )
+    new_sess = F.when(
+        gap_ns.isNull() | (gap_ns > gap_seconds), F.lit(1)
+    ).otherwise(F.lit(0))
+    sess = F.sum(new_sess).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        events.withColumn("__sess", sess)
+        .groupBy(id_col, "__sess")
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .drop("__sess")
+    )
+
+
+def sessionize_stream(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Stateful streaming sessionization over a streaming DataFrame.
+
+    Per-key state holds the OPEN session (start, end, count). Each
+    micro-batch folds its events in timestamp order: an event within
+    ``gap_seconds`` of the open session extends it; a later event
+    closes the session (emitted downstream) and opens a new one. Open
+    sessions stay in the state store across batches.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        f"{id_col} long, session_start timestamp, "
+        "session_end timestamp, n_events long"
+    )
+    state_schema = "start timestamp, end timestamp, n long"
+
+    def fold(key, pdf_iter, state):
+        import pandas as pd
+
+        rows = pd.concat(list(pdf_iter))
+        rows = rows.sort_values(ts_col)
+        if state.exists:
+            start, end, n = state.get
+        else:
+            start = end = None
+            n = 0
+        closed = []
+        for t in rows[ts_col]:
+            t = t.to_pydatetime() if hasattr(t, "to_pydatetime") else t
+            if start is None:
+                start = end = t
+                n = 1
+            elif (t - end).total_seconds() <= gap_seconds:
+                end = max(end, t)
+                n += 1
+            else:
+                closed.append((key[0], start, end, n))
+                start = end = t
+                n = 1
+        state.update((start, end, n))
+        if closed:
+            yield pd.DataFrame(
+                closed,
+                columns=[id_col, "session_start", "session_end", "n_events"],
+            )
+
+    return events.groupBy(id_col).applyInPandasWithState(
+        fold,
+        out_schema,
+        state_schema,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

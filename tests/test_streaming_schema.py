@@ -187,3 +187,64 @@ def test_jsonld_full_features(spark, tmp_path):
         .all_values()
     )
     assert tail == ["<http://x/carol>"]
+
+
+def test_sessionize_batch_vs_stream(spark, tmp_path):
+    """Gap sessionization: the declarative batch operator and the
+    applyInPandasWithState streaming operator agree (streaming emits
+    only CLOSED sessions; open ones stay in state)."""
+    from pyspark.sql import functions as F
+
+    from cayley_spark.streaming.sessions import sessionize, sessionize_stream
+
+    rows = [
+        (1, "2024-01-01 00:00:00"),
+        (1, "2024-01-01 00:10:00"),
+        (1, "2024-01-01 02:00:00"),  # > 30min gap -> closes session 1
+        (1, "2024-01-01 02:05:00"),
+        (1, "2024-01-01 05:00:00"),  # closes session 2; stays open
+        (2, "2024-01-01 00:00:00"),
+        (2, "2024-01-01 03:00:00"),  # closes user-2 session 1
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    batch = {
+        (r["user_id"], str(r["session_start"]), str(r["session_end"]), r["n_events"])
+        for r in sessionize(df, gap_seconds=1800).collect()
+    }
+    assert (1, "2024-01-01 00:00:00", "2024-01-01 00:10:00", 2) in batch
+    assert (1, "2024-01-01 02:00:00", "2024-01-01 02:05:00", 2) in batch
+    assert len(batch) == 5
+
+    src = tmp_path / "stream_in"
+    src.mkdir()
+    import json as _json
+
+    with open(src / "events.json", "w") as f:
+        for uid, ts in rows:
+            f.write(_json.dumps({"user_id": uid, "ts": ts}) + "\n")
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .json(str(src))
+    )
+    q = (
+        sessionize_stream(stream, gap_seconds=1800)
+        .writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], str(r["session_start"]), str(r["session_end"]), r["n_events"])
+        for r in spark.table("sess_out").collect()
+    }
+    # closed sessions = batch sessions minus the trailing open one per user
+    open_sessions = {
+        max((b for b in batch if b[0] == uid), key=lambda b: b[1])
+        for uid in (1, 2)
+    }
+    assert got == batch - open_sessions
