@@ -10,12 +10,21 @@ standard layout for 100 TB training-data lakes:
 All heavy per-item work (decode, resize, feature extraction, frame
 sampling) runs as Arrow-batched ``mapInPandas`` transforms — one
 Python worker per input partition, zero driver involvement, so the
-operators scale with the cluster exactly like a JVM map. Codec
-libraries (PIL/librosa/av) are NOT present in this container, so the
-decode kernels are STUBBED behind ``try: import``; the deterministic
-fake path (seeded by xxhash of the bytes) keeps schemas, batch shapes
-and partitioning real and testable. Swap `_decode_image_real` in and
-nothing else changes.
+operators scale with the cluster exactly like a JVM map.
+
+Codec coverage is honest about the container: formats decodable with
+the standard library + numpy are decoded FOR REAL —
+
+- **PPM/PGM images** (P5/P6 binary): header parse, pixel decode,
+  nearest-neighbor resize, 8x8 block-mean features;
+- **WAV audio** (RIFF/PCM via stdlib ``wave``): sample rate,
+  channels, duration, RMS/peak over PCM samples;
+
+anything else (JPEG/PNG/MP4 need PIL/av, absent here) falls back to a
+clearly-marked deterministic fake derived from the content hash, so
+schemas, batch shapes and partitioning stay real and testable either
+way. Swapping a PIL/av kernel into ``_decode_image`` /
+``sample_frames`` changes nothing else.
 
 The reference has no multimodal surface (it is a quad store); this
 module is part of the repo's training-data-pipeline extension scope.
@@ -23,8 +32,11 @@ module is part of the repo's training-data-pipeline extension scope.
 
 from __future__ import annotations
 
+import io
+import wave
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
@@ -39,13 +51,6 @@ from pyspark.sql.types import (
     StructType,
 )
 
-try:  # pragma: no cover - not installed in this container
-    from PIL import Image  # noqa: F401
-
-    _HAS_PIL = True
-except Exception:
-    _HAS_PIL = False
-
 
 def _fake_u64(data: bytes) -> int:
     """Deterministic 64-bit hash of content bytes (FNV-1a; pure python
@@ -55,6 +60,59 @@ def _fake_u64(data: bytes) -> int:
         h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
     return h
 
+
+# ---------------- real codecs (stdlib + numpy) ----------------
+
+
+def _ppm_decode(data: bytes):
+    """P5 (grayscale) / P6 (RGB) binary netpbm → (w, h, c, ndarray).
+    Returns None if the payload is not netpbm."""
+    if not (data[:2] in (b"P5", b"P6")):
+        return None
+    # header: magic, whitespace-separated width height maxval, one
+    # whitespace byte, then raster
+    parts, i, tok = [], 2, b""
+    while len(parts) < 3 and i < len(data):
+        ch = data[i : i + 1]
+        if ch == b"#":  # comment to end of line
+            while i < len(data) and data[i : i + 1] != b"\n":
+                i += 1
+        elif ch.isspace():
+            if tok:
+                parts.append(int(tok))
+                tok = b""
+        else:
+            tok += ch
+        i += 1
+    if len(parts) < 3:
+        return None
+    w, h, _maxval = parts
+    c = 3 if data[:2] == b"P6" else 1
+    raster = np.frombuffer(data, dtype=np.uint8, count=w * h * c, offset=i)
+    return w, h, c, raster.reshape(h, w, c)
+
+
+def _ppm_encode(arr: np.ndarray) -> bytes:
+    h, w, c = arr.shape
+    magic = b"P6" if c == 3 else b"P5"
+    return magic + f"\n{w} {h}\n255\n".encode() + arr.astype(np.uint8).tobytes()
+
+
+def _wav_decode(data: bytes):
+    """RIFF/PCM WAV → (sample_rate, channels, n_frames, samples) or
+    None for non-WAV payloads."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return None
+    with wave.open(io.BytesIO(data)) as wf:
+        rate, nch, nfr = wf.getframerate(), wf.getnchannels(), wf.getnframes()
+        width = wf.getsampwidth()
+        raw = wf.readframes(nfr)
+    dt = {1: np.uint8, 2: np.int16, 4: np.int32}.get(width)
+    samples = np.frombuffer(raw, dtype=dt) if dt is not None else None
+    return rate, nch, nfr, samples
+
+
+# ---------------- image info ----------------
 
 IMAGE_INFO_SCHEMA = StructType(
     [
@@ -69,24 +127,34 @@ IMAGE_INFO_SCHEMA = StructType(
 
 def decode_image_info(media: DataFrame, id_col: str = "doc_id",
                       content_col: str = "content") -> DataFrame:
-    """Per-image (width, height, channels, format). Real path uses PIL;
-    fake path derives deterministic dimensions from the content hash
-    so the distributed plumbing is exercised end-to-end."""
+    """Per-image (width, height, channels, format). Netpbm payloads
+    decode for real; other formats take the deterministic fake path
+    (format tagged ``fake:*``) so the distributed plumbing is
+    exercised end-to-end either way."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if _HAS_PIL:  # pragma: no cover
-                raise NotImplementedError(
-                    "real image decode: wire PIL.Image.open here"
-                )
-            hs = pdf[content_col].map(lambda b: _fake_u64(bytes(b or b"")))
+            w_, h_, c_, fmt = [], [], [], []
+            for b in pdf[content_col]:
+                data = bytes(b or b"")
+                dec = _ppm_decode(data)
+                if dec is not None:
+                    w, h, c, _ = dec
+                    w_.append(w), h_.append(h), c_.append(c)
+                    fmt.append("ppm" if c == 3 else "pgm")
+                else:
+                    hsh = _fake_u64(data)
+                    w_.append(hsh % 1920 + 16)
+                    h_.append(hsh // 1920 % 1080 + 16)
+                    c_.append(hsh % 2 * 2 + 1)
+                    fmt.append(f"fake:{('jpeg', 'png', 'webp')[hsh % 3]}")
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
-                    "width": (hs % 1920 + 16).astype("int32"),
-                    "height": (hs // 1920 % 1080 + 16).astype("int32"),
-                    "channels": (hs % 2 * 2 + 1).astype("int32"),
-                    "format": (hs % 3).map({0: "jpeg", 1: "png", 2: "webp"}),
+                    "width": pd.array(w_, dtype="int32"),
+                    "height": pd.array(h_, dtype="int32"),
+                    "channels": pd.array(c_, dtype="int32"),
+                    "format": fmt,
                 }
             )
 
@@ -94,6 +162,118 @@ def decode_image_info(media: DataFrame, id_col: str = "doc_id",
         run, schema=IMAGE_INFO_SCHEMA
     )
 
+
+# ---------------- audio info ----------------
+
+AUDIO_INFO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("duration_ms", IntegerType()),
+        StructField("rms", FloatType()),
+        StructField("peak", FloatType()),
+    ]
+)
+
+
+def decode_audio_info(media: DataFrame, id_col: str = "doc_id",
+                      content_col: str = "content") -> DataFrame:
+    """Per-clip (sample_rate, channels, duration_ms, rms, peak). WAV
+    payloads decode for real via the stdlib ``wave`` reader; other
+    containers (mp3/flac need codec libs) take the fake path with
+    sample_rate 0 as the marker."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, b in zip(pdf[id_col], pdf[content_col]):
+                data = bytes(b or b"")
+                dec = _wav_decode(data)
+                if dec is not None:
+                    rate, nch, nfr, samples = dec
+                    dur = int(nfr * 1000 / rate) if rate else 0
+                    if samples is not None and len(samples):
+                        x = samples.astype(np.float64)
+                        rms = float(np.sqrt(np.mean(x * x)))
+                        peak = float(np.max(np.abs(x)))
+                    else:
+                        rms = peak = 0.0
+                    rows.append((did, rate, nch, dur, rms, peak))
+                else:
+                    hsh = _fake_u64(data)
+                    rows.append((did, 0, 1, hsh % 60000, 0.0, 0.0))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "sample_rate", "channels",
+                    "duration_ms", "rms", "peak",
+                ],
+            ).astype(
+                {
+                    "sample_rate": "int32", "channels": "int32",
+                    "duration_ms": "int32", "rms": "float32",
+                    "peak": "float32",
+                }
+            )
+
+    return media.select(id_col, content_col).mapInPandas(
+        run, schema=AUDIO_INFO_SCHEMA
+    )
+
+
+# ---------------- image resize ----------------
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("content", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+
+def resize_images(media: DataFrame, width: int, height: int,
+                  id_col: str = "doc_id",
+                  content_col: str = "content") -> DataFrame:
+    """Nearest-neighbor resize. Netpbm payloads are resized for real
+    (numpy index-grid sampling, re-encoded as netpbm); other formats
+    pass through unchanged with width/height -1 so callers can filter
+    undecodable rows."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_b, out_w, out_h = [], [], []
+            for b in pdf[content_col]:
+                data = bytes(b or b"")
+                dec = _ppm_decode(data)
+                if dec is None:
+                    out_b.append(data)
+                    out_w.append(-1)
+                    out_h.append(-1)
+                    continue
+                w0, h0, c, arr = dec
+                ys = (np.arange(height) * h0 // height).clip(0, h0 - 1)
+                xs = (np.arange(width) * w0 // width).clip(0, w0 - 1)
+                out_b.append(_ppm_encode(arr[ys][:, xs]))
+                out_w.append(width)
+                out_h.append(height)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "content": out_b,
+                    "width": pd.array(out_w, dtype="int32"),
+                    "height": pd.array(out_h, dtype="int32"),
+                }
+            )
+
+    return media.select(id_col, content_col).mapInPandas(
+        run, schema=RESIZE_SCHEMA
+    )
+
+
+# ---------------- image features ----------------
 
 IMAGE_FEATURES_SCHEMA = StructType(
     [
@@ -105,16 +285,28 @@ IMAGE_FEATURES_SCHEMA = StructType(
 
 def image_features(media: DataFrame, dim: int = 64, id_col: str = "doc_id",
                    content_col: str = "content") -> DataFrame:
-    """Feature-extraction plumbing: content bytes → float vector.
-    Fake path: seeded LCG over the content hash (deterministic, unit
-    variance-ish); real path would run an ONNX/torch encoder per Arrow
-    batch (the batch shape here is exactly what a GPU encoder wants)."""
+    """Content bytes → float vector. Netpbm payloads get REAL features:
+    grayscale 8x8 block-mean intensities in [0,1] (dim is rounded to a
+    square). Other formats get the seeded-LCG fake. A GPU encoder
+    slots into this exact Arrow-batch shape."""
+    side = max(int(dim ** 0.5), 1)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = []
             for b in pdf[content_col]:
-                h = _fake_u64(bytes(b or b""))
+                data = bytes(b or b"")
+                dec = _ppm_decode(data)
+                if dec is not None:
+                    w0, h0, c, arr = dec
+                    gray = arr.mean(axis=2, dtype=np.float64)
+                    ys = (np.arange(side) * h0 // side).clip(0, h0 - 1)
+                    xs = (np.arange(side) * w0 // side).clip(0, w0 - 1)
+                    vec = (gray[ys][:, xs] / 255.0).ravel()
+                    vec = np.pad(vec, (0, dim - len(vec)))[:dim]
+                    feats.append([float(x) for x in vec])
+                    continue
+                h = _fake_u64(data)
                 vec = []
                 for _ in range(dim):
                     h = (h * 6364136223846793005 + 1442695040888963407) % (1 << 64)
@@ -126,6 +318,8 @@ def image_features(media: DataFrame, dim: int = 64, id_col: str = "doc_id",
         run, schema=IMAGE_FEATURES_SCHEMA
     )
 
+
+# ---------------- video frame sampling ----------------
 
 FRAME_SCHEMA = StructType(
     [
@@ -141,9 +335,11 @@ def sample_frames(media: DataFrame, every_ms: int = 1000,
                   id_col: str = "doc_id", content_col: str = "content",
                   duration_col: str = "duration_ms") -> DataFrame:
     """Video frame sampling: one output row per sampled frame — a
-    flat-map (mapInPandas may emit more rows than it consumes). Fake
-    path emits hash-derived 16-byte pseudo-frames at the requested
-    cadence; real path would call an av/ffmpeg demuxer per batch."""
+    flat-map (mapInPandas may emit more rows than it consumes). Real
+    video demux needs av/ffmpeg (absent here), so frames are
+    hash-derived 16-byte pseudo-frames at the requested cadence; the
+    flat-map shape, cadence arithmetic and schema are the real
+    contract a demuxer kernel drops into."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -172,23 +368,66 @@ def sample_frames(media: DataFrame, every_ms: int = 1000,
     )
 
 
+# ---------------- synthetic media ----------------
+
+
+def _synth_ppm(doc_id: int, w: int = 32, h: int = 24) -> bytes:
+    """Deterministic small P6 image: per-pixel gradient seeded by id."""
+    y, x = np.mgrid[0:h, 0:w]
+    r = (x * 255 // max(w - 1, 1)).astype(np.uint8)
+    g = (y * 255 // max(h - 1, 1)).astype(np.uint8)
+    b = np.full((h, w), doc_id % 256, dtype=np.uint8)
+    return _ppm_encode(np.dstack([r, g, b]))
+
+
+def _synth_wav(doc_id: int, rate: int = 8000, ms: int = 250) -> bytes:
+    """Deterministic PCM16 mono sine tone, frequency seeded by id."""
+    n = rate * ms // 1000
+    t = np.arange(n, dtype=np.float64) / rate
+    freq = 220.0 + (doc_id % 16) * 55.0
+    samples = (np.sin(2 * np.pi * freq * t) * 12000).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
 def synthetic_media(spark, n: int = 100, seed: int = 7) -> DataFrame:
-    """Deterministic fake media table for tests/demos: binary blobs
-    derived from the row id (no RNG, reproducible across runs)."""
-    df = spark.range(n).select(
-        F.col("id").alias("doc_id"),
-        F.lit("image").alias("kind"),
-        F.sha2(F.concat(F.lit(f"media:{seed}:"), F.col("id").cast("string")), 256)
-        .cast("binary")
-        .alias("content"),
+    """Deterministic media table for tests/demos: every third row a
+    REAL netpbm image, every third a REAL WAV tone, the rest opaque
+    blobs that exercise the fake path — so decode kernels and
+    fallbacks are both covered by the same fixture."""
+    rows = []
+    for i in range(n):
+        kind = ("image", "audio", "blob")[i % 3]
+        if kind == "image":
+            content = _synth_ppm(i)
+            mime = "image/x-portable-pixmap"
+        elif kind == "audio":
+            content = _synth_wav(i)
+            mime = "audio/wav"
+        else:
+            content = f"media:{seed}:{i}".encode() * 4
+            mime = "application/octet-stream"
+        rows.append(
+            (i, kind, bytearray(content), mime, (i * 977) % 30000 + 1000)
+        )
+    df = spark.createDataFrame(
+        rows, "doc_id long, kind string, content binary, mime string, duration_ms int"
+    )
+    return df.select(
+        "doc_id",
+        "kind",
+        "content",
         F.struct(
-            F.lit("image/jpeg").alias("mime"),
+            "mime",
             F.lit(None).cast("int").alias("width"),
             F.lit(None).cast("int").alias("height"),
             F.lit(None).cast("int").alias("sample_rate"),
-            (F.pmod(F.xxhash64(F.col("id")), F.lit(30000)) + 1000)
-            .cast("int")
-            .alias("duration_ms"),
+            "duration_ms",
         ).alias("meta"),
+        "duration_ms",
     )
-    return df.withColumn("duration_ms", F.col("meta.duration_ms"))

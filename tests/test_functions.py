@@ -115,18 +115,53 @@ def test_media_decode_plumbing(spark):
         synthetic_media,
     )
 
-    media = synthetic_media(spark, n=20)
+    media = synthetic_media(spark, n=21)
     info = decode_image_info(media)
     rows = info.collect()
-    assert len(rows) == 20
-    assert all(r["width"] >= 16 and r["format"] in ("jpeg", "png", "webp") for r in rows)
+    assert len(rows) == 21
+    # real netpbm rows decode exactly; others take the fake path
+    real = [r for r in rows if r["format"] == "ppm"]
+    assert len(real) == 7
+    assert all((r["width"], r["height"], r["channels"]) == (32, 24, 3) for r in real)
+    assert all(r["format"].startswith("fake:") for r in rows if r["format"] != "ppm")
     # determinism across runs
     assert sorted(map(tuple, rows)) == sorted(map(tuple, info.collect()))
 
-    feats = image_features(media, dim=8).collect()
-    assert len(feats) == 20 and all(len(r["embedding"]) == 8 for r in feats)
+    feats = image_features(media, dim=4).collect()
+    assert len(feats) == 21 and all(len(r["embedding"]) == 4 for r in feats)
+    # real features are normalized intensities in [0,1]
+    by_id = {r["doc_id"]: r["embedding"] for r in feats}
+    assert all(0.0 <= x <= 1.0 for x in by_id[0])
 
     frames = sample_frames(media, every_ms=5000)
     fr = frames.collect()
-    assert len(fr) >= 20  # at least one frame per item
+    assert len(fr) >= 21  # at least one frame per item
     assert frames.schema["frame"].dataType.typeName() == "binary"
+
+
+def test_media_audio_and_resize(spark):
+    """Real WAV decode (stdlib wave) and real netpbm resize."""
+    from cayley_spark.functions.multimodal import (
+        decode_audio_info,
+        resize_images,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, n=21)
+    audio = {r["doc_id"]: r for r in decode_audio_info(media).collect()}
+    # rows 1, 4, 7, ... are WAV tones: 8 kHz mono, 250 ms, nonzero RMS
+    wav = audio[1]
+    assert wav["sample_rate"] == 8000 and wav["channels"] == 1
+    assert wav["duration_ms"] == 250 and wav["rms"] > 1000
+    # blob rows take the fake path (sample_rate 0 marker)
+    assert audio[2]["sample_rate"] == 0
+
+    rs = {r["doc_id"]: r for r in resize_images(media, 8, 6).collect()}
+    assert (rs[0]["width"], rs[0]["height"]) == (8, 6)
+    # resized payload is itself decodable netpbm of the new size
+    from cayley_spark.functions.multimodal import _ppm_decode
+
+    w, h, c, arr = _ppm_decode(bytes(rs[0]["content"]))
+    assert (w, h, c) == (8, 6, 3) and arr.shape == (6, 8, 3)
+    # non-image rows pass through marked undecodable
+    assert rs[2]["width"] == -1
