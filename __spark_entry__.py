@@ -491,6 +491,16 @@ def d_simhash(spark, sf):
     return docs.select("doc_id", simhash64(F.col("text"), k=2).alias("simhash"))
 
 
+def d_embed(spark, sf):
+    """Embedding-cosine near-dup pairs: hyperplane-LSH candidates
+    verified with exact cosine (threshold chosen for the synthetic
+    embeddings' score range)."""
+    from cayley_spark.functions.similarity import embedding_dup_pairs
+
+    emb = _t_wide(spark, sf, "embeddings")
+    return embedding_dup_pairs(emb, threshold=0.4).select("id_a", "id_b")
+
+
 KNN_QUERIES = [0, 1, 2]
 
 
@@ -568,6 +578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_lsh": d_lsh,
         "d_jaccard": d_jaccard,
         "d_simhash": d_simhash,
+        "d_embed": d_embed,
         "s_knn": s_knn,
         "s_knn_lsh": s_knn_lsh,
         "s_knn_ivf": s_knn_ivf,
@@ -688,6 +699,32 @@ def _ivf_oracle(n_centroids: int = 16, nprobe: int = 4, k: int = 5) -> str:
                   ORDER BY score DESC, neighbor_id) AS rn
               FROM scored
             ) WHERE rn <= {k}
+    """
+
+
+def _embed_dup_oracle(threshold: float = 0.4) -> str:
+    return f"""
+            WITH planes(t, p, pv) AS (VALUES
+              {_lsh_planes_values()}
+            ), base AS (
+              SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings
+            ), sigs AS (
+              SELECT b.id, pl.t,
+                CAST(SUM(CASE WHEN list_inner_product(b.v, pl.pv) > 0
+                     THEN (CAST(1 AS BIGINT) << pl.p) ELSE 0 END) AS BIGINT) AS sig
+              FROM base b CROSS JOIN planes pl
+              GROUP BY b.id, pl.t
+            ), cand AS (
+              SELECT DISTINCT a.id AS id_a, b.id AS id_b
+              FROM sigs a JOIN sigs b ON a.t = b.t AND a.sig = b.sig
+              WHERE a.id < b.id
+            )
+            SELECT c.id_a, c.id_b
+            FROM cand c
+            JOIN base x ON x.id = c.id_a
+            JOIN base y ON y.id = c.id_b
+            WHERE list_cosine_similarity(x.v, y.v) >= {threshold}
     """
 
 
@@ -1066,6 +1103,7 @@ def oracle_sql() -> dict[str, str]:
               FROM s
             ) WHERE rn <= 5
         """,
+        "d_embed": _embed_dup_oracle(),
         "s_knn_lsh": _lsh_oracle(),
         "s_knn_ivf": _ivf_oracle(),
     }

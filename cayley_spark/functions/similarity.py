@@ -236,6 +236,67 @@ def ivf_topk(
     )
 
 
+def embedding_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    n_tables: int = 4,
+    dim: int = 64,
+    exact: bool = False,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, score) with
+    id_a < id_b and cosine >= threshold.
+
+    Default is the scale path: candidates must collide in >= 1 of
+    ``n_tables`` hyperplane-signature tables (an equi-join on
+    (table, signature) — uniform keys, no all-pairs), then candidates
+    are verified with exact cosine. ``exact=True`` scores ALL pairs —
+    the O(n²) correctness baseline for small corpora and the DuckDB
+    oracle; at high thresholds the LSH path recovers the same pairs
+    (near-duplicates collide in some band with high probability)."""
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    if exact:
+        a = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+        b = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    else:
+        sigs = base.select(
+            "id",
+            "v",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("t"),
+                            hyperplane_signature(
+                                F.col("v"), dim, n_planes, t
+                            ).alias("sig"),
+                        )
+                        for t in range(n_tables)
+                    ]
+                )
+            ).alias("ts"),
+        ).select("id", "v", F.col("ts.t").alias("t"), F.col("ts.sig").alias("sig"))
+        a = sigs.select("t", "sig", F.col("id").alias("id_a"), F.col("v").alias("va"))
+        b = sigs.select("t", "sig", F.col("id").alias("id_b"), F.col("v").alias("vb"))
+        pairs = (
+            a.join(b, ["t", "sig"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "va", "id_b", "vb")
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    return (
+        pairs.withColumn("score", cosine(F.col("va"), F.col("vb")))
+        .where(F.col("score") >= threshold)
+        .select("id_a", "id_b", "score")
+    )
+
+
 def lsh_topk(
     df: DataFrame,
     query_ids: list[int],

@@ -165,3 +165,30 @@ def test_media_audio_and_resize(spark):
     assert (w, h, c) == (8, 6, 3) and arr.shape == (6, 8, 3)
     # non-image rows pass through marked undecodable
     assert rs[2]["width"] == -1
+
+
+def test_embedding_dup_lsh_vs_exact(spark):
+    """High-similarity pairs collide in some LSH table: at a high
+    threshold the bucketed path recovers the exact result."""
+    from pyspark.sql import Row
+
+    from cayley_spark.functions.similarity import embedding_dup_pairs
+
+    base = [[float((i * 13 + d * 7) % 17 - 8) for d in range(8)] for i in range(10)]
+    rows = [Row(vec_id=i, embedding=v) for i, v in enumerate(base)]
+    # add near-duplicates of vectors 0..4 (tiny perturbation)
+    rows += [
+        Row(vec_id=100 + i, embedding=[x + 0.01 * ((i + d) % 3) for d, x in enumerate(v)])
+        for i, v in enumerate(base[:5])
+    ]
+    df = spark.createDataFrame(rows)
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_dup_pairs(df, threshold=0.999, dim=8, exact=True).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_dup_pairs(df, threshold=0.999, dim=8).collect()
+    }
+    assert exact == {(i, 100 + i) for i in range(5)}
+    assert approx == exact
