@@ -418,6 +418,13 @@ class GraphQLSession:
             else:
                 objs = [self._render(x, sub) for x in (v or [])]
                 if sub.unnest:
+                    # reference graphql.go:373-377: unnesting multiple
+                    # objects is an error unless limited to one
+                    if len(objs) > 1:
+                        raise ValueError(
+                            f"cannot unnest more than one object on "
+                            f"{sub.alias!r}; use (first: 1) to force"
+                        )
                     for o in objs:
                         for k, val in o.items():
                             res[k] = val

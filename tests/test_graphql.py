@@ -139,3 +139,19 @@ def test_all_optional(gql):
     assert len(rows) == 14
     assert "status" not in rows["<alice>"]
     assert rows["<greg>"]["status"] == ['"cool_person"', '"smart_person"']
+
+
+def test_unnest_multiple_errors(gql):
+    """Unnesting >1 object is an error (reference graphql.go:373-377),
+    not a silent per-key merge; (first: 1) forces it."""
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="cannot unnest more than one"):
+        gql.execute(
+            """{
+            me(id: charlie) {
+                id
+                follows @unnest { friend: id }
+            }
+            }"""
+        )
