@@ -39,3 +39,44 @@ def test_java_double_str_matches_spark_cast(spark):
     }
     for i, v in enumerate(vals):
         assert java_double_str(v) == got[i], v
+
+
+def test_nquads_escape_roundtrip_property(spark):
+    """Property: for any literal body (incl. adjacent backslashes,
+    tabs, quotes, newlines), the DISTRIBUTED ingest path decodes the
+    N-Quads escape sequences to the same node id the driver-side
+    parser computes — the invariant behind every literal lookup.
+    (Regression class: order-sensitive unescaping decoded '\\\\t' as
+    backslash+TAB.)"""
+    from hypothesis import given, settings, strategies as st
+
+    from cayley_spark.sources.nquads import read_nquads
+    from cayley_spark.values import String
+
+    # build one batch of adversarial strings, then ONE spark roundtrip
+    # (per-example spark jobs would be minutes, not seconds)
+    bodies = [
+        "a\\tb", "\\\\t", "\\\\\\t", 'x"y', "x\\\\", "\\n", "a\tb\nc",
+        "\\\\n", '\\"', "\\\\\\\\", "plain", "", "trail\\", "\\t\\t",
+    ]
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(alphabet='ab\\t"\n\r ', max_size=8))
+    def gen(s):
+        bodies.append(s)
+
+    gen()
+    values = sorted({String(b) for b in bodies}, key=lambda v: v.s)
+    import tempfile
+
+    with tempfile.NamedTemporaryFile("w", suffix=".nq", delete=False) as f:
+        for i, v in enumerate(values):
+            f.write(f"<s{i}> <p> {v.term()} .\n")
+        path = f.name
+    st_ = read_nquads(spark, path)
+    got = {
+        r["id"] for r in st_.nodes.where("kind = 'string'").select("id").collect()
+    }
+    want = {v.id for v in values}
+    missing = want - got
+    assert not missing, f"{len(missing)} driver/JVM id mismatches"
