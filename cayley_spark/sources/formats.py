@@ -261,3 +261,53 @@ def write_dot(store: GraphStore) -> DataFrame:
         '  "%s" -> "%s" [label="%s"];', esc(s), esc(o), esc(p)
     )
     return _sections(store, ["digraph cayley_graph {"], node, edge, ["}"])
+
+
+# ---------------------------------------------------------------
+# JSON quads (the reference's quad/json format: a JSON array of
+# {"subject", "predicate", "object", "label"} objects; values use
+# N-Quads term syntax, bare strings are treated as IRIs)
+# ---------------------------------------------------------------
+
+_JSON_DIRS = ("subject", "predicate", "object", "label")
+
+
+def _json_term(s: str | None):
+    from ..values import parse_term
+
+    if s is None:
+        return None
+    if s.startswith(("<", "_:", '"')):
+        return parse_term(s)
+    return IRI(s)
+
+
+def read_json_quads(spark: SparkSession, path: str) -> GraphStore:
+    """JSON quad array → GraphStore. Accepts a JSON array document or
+    newline-delimited JSON objects; term fields in N-Quads syntax,
+    bare strings as IRIs (the common published form)."""
+    with open(path) as f:
+        txt = f.read().strip()
+    docs = (
+        json.loads(txt)
+        if txt.startswith("[")
+        else [json.loads(line) for line in txt.splitlines() if line.strip()]
+    )
+    quads = []
+    for d in docs:
+        quads.append(tuple(_json_term(d.get(k)) for k in _JSON_DIRS))
+    return GraphStore.from_quad_values(spark, quads)
+
+
+def write_json_quads(store: GraphStore) -> str:
+    """GraphStore → JSON quad array string (terms in N-Quads syntax).
+    Driver-side assembly of a result-sized document, like the other
+    text writers."""
+    rows = store.resolve(store.quads.select("s", "p", "o", "l")).collect()
+    out = []
+    for r in rows:
+        d = {"subject": r["s"], "predicate": r["p"], "object": r["o"]}
+        if r["l"] is not None:
+            d["label"] = r["l"]
+        out.append(d)
+    return json.dumps(out, indent=1, sort_keys=True)

@@ -248,3 +248,30 @@ def test_sessionize_batch_vs_stream(spark, tmp_path):
         for uid in (1, 2)
     }
     assert got == batch - open_sessions
+
+
+def test_json_quads_roundtrip(spark, tmp_path):
+    from cayley_spark import GraphStore, IRI, Path, String
+    from cayley_spark.sources.formats import read_json_quads, write_json_quads
+    from cayley_spark.values import LangString
+
+    st = GraphStore.from_quad_values(
+        spark,
+        [
+            (IRI("alice"), IRI("follows"), IRI("bob")),
+            (IRI("alice"), IRI("name"), LangString("Alice", "en"), IRI("g1")),
+            (IRI("bob"), IRI("says"), String('multi "quoted"')),
+        ],
+    )
+    p = tmp_path / "quads.json"
+    p.write_text(write_json_quads(st))
+    st2 = read_json_quads(spark, str(p))
+    assert st2.stats() == st.stats()
+    assert Path.start(st2, IRI("bob")).in_(IRI("follows")).all_values() == [
+        "<alice>"
+    ]
+    # bare strings parse as IRIs
+    p2 = tmp_path / "bare.json"
+    p2.write_text('[{"subject": "x", "predicate": "p", "object": "<y>"}]')
+    st3 = read_json_quads(spark, str(p2))
+    assert Path.start(st3, IRI("x")).out(IRI("p")).all_values() == ["<y>"]
