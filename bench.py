@@ -138,12 +138,30 @@ def main() -> None:
     g.nodes.count()
     load_sec = round(time.time() - t0, 3)
 
+    def _persistent_ids() -> set[int]:
+        m = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(k) for k in m.keySet().toArray()}
+
+    def _unpersist_new(before: set[int]) -> None:
+        # Scope per-query persists: operators like minhash/jaccard
+        # persist intermediates their result lazily depends on; left
+        # in the shared session they accumulate across the suite,
+        # evict each other, and make later queries recompute — big
+        # run-to-run variance. The graph's own persisted tables
+        # (captured in `before`) stay cached.
+        m = spark.sparkContext._jsc.getPersistentRDDs()
+        for k in m.keySet().toArray():
+            if int(k) not in before:
+                m.get(k).unpersist(False)
+
     timings: dict[str, float] = {}
+    base_persisted = _persistent_ids()
     for name, fn in E.queries().items():
         t0 = time.time()
         df = fn(spark, sf_dir)
         df.write.mode("overwrite").format("noop").save()
         timings[name] = round(time.time() - t0, 3)
+        _unpersist_new(base_persisted)
 
     timings.update(_movie_bench(spark))
 
