@@ -87,6 +87,7 @@ class CayleyHandler(BaseHTTPRequestHandler):
                     {"id": "nquads", "read": True, "write": True},
                     {"id": "pquads", "read": True, "write": True},
                     {"id": "jsonld", "read": True, "write": True},
+                    {"id": "json", "read": True, "write": True},
                     {"id": "graphml", "read": False, "write": True},
                     {"id": "gml", "read": False, "write": True},
                     {"id": "dot", "read": False, "write": True},
