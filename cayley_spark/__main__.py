@@ -1,0 +1,138 @@
+"""CLI — the reference's ``cayley`` command surface over Spark.
+
+Re-expression of cmd/cayley (reference cmd/cayley/command/database.go
+load/dump, convert.go, repl.go, http.go):
+
+    python -m cayley_spark load    --db DIR --quads FILE
+    python -m cayley_spark dump    --db DIR --out FILE
+    python -m cayley_spark convert --src FILE --dst FILE
+    python -m cayley_spark repl    --db DIR [--lang gizmo]
+    python -m cayley_spark http    --db DIR [--host H] [--port P]
+
+``--db`` is a parquet store directory (GraphStore.save layout).
+Quad-file formats are chosen by extension, matching the reference's
+format registry: .nq/.nt/.nq.gz n-quads, .pq/.pq.gz pquads,
+.jsonld JSON-LD, .json JSON quads.
+"""
+
+from __future__ import annotations
+
+import argparse
+import gzip
+import os
+import sys
+
+
+def _spark(cpus: int | None = None):
+    from pyspark.sql import SparkSession
+
+    n = cpus or os.cpu_count() or 4
+    spark = (
+        SparkSession.builder.master(f"local[{n}]")
+        .appName("cayley_spark-cli")
+        .config("spark.sql.shuffle.partitions", str(n))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def _read_any(spark, path: str):
+    from .sources.formats import read_json_quads, read_jsonld
+    from .sources.nquads import read_nquads
+    from .sources.pquads import read_pquads
+
+    p = path[:-3] if path.endswith(".gz") else path
+    if p.endswith((".nq", ".nt")):
+        if path.endswith(".gz"):  # spark.read.text handles .gz natively
+            return read_nquads(spark, path)
+        return read_nquads(spark, path)
+    if p.endswith(".pq"):
+        return read_pquads(spark, path)
+    if p.endswith(".jsonld"):
+        return read_jsonld(spark, path)
+    if p.endswith(".json"):
+        return read_json_quads(spark, path)
+    raise SystemExit(f"unknown quad format: {path}")
+
+
+def _write_any(store, path: str) -> int:
+    from .sources.formats import write_json_quads, write_jsonld
+    from .sources.nquads import write_nquads
+    from .sources.pquads import write_pquads
+
+    p = path[:-3] if path.endswith(".gz") else path
+    if p.endswith((".nq", ".nt")):
+        lines = write_nquads(store)
+        opener = gzip.open if path.endswith(".gz") else open
+        n = 0
+        with opener(path, "wt") as f:
+            for r in lines.toLocalIterator():
+                f.write(r["value"] + "\n")
+                n += 1
+        return n
+    if p.endswith(".pq"):
+        return write_pquads(store, path)
+    if p.endswith(".jsonld"):
+        with open(path, "w") as f:
+            f.write(write_jsonld(store))
+        return store.quads.count()
+    if p.endswith(".json"):
+        with open(path, "w") as f:
+            f.write(write_json_quads(store))
+        return store.quads.count()
+    raise SystemExit(f"unknown quad format: {path}")
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="cayley_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    for name in ("load", "dump", "repl", "http"):
+        s = sub.add_parser(name)
+        s.add_argument("--db", required=True, help="parquet store dir")
+        if name == "load":
+            s.add_argument("--quads", required=True)
+        if name == "dump":
+            s.add_argument("--out", required=True)
+        if name == "repl":
+            s.add_argument("--lang", default="gizmo")
+        if name == "http":
+            s.add_argument("--host", default="127.0.0.1")
+            s.add_argument("--port", type=int, default=64210)
+    c = sub.add_parser("convert")
+    c.add_argument("--src", required=True)
+    c.add_argument("--dst", required=True)
+    args = ap.parse_args(argv)
+
+    spark = _spark()
+    from .store import GraphStore
+
+    if args.cmd == "load":
+        st = _read_any(spark, args.quads)
+        st.save(args.db)
+        print(f"loaded {st.stats()['quads']} quads into {args.db}")
+    elif args.cmd == "dump":
+        st = GraphStore.load(spark, args.db)
+        n = _write_any(st, args.out)
+        print(f"dumped {n} quads to {args.out}")
+    elif args.cmd == "convert":
+        st = _read_any(spark, args.src)
+        n = _write_any(st, args.dst)
+        print(f"converted {n} quads {args.src} -> {args.dst}")
+    elif args.cmd == "repl":
+        from .repl import run_repl
+
+        st = GraphStore.load(spark, args.db).persist()
+        run_repl(st, lang=args.lang)
+    elif args.cmd == "http":
+        from .server.http import serve
+
+        st = GraphStore.load(spark, args.db).persist()
+        print(f"serving on {args.host}:{args.port}")
+        serve(st, args.host, args.port)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -275,3 +275,25 @@ def test_json_quads_roundtrip(spark, tmp_path):
     p2.write_text('[{"subject": "x", "predicate": "p", "object": "<y>"}]')
     st3 = read_json_quads(spark, str(p2))
     assert Path.start(st3, IRI("x")).out(IRI("p")).all_values() == ["<y>"]
+
+
+def test_cli_load_dump_convert(spark, tmp_path):
+    """python -m cayley_spark load/dump/convert (reference cmd/cayley
+    database.go / convert.go), exercised in-process."""
+    from cayley_spark.__main__ import main
+
+    nq = tmp_path / "in.nq"
+    nq.write_text(
+        "<alice> <follows> <bob> .\n"
+        '<bob> <status> "cool" <g1> .\n'
+    )
+    db = str(tmp_path / "db")
+    assert main(["load", "--db", db, "--quads", str(nq)]) == 0
+    out_pq = str(tmp_path / "out.pq")
+    assert main(["dump", "--db", db, "--out", out_pq]) == 0
+    back_nq = str(tmp_path / "back.nq")
+    assert main(["convert", "--src", out_pq, "--dst", back_nq]) == 0
+    got = sorted(
+        line for line in open(back_nq).read().splitlines() if line.strip()
+    )
+    assert got == sorted(nq.read_text().splitlines())
