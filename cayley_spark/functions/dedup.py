@@ -122,19 +122,23 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    from ._cache import track_persisted
+
     if jaccard_threshold is None:
-        return pairs
+        return track_persisted(pairs, sh, sig)
     sh_a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     sh_b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     jac = inter.cast("double") / union
-    return (
+    return track_persisted(
         pairs.join(sh_a, "id_a")
         .join(sh_b, "id_b")
         .withColumn("jaccard", jac)
         .where(F.col("jaccard") >= jaccard_threshold)
-        .select("id_a", "id_b", "jaccard")
+        .select("id_a", "id_b", "jaccard"),
+        sh,
+        sig,
     )
 
 
@@ -241,12 +245,15 @@ def ngram_jaccard_pairs(
     jac = F.col("inter").cast("double") / (
         F.col("na") + F.col("nb") - F.col("inter")
     )
-    return (
+    from ._cache import track_persisted
+
+    return track_persisted(
         inter.join(na, "id_a")
         .join(nb, "id_b")
         .withColumn("jaccard", jac)
         .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .select("id_a", "id_b", "jaccard"),
+        postings,
     )
 
 

@@ -265,6 +265,12 @@ def embedding_dup_pairs(
         b = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
         pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     else:
+        # Persist the signature table: it feeds BOTH sides of the
+        # bucket self-join, and without the persist Catalyst's
+        # project-collapse inlines the full signature pipeline
+        # (n_tables x n_planes dot products against inline plane
+        # literals) into each branch — the same recompute bug
+        # minhash_lsh_pairs fixed (see dedup.py minhash_lsh_pairs).
         sigs = base.select(
             "id",
             "v",
@@ -281,7 +287,9 @@ def embedding_dup_pairs(
                     ]
                 )
             ).alias("ts"),
-        ).select("id", "v", F.col("ts.t").alias("t"), F.col("ts.sig").alias("sig"))
+        ).select(
+            "id", "v", F.col("ts.t").alias("t"), F.col("ts.sig").alias("sig")
+        ).persist()
         a = sigs.select("t", "sig", F.col("id").alias("id_a"), F.col("v").alias("va"))
         b = sigs.select("t", "sig", F.col("id").alias("id_b"), F.col("v").alias("vb"))
         pairs = (
@@ -290,11 +298,16 @@ def embedding_dup_pairs(
             .select("id_a", "va", "id_b", "vb")
             .dropDuplicates(["id_a", "id_b"])
         )
-    return (
+    out = (
         pairs.withColumn("score", cosine(F.col("va"), F.col("vb")))
         .where(F.col("score") >= threshold)
         .select("id_a", "id_b", "score")
     )
+    if not exact:
+        from ._cache import track_persisted
+
+        out = track_persisted(out, sigs)
+    return out
 
 
 def lsh_topk(

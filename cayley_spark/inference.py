@@ -323,15 +323,24 @@ class Store:
         addPropertyInstance calls."""
         from pyspark.sql import functions as F
 
-        store = cls()
-        schema_pids = [
-            v.id for v in (TYPE, SUB_CLASS_OF, SUB_PROPERTY_OF, DOMAIN, RANGE)
-        ]
-        terms = gs.nodes.select("id", "term")
-        q = gs.quads.where(F.col("p").isin(schema_pids))
-        rendered = gs.resolve(q.select("s", "p", "o"))
-        from .values import parse_term
+        from .values import BNode, IRI, parse_term
 
+        store = cls()
+        rel_pids = [
+            v.id for v in (SUB_CLASS_OF, SUB_PROPERTY_OF, DOMAIN, RANGE)
+        ]
+        decl_oids = [CLASS.id, PROPERTY.id]
+        terms = gs.nodes.select("id", "term")
+        # Ontology-sized collects only: the four RDFS structural
+        # predicates, plus rdf:type rows that DECLARE a class/property
+        # (object = rdfs:Class / rdf:Property). Instance typing
+        # (x rdf:type C) is data-sized — one row per typed entity — so
+        # those rows are aggregated below, never collected.
+        q = gs.quads.where(
+            F.col("p").isin(rel_pids)
+            | ((F.col("p") == TYPE.id) & F.col("o").isin(decl_oids))
+        )
+        rendered = gs.resolve(q.select("s", "p", "o"))
         schema = [
             (parse_term(r["s"]), parse_term(r["p"]), parse_term(r["o"]))
             for r in rendered.collect()
@@ -339,8 +348,27 @@ class Store:
         # schema first, so domains/ranges exist before usage counts
         for s, p, o in schema:
             store._process((s, p, o))
+        # instance typing: (class, count) pairs — the distributed twin
+        # of the reference's per-quad addClassInstance calls
+        type_counts = (
+            gs.quads.where(
+                (F.col("p") == TYPE.id) & ~F.col("o").isin(decl_oids)
+            )
+            .groupBy("o")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .join(terms.withColumnRenamed("id", "o"), "o")
+            .select("term", "n")
+            .collect()
+        )
+        for r in type_counts:
+            o = parse_term(r["term"])
+            # _process counts only IRI/BNode-typed objects as classes
+            if isinstance(o, (IRI, BNode)):
+                store._add_class_instance(o, r["n"])
         counts = (
-            gs.quads.where(~F.col("p").isin(schema_pids))
+            gs.quads.where(
+                ~F.col("p").isin(rel_pids) & (F.col("p") != TYPE.id)
+            )
             .groupBy("p")
             .agg(F.count(F.lit(1)).alias("n"))
             .join(terms.withColumnRenamed("id", "p"), "p")

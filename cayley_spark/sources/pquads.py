@@ -121,8 +121,14 @@ def encode_value(v: V.Value) -> bytes:
         dt = v.v
         if dt.tzinfo is None:
             dt = dt.replace(tzinfo=timezone.utc)
-        secs = int(dt.timestamp())
-        nanos = dt.microsecond * 1000
+        # protobuf Timestamp convention: floor seconds, nanos in
+        # [0, 1e9). timedelta normalization gives exactly that (days
+        # may be negative; seconds/microseconds are non-negative), so
+        # pre-1970 fractional times round-trip — int(dt.timestamp())
+        # truncates toward zero and was off by 1s for those.
+        delta = dt - datetime(1970, 1, 1, tzinfo=timezone.utc)
+        secs = delta.days * 86400 + delta.seconds
+        nanos = delta.microseconds * 1000
         sub = b""
         if secs:
             sub += _tag(1, 0) + _uvarint(secs & ((1 << 64) - 1))
@@ -192,6 +198,10 @@ def decode_value(buf: bytes) -> V.Value:
                 pos += 8
                 return V.Float(x)
             pos += 8
+        elif wire == 5:  # unknown fixed32 field: skip
+            pos += 4
+        else:  # group (3/4) or reserved wire types: cannot be skipped
+            raise ValueError(f"unsupported pquads wire type {wire}")
     raise ValueError("empty pquads Value")
 
 
@@ -210,7 +220,18 @@ def decode_quad(buf: bytes) -> tuple:
     vals: dict[int, V.Value] = {}
     while pos < end:
         key, pos = _read_uvarint(mv, pos)
-        field = key >> 3
+        field, wire = key >> 3, key & 7
+        if wire == 0:  # unknown varint field: skip
+            _, pos = _read_uvarint(mv, pos)
+            continue
+        if wire == 1:  # unknown fixed64 field: skip
+            pos += 8
+            continue
+        if wire == 5:  # unknown fixed32 field: skip
+            pos += 4
+            continue
+        if wire != 2:  # group/reserved: cannot be skipped safely
+            raise ValueError(f"unsupported pquads wire type {wire}")
         ln, pos = _read_uvarint(mv, pos)
         payload = bytes(mv[pos : pos + ln])
         pos += ln

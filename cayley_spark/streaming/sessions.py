@@ -71,9 +71,23 @@ def sessionize_stream(
 
     Per-key state holds the OPEN session (start, end, count). Each
     micro-batch folds its events in timestamp order: an event within
-    ``gap_seconds`` of the open session extends it; a later event
-    closes the session (emitted downstream) and opens a new one. Open
-    sessions stay in the state store across batches.
+    ``gap_seconds`` of the open session extends it (widening either
+    bound, so cross-batch out-of-order arrivals within the gap match
+    the batch result); a later event closes the session (emitted
+    downstream) and opens a new one. Open sessions stay in the state
+    store across batches.
+
+    Documented limits vs the batch operator (both inherent to O(1)
+    state per key):
+
+    - an event older than ``start - gap_seconds`` of the OPEN session
+      still merges into it — batch would emit it as a separate earlier
+      session. Already-CLOSED sessions are never reopened either. If
+      the source can be later than the open session's span, bound
+      disorder upstream with ``withWatermark`` before sessionizing.
+    - sessions close only when a later event arrives; a final open
+      session per key is emitted by the caller at stream end (tests
+      drain state via a terminal batch).
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -100,6 +114,11 @@ def sessionize_stream(
                 start = end = t
                 n = 1
             elif (t - end).total_seconds() <= gap_seconds:
+                # Late/out-of-order cross-batch events: an event can
+                # precede the open session's start (earlier batches saw
+                # later events); widen BOTH bounds so the emitted
+                # session matches the batch result.
+                start = min(start, t)
                 end = max(end, t)
                 n += 1
             else:

@@ -192,3 +192,43 @@ def test_embedding_dup_lsh_vs_exact(spark):
     }
     assert exact == {(i, 100 + i) for i in range(5)}
     assert approx == exact
+
+
+def test_persisted_intermediates_tracked_and_released(spark, docs):
+    """Operators that persist intermediates attach them to the result
+    (ADVICE round 2: API callers leaked the postings cache); the
+    unpersist helper releases exactly those frames."""
+    from cayley_spark.functions._cache import unpersist_intermediates
+    from cayley_spark.functions.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+    from cayley_spark.functions.similarity import embedding_dup_pairs
+
+    def persisted_ids():
+        m = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(k) for k in m.keySet().toArray()}
+
+    before = persisted_ids()
+
+    lsh = minhash_lsh_pairs(docs, jaccard_threshold=0.2)
+    lsh.count()
+    jac = ngram_jaccard_pairs(docs, "lang", k=2, threshold=0.3)
+    jac.count()
+    import numpy as np
+
+    rows = [
+        (i, [float(np.cos(i + d)) for d in range(8)]) for i in range(6)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    dup = embedding_dup_pairs(emb, threshold=0.9, dim=8)
+    dup.count()
+
+    assert persisted_ids() - before, "operators should persist intermediates"
+    released = sum(
+        unpersist_intermediates(df) for df in (lsh, jac, dup)
+    )
+    assert released == 4  # sh+sig, postings, sigs
+    assert persisted_ids() <= before
+    # idempotent
+    assert unpersist_intermediates(lsh) == 0

@@ -297,3 +297,107 @@ def test_cli_load_dump_convert(spark, tmp_path):
         line for line in open(back_nq).read().splitlines() if line.strip()
     )
     assert got == sorted(nq.read_text().splitlines())
+
+
+def test_pquads_time_and_wire_edge_cases():
+    """Protobuf Timestamp convention (floor seconds, nanos in [0,1e9))
+    for pre-1970 fractional times, and unknown-wire-type handling."""
+    from datetime import datetime
+
+    from cayley_spark.sources.pquads import (
+        _tag,
+        _uvarint,
+        decode_quad,
+        decode_value,
+        encode_quad,
+        encode_value,
+    )
+    from cayley_spark.values import IRI, Time
+
+    # pre-1970 fractional second: floor(-0.5) = -1s + 5e8 nanos
+    t = Time(datetime(1969, 12, 31, 23, 59, 59, 500000))
+    assert decode_value(encode_value(t)) == t
+    got = decode_quad(encode_quad(IRI("s"), IRI("p"), t, None))
+    assert got == (IRI("s"), IRI("p"), t, None)
+
+    # unknown varint / fixed64 / fixed32 fields are skipped cleanly
+    v = encode_value(IRI("x"))
+    extra = (
+        _tag(15, 0) + _uvarint(7)          # varint
+        + _tag(15, 1) + b"\x00" * 8        # fixed64
+        + _tag(15, 5) + b"\x00" * 4        # fixed32
+    )
+    assert decode_value(extra + v) == IRI("x")
+    q = encode_quad(IRI("s"), IRI("p"), IRI("o"), None)
+    assert decode_quad(extra + q) == (IRI("s"), IRI("p"), IRI("o"), None)
+
+    # group wire types cannot be skipped -> clean error, not garbage
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="wire type"):
+        decode_value(_tag(15, 3) + v)
+    with _pytest.raises(ValueError, match="wire type"):
+        decode_quad(_tag(15, 4) + q)
+
+
+def test_sessionize_stream_out_of_order_batches(spark, tmp_path):
+    """A late event in a later micro-batch that precedes the open
+    session's start (within gap of its end) widens the session start,
+    matching the batch operator (ADVICE round 2)."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from cayley_spark.streaming.sessions import sessionize, sessionize_stream
+
+    batch1 = [(1, "2024-01-01 00:10:00")]
+    batch2 = [
+        (1, "2024-01-01 00:00:00"),  # late: before open-session start
+        (1, "2024-01-01 02:00:00"),  # > gap -> closes the session
+    ]
+    import os as _os
+
+    src = tmp_path / "in"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    # two files -> two micro-batches (maxFilesPerTrigger=1); mtimes
+    # force batch order (the file source orders by timestamp)
+    for i, (rows, name) in enumerate([(batch1, "b1.json"), (batch2, "b2.json")]):
+        with open(src / name, "w") as f:
+            for uid, ts in rows:
+                f.write(_json.dumps({"user_id": uid, "ts": ts}) + "\n")
+        _os.utime(src / name, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        sessionize_stream(stream, gap_seconds=1800)
+        .writeStream.format("memory")
+        .queryName("sess_ooo")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # two source files must have produced two stateful micro-batches
+    assert len(q.recentProgress) >= 2
+    got = {
+        (r["user_id"], str(r["session_start"]), str(r["session_end"]), r["n_events"])
+        for r in spark.table("sess_ooo").collect()
+    }
+    assert got == {(1, "2024-01-01 00:00:00", "2024-01-01 00:10:00", 2)}
+
+    # and the batch operator agrees on the closed session
+    df = spark.createDataFrame(
+        batch1 + batch2, "user_id long, ts string"
+    ).select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+    batch = {
+        (r["user_id"], str(r["session_start"]), str(r["session_end"]), r["n_events"])
+        for r in sessionize(df, gap_seconds=1800).collect()
+    }
+    assert (1, "2024-01-01 00:00:00", "2024-01-01 00:10:00", 2) in batch
