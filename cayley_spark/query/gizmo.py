@@ -200,8 +200,12 @@ class GizmoPath:
 
     def ForEach(self, callback: Callable[[dict], None], limit: int = -1):
         """gizmo forEach: stream results through a driver callback
-        (finals.go:138-163). Uses toLocalIterator so only one partition
-        is resident driver-side at a time."""
+        (finals.go:138-163). Accepts the JS argument order too —
+        ``forEach(limit, callback)`` (finals.go:128-136). Uses
+        toLocalIterator so only one partition is resident driver-side
+        at a time."""
+        if isinstance(callback, int) and callable(limit):
+            callback, limit = limit, callback
         df = (self._p.limit(limit) if limit > 0 else self._p).values_df()
         for row in df.toLocalIterator():
             callback({k: _json_native(v) for k, v in row.asDict().items()})

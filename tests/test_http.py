@@ -100,6 +100,14 @@ ESCAPES = [
     "g = 5\ng.V()",  # shadowing g
     "import os",
     "exec('1')",
+    # JS-callback-era escapes: the interpreter must stay closed
+    "var g = 5",  # shadowing g via declaration
+    "function g(){}",  # shadowing g via function declaration
+    "function f(){ return f() }\nf()",  # unbounded recursion
+    "({}).valueOf()",  # object methods are not on the surface
+    'g["V"]',  # no index access into engine objects
+    "'a'.constructor",  # no primitive prototypes
+    "function f(){}\nf.constructor",  # no function introspection
 ]
 
 
@@ -120,6 +128,47 @@ def test_gizmo_multi_statement(srv):
         'g.Emit(1)\ng.V("<bob>").In("<follows>").ToArray()',
     )
     assert "<alice>" in out["result"]
+
+
+def test_gizmo_js_callback(srv):
+    """JS function-literal callbacks run over HTTP — the reference's
+    forEach/emit dedup idiom (query/gizmo/finals.go:122-163,
+    graph/graphtest/integration.go:128-135)."""
+    out = post(
+        f"{srv}/api/v1/query/gizmo",
+        """
+        seen = {}
+        g.V("<bob>").in("<follows>").or(g.V("<dani>").in("<follows>")).forEach(function (d) {
+            if (!(d.id in seen)) {
+                seen[d.id] = true;
+                g.emit(d)
+            }
+        })
+        """,
+    )
+    assert sorted(r["id"] for r in out["result"]) == [
+        "<alice>", "<charlie>", "<dani>"
+    ]
+
+
+def test_gizmo_named_function(srv):
+    """function declarations (the corpus getId idiom) work over HTTP."""
+    out = post(
+        f"{srv}/api/v1/query/gizmo",
+        'function follows(x) { return g.V(x).in("<follows>") }\n'
+        'follows("<bob>").toArray()',
+    )
+    assert sorted(out["result"]) == ["<alice>", "<charlie>", "<dani>"]
+
+
+def test_gizmo_foreach_limit_callback(srv):
+    """forEach(limit, callback) — the JS argument order
+    (finals.go:128-136)."""
+    out = post(
+        f"{srv}/api/v1/query/gizmo",
+        'g.V("<bob>").out("<status>").forEach(1, function(d){ g.emit(d.id) })',
+    )
+    assert out["result"] == ["cool_person"]
 
 
 def test_gizmo_js_style_program(srv):

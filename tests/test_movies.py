@@ -109,6 +109,60 @@ def test_three_huge_sets_small_intersection(g):
     )
 
 
+def test_reference_js_corpus_over_http(movies):
+    """The reference's integration corpus queries run VERBATIM as
+    lang=gizmo HTTP strings — including the JS-callback behemoth
+    (graph/graphtest/integration.go:100-140: named function decls,
+    var, object literal, forEach(function(d){...}), `in`, emit)."""
+    import json as _json
+    import urllib.request
+
+    from cayley_spark.server.http import start_background
+
+    server, _ = start_background(movies)
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        def q(body):
+            req = urllib.request.Request(
+                f"{base}/api/v1/query/gizmo", data=body.encode()
+            )
+            with urllib.request.urlopen(req) as r:
+                return _json.loads(r.read())["result"]
+
+        two_set = """
+        function getId(x) { return g.V(x).in("<name>") }
+        var actor_to_film = g.M().in("</film/performance/actor>").in("</film/film/starring>")
+
+        getId("Oliver Hardy").follow(actor_to_film).out("<name>").intersect(
+            getId("Mel Blanc").follow(actor_to_film).out("<name>")).all()
+        """
+        assert q(two_set) == []
+
+        behemoth = """
+        function getId(x) { return g.V(x).in("<name>") }
+        var actor_to_film = g.M().in("</film/performance/actor>").in("</film/film/starring>")
+
+        var a = getId("Oliver Hardy").follow(actor_to_film).followR(actor_to_film)
+        var b = getId("Mel Blanc").follow(actor_to_film).followR(actor_to_film)
+        var c = getId("Billy Gilbert").follow(actor_to_film).followR(actor_to_film)
+
+        seen = {}
+
+        a.intersect(b).intersect(c).forEach(function (d) {
+            if (!(d.id in seen)) {
+                seen[d.id] = true;
+                g.emit(d)
+            }
+        })
+        """
+        check(
+            q(behemoth),
+            [{"id": "</en/sterling_holloway>"}, {"id": "</en/billy_gilbert>"}],
+        )
+    finally:
+        server.shutdown()
+
+
 CASABLANCA_PEOPLE = [
     "Ingrid Bergman", "Madeleine LeBeau", "Joy Page", "Claude Rains",
     "S.Z. Sakall", "Helmut Dantine", "Conrad Veidt", "Paul Henreid",
