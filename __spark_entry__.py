@@ -376,12 +376,17 @@ def q6(spark, sf):
 
 
 def _events(spark, sf):
-    """events.parquet stores TIMESTAMP(NANOS) which the vectorized
-    reader rejects; read nanos as long and truncate to micros (exactly
-    what DuckDB's TIMESTAMP cast does, so oracles agree)."""
+    """events.parquet has shipped `ts` as either TIMESTAMP(NANOS)
+    (older testdata: the vectorized reader rejects it, so read nanos
+    as long and truncate to micros — exactly what DuckDB's TIMESTAMP
+    cast does) or plain TIMESTAMP/TIMESTAMP_NTZ (current testdata:
+    use as-is; NTZ matches DuckDB's naive TIMESTAMP semantics, no
+    session-timezone conversion on either side). Handle both."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = _t(spark, sf, "events")
-    return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dict(ev.dtypes).get("ts") in ("bigint", "long"):
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return ev
 
 
 def q_events_hourly(spark, sf):

@@ -40,12 +40,19 @@ def sessionize(
 
     order = [F.col(ts_col)] + ([F.col(order_col)] if order_col else [])
     w = Window.partitionBy(id_col).orderBy(*order)
-    gap_ns = F.col(ts_col).cast("double") - F.lag(F.col(ts_col)).over(w).cast(
-        "double"
-    )
-    new_sess = F.when(
-        gap_ns.isNull() | (gap_ns > gap_seconds), F.lit(1)
-    ).otherwise(F.lit(0))
+    dtype = dict(events.dtypes).get(ts_col, "")
+    if dtype.startswith("timestamp"):
+        # timestamp-typed ts (incl. TIMESTAMP_NTZ, which cannot cast
+        # to double): compare the lag difference as an interval —
+        # timezone-free, works for both timestamp flavors
+        gap = F.col(ts_col) - F.lag(F.col(ts_col)).over(w)
+        over = gap > F.expr(f"INTERVAL {int(gap_seconds)} SECONDS")
+    else:
+        gap = F.col(ts_col).cast("double") - F.lag(F.col(ts_col)).over(
+            w
+        ).cast("double")
+        over = gap > gap_seconds
+    new_sess = F.when(gap.isNull() | over, F.lit(1)).otherwise(F.lit(0))
     sess = F.sum(new_sess).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
