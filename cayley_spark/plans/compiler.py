@@ -372,6 +372,72 @@ def _filter_cond(f: S.ValueFilter):
 _SEEN_COLLAPSE_EVERY = 16
 
 
+#: max edge-slice rows (and start-set rows) the driver-side BFS may
+#: collect; above it the distributed loop runs. Overridable via the
+#: spark conf of the same name.
+_RECURSIVE_COLLECT_BUDGET = 2_000_000
+
+
+def _recursive_driver_bfs(store, shape: S.Recursive, start: DataFrame):
+    """Adaptive fast path for predicate-hop recursion: when the via
+    predicate's edge slice is small (measured — same adaptive-pricing
+    pattern as functions/dedup.ngram_jaccard_pairs), collect the
+    (from,to) pairs once and run the BFS on the driver: 2 Spark jobs
+    instead of one per depth level. A 24-deep chain then costs
+    milliseconds instead of 24 sequential job launches — which is how
+    the reference's in-memory BFS (graph/iterator/recursive.go)
+    behaves on small graphs — while large slices (the 100 TB case)
+    keep the distributed frontier loop. Returns None to decline."""
+    frm, to, pids = shape.via_hop
+    budget = int(
+        store.spark.conf.get(
+            "spark.cayley.recursive.collectBudget",
+            str(_RECURSIVE_COLLECT_BUDGET),
+        )
+    )
+    if budget <= 0:
+        return None
+    edges = store.quads
+    if pids is not None:
+        edges = edges.where(
+            F.col("p") == F.lit(pids[0])
+            if len(pids) == 1
+            else F.col("p").isin(list(pids))
+        )
+    edges = edges.select(F.col(frm).alias("f"), F.col(to).alias("t"))
+    # one budget-bounded job prices the slice AND fetches it if small:
+    # limit(budget+1) never moves more than the budget to the driver
+    rows = edges.limit(budget + 1).collect()
+    if len(rows) > budget:
+        return None
+    starts = start.limit(budget + 1).collect()
+    if len(starts) > budget:
+        return None
+    adj: dict[int, list[int]] = {}
+    for r in rows:
+        adj.setdefault(r["f"], []).append(r["t"])
+    visited = {r["id"] for r in starts}
+    frontier = list(visited)
+    result: list[tuple] = []
+    for depth in range(1, shape.max_depth + 1):
+        nxt: set[int] = set()
+        for f in frontier:
+            for t in adj.get(f, ()):
+                if t not in visited:
+                    nxt.add(t)
+        if not nxt:
+            break
+        visited |= nxt
+        frontier = list(nxt)
+        result.extend(
+            (n, depth) if shape.depth_tag else (n,) for n in sorted(nxt)
+        )
+    schema = "id: long" + (
+        f", {shape.depth_tag}: int" if shape.depth_tag else ""
+    )
+    return store.spark.createDataFrame(result, schema)
+
+
 def _compile_recursive(store: GraphStore, shape: S.Recursive) -> DataFrame:
     """BFS transitive closure (reference graph/iterator/recursive.go:
     140-193): frontier minus global visited set per round, depth of
@@ -390,6 +456,10 @@ def _compile_recursive(store: GraphStore, shape: S.Recursive) -> DataFrame:
     (localCheckpoint blocks are unreplicated by design)."""
     sc = store.spark.sparkContext
     start = compile_nodes(store, shape.sub).select("id").dropDuplicates(["id"])
+    if shape.via_hop is not None:
+        out = _recursive_driver_bfs(store, shape, start)
+        if out is not None:
+            return out
     frontier = start.localCheckpoint(eager=True)
     seen = frontier
     rounds: list[DataFrame] = []

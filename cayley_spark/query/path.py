@@ -228,8 +228,21 @@ class _FollowRecursive(_Op):
                 s, c = op.apply(s, c)
             return s
 
+        # Single label-free predicate hop? Expose it so the compiler
+        # can price the edge slice (adaptive driver-BFS fast path).
+        via_hop = None
+        if ctx.labels is None and len(sub.ops) == 1:
+            op = sub.ops[0]
+            if (
+                isinstance(op, _Out)
+                and not op.pred_tags
+                and (op.preds is None or all(isinstance(p, Value) for p in op.preds))
+            ):
+                frm, to = ("o", "s") if op.rev else ("s", "o")
+                pids = None if op.preds is None else tuple(p.id for p in op.preds)
+                via_hop = (frm, to, pids)
         return (
-            S.Recursive(shape, step, self.max_depth, self.depth_tag),
+            S.Recursive(shape, step, self.max_depth, self.depth_tag, via_hop),
             ctx,
         )
 

@@ -253,6 +253,11 @@ class Recursive(Shape):
     step: Callable  # Shape -> Shape, applied to a Fixed-like frontier
     max_depth: int = 50
     depth_tag: str | None = None
+    #: when the step is a single label-free predicate hop, the
+    #: (from_dir, to_dir, pred_ids|None) triple — lets the compiler
+    #: price the edge slice and pick a driver-side BFS for small
+    #: slices (the morphism stays opaque otherwise)
+    via_hop: tuple | None = None
 
 
 @dataclass(frozen=True)

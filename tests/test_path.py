@@ -348,6 +348,65 @@ def test_follow_recursive_depth1(social):
     check(p, ["<bob>", "<dani>"])
 
 
+def test_follow_recursive_driver_vs_distributed(social):
+    """The adaptive driver-BFS fast path and the distributed frontier
+    loop must agree exactly (including depth tags)."""
+    spark = social.spark
+
+    def run():
+        return sorted(
+            (r["id"], r["d"])
+            for r in V(social, IRI("charlie"))
+            .follow_recursive(F, depth_tag="d")
+            .all()
+        )
+
+    fast = run()
+    spark.conf.set("spark.cayley.recursive.collectBudget", "0")
+    try:
+        dist = run()
+    finally:
+        spark.conf.unset("spark.cayley.recursive.collectBudget")
+    assert fast == dist
+    assert fast == [("<bob>", 1), ("<dani>", 1), ("<fred>", 2), ("<greg>", 2)]
+
+
+def test_follow_recursive_reliable_checkpoint(tmp_path):
+    """Distributed loop, depth > _SEEN_COLLAPSE_EVERY, with a
+    checkpoint dir configured: exercises the RELIABLE-checkpoint
+    collapse branch (compiler._compile_recursive) on a 20-deep
+    chain."""
+    from pyspark.sql import SparkSession
+
+    from cayley_spark import GraphStore
+
+    spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+    quads = [
+        (IRI(f"n{i}"), IRI("next"), IRI(f"n{i+1}")) for i in range(20)
+    ]
+    st = GraphStore.from_quad_values(spark, quads).persist()
+    sc = spark.sparkContext
+    old_dir = sc.getCheckpointDir()
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    spark.conf.set("spark.cayley.recursive.collectBudget", "0")
+    try:
+        rows = (
+            Path.start(st, IRI("n0"))
+            .follow_recursive(IRI("next"), depth_tag="d")
+            .all()
+        )
+    finally:
+        spark.conf.unset("spark.cayley.recursive.collectBudget")
+        if old_dir:
+            sc.setCheckpointDir(old_dir)
+    got = sorted(((r["id"], r["d"]) for r in rows), key=lambda x: x[1])
+    assert got == [(f"<n{i}>", i) for i in range(1, 21)]
+    # the reliable checkpoint actually wrote blocks
+    import os
+
+    assert any(os.scandir(str(tmp_path / "ckpt")))
+
+
 def test_find_non_existent(social):
     check(V(social, IRI("not-existing")), [])
 
