@@ -57,6 +57,94 @@ def _from_json(term: str):
     return v.native()
 
 
+def _compact_documents(docs: dict[str, dict]):
+    """JSON-LD compaction of the per-entity property map, matching
+    what the reference gets from json-gold's datasetToCompact
+    (jsonld_util.go:9-17) on this corpus:
+
+    - blank nodes holding exactly one rdf:first and one rdf:rest are
+      list cells; chains ending in rdf:nil fold into an ``@list``
+      value at their reference site, and consumed cells disappear;
+    - a blank root that nothing references loses its ``@id``;
+    - a single remaining document is returned bare in a one-element
+      list (the reference's iterator emits one compacted result);
+      multiple documents nest under ``@graph``.
+    """
+    first, rest, nil = RDF + "first", RDF + "rest", RDF + "nil"
+
+    def bnode_key(v) -> str | None:
+        if isinstance(v, dict) and v.get("@id", "").startswith("_:"):
+            return v["@id"]
+        return None
+
+    cells: dict[str, tuple] = {}
+    for key, props in docs.items():
+        if (
+            key.startswith("_:")
+            and set(props) == {first, rest}
+            and len(props[first]) == 1
+            and len(props[rest]) == 1
+        ):
+            cells[key] = (props[first][0], props[rest][0])
+
+    def fold(head: str):
+        """Walk a cell chain to rdf:nil; None if broken/cyclic."""
+        items, k, steps = [], head, 0
+        while steps <= len(cells):
+            if k not in cells:
+                return None
+            v, nxt = cells[k]
+            items.append(v)
+            if isinstance(nxt, dict) and nxt.get("@id") == nil:
+                return items
+            k = bnode_key(nxt)
+            if k is None:
+                return None
+            steps += 1
+        return None
+
+    consumed: set[str] = set()
+    for key, props in docs.items():
+        if key in cells:
+            continue
+        for pred, vals in props.items():
+            for i, v in enumerate(vals):
+                head = bnode_key(v)
+                if head is None or head not in cells:
+                    continue
+                folded = fold(head)
+                if folded is None:
+                    continue
+                vals[i] = {"@list": folded}
+                while head in cells:
+                    consumed.add(head)
+                    head = bnode_key(cells[head][1])
+    for k in consumed:
+        docs.pop(k, None)
+
+    referenced = {
+        v["@id"]
+        for props in docs.values()
+        for vals in props.values()
+        for v in vals
+        if isinstance(v, dict) and "@id" in v
+    }
+    out = []
+    for key in sorted(docs):
+        node: dict = {}
+        if not (key.startswith("_:") and key not in referenced):
+            node["@id"] = key
+        for pred, vals in docs[key].items():
+            if len(vals) == 1 and isinstance(vals[0], dict) and "@list" in vals[0]:
+                node[pred] = vals[0]
+            else:
+                node[pred] = vals
+        out.append(node)
+    if len(out) == 1:
+        return out
+    return {"@graph": out}
+
+
 class LinkedQLSession:
     def __init__(self, store: GraphStore):
         self.store = store
@@ -69,9 +157,13 @@ class LinkedQLSession:
             return [path.count()]
         if step_type == "Documents":
             # reference iter_docs.go: tag names are predicate IRIs; each
-            # result row contributes (entity, tag, value) triples,
-            # grouped into one JSON-LD-ish document per entity with
-            # array-valued properties (no @list reconstruction).
+            # result row contributes (entity, tag, value) triples. The
+            # reference compacts the resulting dataset with json-gold;
+            # _compact_documents applies the same algorithm's effects
+            # for this corpus: rdf:first/rest chains fold to @list,
+            # unreferenced blank roots drop @id, a single root document
+            # is returned bare (in a one-element list, matching the
+            # reference iterator protocol).
             docs: dict[str, dict] = {}
             for r in path.all():
                 rid = r.get("id")
@@ -87,11 +179,7 @@ class LinkedQLSession:
                     vals = d.setdefault(k, [])
                     if jv not in vals:
                         vals.append(jv)
-            return {
-                "@graph": [
-                    {"@id": k, **docs[k]} for k in sorted(docs)
-                ]
-            }
+            return _compact_documents(docs)
         if step_type == "Select":
             tags = q.get("tags") or None
             rows = path.all()
@@ -169,7 +257,7 @@ class LinkedQLSession:
             return p.back(q["name"])
         if t == "As":
             return p.tag(q["name"])
-        if t in ("Select", "Documents", "Collect"):
+        if t in ("Select", "Documents"):
             return p
         if t == "Count":
             return p

@@ -20,13 +20,10 @@ from cayley_spark.values import BNode, Bool, Float, IRI, Int, String
 
 CASES_DIR = FSPath(__file__).parent / "data" / "linkedql_cases"
 
-# collect.json needs @list reconstruction inside Documents output
-# (reference compacts via a full JSON-LD library); the path shape is
-# implemented (Collect step) but the document collation is not.
 # count.json expects 4 for a 1-triple graph whose dictionary holds 3
 # values (alice, likes, bob) — the golden records a memstore size
 # artifact; this engine returns the semantic node count 3.
-SKIP = {"collect.json", "count.json"}
+SKIP = {"count.json"}
 
 
 def expand_jsonld(data: dict) -> list[tuple]:
