@@ -8,6 +8,8 @@ load/dump, convert.go, repl.go, http.go):
     python -m cayley_spark convert --src FILE --dst FILE
     python -m cayley_spark repl    --db DIR [--lang gizmo]
     python -m cayley_spark http    --db DIR [--host H] [--port P]
+    python -m cayley_spark health  [URL]          (health.go)
+    python -m cayley_spark schema  linkedql       (schema.go)
 
 ``--db`` is a parquet store directory (GraphStore.save layout).
 Quad-file formats are chosen by extension, matching the reference's
@@ -103,7 +105,36 @@ def main(argv: list[str] | None = None) -> int:
     c = sub.add_parser("convert")
     c.add_argument("--src", required=True)
     c.add_argument("--dst", required=True)
+    h = sub.add_parser("health")  # cmd/cayley/command/health.go
+    h.add_argument("url", nargs="?", default="http://localhost:64210/")
+    sc = sub.add_parser("schema")  # cmd/cayley/command/schema.go
+    sc.add_argument("kind", choices=["linkedql"])
     args = ap.parse_args(argv)
+
+    # Spark-free commands first
+    if args.cmd == "health":
+        import urllib.request
+
+        url = args.url.rstrip("/") + "/health"
+        try:
+            with urllib.request.urlopen(url, timeout=10) as r:
+                code = r.status
+        except Exception as e:
+            print(f"{url}: {e}", file=sys.stderr)
+            return 1
+        if code != 204:
+            print(
+                f"/health responded with status code {code}, expected 204",
+                file=sys.stderr,
+            )
+            return 1
+        print(f"{url} ok")
+        return 0
+    if args.cmd == "schema":
+        from .query.linkedql_schema import generate_json
+
+        print(generate_json())
+        return 0
 
     spark = _spark()
     from .store import GraphStore

@@ -81,6 +81,11 @@ class CayleyHandler(BaseHTTPRequestHandler):
     # ------------- routes -------------
 
     def do_GET(self):
+        if urlparse(self.path).path == "/health":
+            # reference internal/http/health.go: 204, empty body
+            self.send_response(204)
+            self.end_headers()
+            return
         if urlparse(self.path).path == "/api/v2/formats":
             return self._json(
                 [

@@ -299,6 +299,44 @@ def test_cli_load_dump_convert(spark, tmp_path):
     assert got == sorted(nq.read_text().splitlines())
 
 
+def test_cli_health_and_schema(social, capsys):
+    """python -m cayley_spark health / schema linkedql (reference
+    cmd/cayley/command/health.go, schema.go)."""
+    import json as _json
+
+    from cayley_spark.__main__ import main
+    from cayley_spark.server.http import start_background
+
+    server, _ = start_background(social)
+    url = f"http://127.0.0.1:{server.server_address[1]}/"
+    try:
+        assert main(["health", url]) == 0
+        out = capsys.readouterr().out
+        assert "ok" in out
+    finally:
+        server.shutdown()
+        server.server_close()
+    # dead server -> nonzero
+    assert main(["health", url]) == 1
+    capsys.readouterr()
+
+    assert main(["schema", "linkedql"]) == 0
+    doc = _json.loads(capsys.readouterr().out)
+    ids = {n["@id"] for n in doc["@graph"]}
+    # classes for every registered step + shared properties
+    assert "http://cayley.io/linkedql#Vertex" in ids
+    assert "http://cayley.io/linkedql#Collect" in ids
+    assert "http://cayley.io/linkedql#from" in ids
+    froms = [n for n in doc["@graph"]
+             if n["@id"] == "http://cayley.io/linkedql#from"]
+    assert froms[0]["@type"] == "owl:ObjectProperty"
+    assert froms[0]["rdfs:range"] == {"@id": "http://cayley.io/linkedql#PathStep"}
+    # every class has a comment and subClassOf entries
+    classes = [n for n in doc["@graph"] if n["@type"] == "rdfs:Class"]
+    assert len(classes) == 38
+    assert all(n["rdfs:comment"] for n in classes)
+
+
 def test_pquads_time_and_wire_edge_cases():
     """Protobuf Timestamp convention (floor seconds, nanos in [0,1e9))
     for pre-1970 fractional times, and unknown-wire-type handling."""
