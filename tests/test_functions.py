@@ -167,6 +167,43 @@ def test_media_audio_and_resize(spark):
     assert rs[2]["width"] == -1
 
 
+def test_media_optional_codec_seams(monkeypatch):
+    """The optional-kernel seams: decoders are tried in order, a
+    custom kernel slots in with no other change, and the PIL/av
+    probes degrade to None cleanly when the libraries are absent
+    (as in this container)."""
+    import numpy as np
+
+    from cayley_spark.functions import multimodal as M
+
+    # netpbm still wins for netpbm payloads
+    ppm = M._synth_ppm(3)
+    w, h, c, arr = M._decode_image(ppm)
+    assert (w, h, c) == (32, 24, 3)
+
+    # a custom kernel (stand-in for Pillow) handles foreign payloads
+    def jpeg_kernel(data):
+        if data[:3] != b"\xff\xd8\xff":
+            return None
+        return 4, 2, 3, np.zeros((2, 4, 3), dtype=np.uint8)
+
+    monkeypatch.setattr(M, "_IMAGE_DECODERS", (M._ppm_decode, jpeg_kernel))
+    got = M._decode_image(b"\xff\xd8\xff\xe0fakejpeg")
+    assert got is not None and got[:3] == (4, 2, 3)
+    assert M._decode_image(ppm)[:3] == (32, 24, 3)  # order preserved
+    assert M._decode_image(b"not an image") is None
+
+    # absent optional libraries: probes return None, never raise
+    assert M._pil_decode(b"\xff\xd8\xff\xe0fakejpeg") is None
+    assert M._av_sample_frames(b"\x00\x00\x00\x18ftypmp42", 1000) is None
+
+    # format sniffing for the info column
+    assert M._image_format(ppm) == "ppm"
+    assert M._image_format(b"\x89PNG\r\n\x1a\nx") == "png"
+    assert M._image_format(b"\xff\xd8\xff") == "jpeg"
+    assert M._image_format(b"??") == "image"
+
+
 def test_embedding_dup_lsh_vs_exact(spark):
     """High-similarity pairs collide in some LSH table: at a high
     threshold the bucketed path recovers the exact result."""
