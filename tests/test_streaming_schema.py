@@ -337,6 +337,60 @@ def test_cli_health_and_schema(social, capsys):
     assert all(n["rdfs:comment"] for n in classes)
 
 
+def test_pquads_handwritten_wire_fixture(spark, tmp_path):
+    """Decode a pquads file whose bytes were hand-assembled straight
+    from the public quads.proto wire rules — independent of this
+    module's encoder, so symmetric encode/decode bugs cannot hide.
+    (True byte parity against a real-cayley-produced file stays
+    descoped: the quad/pquads module source and a Go toolchain are
+    both absent from this environment; see COVERAGE.md.)"""
+    from cayley_spark.sources.pquads import read_pquads
+    from cayley_spark.values import IRI, Int, LangString, String
+
+    def uv(n):  # uvarint
+        out = b""
+        while True:
+            b, n = n & 0x7F, n >> 7
+            if n:
+                out += bytes([b | 0x80])
+            else:
+                return out + bytes([b])
+
+    def ld(field, payload):  # length-delimited field
+        return bytes([field << 3 | 2]) + uv(len(payload)) + payload
+
+    # Value{iri=3}, Value{str=2}, Value{int=7 varint}, Value{lang_str=6}
+    v_iri_alice = ld(3, b"alice")
+    v_iri_knows = ld(3, b"knows")
+    v_iri_age = ld(3, b"age")
+    v_str_bob = ld(2, b"bob")
+    v_int_41 = bytes([7 << 3 | 0]) + uv(41)
+    v_lang = ld(6, ld(1, b"hi") + ld(2, b"en"))  # LangString{value,lang}
+    # typed quads: Quad{subject_value=5, predicate_value=6, object_value=7}
+    q1 = ld(5, v_iri_alice) + ld(6, v_iri_knows) + ld(7, v_str_bob)
+    q2 = ld(5, v_iri_alice) + ld(6, v_iri_age) + ld(7, v_int_41)
+    q3 = ld(5, v_iri_alice) + ld(6, v_iri_knows) + ld(7, v_lang)
+    # strict raw-string form: Quad{subject=1, predicate=2, object=3}
+    q4 = ld(1, b"<x>") + ld(2, b"<p>") + ld(3, b'"lit"')
+    blob = b"\x00pq\x00" + b"".join(uv(len(q)) + q for q in (q1, q2, q3, q4))
+
+    f = tmp_path / "hand.pq"
+    f.write_bytes(blob)
+    st = read_pquads(spark, str(f))
+    from cayley_spark.sources.nquads import write_nquads
+
+    got = set()
+    for r in write_nquads(st).collect():
+        s, p, o = r["value"].rstrip(" .").split(" ", 2)
+        got.add((s, p, o))
+    assert got == {
+        ("<alice>", "<knows>", '"bob"'),
+        ("<alice>", "<age>", Int(41).term()),
+        ("<alice>", "<knows>", LangString("hi", "en").term()),
+        ("<x>", "<p>", '"lit"'),
+    }
+
+
 def test_pquads_time_and_wire_edge_cases():
     """Protobuf Timestamp convention (floor seconds, nanos in [0,1e9))
     for pre-1970 fractional times, and unknown-wire-type handling."""
