@@ -55,9 +55,35 @@ def bq(name: str):
 
 
 def compile_nodes(store: GraphStore, shape: S.Shape) -> DataFrame:
-    """Lower a node shape to DataFrame[id, *tags]."""
+    """Lower a node shape to DataFrame[id, *tags].
+
+    Memoized per store: query compilation is driver-side plan
+    building through py4j (~1-5 ms per DataFrame call), and real
+    queries repeat identical sub-shapes (the same predicate-filtered
+    scan appears once per branch of an intersect/union). Shapes are
+    frozen dataclasses, so structural equality is exact; embedded
+    callables (ValueFilterFunc.fn, Recursive.step) compare by
+    identity, which keeps separately-built paths from false-hitting.
+    The store is immutable (deltas return a new GraphStore), so a
+    cached plan can never go stale."""
     if isinstance(shape, _DFShape):
         return shape.df
+    cache = getattr(store, "_compile_cache", None)
+    if cache is None:
+        cache = {}
+        store._compile_cache = cache
+    try:
+        hit = cache.get(shape)
+    except TypeError:  # unhashable shape: compile uncached
+        return _compile_nodes_impl(store, shape)
+    if hit is not None:
+        return hit
+    df = _compile_nodes_impl(store, shape)
+    cache[shape] = df
+    return df
+
+
+def _compile_nodes_impl(store: GraphStore, shape: S.Shape) -> DataFrame:
     if isinstance(shape, S.AllNodes):
         return store.nodes.select("id")
     if isinstance(shape, S.Fixed):
