@@ -8,8 +8,12 @@ load/dump, convert.go, repl.go, http.go):
     python -m cayley_spark convert --src FILE --dst FILE
     python -m cayley_spark repl    --db DIR [--lang gizmo]
     python -m cayley_spark http    --db DIR [--host H] [--port P]
+    python -m cayley_spark query   --db DIR [--lang L] [--limit N] [Q]
     python -m cayley_spark health  [URL]          (health.go)
     python -m cayley_spark schema  linkedql       (schema.go)
+
+``query`` reads the query string from the argument or stdin and
+prints one JSON result per line (reference repl.go:76-80 NewQueryCmd).
 
 ``--db`` is a parquet store directory (GraphStore.save layout).
 Quad-file formats are chosen by extension, matching the reference's
@@ -90,7 +94,7 @@ def _write_any(store, path: str) -> int:
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="cayley_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
-    for name in ("load", "dump", "repl", "http"):
+    for name in ("load", "dump", "repl", "http", "query"):
         s = sub.add_parser(name)
         s.add_argument("--db", required=True, help="parquet store dir")
         if name == "load":
@@ -102,6 +106,11 @@ def main(argv: list[str] | None = None) -> int:
         if name == "http":
             s.add_argument("--host", default="127.0.0.1")
             s.add_argument("--port", type=int, default=64210)
+        if name == "query":
+            # reference cmd/cayley/command/repl.go:76-80 NewQueryCmd
+            s.add_argument("--lang", default="gizmo")
+            s.add_argument("--limit", type=int, default=100)
+            s.add_argument("querystr", nargs="?", default=None)
     c = sub.add_parser("convert")
     c.add_argument("--src", required=True)
     c.add_argument("--dst", required=True)
@@ -162,6 +171,20 @@ def main(argv: list[str] | None = None) -> int:
         st = GraphStore.load(spark, args.db).persist()
         print(f"serving on {args.host}:{args.port}")
         serve(st, args.host, args.port)
+    elif args.cmd == "query":
+        import json as _json
+
+        from .query.session import Collation, get_session
+
+        q = args.querystr
+        if q is None:
+            q = sys.stdin.read()
+        st = GraphStore.load(spark, args.db).persist()
+        rows = get_session(st, args.lang).execute(
+            q, limit=args.limit, collation=Collation.JSON
+        )
+        for r in rows:
+            print(_json.dumps(r, ensure_ascii=False, default=str))
     return 0
 
 

@@ -299,6 +299,27 @@ class graph:
 
     addDefaultNamespaces = AddDefaultNamespaces
 
+    def LoadNamespaces(self):
+        """Load namespaces saved in the graph (reference
+        query/gizmo/environ.go:59-62 → schema/namespaces.go:41-57):
+        entities typed ``cayley:namespace`` whose ``@id`` is the full
+        IRI and whose ``cayley:prefix`` holds the prefix."""
+        rdf_type = IRI("http://www.w3.org/1999/02/22-rdf-syntax-ns#type")
+        rows = (
+            Path.start(self.store)
+            .has(rdf_type, IRI("cayley:namespace"))
+            .save(IRI("cayley:prefix"), "prefix")
+            .all()
+        )
+        from ..values import parse_term, IRI as _IRI
+
+        for r in rows:
+            full, pref = parse_term(r["id"]), parse_term(r["prefix"])
+            if isinstance(full, _IRI) and isinstance(pref, _IRI):
+                self.AddNamespace(pref.s.rstrip(":"), full.s)
+
+    loadNamespaces = LoadNamespaces
+
     def Emit(self, value):
         """g.emit — append an arbitrary value to the session output
         (environ.go:112-122)."""

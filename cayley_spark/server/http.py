@@ -4,20 +4,23 @@ Mirrors /root/reference/internal/http/api_v1.go:29-35 and
 /root/reference/server/http/api_v2.go:125-139:
 
     POST /api/v1/query/{lang}     body = query text → {"result": [...]}
+    POST /api/v1/shape/{lang}     → 501 (deprecated in the reference too)
     POST /api/v1/write            body = n-quads → {"result": "Successfully wrote N quads.", "count": N}
     POST /api/v1/delete           body = n-quads → {"result": "Successfully deleted N quads.", "count": N}
     POST /api/v2/query?lang=x     same as v1 query
     POST /api/v2/write /delete    same as v1
+    POST /api/v2/node/delete      body = one term → remove node + its quads
     POST /api/v2/read             → n-quads dump of the store
     GET  /api/v2/formats          → registered formats
+    GET  /health                  → 204
 
 Language registry (the reference's query.Session contract,
 query/session.go:97-141): gizmo, mql, graphql, sexp, linkedql.
-Gizmo queries are Python expressions over the ``g`` graph object,
-evaluated through the AST-allowlisted interpreter in
-query/safe_eval.py — the sandbox analogue of the reference's goja JS
-VM (no names but ``g``, no dunders, methods restricted to the gizmo
-surface), so a POSTed query cannot reach the host interpreter.
+Gizmo queries are JavaScript programs over the ``g`` graph object,
+executed by the sandboxed JS-subset interpreter in query/safe_eval.py
+— the analogue of the reference's goja VM (no eval/exec, no names but
+``g`` and query-defined variables, attribute access gated to the
+gizmo surface), so a POSTed query cannot reach the host interpreter.
 
 Driver-side HTTP is a thin shell over the DataFrame engine: one
 store object lives in the server; writes swap it atomically
@@ -107,6 +110,9 @@ class CayleyHandler(BaseHTTPRequestHandler):
             if parts[:2] == ["api", "v1"] and len(parts) >= 3:
                 if parts[2] == "query":
                     return self._query(parts[3], self._body())
+                if parts[2] == "shape":
+                    # reference internal/http/query.go:138-140
+                    return self._json("Query shape API v1 is deprecated.", 501)
                 if parts[2] == "write":
                     return self._write(self._body(), delete=False)
                 if parts[2] == "delete":
@@ -119,6 +125,8 @@ class CayleyHandler(BaseHTTPRequestHandler):
                     return self._write(self._body(), delete=False)
                 if parts[2] == "delete":
                     return self._write(self._body(), delete=True)
+                if parts[2:4] == ["node", "delete"]:
+                    return self._node_delete(self._body())
                 if parts[2] == "read":
                     from ..sources.nquads import write_nquads
 
@@ -178,6 +186,18 @@ class CayleyHandler(BaseHTTPRequestHandler):
             {"result": f"Successfully {verb} {len(quads)} quads.",
              "count": len(quads)}
         )
+
+    def _node_delete(self, body: str):
+        """POST /api/v2/node/delete — remove a node and every quad it
+        appears in (reference server/http/api_v2.go:304-348; body is
+        one n-quads term)."""
+        term = body.strip()
+        if not term:
+            return self._json({"error": "cannot remove nil value"}, 400)
+        v = parse_term(term)
+        with self.server.write_lock:
+            self.server.store = self.server.store.remove_node(v)
+        self._json({"result": "Successfully deleted 1 nodes.", "count": 1})
 
 
 class CayleyHTTPServer(ThreadingHTTPServer):

@@ -73,6 +73,57 @@ def test_write_query_delete_roundtrip(srv):
     assert "<zeke>" not in out["result"]
 
 
+def test_node_delete_and_shape_and_health(srv):
+    """POST /api/v2/node/delete removes a node and all its quads
+    (api_v2.go:304-348); /api/v1/shape is deprecated-501 like the
+    reference (internal/http/query.go:138-140); GET /health is 204."""
+    post(f"{srv}/api/v1/write", "<spot> <follows> <bob> .\n<alice> <likes2> <spot> .\n")
+    out = post(f"{srv}/api/v2/node/delete", "<spot>")
+    assert out["count"] == 1 and "deleted 1 nodes" in out["result"]
+    res = post(
+        f"{srv}/api/v1/query/gizmo", 'g.V("<bob>").In("<follows>").ToArray()'
+    )
+    assert "<spot>" not in res["result"]
+    res = post(f"{srv}/api/v1/query/gizmo", 'g.V("<alice>").Out("<likes2>").ToArray()')
+    assert res["result"] == []
+    try:
+        post(f"{srv}/api/v1/shape/gizmo", "g.V().All()")
+        assert False
+    except urllib.error.HTTPError as e:
+        assert e.code == 501
+    req = urllib.request.Request(f"{srv}/health")
+    with urllib.request.urlopen(req) as r:
+        assert r.status == 204
+
+
+def test_gizmo_load_namespaces(srv):
+    """g.loadNamespaces() reads cayley:namespace entities saved in the
+    graph (environ.go:59-62, schema/namespaces.go:41-57)."""
+    post(
+        f"{srv}/api/v1/write",
+        "<http://schema.org/> "
+        "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type> "
+        "<cayley:namespace> .\n"
+        "<http://schema.org/> <cayley:prefix> <schema:> .\n"
+        "<bob> <http://schema.org/name> \"Bob\" .\n",
+    )
+    try:
+        out = post(
+            f"{srv}/api/v1/query/gizmo",
+            'g.loadNamespaces()\ng.V("<bob>").out(g.IRI("schema:name")).toArray()',
+        )
+        assert out["result"] == ["Bob"]
+    finally:
+        post(
+            f"{srv}/api/v1/delete",
+            "<http://schema.org/> "
+            "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type> "
+            "<cayley:namespace> .\n"
+            "<http://schema.org/> <cayley:prefix> <schema:> .\n"
+            "<bob> <http://schema.org/name> \"Bob\" .\n",
+        )
+
+
 def test_read_dump(srv):
     req = urllib.request.Request(f"{srv}/api/v2/read", data=b"")
     with urllib.request.urlopen(req) as r:

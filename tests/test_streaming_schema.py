@@ -299,6 +299,26 @@ def test_cli_load_dump_convert(spark, tmp_path):
     assert got == sorted(nq.read_text().splitlines())
 
 
+def test_cli_query(spark, tmp_path, capsys):
+    """python -m cayley_spark query — one JSON result per line
+    (reference cmd/cayley/command/repl.go:76-80 NewQueryCmd)."""
+    import json as _json
+
+    from cayley_spark.__main__ import main
+
+    nq = tmp_path / "in.nq"
+    nq.write_text("<alice> <follows> <bob> .\n<carol> <follows> <bob> .\n")
+    db = str(tmp_path / "db")
+    assert main(["load", "--db", db, "--quads", str(nq)]) == 0
+    capsys.readouterr()
+    assert main([
+        "query", "--db", db, 'g.V("<bob>").in("<follows>").all()'
+    ]) == 0
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    got = sorted(_json.loads(l)["id"] for l in lines)
+    assert got == ["<alice>", "<carol>"]
+
+
 def test_cli_health_and_schema(social, capsys):
     """python -m cayley_spark health / schema linkedql (reference
     cmd/cayley/command/health.go, schema.go)."""
