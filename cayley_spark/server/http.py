@@ -84,11 +84,36 @@ class CayleyHandler(BaseHTTPRequestHandler):
     # ------------- routes -------------
 
     def do_GET(self):
-        if urlparse(self.path).path == "/health":
+        u = urlparse(self.path)
+        if u.path == "/health":
             # reference internal/http/health.go: 204, empty body
             self.send_response(204)
             self.end_headers()
             return
+        if u.path == "/gephi/gs":
+            # reference internal/http/http.go:66-67 → internal/gephi
+            from . import gephi
+
+            qs = parse_qs(u.query)
+            limit = int(qs.get("limit", ["0"])[0] or 0)
+            mode = qs.get("mode", ["raw"])[0]
+            if mode == "nodes":
+                body = gephi.stream_nodes(self.server.store, limit)
+            elif mode == "raw":
+                def vals(key):
+                    raw = qs.get(key, [""])[0]
+                    from ..values import parse_term
+
+                    return [parse_term(t) for t in raw.split(",") if t] or None
+
+                body = gephi.stream_raw(
+                    self.server.store, limit,
+                    sub=vals("sub"), pred=vals("pred"),
+                    obj=vals("obj"), label=vals("label"),
+                )
+            else:
+                return self._json({"error": "bad mode"}, 400)
+            return self._text(body, ctype="application/stream+json")
         if urlparse(self.path).path == "/api/v2/formats":
             return self._json(
                 [

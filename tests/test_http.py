@@ -132,6 +132,59 @@ def test_read_dump(srv):
     assert any("<alice> <follows> <bob> ." in l for l in lines)
 
 
+def test_gephi_graphstream(srv):
+    """GET /gephi/gs — Gephi graph-streaming protocol (reference
+    internal/gephi/stream.go): one JSON event per CRLF line, an/ae
+    events in raw mode, inline props + cn events in nodes mode."""
+    import json as _json
+
+    with urllib.request.urlopen(f"{srv}/gephi/gs?mode=raw&limit=5") as r:
+        assert r.headers["Content-Type"].startswith("application/stream+json")
+        body = r.read().decode()
+    lines = [l for l in body.split("\r\n") if l]
+    events = [_json.loads(l) for l in lines]
+    an = [e for e in events if "an" in e]
+    ae = [e for e in events if "ae" in e]
+    assert ae and an
+    assert len(ae) == 5  # limit applies to quads in raw mode
+    node = next(iter(an[0]["an"].values()))
+    assert {"label", "size", "x", "y"} <= set(node)
+    assert abs(node["x"]) <= 500 and abs(node["y"]) <= 500
+    edge = next(iter(ae[0]["ae"].values()))
+    assert {"source", "target", "pred", "label"} <= set(edge)
+    # every edge endpoint was introduced by an an event
+    ids = {k for e in an for k in e["an"]}
+    assert all(e["ae"][k]["source"] in ids and e["ae"][k]["target"] in ids
+               for e in ae for k in e["ae"])
+
+    # pred filter narrows the stream
+    with urllib.request.urlopen(
+        f"{srv}/gephi/gs?mode=raw&pred=%3Cstatus%3E"
+    ) as r:
+        body = r.read().decode()
+    preds = {
+        _json.loads(l)["ae"][k]["pred"]
+        for l in body.split("\r\n") if l and '"ae"' in l
+        for k in _json.loads(l)["ae"]
+    }
+    assert preds == {"<status>"}
+
+    # nodes mode: status literals are NOT inline (strings), they
+    # stay edges; bool/int/float objects would fold into props
+    with urllib.request.urlopen(f"{srv}/gephi/gs?mode=nodes&limit=50") as r:
+        body = r.read().decode()
+    events = [_json.loads(l) for l in body.split("\r\n") if l]
+    assert any("an" in e for e in events)
+    assert any("ae" in e for e in events)
+
+    # bad mode is a 400
+    try:
+        urllib.request.urlopen(f"{srv}/gephi/gs?mode=nope")
+        assert False
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+
+
 def test_unknown_language(srv):
     try:
         post(f"{srv}/api/v1/query/nope", "x")
