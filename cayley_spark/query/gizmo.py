@@ -59,14 +59,37 @@ class GizmoPath:
     def Is(self, *nodes):
         return self._wrap(self._p.is_(*nodes))
 
-    def In(self, *preds, tags=()):
-        return self._wrap(self._p.in_(*map(self._via, preds), tags=tags))
+    def _via_args(self, via) -> tuple:
+        """JS via spec (traversals.go toViaData): null = any predicate,
+        array = several, string/value/path = one."""
+        if via is None:
+            return ()
+        if isinstance(via, (list, tuple)):
+            return tuple(self._via(p) for p in via)
+        return (self._via(via),)
 
-    def Out(self, *preds, tags=()):
-        return self._wrap(self._p.out(*map(self._via, preds), tags=tags))
+    @staticmethod
+    def _tag_args(tags) -> tuple:
+        if tags is None:
+            return ()
+        if isinstance(tags, (list, tuple)):
+            return tuple(tags)
+        return (tags,)
 
-    def Both(self, *preds):
-        return self._wrap(self._p.both(*map(self._via, preds)))
+    def In(self, via=None, tags=None):
+        return self._wrap(
+            self._p.in_(*self._via_args(via), tags=self._tag_args(tags))
+        )
+
+    def Out(self, via=None, tags=None):
+        return self._wrap(
+            self._p.out(*self._via_args(via), tags=self._tag_args(tags))
+        )
+
+    def Both(self, via=None, tags=None):
+        return self._wrap(
+            self._p.both(*self._via_args(via), tags=self._tag_args(tags))
+        )
 
     def Follow(self, m):
         return self._wrap(self._p.follow(self._other(m)))
@@ -74,7 +97,22 @@ class GizmoPath:
     def FollowR(self, m):
         return self._wrap(self._p.follow_r(self._other(m)))
 
-    def FollowRecursive(self, via, max_depth: int = 50, depth_tag=None):
+    def FollowRecursive(self, via, *opts, max_depth: int = 50, depth_tag=None):
+        # JS signature (traversals.go FollowRecursive): extra args may
+        # be an int (maxDepth) and/or a string (depth tag), in any order
+        for o in opts:
+            if isinstance(o, bool):
+                raise TypeError("followRecursive: bad argument")
+            if isinstance(o, int):
+                max_depth = o
+            elif isinstance(o, str):
+                depth_tag = o
+            elif isinstance(o, (list, tuple)) and all(
+                isinstance(t, str) for t in o
+            ) and o:
+                depth_tag = o[0]
+            else:
+                raise TypeError("followRecursive: bad argument")
         return self._wrap(
             self._p.follow_recursive(
                 self._other(via) if isinstance(via, GizmoPath) else self._via(via),
@@ -106,23 +144,50 @@ class GizmoPath:
 
     As = Tag
 
-    def Has(self, pred, *values):
+    def _has(self, pred, values, rev: bool):
+        from .. import shapes as S
+
+        filters = tuple(v for v in values if isinstance(v, S.ValueFilter))
+        if filters:
+            # has(pred, gt(...)) — filter form (traversals.go has →
+            # HasFilter); values and filters don't mix in the corpus
+            if rev:
+                return self._wrap(
+                    self._p.has_filter_r(self._via(pred), *filters)
+                )
+            return self._wrap(self._p.has_filter(self._via(pred), *filters))
+        if rev:
+            return self._wrap(self._p.has_r(self._via(pred), *values))
         return self._wrap(self._p.has(self._via(pred), *values))
 
+    def Has(self, pred, *values):
+        return self._has(pred, values, rev=False)
+
     def HasR(self, pred, *values):
-        return self._wrap(self._p.has_r(self._via(pred), *values))
+        return self._has(pred, values, rev=True)
 
-    def Save(self, pred, tag):
-        return self._wrap(self._p.save(self._via(pred), tag))
+    def _save_tag(self, pred, tag):
+        """Default tag = the predicate's term string
+        (traversals.go:476-488 save)."""
+        if tag is not None:
+            return tag
+        from ..values import coerce
 
-    def SaveR(self, pred, tag):
-        return self._wrap(self._p.save_r(self._via(pred), tag))
+        return coerce(self._via(pred)).term()
 
-    def SaveOpt(self, pred, tag):
-        return self._wrap(self._p.save_opt(self._via(pred), tag))
+    def Save(self, pred, tag=None):
+        return self._wrap(self._p.save(self._via(pred), self._save_tag(pred, tag)))
 
-    def SaveOptR(self, pred, tag):
-        return self._wrap(self._p.save_opt_r(self._via(pred), tag))
+    def SaveR(self, pred, tag=None):
+        return self._wrap(self._p.save_r(self._via(pred), self._save_tag(pred, tag)))
+
+    def SaveOpt(self, pred, tag=None):
+        return self._wrap(self._p.save_opt(self._via(pred), self._save_tag(pred, tag)))
+
+    def SaveOptR(self, pred, tag=None):
+        return self._wrap(
+            self._p.save_opt_r(self._via(pred), self._save_tag(pred, tag))
+        )
 
     def Unique(self):
         return self._wrap(self._p.unique())
@@ -143,6 +208,9 @@ class GizmoPath:
         return self._wrap(self._p.save_out_predicates(tag))
 
     def LabelContext(self, *labels):
+        # labelContext(null) closes the open context (traversals.go)
+        if len(labels) == 1 and labels[0] is None:
+            labels = ()
         return self._wrap(self._p.label_context(*labels))
 
     def Filter(self, *filters):
@@ -181,18 +249,28 @@ class GizmoPath:
     def GetLimit(self, n: int) -> list[dict]:
         return self._wrap(self._p.limit(n)).All()
 
-    def ToArray(self) -> list:
-        return [r["id"] for r in self.All()]
+    def _native_rows(self, limit: int = -1) -> list[dict]:
+        """Values handed back INTO the program (toValue/toArray/...)
+        always use the native collation (reference gizmo.go:124-136
+        quadValueToNative runs inside the VM regardless of the
+        session's result collation)."""
+        p = self._p.limit(limit) if limit and limit > 0 else self._p
+        return [
+            {k: _json_native(v) for k, v in row.items()} for row in p.all()
+        ]
+
+    def ToArray(self, limit: int = -1) -> list:
+        return [r["id"] for r in self._native_rows(limit)]
 
     def TagArray(self) -> list[dict]:
         return self.All()
 
     def ToValue(self):
-        arr = self.GetLimit(1)
+        arr = self._native_rows(1)
         return arr[0]["id"] if arr else None
 
     def TagValue(self):
-        arr = self.GetLimit(1)
+        arr = self._native_rows(1)
         return arr[0] if arr else None
 
     def Count(self) -> int:

@@ -102,10 +102,11 @@ class _Out(_Op):
 @dataclass(frozen=True)
 class _Both(_Op):
     preds: tuple[Value, ...] | None
+    pred_tags: tuple[str, ...] = ()
 
     def apply(self, shape, ctx):
-        o = _hop(shape, self.preds, ctx, S.SUBJECT, S.OBJECT)
-        i = _hop(shape, self.preds, ctx, S.OBJECT, S.SUBJECT)
+        o = _hop(shape, self.preds, ctx, S.SUBJECT, S.OBJECT, self.pred_tags)
+        i = _hop(shape, self.preds, ctx, S.OBJECT, S.SUBJECT, self.pred_tags)
         return S.Union((o, i)), ctx
 
     def reversed(self):
@@ -383,8 +384,8 @@ class Path:
     def in_(self, *preds, tags: Sequence[str] = ()):
         return self._add(_Out(self._preds(preds), tuple(tags), rev=True))
 
-    def both(self, *preds):
-        return self._add(_Both(self._preds(preds)))
+    def both(self, *preds, tags: Sequence[str] = ()):
+        return self._add(_Both(self._preds(preds), tuple(tags)))
 
     def has(self, pred, *values):
         return self._add(_Has(_vals([pred]), _vals(values)))
@@ -394,6 +395,11 @@ class Path:
 
     def has_filter(self, pred, *filters: S.ValueFilter):
         return self._add(_Has(_vals([pred]), (), filters=tuple(filters)))
+
+    def has_filter_r(self, pred, *filters: S.ValueFilter):
+        return self._add(
+            _Has(_vals([pred]), (), filters=tuple(filters), rev=True)
+        )
 
     def save(self, pred, tag):
         return self._add(_Save(_vals([pred]), tag))

@@ -43,7 +43,7 @@ _SURFACE = frozenset(
 )
 
 _KEYWORDS = frozenset(
-    "var let const function return if else true false null undefined in".split()
+    "var let const function return if else true false null undefined in for".split()
 )
 
 #: JS member names that are Python keywords → the trailing-underscore
@@ -51,6 +51,7 @@ _KEYWORDS = frozenset(
 _JS_ALIASES = {
     "in": "in_",
     "is": "is_",
+    "as": "As",
     "and": "and_",
     "or": "or_",
     "except": "except_",
@@ -286,6 +287,8 @@ class _Parser:
                 return ("return", self.expression())
             if t.val == "if":
                 return self.if_statement()
+            if t.val == "for":
+                return self.for_in_statement()
             raise GizmoSyntaxError(f"unexpected keyword {t.val!r}")
         if t.kind == "punct" and t.val == "{":
             # statement-position brace = block (not object literal), as in JS
@@ -347,6 +350,24 @@ class _Parser:
             return ("if", cond, then, orelse)
         self.i = save
         return ("if", cond, then, [])
+
+    def for_in_statement(self):
+        """``for (x in expr) body`` — the only loop form in the
+        grammar. Iteration is bounded by the collection's size, so no
+        unbounded loops become expressible."""
+        self.expect("kw", "for")
+        self.expect("punct", "(")
+        if self.at("kw") and self.peek().val in ("var", "let", "const"):
+            self.next()
+        name = self.expect("name").val
+        if name == "g":
+            raise GizmoSyntaxError("cannot assign to 'g'")
+        self.expect("kw", "in")
+        coll = self.expression()
+        self.expect("punct", ")")
+        self.skip_nl()
+        body = self.block() if self.at("punct", "{") else [self.statement()]
+        return ("forin", name, coll, body)
 
     def function(self, require_name: bool):
         self.expect("kw", "function")
@@ -629,9 +650,53 @@ def _truthy(v) -> bool:
     return bool(v)
 
 
+def _default_env() -> dict:
+    """The reference VM's global helper functions
+    (query/gizmo/environ.go:244-263 defaultEnv): value constructors
+    and filter builders available to every gizmo program."""
+    from .. import shapes as S
+    from .. import values as V
+
+    def _s(x) -> str:
+        if isinstance(x, V.Value):
+            return getattr(x, "s", x.term())
+        if not isinstance(x, str):
+            raise GizmoSyntaxError("expected a string argument")
+        return x
+
+    def regex(pattern, refs=False):
+        # cmpRegexp (environ.go:186-230): a String pattern matches
+        # strings, or refs too when allowRefs; an IRI/BNode pattern is
+        # an ERROR without allowRefs and implies refs with it
+        if not isinstance(refs, bool):
+            raise GizmoSyntaxError("expected bool as second argument")
+        if isinstance(pattern, (V.IRI, V.BNode)):
+            if not refs:
+                raise GizmoSyntaxError(
+                    "regexp: can not match IRIs/BNodes without refs"
+                )
+            return S.Regexp(pattern.s, True)
+        return S.Regexp(_s(pattern), refs)
+
+    return {
+        "iri": lambda s: V.IRI(_s(s)),
+        "bnode": lambda s: V.BNode(_s(s)),
+        "raw": lambda s: V.Raw(_s(s)),
+        "str": lambda s: V.String(_s(s)),
+        "lang": lambda s, lang: V.LangString(_s(s), _s(lang)),
+        "typed": lambda s, typ: V.TypedString(_s(s), _s(typ)),
+        "lt": lambda v: S.Comparison("lt", V.coerce(v)),
+        "lte": lambda v: S.Comparison("lte", V.coerce(v)),
+        "gt": lambda v: S.Comparison("gt", V.coerce(v)),
+        "gte": lambda v: S.Comparison("gte", V.coerce(v)),
+        "regex": regex,
+        "like": lambda pattern: S.Wildcard(_s(pattern)),
+    }
+
+
 class _Interp:
     def __init__(self, g):
-        self.globals = _Scope(vars={"g": g})
+        self.globals = _Scope(vars={**_default_env(), "g": g})
         self.depth = 0
 
     # -- gates: the entire sandbox boundary is these three functions
@@ -694,6 +759,23 @@ class _Interp:
                 for s in stmt[2]:
                     self.exec_stmt(s, scope)
             else:
+                for s in stmt[3]:
+                    self.exec_stmt(s, scope)
+            return None
+        if kind == "forin":
+            coll = self.eval(stmt[2], scope)
+            if isinstance(coll, dict):
+                keys = list(coll)
+            elif isinstance(coll, (list, str)):
+                # JS yields string indices; ints keep coll[i] working
+                # through the index gate, which is the only use here
+                keys = list(range(len(coll)))
+            elif coll is None:
+                keys = []
+            else:
+                raise GizmoSyntaxError("for-in needs an object or array")
+            for k in keys:
+                scope.assign(stmt[1], k)
                 for s in stmt[3]:
                     self.exec_stmt(s, scope)
             return None
