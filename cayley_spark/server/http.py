@@ -114,6 +114,16 @@ class CayleyHandler(BaseHTTPRequestHandler):
             else:
                 return self._json({"error": "bad mode"}, 400)
             return self._text(body, ctype="application/stream+json")
+        if u.path == "/api/v2/read":
+            # reference registers GET and POST for /read (api_v2.go:131-132)
+            from ..sources.nquads import write_nquads
+
+            lines = [
+                r["value"] for r in write_nquads(self.server.store).collect()
+            ]
+            return self._text(
+                "\n".join(lines) + "\n", ctype="application/n-quads"
+            )
         if urlparse(self.path).path == "/api/v2/formats":
             return self._json(
                 [
