@@ -496,6 +496,45 @@ def d_simhash(spark, sf):
     return docs.select("doc_id", simhash64(F.col("text"), k=2).alias("simhash"))
 
 
+def d_cluster(spark, sf):
+    """Duplicate clustering: connected components (min-label
+    propagation) over the verified MinHash-LSH pair graph — the
+    keep-one-per-cluster stage of a dedup pipeline."""
+    from cayley_spark.functions.dedup import duplicate_clusters, minhash_lsh_pairs
+
+    docs = _t_wide(spark, sf, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, k=3, num_hashes=16, bands=4, jaccard_threshold=0.2
+    ).select("id_a", "id_b")
+    return duplicate_clusters(docs.select("doc_id"), pairs)
+
+
+def t_redact(spark, sf):
+    """PII scrub (emails/IPs/phones → typed placeholders) + per-doc
+    redaction count."""
+    from cayley_spark.functions.text import redaction_stats
+
+    docs = _t_wide(spark, sf, "documents")
+    return redaction_stats(docs)
+
+
+def g_recursive_dist(spark, sf):
+    """FollowRecursive forced onto the DISTRIBUTED frontier loop
+    (collect budget 0), so the oracle gate checks both recursion
+    executors — the adaptive driver BFS (g_recursive) and this one —
+    against the same WITH RECURSIVE SQL."""
+    g = tpch_graph(spark, sf)
+    spark.conf.set("spark.cayley.recursive.collectBudget", "0")
+    try:
+        return (
+            Path.start(g, IRI("nation:0"))
+            .follow_recursive(IRI("next"), depth_tag="depth")
+            .values_df()
+        )
+    finally:
+        spark.conf.unset("spark.cayley.recursive.collectBudget")
+
+
 def d_embed(spark, sf):
     """Embedding-cosine near-dup pairs: hyperplane-LSH candidates
     verified with exact cosine (threshold chosen for the synthetic
@@ -568,6 +607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_valuefilter_fn": g_valuefilter_fn,
         "g_write_delete": g_write_delete,
         "g_recursive": g_recursive,
+        "g_recursive_dist": g_recursive_dist,
         "q1": q1,
         "q3": q3,
         "q5": q5,
@@ -579,10 +619,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_quality": t_quality,
         "t_fingerprint": t_fingerprint,
         "t_langid": t_langid,
+        "t_redact": t_redact,
         "d_exact": d_exact,
         "d_lsh": d_lsh,
         "d_jaccard": d_jaccard,
         "d_simhash": d_simhash,
+        "d_cluster": d_cluster,
         "d_embed": d_embed,
         "s_knn": s_knn,
         "s_knn_lsh": s_knn_lsh,
@@ -886,6 +928,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT '<nation:' || nk || '>' AS id, CAST(depth AS INT) AS depth
             FROM r WHERE depth >= 1
         """,
+        "g_recursive_dist": """
+            WITH RECURSIVE r(nk, depth) AS (
+              SELECT n_nationkey, 0 FROM nation WHERE n_nationkey = 0
+              UNION ALL
+              SELECT b.n_nationkey, r.depth + 1
+              FROM r JOIN nation b ON b.n_nationkey = r.nk + 1
+              WHERE r.depth < 50
+            )
+            SELECT '<nation:' || nk || '>' AS id, CAST(depth AS INT) AS depth
+            FROM r WHERE depth >= 1
+        """,
         "q1": """
             SELECT l_returnflag, l_linestatus,
               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -1010,6 +1063,27 @@ def oracle_sql() -> dict[str, str]:
                    ELSE 'fr' END AS lang_guess
             FROM s
         """,
+        "t_redact": r"""
+            SELECT doc_id,
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(text,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                    '<EMAIL>', 'g'),
+                  '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                '\+?\b\d{3}[- .]\d{3}[- .]\d{4}\b', '<PHONE>', 'g'
+              ) AS redacted,
+              CAST(len(regexp_extract_all(
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(text,
+                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                      '<EMAIL>', 'g'),
+                    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                  '\+?\b\d{3}[- .]\d{3}[- .]\d{4}\b', '<PHONE>', 'g'
+                ), '<EMAIL>|<IP>|<PHONE>')) AS INT) AS n_redactions
+            FROM documents
+        """,
         "d_exact": """
             WITH g AS (
               SELECT md5(text) AS digest, COUNT(*) AS n_docs
@@ -1044,6 +1118,44 @@ def oracle_sql() -> dict[str, str]:
             JOIN sh y ON y.id = p.id_b
             WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
                 / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) >= 0.2
+        """,
+        "d_cluster": rf"""
+            WITH RECURSIVE sh AS (
+              SELECT doc_id AS id, {_SHINGLE3} AS sh
+              FROM (SELECT doc_id,
+                           regexp_extract_all(lower(text), '\w+') AS toks
+                    FROM documents)
+              WHERE len(toks) >= 3
+            ), sig AS (
+              SELECT id, sh, {_MINHASH} AS sig FROM sh
+            ), banded AS (
+              SELECT id, sh, unnest({_BANDS}, recursive := true)
+              FROM sig
+            ), cand AS (
+              SELECT DISTINCT a.id AS id_a, b.id AS id_b
+              FROM banded a JOIN banded b
+                ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
+            ), pairs AS (
+              SELECT p.id_a, p.id_b
+              FROM cand p
+              JOIN sh x ON x.id = p.id_a
+              JOIN sh y ON y.id = p.id_b
+              WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                  / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) >= 0.2
+            ), edges AS (
+              SELECT id_a AS a, id_b AS b FROM pairs
+              UNION ALL
+              SELECT id_b AS a, id_a AS b FROM pairs
+            ), reach AS (
+              -- min-label reachability: every doc starts labeled with
+              -- itself; labels flow along duplicate edges
+              SELECT doc_id AS id, doc_id AS lab FROM documents
+              UNION
+              SELECT e.b AS id, r.lab
+              FROM reach r JOIN edges e ON e.a = r.id
+            )
+            SELECT id AS doc_id, MIN(lab) AS cluster_id
+            FROM reach GROUP BY id
         """,
         "d_jaccard": r"""
             WITH sh AS (

@@ -41,6 +41,54 @@ def exact_duplicate_groups(
     )
 
 
+def duplicate_clusters(
+    ids: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over a duplicate-pair graph: every doc is
+    assigned ``cluster_id`` = the smallest doc id reachable through
+    duplicate edges (its own id for singletons). The canonical
+    keep-one-per-cluster selection is then ``cluster_id == doc_id``.
+
+    Min-label propagation: each round every vertex takes the minimum
+    label among itself and its neighbors — one hash join + one
+    aggregation per round, both partitioned by vertex id, with a
+    single count() action to detect convergence (its job also
+    materializes the round's lazy localCheckpoint, same pattern as
+    the recursion compiler). Rounds needed = component diameter;
+    near-duplicate clusters are shallow in practice and ``max_iter``
+    bounds adversarial chains. All state is distributed — nothing
+    driver-side grows with the graph.
+    """
+    edges = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    edges = edges.unionAll(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).persist()
+    labels = ids.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("lab")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        msgs = edges.join(labels, edges["a"] == labels["id"]).select(
+            F.col("b").alias("id"), "lab"
+        )
+        new = (
+            labels.unionAll(msgs)
+            .groupBy("id")
+            .agg(F.min("lab").alias("lab"))
+            .localCheckpoint(eager=False)
+        )
+        changed = new.join(labels, ["id", "lab"], "left_anti").count()
+        labels = new
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("id").alias(id_col), F.col("lab").alias("cluster_id")
+    )
+
+
 def word_shingles(col: Column, k: int = 3) -> Column:
     """k-word shingles (lowercased). Returns array<string>; distinct."""
     toks = F.regexp_extract_all(F.lower(col), F.lit(TOKEN_RE), 0)

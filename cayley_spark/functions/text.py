@@ -96,3 +96,37 @@ def fingerprint(col: Column) -> Column:
     normalization duplicates."""
     norm = F.regexp_replace(F.lower(col), r"[^a-z0-9]+", " ")
     return F.md5(F.trim(norm))
+
+
+# PII patterns for redaction — written in the regex subset common to
+# Java (Spark JVM regexp_replace) and RE2 (DuckDB), so the oracle
+# replicates the scrub byte-for-byte.
+REDACT_PATTERNS = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\+?\b\d{3}[- .]\d{3}[- .]\d{4}\b", "<PHONE>"),
+)
+
+
+def redact(col: Column) -> Column:
+    """PII scrub: replace emails, IPv4 addresses and phone-shaped
+    numbers with typed placeholders — the standard pre-training
+    redaction pass, as a pure column expression (scan-speed, no
+    Python in the loop)."""
+    out = col
+    for pat, repl in REDACT_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def redaction_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, redacted, n_redactions): the scrubbed text plus how
+    many placeholders were inserted (count of placeholder tokens in
+    the output, cheap and exact)."""
+    red = redact(F.col(text_col))
+    n = (
+        F.size(F.regexp_extract_all(red, F.lit("<EMAIL>|<IP>|<PHONE>"), 0))
+    )
+    return df.select(
+        "doc_id", red.alias("redacted"), n.cast("int").alias("n_redactions")
+    )

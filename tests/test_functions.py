@@ -167,6 +167,51 @@ def test_media_audio_and_resize(spark):
     assert rs[2]["width"] == -1
 
 
+def test_duplicate_clusters(spark):
+    """Connected components over a pair graph: chains collapse to the
+    min id, singletons keep their own id."""
+    from pyspark.sql import Row
+
+    from cayley_spark.functions.dedup import duplicate_clusters
+
+    ids = spark.createDataFrame([Row(doc_id=i) for i in range(7)])
+    # components: {0,1,2,3} (a chain), {4,5}, {6} singleton
+    pairs = spark.createDataFrame(
+        [Row(id_a=3, id_b=2), Row(id_a=2, id_b=1), Row(id_a=1, id_b=0),
+         Row(id_a=4, id_b=5)]
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in duplicate_clusters(ids, pairs).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4, 6: 6}
+    # keep-one selection = cluster representative
+    assert sorted(k for k, v in got.items() if k == v) == [0, 4, 6]
+
+
+def test_redact(spark):
+    """PII scrub hits emails, IPs, phone-shaped numbers; counts are
+    exact."""
+    from pyspark.sql import Row
+
+    from cayley_spark.functions.text import redaction_stats
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="mail me at bob.smith+x@example.co.uk now"),
+            Row(doc_id=1, text="server 10.0.255.7 and phone +123-456-7890"),
+            Row(doc_id=2, text="nothing sensitive here"),
+        ]
+    )
+    got = {r["doc_id"]: r for r in redaction_stats(df).collect()}
+    assert got[0]["redacted"] == "mail me at <EMAIL> now"
+    assert got[0]["n_redactions"] == 1
+    assert got[1]["redacted"] == "server <IP> and phone <PHONE>"
+    assert got[1]["n_redactions"] == 2
+    assert got[2]["redacted"] == "nothing sensitive here"
+    assert got[2]["n_redactions"] == 0
+
+
 def test_media_optional_codec_seams(monkeypatch):
     """The optional-kernel seams: decoders are tried in order, a
     custom kernel slots in with no other change, and the PIL/av
