@@ -44,6 +44,33 @@ def run_repl(store: GraphStore, inp=None, out=None, lang: str = "gizmo") -> None
             except ValueError as e:
                 out.write(f"error: {e}\n")
             continue
+        if line == "help":
+            out.write(
+                "Help\n\texit // Exit\n\thelp // this help\n"
+                "\t:d <quad> // delete quad\n\t:a <quad> // add quad\n"
+                "\t:lang <name> // switch query language\n"
+            )
+            continue
+        if line.startswith(":a ") or line.startswith(":d "):
+            # reference repl.go:171-192 — add/delete one n-quad
+            from .server.http import _parse_nquads_lines
+
+            try:
+                quads = _parse_nquads_lines(line[3:].strip())
+                if len(quads) != 1:
+                    raise ValueError("expected exactly one quad")
+            except Exception as e:
+                out.write(f"Error: not a valid quad: {e}\n")
+                continue
+            try:
+                if line.startswith(":a "):
+                    store = store.apply_deltas(add=quads)
+                else:
+                    store = store.apply_deltas(delete=quads)
+                ses = get_session(store, lang)
+            except Exception as e:
+                out.write(f"error deleting: {e}\n")
+            continue
         t0 = time.time()
         try:
             results = ses.execute(

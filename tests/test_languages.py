@@ -288,3 +288,27 @@ def test_repl_loop(social):
     assert "3 Results" in text
     assert "language: mql" in text
     assert "Elapsed time" in text
+
+
+def test_repl_add_delete(social):
+    """:a / :d quad commands (reference internal/repl/repl.go:171-192)."""
+    import io
+
+    from cayley_spark.repl import run_repl
+
+    inp = io.StringIO(
+        ":a <zz> <follows> <bob> .\n"
+        'g.V("<bob>").In("<follows>").All()\n'
+        ":d <zz> <follows> <bob> .\n"
+        'g.V("<bob>").In("<follows>").All()\n'
+        ":a not a quad\n"
+        "help\n"
+        ":exit\n"
+    )
+    out = io.StringIO()
+    run_repl(social, inp=inp, out=out)
+    text = out.getvalue()
+    assert "4 Results" in text  # alice, charlie, dani + zz after :a
+    assert "3 Results" in text  # back to 3 after :d
+    assert "not a valid quad" in text
+    assert ":a <quad> // add quad" in text
