@@ -1,0 +1,99 @@
+"""Physical-plan audits: the scale properties the engine is designed
+around, asserted against `.explain` output so they cannot silently
+regress.
+
+These are the properties that matter at 100 TB: literal predicates
+must reach the Parquet scan as pushed filters, projections must prune
+the read schema, small dimension joins must broadcast, and operators
+that promise "one scan" or "no cartesian product" must keep it.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def entry():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as E
+
+    return E
+
+
+def test_q6_filters_push_to_parquet_scan(spark, entry):
+    """q6's date/discount/quantity predicates must reach the scan."""
+    df = entry.queries()["q6"](spark, SF)
+    plan = plan_of(df)
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "l_quantity" in pushed and "l_discount" in pushed
+
+
+def test_t_tokens_prunes_columns(spark, entry):
+    """token counting reads only (doc_id, text) — not the whole
+    documents schema."""
+    df = entry.queries()["t_tokens"](spark, SF)
+    plan = plan_of(df)
+    read = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
+    assert "doc_id" in read and "text" in read
+    assert "source" not in read and "n_chars" not in read
+
+
+def test_s_knn_broadcasts_queries(spark, entry):
+    """brute-force top-k: the tiny query side broadcasts; the corpus
+    is scanned once, never joined shuffle-to-shuffle."""
+    df = entry.queries()["s_knn"](spark, SF)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_no_cartesian_products_anywhere(spark, entry):
+    """No oracle query may compile to a cartesian product (the
+    all-pairs anti-pattern)."""
+    queries = entry.queries()
+    for name in ("d_lsh", "d_jaccard", "d_embed", "s_knn_lsh", "g_intersect",
+                 "g_follow", "q3", "q5"):
+        df = queries[name](spark, SF)
+        assert "CartesianProduct" not in plan_of(df), name
+
+
+def test_hop_literal_predicate_prunes(spark, entry):
+    """A predicate-constrained hop compiles to a literal filter on
+    the quads relation (the index-scan equivalent), not a join
+    against a predicate set."""
+    from cayley_spark import IRI, Path
+    from cayley_spark.graphs.tpch import tpch_graph
+
+    g = tpch_graph(spark, SF)
+    df = Path.start(g, IRI("nation:7")).in_(IRI("in_nation")).df()
+    opt = optimized_of(df)
+    # both the node literal and the predicate literal are folded into
+    # plain filters (no membership join, no shuffle join for the hop)
+    assert "Filter ((o#" in opt or "Filter ((p#" in opt, opt
+    assert "SortMergeJoin" not in plan_of(df)
+
+
+def test_exact_dedup_single_shuffle(spark, entry):
+    """Exact dedup is one hash aggregation: exactly one exchange
+    (plus none for the scan)."""
+    df = entry.queries()["d_exact"](spark, SF)
+    plan = plan_of(df)
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges <= 2, plan  # partial agg + final agg boundary
+    assert "HashAggregate" in plan
