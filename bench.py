@@ -176,7 +176,14 @@ def main() -> None:
     timings: dict[str, float] = {}
     base_persisted = _persistent_ids()
     jvm_gc = spark.sparkContext._jvm.System.gc
-    for i, (name, fn) in enumerate(E.queries().items()):
+    # g_recursive_dist exists to make the correctness gate exercise
+    # the distributed recursion loop (g_recursive takes the adaptive
+    # driver-BFS path on small slices); timing it here would just
+    # re-measure g_recursive's semantics at the forced-slow-path
+    # job-launch floor, so the timing suite skips it.
+    untimed = {"g_recursive_dist"}
+    queries = {k: v for k, v in E.queries().items() if k not in untimed}
+    for i, (name, fn) in enumerate(queries.items()):
         t0 = time.time()
         df = fn(spark, sf_dir)
         df.write.mode("overwrite").format("noop").save()
