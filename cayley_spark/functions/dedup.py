@@ -54,13 +54,14 @@ def duplicate_clusters(
 
     Min-label propagation: each round every vertex takes the minimum
     label among itself and its neighbors — one hash join + one
-    aggregation per round, both partitioned by vertex id, with a
-    single count() action to detect convergence (its job also
-    materializes the round's lazy localCheckpoint, same pattern as
-    the recursion compiler). Rounds needed = component diameter;
-    near-duplicate clusters are shallow in practice and ``max_iter``
-    bounds adversarial chains. All state is distributed — nothing
-    driver-side grows with the graph.
+    aggregation per round, both partitioned by vertex id. Labels only
+    ever DECREASE, so an unchanged ``sum(lab)`` across rounds is an
+    exact convergence proof; the check is one cheap aggregate action
+    per round (which also materializes the round's lazy
+    localCheckpoint, same pattern as the recursion compiler). Rounds
+    needed = component diameter; near-duplicate clusters are shallow
+    in practice and ``max_iter`` bounds adversarial chains. All state
+    is distributed — nothing driver-side grows with the graph.
     """
     edges = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
     edges = edges.unionAll(
@@ -69,6 +70,7 @@ def duplicate_clusters(
     labels = ids.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("lab")
     ).localCheckpoint(eager=True)
+    prev_sum = None
     for _ in range(max_iter):
         msgs = edges.join(labels, edges["a"] == labels["id"]).select(
             F.col("b").alias("id"), "lab"
@@ -79,10 +81,13 @@ def duplicate_clusters(
             .agg(F.min("lab").alias("lab"))
             .localCheckpoint(eager=False)
         )
-        changed = new.join(labels, ["id", "lab"], "left_anti").count()
+        cur_sum = new.agg(
+            F.sum(F.col("lab").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
         labels = new
-        if changed == 0:
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     edges.unpersist()
     return labels.select(
         F.col("id").alias(id_col), F.col("lab").alias("cluster_id")
