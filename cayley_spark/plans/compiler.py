@@ -68,10 +68,28 @@ def compile_nodes(store: GraphStore, shape: S.Shape) -> DataFrame:
     cached plan can never go stale."""
     if isinstance(shape, _DFShape):
         return shape.df
+    if getattr(store, "_local_index", None) is not None:
+        # adaptive small-store path (GraphStore.enable_local): evaluate
+        # the whole shape tree driver-side on the collected index — the
+        # memstore-analog latency floor. Falls through on unsupported
+        # constructs. Not memoized: local evaluation is sub-millisecond
+        # and caching would pin result DataFrames for the store's life.
+        from .local import try_local
+
+        out = try_local(store, shape)
+        if out is not None:
+            return out
     cache = getattr(store, "_compile_cache", None)
     if cache is None:
         cache = {}
         store._compile_cache = cache
+    if _contains_runtime_df(shape):
+        # A shape embedding a pre-compiled DataFrame (the recursion
+        # loop's per-round step shapes) hashes by DataFrame identity —
+        # it can never hit again, yet a cache entry would pin the
+        # localCheckpointed frontier blocks for the store's lifetime
+        # (a leak on long-running servers). Compile uncached.
+        return _compile_nodes_impl(store, shape)
     try:
         hit = cache.get(shape)
     except TypeError:  # unhashable shape: compile uncached
@@ -81,6 +99,32 @@ def compile_nodes(store: GraphStore, shape: S.Shape) -> DataFrame:
     df = _compile_nodes_impl(store, shape)
     cache[shape] = df
     return df
+
+
+def _contains_runtime_df(shape) -> bool:
+    """True if the shape tree transitively embeds a runtime DataFrame
+    (_DFShape or the local engine's frontier marker) — such shapes are
+    compile-memo-uncacheable by construction."""
+    from .local import _LocalFrontier
+
+    stack = [shape]
+    while stack:
+        s = stack.pop()
+        if isinstance(s, (_DFShape, _LocalFrontier)):
+            return True
+        if isinstance(s, tuple):
+            stack.extend(s)
+        elif isinstance(s, (S.Shape, S.QuadShape, S.QuadFilter)):
+            import dataclasses
+
+            if dataclasses.is_dataclass(s):
+                for f in dataclasses.fields(s):
+                    v = getattr(s, f.name)
+                    if isinstance(
+                        v, (S.Shape, S.QuadShape, S.QuadFilter, tuple)
+                    ):
+                        stack.append(v)
+    return False
 
 
 def _compile_nodes_impl(store: GraphStore, shape: S.Shape) -> DataFrame:

@@ -538,6 +538,12 @@ class Path:
     def values_df(self) -> DataFrame:
         """Rendered result: every id/tag column as its N-Quads term.
         Re-applies Order()'s sort after the rendering joins."""
+        if getattr(self.store, "_local_index", None) is not None:
+            from ..plans.local import try_local_values
+
+            out = try_local_values(self.store, self.shape())
+            if out is not None:
+                return out
         df = self.df()
         out = self.store.resolve(df)
         if "__ord" in out.columns:

@@ -212,6 +212,39 @@ class GraphStore:
     def persist(self) -> "GraphStore":
         return GraphStore(self.spark, self.nodes.persist(), self.quads.persist())
 
+    def enable_local(self, quad_budget: int | None = None) -> "GraphStore":
+        """Adaptive small-store latency mode: collect the store ONCE
+        into driver-side hash indexes (the reference memstore's
+        architecture, graph/memstore/quadstore.go) and evaluate whole
+        queries on the driver — the ~20 ms point-query floor a
+        distributed plan cannot reach (every Spark job pays scheduler +
+        stage-launch overhead regardless of data size).
+
+        Prices itself out at scale: declines (no-op) when the quad
+        count exceeds the budget (default 1M, conf
+        ``spark.cayley.local.quadBudget``), so a 100 TB store always
+        stays on the distributed engine. Same adaptive pattern as the
+        recursion driver-BFS (plans/compiler.py). Opt-in per store;
+        deltas return new stores without the index, so a stale local
+        index is unreachable."""
+        budget = (
+            quad_budget
+            if quad_budget is not None
+            else int(
+                self.spark.conf.get("spark.cayley.local.quadBudget", "1000000")
+            )
+        )
+        if budget <= 0:
+            return self
+        # pricing probe: limit(budget+1).count() can early-stop; no
+        # rows move to the driver on the decline path
+        if self.quads.limit(budget + 1).count() > budget:
+            return self
+        from .plans.local import LocalIndex
+
+        self._local_index = LocalIndex.from_store(self)
+        return self
+
     # ---------------- stats (reference graph/quadstore.go:77-88) -----
 
     def stats(self) -> dict:
@@ -453,6 +486,13 @@ class GraphStore:
             ]
         if not cols:
             return df
+        lt = getattr(df, "_cayley_local", None)
+        if lt is not None and getattr(self, "_local_index", None) is not None:
+            # local-engine result: render terms from the driver-side
+            # dictionary — zero Spark jobs
+            from .plans.local import resolve_local
+
+            return resolve_local(self, df, lt, cols)
         terms = self.nodes.select("id", "term")
         if len(cols) <= 2:
             out = df

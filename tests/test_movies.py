@@ -26,8 +26,11 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-@pytest.fixture(scope="module")
-def movies(spark):
+@pytest.fixture(scope="module", params=["distributed", "local"])
+def movies(spark, request):
+    """Both engines run the full golden suite: ``local`` mirrors the
+    bench configuration (enable_local on the 471k-quad store) so the
+    exact code path the baseline numbers measure is parity-gated."""
     if not os.path.exists(os.path.join(STORE, "quads")):
         if not os.path.exists(NQ):
             with gzip.open(SRC_GZ, "rb") as fin, open(NQ + ".tmp", "wb") as fout:
@@ -37,7 +40,11 @@ def movies(spark):
 
         st = read_nquads(spark, NQ)
         st.save(STORE)
-    return GraphStore.load(spark, STORE).persist()
+    st = GraphStore.load(spark, STORE).persist()
+    if request.param == "local":
+        st = st.enable_local()
+        assert getattr(st, "_local_index", None) is not None
+    return st
 
 
 @pytest.fixture(scope="module")

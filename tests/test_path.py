@@ -14,6 +14,22 @@ F, ST, ARE = IRI("follows"), IRI("status"), IRI("are")
 COOL, SMART = String("cool_person"), String("smart_person")
 
 
+@pytest.fixture(scope="module", params=["distributed", "local"])
+def social(spark, request):
+    """Module override of the session `social` fixture: the ENTIRE
+    pathtest corpus runs twice — once on the distributed compiler, once
+    on the driver-side local engine (plans/local.py) — asserting the
+    two engines agree case-for-case."""
+    from tests.conftest import SIMPLE_SOCIAL
+    from cayley_spark import GraphStore
+
+    st = GraphStore.from_quad_values(spark, SIMPLE_SOCIAL).persist()
+    if request.param == "local":
+        st = st.enable_local()
+        assert getattr(st, "_local_index", None) is not None
+    return st
+
+
 def V(store, *nodes):
     return Path.start(store, *nodes)
 
