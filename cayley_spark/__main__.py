@@ -3,14 +3,23 @@
 Re-expression of cmd/cayley (reference cmd/cayley/command/database.go
 load/dump, convert.go, repl.go, http.go):
 
-    python -m cayley_spark load    --db DIR --quads FILE
+    python -m cayley_spark init    --db DIR [--quads FILE]
+    python -m cayley_spark load    --db DIR --quads FILE [--init]
     python -m cayley_spark dump    --db DIR --out FILE
     python -m cayley_spark convert --src FILE --dst FILE
     python -m cayley_spark repl    --db DIR [--lang gizmo]
     python -m cayley_spark http    --db DIR [--host H] [--port P]
     python -m cayley_spark query   --db DIR [--lang L] [--limit N] [Q]
+    python -m cayley_spark dedup   --db DIR --type T [--pred P]
     python -m cayley_spark health  [URL]          (health.go)
     python -m cayley_spark schema  linkedql       (schema.go)
+
+``init`` creates an empty store (errors if one exists — reference
+database.go:66-80 NewInitDatabaseCmd; its ``-i/--load`` flag maps to
+``--quads``); ``load --init`` bootstraps the store first
+(database.go:101-104,135). ``dedup`` merges blank nodes of ``--type``
+whose properties hash identically (dedup.go:29-53; ``--pred`` defaults
+to rdf:type and an empty --type errors, same as the reference).
 
 ``query`` reads the query string from the argument or stdin and
 prints one JSON result per line (reference repl.go:76-80 NewQueryCmd).
@@ -94,11 +103,30 @@ def _write_any(store, path: str) -> int:
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="cayley_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
-    for name in ("load", "dump", "repl", "http", "query"):
+    for name in ("init", "load", "dump", "repl", "http", "query", "dedup"):
         s = sub.add_parser(name)
         s.add_argument("--db", required=True, help="parquet store dir")
+        if name == "init":
+            # reference database.go:43: -i/--load = quad file to load
+            # after initialization
+            s.add_argument("--quads", "-i", default=None)
         if name == "load":
             s.add_argument("--quads", required=True)
+            s.add_argument(
+                "--init",
+                action="store_true",
+                help="initialize the database before using it",
+            )
+        if name == "dedup":
+            # reference cmd/cayley/command/dedup.go:50-52
+            s.add_argument(
+                "--pred",
+                default="<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>",
+                help="type predicate to use to find nodes",
+            )
+            s.add_argument(
+                "--type", default="", help="type value to use to find nodes"
+            )
         if name == "dump":
             s.add_argument("--out", required=True)
         if name == "repl":
@@ -145,13 +173,64 @@ def main(argv: list[str] | None = None) -> int:
         print(generate_json())
         return 0
 
+    if args.cmd == "dedup" and not args.type:
+        # reference dedup.go:44-46
+        print("no type is specified", file=sys.stderr)
+        return 1
+    if args.cmd == "init" and os.path.exists(os.path.join(args.db, "quads")):
+        # reference graph.ErrDatabaseExists semantics
+        print(f"database already exists: {args.db}", file=sys.stderr)
+        return 1
+
     spark = _spark()
     from .store import GraphStore
 
-    if args.cmd == "load":
+    if args.cmd == "init":
+        if args.quads:
+            st = _read_any(spark, args.quads)
+        else:
+            st = GraphStore.empty(spark)
+        st.save(args.db)
+        print(f"initialized {args.db} ({st.stats()['quads']} quads)")
+    elif args.cmd == "load":
+        if args.init and not os.path.exists(os.path.join(args.db, "quads")):
+            GraphStore.empty(spark).save(args.db)
         st = _read_any(spark, args.quads)
         st.save(args.db)
         print(f"loaded {st.stats()['quads']} quads into {args.db}")
+    elif args.cmd == "dedup":
+        from .values import IRI
+
+        st = GraphStore.load(spark, args.db).persist()
+        before = st.stats()
+        out = st.dedup_bnodes(
+            type_pred=IRI(args.pred.strip("<>")),
+            type_value=IRI(args.type.strip("<>")),
+        )
+        after = out.stats()
+        # write to a sibling tmp dir then swap: Spark cannot overwrite
+        # the parquet files it is concurrently reading from
+        import shutil
+        import tempfile
+
+        tmp = tempfile.mkdtemp(
+            prefix=".dedup-", dir=os.path.dirname(args.db.rstrip("/")) or "."
+        )
+        out.save(tmp)
+        # drop the cache entries for the old files BEFORE the swap:
+        # Spark's CacheManager matches by canonicalized plan (the scan
+        # path), so a later read of the swapped path would silently be
+        # served the old persisted data
+        st.nodes.unpersist(True)
+        st.quads.unpersist(True)
+        for part in ("quads", "nodes"):
+            shutil.rmtree(os.path.join(args.db, part))
+            os.rename(os.path.join(tmp, part), os.path.join(args.db, part))
+        os.rmdir(tmp)
+        print(
+            f"deduplicated: {before['nodes']} -> {after['nodes']} nodes, "
+            f"{before['quads']} -> {after['quads']} quads"
+        )
     elif args.cmd == "dump":
         st = GraphStore.load(spark, args.db)
         n = _write_any(st, args.out)

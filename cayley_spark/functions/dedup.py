@@ -62,7 +62,18 @@ def duplicate_clusters(
     needed = component diameter; near-duplicate clusters are shallow
     in practice and ``max_iter`` bounds adversarial chains. All state
     is distributed — nothing driver-side grows with the graph.
+
+    ``id_col`` must be numeric: the convergence proof sums labels as
+    decimal(38,0), and a non-numeric id would cast to NULL and make
+    round 1 look converged (sum NULL == initial NULL) — rejected up
+    front rather than silently returning unconverged clusters.
     """
+    id_type = ids.schema[id_col].dataType.typeName()
+    if id_type not in ("long", "integer", "short", "byte", "decimal"):
+        raise TypeError(
+            f"duplicate_clusters requires a numeric id_col; {id_col!r} is "
+            f"{id_type} (map it to a dense integer id first)"
+        )
     edges = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
     edges = edges.unionAll(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
@@ -88,9 +99,16 @@ def duplicate_clusters(
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
-    edges.unpersist()
-    return labels.select(
-        F.col("id").alias(id_col), F.col("lab").alias("cluster_id")
+    from ._cache import track_persisted
+
+    # Same contract as the other dedup operators: the persisted edges
+    # frame is attached to the (lazy) result and released by the
+    # caller via unpersist_intermediates after materialization.
+    return track_persisted(
+        labels.select(
+            F.col("id").alias(id_col), F.col("lab").alias("cluster_id")
+        ),
+        edges,
     )
 
 

@@ -475,18 +475,19 @@ def _recursive_driver_bfs(store, shape: S.Recursive, start: DataFrame):
             else F.col("p").isin(list(pids))
         )
     edges = edges.select(F.col(frm).alias("f"), F.col(to).alias("t"))
-    # one budget-bounded job prices the slice AND fetches it if small:
-    # limit(budget+1) never moves more than the budget to the driver
-    rows = edges.limit(budget + 1).collect()
-    if len(rows) > budget:
+    # Price BEFORE shipping: limit(budget+1).count() is a pushed-down
+    # early-stopping job that moves ZERO rows to the driver — the
+    # decline path costs one cheap count, and the accept path fetches
+    # via Arrow batches instead of multi-GB of pickled Row objects.
+    if edges.limit(budget + 1).count() > budget:
         return None
-    starts = start.limit(budget + 1).collect()
-    if len(starts) > budget:
+    if start.limit(budget + 1).count() > budget:
         return None
+    et = edges.toArrow()
     adj: dict[int, list[int]] = {}
-    for r in rows:
-        adj.setdefault(r["f"], []).append(r["t"])
-    visited = {r["id"] for r in starts}
+    for f, t in zip(et.column("f").to_pylist(), et.column("t").to_pylist()):
+        adj.setdefault(f, []).append(t)
+    visited = set(start.toArrow().column("id").to_pylist())
     frontier = list(visited)
     result: list[tuple] = []
     for depth in range(1, shape.max_depth + 1):

@@ -136,6 +136,16 @@ class GraphStore:
         return cls(spark, nodes, qdf)
 
     @classmethod
+    def empty(cls, spark: SparkSession) -> "GraphStore":
+        """Empty store — the ``init`` bootstrap target (reference
+        cmd/cayley/command/database.go:196 initDatabase)."""
+        return cls(
+            spark,
+            spark.createDataFrame([], NODE_SCHEMA),
+            spark.createDataFrame([], QUAD_SCHEMA),
+        )
+
+    @classmethod
     def from_term_quads(cls, term_quads: DataFrame) -> "GraphStore":
         """Distributed constructor from a DataFrame with string columns
         ``st, pt, ot, lt`` holding N-Quads terms (``lt`` nullable).
@@ -423,13 +433,24 @@ class GraphStore:
         nodes = self.nodes.drop("refs").join(refc, "id", "inner")
         return GraphStore(self.spark, nodes, remaining)
 
-    def dedup_bnodes(self) -> "GraphStore":
+    def dedup_bnodes(
+        self, type_pred=None, type_value=None
+    ) -> "GraphStore":
         """Merge blank nodes whose outgoing edge sets are identical
         (reference cmd/cayley/command/dedup.go:32-33: bnodes deduped by
-        a content hash of their properties). Distributed: hash each
-        bnode's sorted (p,o) set, pick the min-id representative per
-        hash, remap s/o/l through the representative map."""
+        a content hash of their properties). ``type_pred``/
+        ``type_value`` restrict candidates to bnodes carrying that
+        type edge — the reference CLI's --pred/--type contract
+        (dedup.go NewDedupCommand). Distributed: hash each bnode's
+        sorted (p,o) set, pick the min-id representative per hash,
+        remap s/o/l through the representative map."""
         bn = self.nodes.where(F.col("kind") == "bnode").select("id")
+        if type_value is not None:
+            cond = F.col("o") == F.lit(coerce(type_value).id)
+            if type_pred is not None:
+                cond = cond & (F.col("p") == F.lit(coerce(type_pred).id))
+            typed = self.quads.where(cond).select(F.col("s").alias("id"))
+            bn = bn.join(typed, "id", "left_semi")
         sig = (
             self.quads.join(bn.withColumnRenamed("id", "s"), "s", "left_semi")
             .groupBy("s")

@@ -44,9 +44,13 @@ def sessionize(
     if dtype.startswith("timestamp"):
         # timestamp-typed ts (incl. TIMESTAMP_NTZ, which cannot cast
         # to double): compare the lag difference as an interval —
-        # timezone-free, works for both timestamp flavors
+        # timezone-free, works for both timestamp flavors. Built in
+        # MILLISECONDS so fractional gap_seconds (e.g. 0.5) behave
+        # identically to the numeric-column branch below.
         gap = F.col(ts_col) - F.lag(F.col(ts_col)).over(w)
-        over = gap > F.expr(f"INTERVAL {int(gap_seconds)} SECONDS")
+        over = gap > F.expr(
+            f"INTERVAL {int(round(gap_seconds * 1000))} MILLISECONDS"
+        )
     else:
         gap = F.col(ts_col).cast("double") - F.lag(F.col(ts_col)).over(
             w
@@ -92,9 +96,18 @@ def sessionize_stream(
       session. Already-CLOSED sessions are never reopened either. If
       the source can be later than the open session's span, bound
       disorder upstream with ``withWatermark`` before sessionizing.
-    - sessions close only when a later event arrives; a final open
-      session per key is emitted by the caller at stream end (tests
-      drain state via a terminal batch).
+    - sessions close only when a later event arrives — EXCEPT when the
+      input carries a watermark (``withWatermark`` upstream), in which
+      case open-session state also EXPIRES: once the watermark passes
+      ``session_end + gap_seconds`` no in-watermark event can extend
+      the session, so it is emitted as closed and its state removed
+      (event-time timeout). This bounds state size to the number of
+      keys active within one watermark horizon — without a watermark,
+      state grows with total key cardinality forever, and a final open
+      session per key is only emitted by the caller at stream end
+      (tests drain state via a terminal batch).
+    - an expired key's later event opens a NEW session, exactly like
+      the batch operator under the same watermark.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -103,9 +116,28 @@ def sessionize_stream(
         "session_end timestamp, n_events long"
     )
     state_schema = "start timestamp, end timestamp, n long"
+    # Event-time timeout requires a watermark on the input; detect it
+    # from the analyzed plan so un-watermarked callers keep the
+    # documented no-expiry behavior instead of an AnalysisException.
+    has_watermark = events.isStreaming and "EventTimeWatermark" in str(
+        events._jdf.queryExecution().analyzed()
+    )
+    gap_ms = int(round(gap_seconds * 1000))
 
     def fold(key, pdf_iter, state):
         import pandas as pd
+        from datetime import timezone
+
+        if state.hasTimedOut:
+            # watermark passed end + gap: no in-watermark event can
+            # extend this session — emit it closed, drop the state
+            start, end, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [(key[0], start, end, n)],
+                columns=[id_col, "session_start", "session_end", "n_events"],
+            )
+            return
 
         rows = pd.concat(list(pdf_iter))
         rows = rows.sort_values(ts_col)
@@ -133,6 +165,13 @@ def sessionize_stream(
                 start = end = t
                 n = 1
         state.update((start, end, n))
+        if has_watermark and end is not None:
+            # naive timestamps arrive session-tz-localized; sessions
+            # run with the store's pinned UTC session timezone
+            end_ms = int(
+                end.replace(tzinfo=timezone.utc).timestamp() * 1000
+            )
+            state.setTimeoutTimestamp(end_ms + gap_ms)
         if closed:
             yield pd.DataFrame(
                 closed,
@@ -144,5 +183,7 @@ def sessionize_stream(
         out_schema,
         state_schema,
         "append",
-        GroupStateTimeout.NoTimeout,
+        GroupStateTimeout.EventTimeTimeout
+        if has_watermark
+        else GroupStateTimeout.NoTimeout,
     )

@@ -189,6 +189,45 @@ def test_duplicate_clusters(spark):
     assert sorted(k for k, v in got.items() if k == v) == [0, 4, 6]
 
 
+def test_duplicate_clusters_rejects_non_numeric_id(spark):
+    """A string id would cast to NULL in the decimal convergence sum
+    and break the loop after one round — rejected up front."""
+    import pytest as _pytest
+    from pyspark.sql import Row
+
+    from cayley_spark.functions.dedup import duplicate_clusters
+
+    ids = spark.createDataFrame([Row(doc_id=f"d{i}") for i in range(4)])
+    pairs = spark.createDataFrame([Row(id_a="d0", id_b="d1")])
+    with _pytest.raises(TypeError, match="numeric id_col"):
+        duplicate_clusters(ids, pairs)
+
+
+def test_duplicate_clusters_unpersist_contract(spark):
+    """The persisted edges frame follows the track_persisted contract:
+    released by unpersist_intermediates, so repeated calls don't grow
+    cached-RDD state."""
+    from pyspark.sql import Row
+
+    from cayley_spark.functions._cache import unpersist_intermediates
+    from cayley_spark.functions.dedup import duplicate_clusters
+
+    def persisted_ids():
+        m = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(k) for k in m.keySet().toArray()}
+
+    ids = spark.createDataFrame([Row(doc_id=i) for i in range(4)])
+    pairs = spark.createDataFrame([Row(id_a=0, id_b=1)])
+    before = persisted_ids()
+    out = duplicate_clusters(ids, pairs)
+    out.count()
+    assert unpersist_intermediates(out) == 1
+    # the result stays materializable after release (checkpoint-backed)
+    out.count()
+    # idempotent: no handles left to release
+    assert unpersist_intermediates(out) == 0
+
+
 def test_redact(spark):
     """PII scrub hits emails, IPs, phone-shaped numbers; counts are
     exact."""

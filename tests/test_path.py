@@ -387,6 +387,52 @@ def test_follow_recursive_driver_vs_distributed(social):
     assert fast == [("<bob>", 1), ("<dani>", 1), ("<fred>", 2), ("<greg>", 2)]
 
 
+def test_follow_recursive_budget_boundary(spark):
+    """Pricing boundary: an edge slice of budget+1 rows must DECLINE
+    the driver-BFS fast path (returns None — the count-first probe
+    ships no rows), while a slice of exactly budget rows accepts; the
+    query result is identical either way."""
+    from cayley_spark import GraphStore
+    from cayley_spark.plans import compiler as C
+    from cayley_spark import shapes as S
+
+    quads = [(IRI(f"m{i}"), IRI("next"), IRI(f"m{i+1}")) for i in range(10)]
+    st = GraphStore.from_quad_values(spark, quads).persist()
+    p = Path.start(st, IRI("m0")).follow_recursive(IRI("next"))
+    shape = p.shape()
+    # locate the Recursive node (Intersect(AllNodes-ish, Recursive)...)
+    rec = None
+    stack = [shape]
+    while stack:
+        s = stack.pop()
+        if isinstance(s, S.Recursive):
+            rec = s
+            break
+        if hasattr(s, "sub"):
+            sub = s.sub
+            stack.extend(sub if isinstance(sub, tuple) else [sub])
+    assert rec is not None and rec.via_hop is not None
+    start = C.compile_nodes(st, rec.sub).select("id").dropDuplicates(["id"])
+    spark.conf.set("spark.cayley.recursive.collectBudget", "9")  # 10 edges
+    try:
+        assert C._recursive_driver_bfs(st, rec, start) is None
+    finally:
+        spark.conf.unset("spark.cayley.recursive.collectBudget")
+    spark.conf.set("spark.cayley.recursive.collectBudget", "10")
+    try:
+        out = C._recursive_driver_bfs(st, rec, start)
+        assert out is not None and out.count() == 10
+    finally:
+        spark.conf.unset("spark.cayley.recursive.collectBudget")
+    # end-to-end agreement across the boundary
+    spark.conf.set("spark.cayley.recursive.collectBudget", "9")
+    try:
+        dist = sorted(p.all_values())
+    finally:
+        spark.conf.unset("spark.cayley.recursive.collectBudget")
+    assert dist == sorted(f"<m{i}>" for i in range(1, 11))
+
+
 def test_follow_recursive_reliable_checkpoint(tmp_path):
     """Distributed loop, depth > _SEEN_COLLAPSE_EVERY, with a
     checkpoint dir configured: exercises the RELIABLE-checkpoint

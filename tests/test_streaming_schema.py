@@ -250,6 +250,84 @@ def test_sessionize_batch_vs_stream(spark, tmp_path):
     assert got == batch - open_sessions
 
 
+def test_sessionize_fractional_gap(spark):
+    """Fractional gap_seconds behave identically for timestamp-typed
+    and numeric ts columns (ADVICE round 3: the INTERVAL branch used
+    to truncate 0.5 -> 0 and split every event into its own session)."""
+    from pyspark.sql import functions as F
+
+    from cayley_spark.streaming.sessions import sessionize
+
+    rows = [(1, 0.0), (1, 0.4), (1, 1.2)]  # gaps 0.4s, 0.8s
+    num = spark.createDataFrame(rows, "user_id long, ts double")
+    ts = num.select(
+        "user_id", F.timestamp_seconds(F.col("ts")).alias("ts")
+    )
+    n_num = sessionize(num, gap_seconds=0.5).count()
+    n_ts = sessionize(ts, gap_seconds=0.5).count()
+    # 0.4 <= 0.5 merges, 0.8 > 0.5 splits -> exactly 2 sessions
+    assert n_num == n_ts == 2
+
+
+def test_sessionize_stream_state_expiry(spark, tmp_path):
+    """With a watermark on the input, open-session state EXPIRES: once
+    the watermark passes end+gap the session is emitted closed and the
+    key's state removed — a later event for that key opens a NEW
+    session (VERDICT round 3 #5). Without expiry, keys 1's sessions
+    would never be emitted (no later key-1 event closes them)."""
+    import json as _json
+    import os as _os
+
+    from cayley_spark.streaming.sessions import sessionize_stream
+
+    # per-file micro-batches; u2 is the "clock" advancing the watermark
+    batches = [
+        [(1, "2024-01-01 00:00:00"), (1, "2024-01-01 00:10:00"),
+         (2, "2024-01-01 00:05:00")],
+        [(2, "2024-01-01 02:00:00")],   # wm -> ~02:00 after this batch
+        [(2, "2024-01-01 02:05:00")],   # u1 (timeout 00:40) expires here
+        [(1, "2024-01-01 03:00:00")],   # u1 reopens: NEW session
+        [(2, "2024-01-01 06:00:00")],   # wm -> ~06:00
+        [(2, "2024-01-01 06:05:00")],   # u1's second session expires
+    ]
+    src = tmp_path / "in"
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        with open(src / f"b{i}.json", "w") as f:
+            for uid, ts in rows:
+                f.write(_json.dumps({"user_id": uid, "ts": ts}) + "\n")
+        _os.utime(src / f"b{i}.json", (1_700_000_000 + i * 60,) * 2)
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+        .withWatermark("ts", "10 seconds")
+    )
+    q = (
+        sessionize_stream(stream, gap_seconds=1800)
+        .writeStream.format("memory")
+        .queryName("sess_ttl")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["user_id"], str(r["session_start"]), str(r["session_end"]), r["n_events"])
+        for r in spark.table("sess_ttl").collect()
+    }
+    assert got == {
+        # u1's sessions arrive via EXPIRY (no later u1 event closed them)
+        (1, "2024-01-01 00:00:00", "2024-01-01 00:10:00", 2),
+        (1, "2024-01-01 03:00:00", "2024-01-01 03:00:00", 1),
+        # u2's sessions close normally via later events
+        (2, "2024-01-01 00:05:00", "2024-01-01 00:05:00", 1),
+        (2, "2024-01-01 02:00:00", "2024-01-01 02:05:00", 2),
+    }
+
+
 def test_json_quads_roundtrip(spark, tmp_path):
     from cayley_spark import GraphStore, IRI, Path, String
     from cayley_spark.sources.formats import read_json_quads, write_json_quads
@@ -297,6 +375,62 @@ def test_cli_load_dump_convert(spark, tmp_path):
         line for line in open(back_nq).read().splitlines() if line.strip()
     )
     assert got == sorted(nq.read_text().splitlines())
+
+
+def test_cli_init_and_load_init(spark, tmp_path, capsys):
+    """python -m cayley_spark init / load --init (reference
+    cmd/cayley/command/database.go:66-80,101-104,135): init creates an
+    empty store, errors if one exists; init --quads loads after
+    bootstrap; load --init bootstraps first."""
+    from cayley_spark import GraphStore
+    from cayley_spark.__main__ import main
+
+    db = str(tmp_path / "db")
+    assert main(["init", "--db", db]) == 0
+    assert GraphStore.load(spark, db).stats() == {"nodes": 0, "quads": 0}
+    # second init errors (ErrDatabaseExists semantics)
+    assert main(["init", "--db", db]) == 1
+    assert "already exists" in capsys.readouterr().err
+
+    nq = tmp_path / "in.nq"
+    nq.write_text("<a> <p> <b> .\n")
+    db2 = str(tmp_path / "db2")
+    assert main(["init", "--db", db2, "--quads", str(nq)]) == 0
+    assert GraphStore.load(spark, db2).stats()["quads"] == 1
+    db3 = str(tmp_path / "db3")
+    assert main(["load", "--db", db3, "--quads", str(nq), "--init"]) == 0
+    assert GraphStore.load(spark, db3).stats()["quads"] == 1
+
+
+def test_cli_dedup(spark, tmp_path, capsys):
+    """python -m cayley_spark dedup --type T (reference
+    cmd/cayley/command/dedup.go): same-typed bnodes with identical
+    properties merge; node count drops; --type is mandatory."""
+    from cayley_spark import GraphStore, IRI, Path
+    from cayley_spark.__main__ import main
+
+    nq = tmp_path / "in.nq"
+    nq.write_text(
+        "_:b1 <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <Person> .\n"
+        "_:b2 <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <Person> .\n"
+        '_:b1 <name> "ann" .\n'
+        '_:b2 <name> "ann" .\n'
+        "<x> <knows> _:b1 .\n"
+        "<y> <knows> _:b2 .\n"
+    )
+    db = str(tmp_path / "db")
+    assert main(["load", "--db", db, "--quads", str(nq)]) == 0
+    # missing --type errors, mirroring the reference message
+    assert main(["dedup", "--db", db]) == 1
+    assert "no type is specified" in capsys.readouterr().err
+    assert main(["dedup", "--db", db, "--type", "<Person>"]) == 0
+    out = capsys.readouterr().out
+    st = GraphStore.load(spark, db)
+    # b1/b2 merged: one bnode remains, both x and y point at it
+    assert st.nodes.where("kind = 'bnode'").count() == 1
+    knows = Path.start(st, IRI("x")).out(IRI("knows")).in_(IRI("knows"))
+    assert sorted(knows.all_values()) == ["<x>", "<y>"]
+    assert "->" in out
 
 
 def test_cli_query(spark, tmp_path, capsys):
