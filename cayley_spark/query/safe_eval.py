@@ -23,11 +23,18 @@ query/gizmo/finals.go:122-163 and graph/graphtest/integration.go):
   ``+ - * / %``, ternary ``?:``;
 - automatic semicolon insertion in the common statement-per-line
   style (newlines inside ``(``/``[`` never terminate; a leading ``.``
-  continues the previous expression, as in real JS).
+  continues the previous expression; a statement directly after a
+  closing ``}`` needs no separator, as in real JS);
+- ``for (x in coll)`` — the only loop form; iteration is bounded by
+  the collection's size.
 
-Loops are *not* in the grammar, so the only unbounded work a query
-can express is through the engine's own finals — same bound as the
-reference VM's interrupt-based guard. Function recursion is capped.
+Resource guard: the reference VM kills runaway programs with a goja
+interrupt (query/gizmo/gizmo.go:107-122). The equivalent here is an
+interpreter-wide OP COUNTER (every evaluated node/statement counts;
+``_MAX_OPS`` aborts the program) plus a STRING-SIZE CAP on ``+``
+concatenation (``_MAX_STR``) — without the cap, ``s = s + s`` inside
+capped-depth recursion could still build a 2^64-char string and OOM
+the driver. Function recursion is separately capped.
 """
 
 from __future__ import annotations
@@ -62,10 +69,19 @@ _PUNCT2 = ("==", "!=", "<=", ">=", "&&", "||")
 _PUNCT1 = ".,;()[]{}<>+-*/%!=?:"
 
 _MAX_CALL_DEPTH = 64
+#: interpreter-wide evaluation-step budget per program (the goja
+#: interrupt analog); generous for real queries, fatal for runaway ones
+_MAX_OPS = 1_000_000
+#: largest string '+' may produce (bounds exponential concatenation)
+_MAX_STR = 8 * 1024 * 1024
 
 
 class GizmoSyntaxError(ValueError):
     pass
+
+
+class GizmoResourceError(GizmoSyntaxError):
+    """Program exceeded the sandbox's op or memory budget."""
 
 
 # ---------------------------------------------------------------- tokens
@@ -253,6 +269,11 @@ class _Parser:
             self.next()
             return
         if self.at("eof") or self.at("punct", "}"):
+            return
+        # JS needs no separator after a block-closing '}' — single-line
+        # programs like 'function f(n){ ... } return 0' are valid
+        prev = self.toks[self.i - 1] if self.i > 0 else None
+        if prev is not None and prev.kind == "punct" and prev.val == "}":
             return
         t = self.peek()
         raise GizmoSyntaxError(f"unexpected {t.val!r} after statement")
@@ -698,6 +719,13 @@ class _Interp:
     def __init__(self, g):
         self.globals = _Scope(vars={**_default_env(), "g": g})
         self.depth = 0
+        self.ops = 0
+
+    def tick(self):
+        """One evaluation step — the goja-interrupt analog."""
+        self.ops += 1
+        if self.ops > _MAX_OPS:
+            raise GizmoResourceError("operation limit exceeded")
 
     # -- gates: the entire sandbox boundary is these three functions
     @staticmethod
@@ -708,7 +736,14 @@ class _Interp:
             return obj.get(name)
         name = _JS_ALIASES.get(name, name)
         if name in _SURFACE:
-            return getattr(obj, name)
+            try:
+                return getattr(obj, name)
+            except AttributeError:
+                # a gizmo method name on a non-gizmo value (e.g. an
+                # array) is a query error, not a server error
+                raise GizmoSyntaxError(
+                    f"member {name!r} not available on this value"
+                ) from None
         raise GizmoSyntaxError(f"unknown gizmo method {name!r}")
 
     @staticmethod
@@ -734,6 +769,7 @@ class _Interp:
 
     # -- statements
     def exec_stmt(self, stmt, scope):
+        self.tick()
         kind = stmt[0]
         if kind == "expr":
             return self.eval(stmt[1], scope)
@@ -783,6 +819,7 @@ class _Interp:
 
     # -- expressions
     def eval(self, node, scope):
+        self.tick()
         kind = node[0]
         if kind == "const":
             return node[1]
@@ -843,7 +880,10 @@ class _Interp:
                     if x is None:
                         return "null"
                     return str(x)
-                return s(l) + s(r)
+                a, b = s(l), s(r)
+                if len(a) + len(b) > _MAX_STR:
+                    raise GizmoResourceError("string size limit exceeded")
+                return a + b
             if isinstance(l, (int, float)) and isinstance(r, (int, float)):
                 return l + r
             raise GizmoSyntaxError("bad operands for +")

@@ -212,6 +212,12 @@ ESCAPES = [
     'g["V"]',  # no index access into engine objects
     "'a'.constructor",  # no primitive prototypes
     "function f(){}\nf.constructor",  # no function introspection
+    # resource-bomb era: op counter + string cap (goja interrupt analog)
+    # exponential string doubling under the recursion cap -> string cap
+    "function f(s, n){ if (n > 60) { return s } return f(s + s, n + 1) }\nf('aaaaaaaaaaaaaaaa', 0)",
+    # op bomb: nested for-in over an array built by concatenation
+    "var a = [1,2,3,4,5,6,7,8,9,10]\nvar n = 0\nfor (i in a) { for (j in a) { for (k in a) { for (l in a) { for (m in a) { for (o in a) { n = n + 1 } } } } } }\nn",
+    "[1,2].All",  # gizmo method name on a non-gizmo value: 400 not 500
 ]
 
 
@@ -253,6 +259,31 @@ def test_gizmo_js_callback(srv):
     assert sorted(r["id"] for r in out["result"]) == [
         "<alice>", "<charlie>", "<dani>"
     ]
+
+
+def test_gizmo_for_in_loop(srv):
+    """A bounded for-in loop over ToArray() results — the common
+    user idiom beyond the verbatim corpus (VERDICT round 3 #7)."""
+    out = post(
+        f"{srv}/api/v1/query/gizmo",
+        """
+        var names = g.V("<bob>").in("<follows>").toArray()
+        for (i in names) {
+            g.emit(names[i])
+        }
+        """,
+    )
+    assert sorted(out["result"]) == ["<alice>", "<charlie>", "<dani>"]
+
+
+def test_gizmo_single_line_after_brace(srv):
+    """No separator needed after '}' (real-JS rule) — single-line
+    programs from HTTP clients that strip newlines must parse."""
+    out = post(
+        f"{srv}/api/v1/query/gizmo",
+        'function f(n){ if (n > 0) { return f(n-1) } return 0 } g.emit(f(3))',
+    )
+    assert out["result"] == [0]
 
 
 def test_gizmo_named_function(srv):
