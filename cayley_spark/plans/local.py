@@ -346,7 +346,8 @@ def _eval_intersect(idx: LocalIndex, shape: S.Intersect) -> LTable:
             out.cols, [r for r in out.rows if r[ii] in ids], dict(out.types)
         )
     for b in rest[1:]:
-        bt = eval_nodes(idx, b)
+        ids = {r[ii] for r in out.rows}
+        bt = _eval_restricted(idx, b, ids)
         btags = bt.tags()
         if not btags:
             bids = {r[bt.col_idx("id")] for r in bt.rows}
@@ -362,7 +363,8 @@ def _eval_intersect(idx: LocalIndex, shape: S.Intersect) -> LTable:
             bt = _drop_columns(bt, [c for c in btags if c in out.cols])
             out = _join_on_id(out, bt, "inner")
     for opt in shape.optional:
-        ot = eval_nodes(idx, opt)
+        ids = {r[ii] for r in out.rows}
+        ot = _eval_restricted(idx, opt, ids)
         ot = _drop_columns(
             ot, [c for c in ot.cols if c != "id" and c not in ot.tags()]
         )
@@ -371,6 +373,47 @@ def _eval_intersect(idx: LocalIndex, shape: S.Intersect) -> LTable:
         )
         out = _join_on_id(out, ot, "left_outer")
     return out
+
+
+def _eval_restricted(idx: LocalIndex, shape: S.Shape, ids: set) -> LTable:
+    """Evaluate a non-driving Intersect branch with the driving side's
+    id-set pushed into its quad scan — the local twin of the
+    reference and-iterator's Contains probes (graph/iterator/and.go):
+    branch rows whose id is outside the driving set can never survive
+    the join, so a Save/Has branch over a huge predicate slice (e.g.
+    every <name> edge) probes the (p, dir) index per driving id
+    instead of materializing the whole slice. Sound for inner,
+    semi and left-outer joins alike; multiplicities are untouched
+    because the pushed set is distinct."""
+    if isinstance(shape, S.Tag):
+        t = _eval_restricted(idx, shape.sub, ids)
+        ii = t.col_idx("id")
+        for name in shape.tags:
+            t = _with_column(t, name, [r[ii] for r in t.rows], "long")
+        return t
+    if isinstance(shape, S.Unique):
+        t = _eval_restricted(idx, shape.sub, ids)
+        ii = t.col_idx("id")
+        seen: set = set()
+        rows = []
+        for r in t.rows:
+            if r[ii] not in seen:
+                seen.add(r[ii])
+                rows.append(r)
+        return LTable(t.cols, rows, dict(t.types))
+    if isinstance(shape, S.NodesFrom) and isinstance(shape.quads, S.Quads):
+        ft = LTable(["id"], [(i,) for i in ids])
+        q2 = S.Quads(
+            (S.QuadFilter(shape.dir, _LocalFrontier(ft)),)
+            + tuple(shape.quads.filters),
+            shape.quads.save,
+        )
+        return eval_nodes(idx, S.NodesFrom(shape.dir, q2))
+    t = eval_nodes(idx, shape)
+    ii = t.col_idx("id")
+    return LTable(
+        t.cols, [r for r in t.rows if r[ii] in ids], dict(t.types)
+    )
 
 
 # ---------------- quad evaluation ----------------
