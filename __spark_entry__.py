@@ -518,6 +518,36 @@ def t_redact(spark, sf):
     return redaction_stats(docs)
 
 
+def t_repetition(spark, sf):
+    """Gopher-style repetition gates: duplicate-token and top-token
+    fractions per doc, zero-shuffle (sorted-array run-length pass)."""
+    from cayley_spark.functions.text import repetition_stats
+
+    docs = _t_wide(spark, sf, "documents")
+    return repetition_stats(docs)
+
+
+def t_contaminate(spark, sf):
+    """Benchmark decontamination: corpus docs sharing any word 5-gram
+    with the benchmark slice (doc_id % 25 == 0 stands in for the eval
+    set); benchmark n-gram set broadcasts."""
+    from cayley_spark.functions.dedup import benchmark_contamination
+
+    docs = _t_wide(spark, sf, "documents")
+    bench = docs.where(F.col("doc_id") % 25 == 0)
+    corpus = docs.where(F.col("doc_id") % 25 != 0)
+    return benchmark_contamination(corpus, bench, n=5)
+
+
+def t_split(spark, sf):
+    """Deterministic content-hash train/val/test split (1/16 val,
+    1/16 test) — reproducible across runs and engines."""
+    from cayley_spark.functions.sampling import hash_split
+
+    docs = _t_wide(spark, sf, "documents")
+    return hash_split(docs)
+
+
 def g_recursive_dist(spark, sf):
     """FollowRecursive forced onto the DISTRIBUTED frontier loop
     (collect budget 0), so the oracle gate checks both recursion
@@ -620,6 +650,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_fingerprint": t_fingerprint,
         "t_langid": t_langid,
         "t_redact": t_redact,
+        "t_repetition": t_repetition,
+        "t_contaminate": t_contaminate,
+        "t_split": t_split,
         "d_exact": d_exact,
         "d_lsh": d_lsh,
         "d_jaccard": d_jaccard,
@@ -1083,6 +1116,54 @@ def oracle_sql() -> dict[str, str]:
                   '\+?\b\d{3}[- .]\d{3}[- .]\d{4}\b', '<PHONE>', 'g'
                 ), '<EMAIL>|<IP>|<PHONE>')) AS INT) AS n_redactions
             FROM documents
+        """,
+        "t_repetition": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '\w+')) AS tok
+              FROM documents
+            ), f AS (
+              SELECT doc_id, tok, COUNT(*) AS c
+              FROM toks GROUP BY doc_id, tok
+            )
+            SELECT doc_id,
+              CAST(SUM(c) AS BIGINT) AS n_tokens,
+              COUNT(*) AS n_distinct,
+              CAST(SUM(c) - COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+                AS dup_token_ratio,
+              CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+                AS top_token_ratio
+            FROM f GROUP BY doc_id
+        """,
+        "t_contaminate": r"""
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t
+              FROM documents
+            ), grams AS (
+              SELECT doc_id,
+                unnest(list_distinct([array_to_string(t[i:i+4], ' ')
+                                      for i in range(1, len(t) - 3)])) AS g
+              FROM toks WHERE len(t) >= 5
+            ), bench AS (
+              SELECT DISTINCT g FROM grams WHERE doc_id % 25 = 0
+            )
+            SELECT c.doc_id, COUNT(DISTINCT c.g) AS n_contaminated
+            FROM grams c JOIN bench b ON c.g = b.g
+            WHERE c.doc_id % 25 <> 0
+            GROUP BY c.doc_id
+        """,
+        "t_split": """
+            WITH b AS (
+              SELECT doc_id,
+                CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 16 AS INT)
+                  AS bucket
+              FROM documents
+            )
+            SELECT doc_id, bucket,
+              CASE WHEN bucket < 1 THEN 'val'
+                   WHEN bucket < 2 THEN 'test'
+                   ELSE 'train' END AS split
+            FROM b
         """,
         "d_exact": """
             WITH g AS (

@@ -371,3 +371,38 @@ def simhash64(col: Column, k: int = 2) -> Column:
     for b in range(63):
         out = out + F.when(counts[b] > 0, F.lit(1 << b)).otherwise(F.lit(0))
     return out + F.when(counts[63] > 0, F.lit(-(1 << 63))).otherwise(F.lit(0))
+
+
+def benchmark_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any
+    word n-gram with an evaluation/benchmark set — the standard
+    train-set contamination check (13-gram overlap in GPT-3 appx C;
+    n is a parameter because the right span depends on tokenizer and
+    doc length). Returns (id, n_contaminated) with the count of
+    DISTINCT shared n-grams, for docs with at least one.
+
+    Scale shape: benchmark sets are tiny relative to a 100 TB corpus,
+    so the benchmark's distinct n-gram set BROADCASTS; the corpus
+    side is a map-side generate-and-probe (no shuffle of corpus
+    n-grams) followed by one groupBy on the doc id (uniform keys).
+    Nothing all-pairs, nothing driver-side."""
+    def grams(df):
+        return df.select(
+            F.col(id_col).alias("id"),
+            F.explode(word_shingles(F.col(text_col), k=n)).alias("g"),
+        )
+
+    bench_g = grams(benchmark).select("g").distinct()
+    return (
+        grams(corpus)
+        .join(F.broadcast(bench_g), "g", "inner")
+        .groupBy("id")
+        .agg(F.count_distinct("g").alias("n_contaminated"))
+        .select(F.col("id").alias(id_col), "n_contaminated")
+    )

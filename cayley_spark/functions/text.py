@@ -130,3 +130,50 @@ def redaction_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.select(
         "doc_id", red.alias("redacted"), n.cast("int").alias("n_redactions")
     )
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition gates (Rae et al. 2021 §A1.1: documents
+    dominated by a few repeated tokens are low-quality): per document,
+    token counts plus the duplicate-token fraction and the most-
+    frequent-token fraction.
+
+    Pure column expressions — the max token frequency comes from a
+    single ``aggregate`` run-length pass over the SORTED token array
+    (JVM-side, whole-stage codegen), so the operator is scan-speed
+    with ZERO shuffles at any scale; the explode+groupBy formulation
+    would shuffle every token.
+
+    Ratios are IEEE double divisions of exact ints, so any engine
+    computing the same quotients matches bit-for-bit (hash-stable
+    against the DuckDB oracle without rounding)."""
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    d = F.size(F.array_distinct(toks))
+    srt = F.array_sort(toks)
+    acc0 = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+    run = lambda acc, x: F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+        F.lit(1)
+    )
+    maxfreq = F.aggregate(
+        srt,
+        acc0,
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            run(acc, x).alias("run"),
+            F.greatest(acc["best"], run(acc, x)).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    nn = F.when(n > 0, n.cast("double"))
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        d.cast("long").alias("n_distinct"),
+        ((n - d).cast("double") / nn).alias("dup_token_ratio"),
+        (maxfreq.cast("double") / nn).alias("top_token_ratio"),
+    )

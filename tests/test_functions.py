@@ -353,3 +353,67 @@ def test_persisted_intermediates_tracked_and_released(spark, docs):
     assert persisted_ids() <= before
     # idempotent
     assert unpersist_intermediates(lsh) == 0
+
+
+def test_repetition_stats(spark):
+    """Known-value check + the scale property: ZERO shuffles (the max
+    token frequency comes from a sorted-array run-length pass, not an
+    explode+groupBy)."""
+    from pyspark.sql import Row
+
+    from cayley_spark.functions.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="a a a b"), Row(doc_id=2, text="x y z w")]
+    )
+    got = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert got[1]["n_tokens"] == 4 and got[1]["n_distinct"] == 2
+    assert got[1]["dup_token_ratio"] == 0.5
+    assert got[1]["top_token_ratio"] == 0.75
+    assert got[2]["dup_token_ratio"] == 0.0
+    assert got[2]["top_token_ratio"] == 0.25
+    plan = repetition_stats(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_benchmark_contamination(spark):
+    """Docs sharing an n-gram with the benchmark are flagged with the
+    DISTINCT shared-gram count; the benchmark side broadcasts."""
+    from pyspark.sql import Row
+
+    from cayley_spark.functions.dedup import benchmark_contamination
+
+    bench = spark.createDataFrame(
+        [Row(doc_id=100, text="the quick brown fox jumps over")]
+    )
+    corpus = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="xx the quick brown fox jumps yy"),
+            Row(doc_id=2, text="completely unrelated words here okay fine"),
+        ]
+    )
+    out = benchmark_contamination(corpus, bench, n=5)
+    got = {r["doc_id"]: r["n_contaminated"] for r in out.collect()}
+    assert got == {1: 1}  # shares exactly one 5-gram
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_hash_split_deterministic(spark):
+    """Content-hash splits: reproducible, content-addressed (equal
+    text -> equal split regardless of id), full coverage."""
+    from pyspark.sql import Row
+
+    from cayley_spark.functions.sampling import hash_sample, hash_split
+
+    rows = [Row(doc_id=i, text=f"document number {i}") for i in range(64)]
+    rows.append(Row(doc_id=999, text="document number 7"))  # dup content
+    df = spark.createDataFrame(rows)
+    a = {r["doc_id"]: (r["bucket"], r["split"]) for r in hash_split(df).collect()}
+    b = {r["doc_id"]: (r["bucket"], r["split"]) for r in hash_split(df).collect()}
+    assert a == b  # deterministic across runs
+    assert a[999] == a[7]  # content-addressed
+    assert all(0 <= v[0] < 16 for v in a.values())
+    assert {v[1] for v in a.values()} <= {"train", "val", "test"}
+    sampled = {r["doc_id"] for r in hash_sample(df).collect()}
+    assert sampled == {k for k, v in a.items() if v[0] == 0}
