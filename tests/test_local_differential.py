@@ -1,0 +1,157 @@
+"""Differential fuzz: the local engine vs the distributed compiler.
+
+The two engines share one logical IR (shapes.py) and must agree on
+every query. The corpus tests pin known answers; this module pins the
+ENGINES TO EACH OTHER on randomized graphs and randomized path
+queries — the strongest guard against semantic drift in either
+implementation (multiplicity, tag merge, optional nulls, filter
+kind-gating, recursion frontiers).
+
+Hypothesis runs derandomized (fixed seed) so CI is stable; bump
+``max_examples`` locally when hunting."""
+
+from collections import Counter
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from cayley_spark import GraphStore, IRI, Path
+from cayley_spark import shapes as S
+
+NODES = [IRI(f"n{i}") for i in range(8)]
+PREDS = [IRI("p0"), IRI("p1"), IRI("p2")]
+
+
+@st.composite
+def graphs(draw):
+    n = draw(st.integers(min_value=3, max_value=18))
+    quads = []
+    for _ in range(n):
+        s = draw(st.sampled_from(NODES))
+        p = draw(st.sampled_from(PREDS))
+        o = draw(st.sampled_from(NODES))
+        quads.append((s, p, o))
+    return tuple(quads)
+
+
+@st.composite
+def paths(draw):
+    """A random op chain starting from a random (possibly fixed) set."""
+    start = draw(
+        st.lists(st.sampled_from(NODES), min_size=0, max_size=2, unique=True)
+    )
+    ops = []
+    for _ in range(draw(st.integers(min_value=1, max_value=4))):
+        kind = draw(
+            st.sampled_from(
+                [
+                    "out", "in", "both", "has", "tag", "save",
+                    "union", "intersect", "except", "unique",
+                    "regex", "optional_save",
+                ]
+            )
+        )
+        if kind in ("out", "in", "both"):
+            preds = draw(
+                st.one_of(st.none(), st.sampled_from(PREDS))
+            )
+            ops.append((kind, preds))
+        elif kind == "has":
+            ops.append((kind, draw(st.sampled_from(PREDS)),
+                        draw(st.sampled_from(NODES))))
+        elif kind == "tag":
+            ops.append((kind, draw(st.sampled_from(["a", "b"]))))
+        elif kind in ("save", "optional_save"):
+            ops.append((kind, draw(st.sampled_from(PREDS)),
+                        draw(st.sampled_from(["sv", "sw"]))))
+        elif kind in ("union", "intersect", "except"):
+            ops.append((kind, draw(st.sampled_from(PREDS)),
+                        draw(st.sampled_from(NODES))))
+        elif kind == "regex":
+            ops.append((kind, draw(st.sampled_from(["n[0-3]", "n.*"]))))
+        else:
+            ops.append((kind,))
+    return (tuple(start), tuple(ops))
+
+
+def build_path(store, spec):
+    start, ops = spec
+    p = Path.start(store, *start)
+    for op in ops:
+        kind = op[0]
+        if kind == "out":
+            p = p.out(*([op[1]] if op[1] else []))
+        elif kind == "in":
+            p = p.in_(*([op[1]] if op[1] else []))
+        elif kind == "both":
+            p = p.both(*([op[1]] if op[1] else []))
+        elif kind == "has":
+            p = p.has(op[1], op[2])
+        elif kind == "tag":
+            p = p.tag(op[1])
+        elif kind == "save":
+            p = p.save(op[1], op[2])
+        elif kind == "optional_save":
+            p = p.save_opt(op[1], op[2])
+        elif kind == "union":
+            p = p.or_(Path.start(store, op[2]).out(op[1]))
+        elif kind == "intersect":
+            p = p.and_(Path.start(store, op[2]).both(op[1]))
+        elif kind == "except":
+            p = p.except_(Path.start(store, op[2]).out(op[1]))
+        elif kind == "unique":
+            p = p.unique()
+        elif kind == "regex":
+            p = p.regex(op[1], refs=True)
+    return p
+
+
+def rows_multiset(path):
+    return Counter(
+        tuple(sorted(r.items(), key=lambda kv: kv[0])) for r in path.all()
+    )
+
+
+@pytest.fixture(scope="module")
+def session(spark):
+    return spark
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(g=graphs(), spec=paths())
+def test_engines_agree(session, g, spec):
+    dist = GraphStore.from_quad_values(session, list(g))
+    local = GraphStore.from_quad_values(session, list(g)).enable_local()
+    assert getattr(local, "_local_index", None) is not None
+    got_d = rows_multiset(build_path(dist, spec))
+    got_l = rows_multiset(build_path(local, spec))
+    assert got_d == got_l, f"engines diverge on {spec!r}\ngraph={g!r}"
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(g=graphs(), start=st.sampled_from(NODES), pred=st.sampled_from(PREDS))
+def test_engines_agree_recursive(session, g, start, pred):
+    """FollowRecursive with depth tags: driver BFS, distributed loop,
+    and local engine must produce identical (node, depth) sets."""
+    dist = GraphStore.from_quad_values(session, list(g))
+    local = GraphStore.from_quad_values(session, list(g)).enable_local()
+
+    def run(store):
+        return sorted(
+            (r["id"], r["d"])
+            for r in Path.start(store, start)
+            .follow_recursive(pred, depth_tag="d")
+            .all()
+        )
+
+    assert run(dist) == run(local)
