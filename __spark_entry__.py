@@ -518,6 +518,20 @@ def t_redact(spark, sf):
     return redaction_stats(docs)
 
 
+def q_events_windowed(spark, sf):
+    """Tumbling-window rollup via the streaming-capable operator
+    (streaming/aggregates.windowed_counts) run in batch mode — the
+    SAME plan incrementalizes under writeStream (append + watermark,
+    test_windowed_counts_batch_vs_stream)."""
+    from cayley_spark.streaming.aggregates import windowed_counts
+
+    ev = _events(spark, sf).withColumn("value", _dec(F.col("value"), 4))
+    out = windowed_counts(ev, window="1 hour")
+    return out.withColumn(
+        "sum_value", F.col("sum_value").cast("double")
+    )
+
+
 def t_repetition(spark, sf):
     """Gopher-style repetition gates: duplicate-token and top-token
     fractions per doc, zero-shuffle (sorted-array run-length pass)."""
@@ -643,6 +657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5": q5,
         "q6": q6,
         "q_events_hourly": q_events_hourly,
+        "q_events_windowed": q_events_windowed,
         "q_sessions": q_sessions,
         "q_events_topuser": q_events_topuser,
         "t_tokens": t_tokens,
@@ -1020,6 +1035,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_events_hourly": """
             SELECT date_trunc('hour', ts) AS hour, event_type,
+              COUNT(*) AS n,
+              CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "q_events_windowed": """
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
               COUNT(*) AS n,
               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
             FROM events GROUP BY 1, 2
