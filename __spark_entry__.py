@@ -532,6 +532,18 @@ def q_events_windowed(spark, sf):
     )
 
 
+def d_dedup_corpus(spark, sf):
+    """End-to-end near-dup removal: the surviving doc ids after
+    LSH→verify→cluster→keep-representative (the corpus a pipeline
+    would actually train on)."""
+    from cayley_spark.functions.dedup import dedup_corpus
+
+    docs = _t_wide(spark, sf, "documents")
+    return dedup_corpus(
+        docs, k=3, num_hashes=16, bands=4, jaccard_threshold=0.2
+    ).select("doc_id")
+
+
 def t_repetition(spark, sf):
     """Gopher-style repetition gates: duplicate-token and top-token
     fractions per doc, zero-shuffle (sorted-array run-length pass)."""
@@ -673,6 +685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_jaccard": d_jaccard,
         "d_simhash": d_simhash,
         "d_cluster": d_cluster,
+        "d_dedup_corpus": d_dedup_corpus,
         "d_embed": d_embed,
         "s_knn": s_knn,
         "s_knn_lsh": s_knn_lsh,
@@ -1258,6 +1271,44 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id AS doc_id, MIN(lab) AS cluster_id
             FROM reach GROUP BY id
+        """,
+        "d_dedup_corpus": rf"""
+            WITH RECURSIVE sh AS (
+              SELECT doc_id AS id, {_SHINGLE3} AS sh
+              FROM (SELECT doc_id,
+                           regexp_extract_all(lower(text), '\w+') AS toks
+                    FROM documents)
+              WHERE len(toks) >= 3
+            ), sig AS (
+              SELECT id, sh, {_MINHASH} AS sig FROM sh
+            ), banded AS (
+              SELECT id, sh, unnest({_BANDS}, recursive := true)
+              FROM sig
+            ), cand AS (
+              SELECT DISTINCT a.id AS id_a, b.id AS id_b
+              FROM banded a JOIN banded b
+                ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
+            ), pairs AS (
+              SELECT p.id_a, p.id_b
+              FROM cand p
+              JOIN sh x ON x.id = p.id_a
+              JOIN sh y ON y.id = p.id_b
+              WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                  / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) >= 0.2
+            ), edges AS (
+              SELECT id_a AS a, id_b AS b FROM pairs
+              UNION ALL
+              SELECT id_b AS a, id_a AS b FROM pairs
+            ), reach AS (
+              SELECT doc_id AS id, doc_id AS lab FROM documents
+              UNION
+              SELECT e.b AS id, r.lab
+              FROM reach r JOIN edges e ON e.a = r.id
+            ), clusters AS (
+              SELECT id AS doc_id, MIN(lab) AS cluster_id
+              FROM reach GROUP BY id
+            )
+            SELECT doc_id FROM clusters WHERE cluster_id = doc_id
         """,
         "d_jaccard": r"""
             WITH sh AS (

@@ -406,3 +406,52 @@ def benchmark_contamination(
         .agg(F.count_distinct("g").alias("n_contaminated"))
         .select(F.col("id").alias(id_col), "n_contaminated")
     )
+
+
+def dedup_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """End-to-end near-duplicate REMOVAL: MinHash-LSH candidates →
+    exact-Jaccard verification → connected-component clustering →
+    keep the min-id representative of every cluster. Returns the
+    surviving rows of ``df`` (all columns), i.e. the deduplicated
+    corpus a training pipeline feeds downstream.
+
+    Composition of the verified building blocks, so the scale
+    properties are theirs: one banded equi-join, candidate-only
+    verification, per-round join+agg clustering, and a final
+    LEFT SEMI join of the corpus against the surviving ids (no row
+    data moves through the dedup pipeline itself — only ids and
+    signatures)."""
+    pairs_full = minhash_lsh_pairs(
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        k=k,
+        num_hashes=num_hashes,
+        bands=bands,
+        jaccard_threshold=jaccard_threshold,
+    )
+    # note: .select() returns a NEW DataFrame without the persist
+    # handles — track from pairs_full, not the projection
+    pairs = pairs_full.select("id_a", "id_b")
+    clusters = duplicate_clusters(
+        df.select(id_col), pairs, id_col=id_col
+    )
+    keep = clusters.where(
+        F.col("cluster_id") == F.col(id_col)
+    ).select(id_col)
+    out = df.join(keep, id_col, "left_semi")
+    from ._cache import track_persisted
+
+    return track_persisted(
+        out,
+        *getattr(pairs_full, "_cayley_persisted", ()),
+        *getattr(clusters, "_cayley_persisted", ()),
+    )

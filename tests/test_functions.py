@@ -417,3 +417,18 @@ def test_hash_split_deterministic(spark):
     assert {v[1] for v in a.values()} <= {"train", "val", "test"}
     sampled = {r["doc_id"] for r in hash_sample(df).collect()}
     assert sampled == {k for k, v in a.items() if v[0] == 0}
+
+
+def test_dedup_corpus_end_to_end(docs, spark):
+    """LSH -> verify -> cluster -> keep-one: exact dup pair (0,4) and
+    near-dup 1 collapse to representative 0; unrelated docs survive;
+    all columns come through; persist handles release."""
+    from cayley_spark.functions._cache import unpersist_intermediates
+    from cayley_spark.functions.dedup import dedup_corpus
+
+    out = dedup_corpus(docs, k=3, bands=8, jaccard_threshold=0.5)
+    rows = out.collect()
+    kept = sorted(r["doc_id"] for r in rows)
+    assert kept == [0, 2, 3, 5]  # 1 and 4 are near/exact dups of 0
+    assert set(rows[0].asDict()) == {"doc_id", "lang", "text"}
+    assert unpersist_intermediates(out) >= 3  # sh, sig, edges
