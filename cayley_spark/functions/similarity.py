@@ -155,24 +155,33 @@ def kmeans_centroids(
 
 
 def _nearest(v: Column, cents: list[list[float]]) -> Column:
-    """Index of the nearest centroid (squared L2) as one expression.
-    Implemented as array_min over (dist, idx) structs — a chained
-    when(d < best, ...) formulation duplicates the running best into
-    every next comparison and the expression tree grows 2^n_centroids
-    (planner OOM at 16 centroids)."""
-    entries = []
-    for i, c in enumerate(cents):
-        d = F.aggregate(
-            F.zip_with(
-                v,
-                F.array(*[F.lit(x) for x in c]),
-                lambda a, b: (a - b) * (a - b),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        entries.append(F.struct(d.alias("d"), F.lit(i).alias("i")))
-    return F.array_min(F.array(*entries))["i"]
+    """Index of the nearest centroid (squared L2) as one expression:
+    array_min over (dist, idx) structs. Written as NESTED higher-order
+    functions over a single 2-D literal array — the per-centroid
+    unrolled form embedded 16 x dim literal constants and cost
+    seconds of janino compilation PER LLOYD ROUND (each round's new
+    centroid literals defeat the codegen cache), dominating kmeans on
+    small inputs; HOF lambdas compile to one compact loop regardless
+    of n_centroids x dim. The fold order over dimensions is identical
+    to the unrolled form, so assignments (and the SQL oracle) are
+    bit-for-bit unchanged. A chained when(d < best, ...) formulation
+    is worse still: the running best duplicates into every next
+    comparison and the tree grows 2^n_centroids (planner OOM at 16).
+    Map-only by construction — no shuffle enters the assignment pass
+    at any scale."""
+    cents_lit = F.array(*[F.array(*[F.lit(x) for x in c]) for c in cents])
+    entries = F.transform(
+        cents_lit,
+        lambda c, i: F.struct(
+            F.aggregate(
+                F.zip_with(v, c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("d"),
+            i.alias("i"),
+        ),
+    )
+    return F.array_min(entries)["i"]
 
 
 def ivf_topk(
