@@ -430,6 +430,55 @@ def q_events_topuser(spark, sf):
     )
 
 
+def q_asof(spark, sf):
+    """As-of join (operators/joins.py): last-touch attribution — each
+    purchase event joined to the user's latest click at-or-before it.
+    Union + one window over (user_id), no join node in the plan; the
+    naive formulation (inequality join + argmax) multiplies every
+    purchase by its full click history. Clicks are pre-deduped to one
+    per (user, ts) so the match is deterministic on both engines."""
+    from pyspark.sql.window import Window
+
+    from cayley_spark.operators.joins import asof_join
+
+    ev = _events(spark, sf)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    w = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("user_id", "ts", F.col("event_id").alias("click_id"))
+    )
+    out = asof_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_cols=["click_id"]
+    )
+    return out.withColumnRenamed("ts_right", "click_ts")
+
+
+def q_range(spark, sf):
+    """Bucketed range join (operators/joins.py): every click that
+    falls inside a 2-minute window opened by an error event. Interval
+    flooding → plain equi-join on the bucket id; never a nested-loop
+    all-pairs plan."""
+    from cayley_spark.operators.joins import range_join
+
+    ev = _events(spark, sf)
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "ts"
+    )
+    errors = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 120 SECONDS")).alias("end"),
+    )
+    return range_join(
+        clicks, errors, point_ts="ts", bucket_seconds=120
+    ).select("error_id", "click_id")
+
+
 # ---------------------------------------------------------------
 # text / dedup / similarity (training-data operators)
 # ---------------------------------------------------------------
@@ -672,6 +721,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_windowed": q_events_windowed,
         "q_sessions": q_sessions,
         "q_events_topuser": q_events_topuser,
+        "q_asof": q_asof,
+        "q_range": q_range,
         "t_tokens": t_tokens,
         "t_quality": t_quality,
         "t_fingerprint": t_fingerprint,
@@ -1084,6 +1135,35 @@ def oracle_sql() -> dict[str, str]:
                                    ORDER BY value DESC, event_id) AS rn
               FROM events
             ) WHERE rn = 1
+        """,
+        "q_asof": """
+            WITH p AS (
+              SELECT event_id AS purchase_id, user_id, ts
+              FROM events WHERE event_type = 'purchase'
+            ), cd AS (
+              SELECT user_id, ts, event_id AS click_id FROM (
+                SELECT user_id, ts, event_id,
+                  ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                     ORDER BY event_id DESC) AS rn
+                FROM events WHERE event_type = 'click'
+              ) WHERE rn = 1
+            ), j AS (
+              SELECT p.purchase_id, p.user_id, p.ts,
+                     cd.ts AS click_ts, cd.click_id,
+                ROW_NUMBER() OVER (PARTITION BY p.purchase_id
+                                   ORDER BY cd.ts DESC) AS rn
+              FROM p LEFT JOIN cd
+                ON p.user_id = cd.user_id AND cd.ts <= p.ts
+            )
+            SELECT purchase_id, user_id, ts, click_ts, click_id
+            FROM j WHERE rn = 1
+        """,
+        "q_range": """
+            SELECT e.event_id AS error_id, c.event_id AS click_id
+            FROM events e JOIN events c
+              ON c.event_type = 'click'
+             AND c.ts >= e.ts AND c.ts < e.ts + INTERVAL 120 SECOND
+            WHERE e.event_type = 'error'
         """,
         "t_tokens": r"""
             SELECT doc_id,

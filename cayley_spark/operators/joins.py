@@ -1,0 +1,176 @@
+"""Temporal join operators Spark lacks as built-ins: as-of join and
+point-in-interval range join.
+
+The reference engine has no temporal joins (its data model is quads);
+a training-data/events pipeline needs both constantly (attribution,
+log enrichment, windowed correlation). Neither is expressible as a
+plain equi-join, and the naive formulations are scale traps:
+
+- as-of as ``JOIN ... ON l.key = r.key AND r.ts <= l.ts`` + argmax
+  multiplies every left row by its full right history before pruning;
+- range join as an inequality join compiles to a broadcast
+  nested-loop (all-pairs) in Spark.
+
+Both operators here reduce to ONE hash-partitioned shuffle each:
+
+- ``asof_join`` unions the two sides tagged, sorts each key's
+  partition once, and takes a running ``last(value, ignorenulls)``
+  window — the classic union-merge as-of, O(n log n) per key, no row
+  multiplication, no skew beyond the key distribution itself.
+- ``range_join`` quantizes time into fixed buckets, explodes each
+  interval into the buckets it covers (bounded by
+  interval_length/bucket), and equi-joins on the bucket id — interval
+  flooding, the standard distributed range-join strategy. The exact
+  containment predicate runs as a post-join filter on co-located
+  rows.
+
+All arithmetic is integer microseconds (``unix_micros`` + ``pmod``) —
+no double rounding at any timestamp magnitude.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+_US = 1_000_000
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | str,
+    left_ts: str = "ts",
+    right_ts: str | None = None,
+    right_cols: list[str] | None = None,
+    direction: str = "backward",
+    allow_exact: bool = True,
+    suffix: str = "_right",
+) -> DataFrame:
+    """For each left row, attach the single right row of the same key
+    that is nearest in time: the latest right row with
+    ``right_ts <= left_ts`` (direction='backward', the default — pandas
+    ``merge_asof`` semantics) or the earliest with ``right_ts >=
+    left_ts`` ('forward'). ``allow_exact=False`` makes the comparison
+    strict. Left rows with no match keep nulls (left-join semantics);
+    the output has exactly one row per left row, PROVIDED right has at
+    most one row per (key, right_ts) — pre-aggregate ties upstream,
+    otherwise the latest-sorted duplicate wins.
+
+    Right's attached columns keep their names, suffixed with
+    ``suffix`` only on collision with a left column; the matched right
+    timestamp is attached the same way.
+
+    Plan shape: union of the two projected sides → one shuffle on the
+    key → per-partition sort → running window. No join node at all.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    right_ts = right_ts or left_ts
+    if right_cols is None:
+        right_cols = [
+            c for c in right.columns if c not in keys and c != right_ts
+        ]
+    attach = [right_ts] + [c for c in right_cols if c != right_ts]
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
+
+    # Side ordering at EQUAL timestamps decides exact-match semantics:
+    # the running window must see a same-instant right row iff
+    # allow_exact. backward scans ascending with a trailing frame, so
+    # "right first" includes it; forward scans with a leading frame,
+    # so "left first" includes it.
+    if direction == "backward":
+        r_side, l_side = (0, 1) if allow_exact else (1, 0)
+    else:
+        l_side, r_side = (0, 1) if allow_exact else (1, 0)
+
+    lcols = [c for c in left.columns if c not in keys]
+    tmp = {c: f"__r{i}" for i, c in enumerate(attach)}
+    lt = left.select(
+        *keys,
+        F.col(left_ts).alias("__ts"),
+        F.lit(l_side).alias("__side"),
+        *[F.col(c).alias(c) for c in lcols],
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(tmp[c]) for c in attach],
+    )
+    rt = right.select(
+        *keys,
+        F.col(right_ts).alias("__ts"),
+        F.lit(r_side).alias("__side"),
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in lcols],
+        *[F.col(c).alias(tmp[c]) for c in attach],
+    )
+    u = lt.unionByName(rt)
+    w = Window.partitionBy(*keys).orderBy("__ts", "__side")
+    if direction == "backward":
+        w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        pick = lambda c: F.last(c, ignorenulls=True)  # noqa: E731
+    else:
+        w = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        pick = lambda c: F.first(c, ignorenulls=True)  # noqa: E731
+    for c in attach:
+        u = u.withColumn(tmp[c], pick(tmp[c]).over(w))
+    out_names = {
+        c: (c + suffix if c in left.columns else c) for c in attach
+    }
+    u = u.where(F.col("__side") == F.lit(l_side)).drop("__side")
+    if left_ts not in lcols:  # left_ts was consumed into __ts
+        u = u.withColumn(left_ts, F.col("__ts"))
+    sel = list(left.columns) + [
+        F.col(tmp[c]).alias(out_names[c]) for c in attach
+    ]
+    return u.select(*sel)
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    bucket_seconds: int = 60,
+    on: list[str] | None = None,
+) -> DataFrame:
+    """Inner-join each point to every interval containing it
+    (``start <= point_ts < end``), optionally also matching equality
+    keys ``on``. Output: all point columns + all interval columns
+    (caller guarantees disjoint names apart from ``on``).
+
+    Scale path: each interval explodes into ceil(len/bucket) bucket
+    ids, each point into exactly one — the join is a plain equi-join
+    on (keys..., bucket), hash-partitioned, never nested-loop. Size
+    ``bucket_seconds`` to the typical interval length: the explosion
+    factor is interval_length/bucket + 1 per interval; an interval
+    that would flood more than 10k buckets fails the job loudly
+    (``assert_true``) — widen the bucket rather than flood.
+    """
+    bus = int(bucket_seconds) * _US
+    keys = list(on or [])
+    # cast handles TIMESTAMP_NTZ/DATE (unix_micros requires TIMESTAMP);
+    # a uniform session-tz shift moves all bucket ids identically, so
+    # the containment predicate is unaffected
+    _us_of = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    p_us = _us_of(point_ts)
+    s_us = _us_of(start_col)
+    e_us = _us_of(end_col)
+    # integer bucket id: floor(us / bus) done exactly via pmod
+    p_b = ((p_us - F.pmod(p_us, F.lit(bus))) / F.lit(bus)).cast("long")
+    s_b = ((s_us - F.pmod(s_us, F.lit(bus))) / F.lit(bus)).cast("long")
+    # end is EXCLUSIVE: an interval ending exactly on a bucket
+    # boundary does not cover that bucket
+    e_adj = e_us - F.lit(1)
+    e_b = ((e_adj - F.pmod(e_adj, F.lit(bus))) / F.lit(bus)).cast("long")
+    guard = F.assert_true(
+        e_b - s_b <= F.lit(10_000),
+        F.lit(f"range_join: interval exceeds 10000 buckets of {bucket_seconds}s — increase bucket_seconds"),
+    )
+    iv = intervals.withColumn(
+        "__bucket",
+        F.explode(F.when(guard.isNull(), F.sequence(s_b, F.greatest(s_b, e_b)))),
+    )
+    pt = points.withColumn("__bucket", p_b)
+    out = pt.join(iv, keys + ["__bucket"], "inner").where(
+        (F.col(point_ts) >= F.col(start_col))
+        & (F.col(point_ts) < F.col(end_col))
+    )
+    return out.drop("__bucket")

@@ -1,0 +1,154 @@
+"""Temporal join operators (operators/joins.py): as-of and range
+join semantics, verified against brute-force references computed in
+plain Python over the same rows."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from cayley_spark.operators.joins import asof_join, range_join
+
+
+def _ts(m, s=0, us=0):
+    return dt.datetime(2024, 1, 1, 0, m, s, us)
+
+
+@pytest.fixture(scope="module")
+def trades_quotes(spark):
+    trades = spark.createDataFrame(
+        [
+            (1, "A", _ts(5), 100.0),
+            (2, "A", _ts(10), 101.0),
+            (3, "B", _ts(7), 50.0),
+            (4, "B", _ts(2), 49.0),  # before any quote
+            (5, "C", _ts(9), 10.0),  # key with no quotes at all
+        ],
+        "trade_id long, sym string, ts timestamp, price double",
+    )
+    quotes = spark.createDataFrame(
+        [
+            ("A", _ts(4), 99.5),
+            ("A", _ts(5), 99.9),  # exactly at trade 1's ts
+            ("A", _ts(8), 100.5),
+            ("B", _ts(6), 48.5),
+            ("B", _ts(7, 30), 48.9),
+        ],
+        "sym string, ts timestamp, bid double",
+    )
+    return trades, quotes
+
+
+def test_asof_backward_exact(spark, trades_quotes):
+    trades, quotes = trades_quotes
+    out = asof_join(trades, quotes, on="sym").orderBy("trade_id")
+    rows = {r.trade_id: (r.ts_right, r.bid) for r in out.collect()}
+    assert rows[1] == (_ts(5), 99.9)  # exact-ts quote wins
+    assert rows[2] == (_ts(8), 100.5)
+    assert rows[3] == (_ts(6), 48.5)
+    assert rows[4] == (None, None)  # no earlier quote
+    assert rows[5] == (None, None)  # unknown key
+    assert out.count() == trades.count()
+    assert out.columns == trades.columns + ["ts_right", "bid"]
+
+
+def test_asof_backward_strict(spark, trades_quotes):
+    trades, quotes = trades_quotes
+    out = asof_join(trades, quotes, on="sym", allow_exact=False)
+    rows = {r.trade_id: r.bid for r in out.collect()}
+    assert rows[1] == 99.5  # same-instant quote excluded
+
+
+def test_asof_forward(spark, trades_quotes):
+    trades, quotes = trades_quotes
+    out = asof_join(trades, quotes, on="sym", direction="forward")
+    rows = {r.trade_id: (r.ts_right, r.bid) for r in out.collect()}
+    assert rows[1] == (_ts(5), 99.9)  # exact match allowed
+    assert rows[2] == (None, None)  # nothing later
+    assert rows[4] == (_ts(6), 48.5)
+    strict = asof_join(
+        trades, quotes, on="sym", direction="forward", allow_exact=False
+    )
+    srows = {r.trade_id: r.bid for r in strict.collect()}
+    assert srows[1] == 100.5  # skips the same-instant quote
+
+
+def test_asof_no_join_node(spark, trades_quotes):
+    """The whole operator is union + window: no join operator may
+    appear in the physical plan (that's the point vs the naive
+    inequality-join formulation)."""
+    trades, quotes = trades_quotes
+    plan = (
+        asof_join(trades, quotes, on="sym")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan
+
+
+def test_range_join_basic(spark):
+    points = spark.createDataFrame(
+        [
+            (1, _ts(0, 30)),
+            (2, _ts(1, 0)),  # == start: inclusive
+            (3, _ts(2, 0)),  # == end: exclusive
+            (4, _ts(1, 59, 999999)),
+            (5, _ts(10)),
+        ],
+        "pid long, ts timestamp",
+    )
+    iv = spark.createDataFrame(
+        [(100, _ts(1), _ts(2)), (200, _ts(0), _ts(12))],
+        "iid long, start timestamp, end timestamp",
+    )
+    out = range_join(points, iv, bucket_seconds=60)
+    pairs = {(r.pid, r.iid) for r in out.collect()}
+    assert pairs == {
+        (2, 100),
+        (4, 100),
+        (1, 200),
+        (2, 200),
+        (3, 200),
+        (4, 200),
+        (5, 200),
+    }
+
+
+def test_range_join_keyed_and_oracle(spark):
+    """Randomized check vs a brute-force python double loop, with an
+    equality key."""
+    import random
+
+    rnd = random.Random(7)
+    pts = [
+        (i, rnd.randrange(3), _ts(rnd.randrange(30), rnd.randrange(60)))
+        for i in range(120)
+    ]
+    ivs = []
+    for i in range(40):
+        s = _ts(rnd.randrange(28), rnd.randrange(60))
+        ivs.append((1000 + i, rnd.randrange(3), s, s + dt.timedelta(seconds=rnd.randrange(1, 240))))
+    pdf = spark.createDataFrame(pts, "pid long, k long, ts timestamp")
+    idf = spark.createDataFrame(
+        ivs, "iid long, k long, start timestamp, end timestamp"
+    )
+    out = range_join(pdf, idf, bucket_seconds=45, on=["k"])
+    got = {(r.pid, r.iid) for r in out.collect()}
+    want = {
+        (p[0], v[0])
+        for p in pts
+        for v in ivs
+        if p[1] == v[1] and v[2] <= p[2] < v[3]
+    }
+    assert got == want
+
+
+def test_range_join_flood_guard(spark):
+    points = spark.createDataFrame([(1, _ts(0))], "pid long, ts timestamp")
+    iv = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), dt.datetime(2025, 1, 1))],
+        "iid long, start timestamp, end timestamp",
+    )
+    with pytest.raises(Exception, match="10000 buckets|assert"):
+        range_join(points, iv, bucket_seconds=60).collect()
