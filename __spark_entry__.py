@@ -623,6 +623,47 @@ def t_split(spark, sf):
     return hash_split(docs)
 
 
+def t_tfidf(spark, sf):
+    """Top-3 characteristic terms per document by TF-IDF
+    (functions/text.tf_idf_top_terms). idf='inv' keeps the score a
+    single int-multiply + IEEE division so the ranking is
+    bit-reproducible across engines (ln is libm-ulp-variant)."""
+    from cayley_spark.functions.text import tf_idf_top_terms
+
+    docs = _t_wide(spark, sf, "documents")
+    return tf_idf_top_terms(docs, k=3, idf="inv")
+
+
+def t_vocab(spark, sf):
+    """Corpus vocabulary, top 50 terms by occurrence count — the
+    tokenizer-training / vocab-cap primitive."""
+    from cayley_spark.functions.text import vocabulary
+
+    docs = _t_wide(spark, sf, "documents")
+    return vocabulary(docs, top=50)
+
+
+def t_trigram_lm(spark, sf):
+    """Char-trigram corpus-typicality score (the integer-exact
+    skeleton of n-gram-LM perplexity quality filtering)."""
+    from cayley_spark.functions.text import trigram_typicality
+
+    docs = _t_wide(spark, sf, "documents")
+    return trigram_typicality(docs)
+
+
+def q_stratified(spark, sf):
+    """Deterministic stratified sample: 20 events per event_type,
+    selected by content-addressed hash order (same rows on every
+    engine and run)."""
+    from cayley_spark.functions.sampling import stratified_sample
+
+    ev = _events(spark, sf)
+    return stratified_sample(
+        ev, "event_type", 20, "event_id"
+    ).select("event_id", "event_type", "user_id")
+
+
 def g_recursive_dist(spark, sf):
     """FollowRecursive forced onto the DISTRIBUTED frontier loop
     (collect budget 0), so the oracle gate checks both recursion
@@ -731,6 +772,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_repetition": t_repetition,
         "t_contaminate": t_contaminate,
         "t_split": t_split,
+        "t_tfidf": t_tfidf,
+        "t_vocab": t_vocab,
+        "t_trigram_lm": t_trigram_lm,
+        "q_stratified": q_stratified,
         "d_exact": d_exact,
         "d_lsh": d_lsh,
         "d_jaccard": d_jaccard,
@@ -1278,6 +1323,58 @@ def oracle_sql() -> dict[str, str]:
                    WHEN bucket < 2 THEN 'test'
                    ELSE 'train' END AS split
             FROM b
+        """,
+        "t_tfidf": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                unnest(regexp_extract_all(lower(text), '\w+')) AS term
+              FROM documents
+            ), tf AS (
+              SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+            ), dfreq AS (
+              SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+            ), n AS (SELECT COUNT(*) AS n FROM documents)
+            SELECT doc_id, term, tf, df, rank FROM (
+              SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+                CAST(ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                  ORDER BY CAST(tf.tf * n.n AS DOUBLE) / dfreq.df DESC,
+                           tf.term) AS INT) AS rank
+              FROM tf JOIN dfreq USING (term) CROSS JOIN n
+            ) WHERE rank <= 3
+        """,
+        "t_vocab": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                unnest(regexp_extract_all(lower(text), '\w+')) AS term
+              FROM documents
+            ), per_doc AS (
+              SELECT doc_id, term, COUNT(*) AS n FROM toks GROUP BY 1, 2
+            )
+            SELECT term, CAST(SUM(n) AS BIGINT) AS n_occurrences,
+                   COUNT(*) AS n_docs
+            FROM per_doc GROUP BY term
+            ORDER BY n_occurrences DESC, term LIMIT 50
+        """,
+        "t_trigram_lm": """
+            WITH tg AS (
+              SELECT doc_id,
+                unnest([substr(lower(text), i, 3)
+                        for i in range(1, length(lower(text)) - 1)]) AS tri
+              FROM documents
+            ), model AS (
+              SELECT tri, COUNT(*) AS freq FROM tg GROUP BY 1
+            )
+            SELECT t.doc_id, COUNT(*) AS n_trigrams,
+                   CAST(SUM(m.freq) AS BIGINT) AS freq_sum
+            FROM tg t JOIN model m USING (tri) GROUP BY t.doc_id
+        """,
+        "q_stratified": """
+            SELECT event_id, event_type, user_id FROM (
+              SELECT event_id, event_type, user_id,
+                ROW_NUMBER() OVER (PARTITION BY event_type
+                  ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+              FROM events
+            ) WHERE rn <= 20
         """,
         "d_exact": """
             WITH g AS (

@@ -54,3 +54,27 @@ def hash_sample(
     """Deterministic ~1/denominator content sample: keep rows whose
     hash bucket is 0. Same rows on every run and engine."""
     return df.where(hash_bucket(F.col(text_col), rate_denominator) == 0)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    n_per_stratum: int,
+    order_col: str,
+) -> DataFrame:
+    """Deterministic stratified sample: the ``n_per_stratum`` rows of
+    each stratum with the smallest ``md5(order_col)`` — a content-
+    addressed shuffle, so every engine and every run selects the same
+    rows (``orderBy(rand())`` samples differently per run and per
+    partitioning). One shuffle on the stratum key; per-stratum top-n
+    via window row_number, which AQE keeps partial when strata are
+    many."""
+    from pyspark.sql.window import Window
+
+    h = F.md5(F.col(order_col).cast("string"))
+    w = Window.partitionBy(strata_col).orderBy(h, F.col(order_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= n_per_stratum)
+        .drop("__rn")
+    )

@@ -177,3 +177,121 @@ def repetition_stats(
         ((n - d).cast("double") / nn).alias("dup_token_ratio"),
         (maxfreq.cast("double") / nn).alias("top_token_ratio"),
     )
+
+
+def tf_idf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    idf: str = "log",
+) -> DataFrame:
+    """Top-``k`` characteristic terms per document by TF-IDF:
+    (id, term, tf, df, rank).
+
+    ``idf='log'`` is the classic ``tf * ln(N/df)``; ``idf='inv'``
+    scores ``(tf*N)/df`` — rank-equivalent in spirit but computed as
+    ONE int64 multiply + ONE IEEE division, so the ordering (and the
+    driver's value hash) is bit-reproducible across engines, which
+    ``ln`` (libm, ulp-variant) is not. Oracles use 'inv'.
+
+    Plan shape at 100 TB: explode → partial-agged groupBy(doc, term)
+    → vocabulary-keyed groupBy(term) for df → term equi-join back
+    (skew bounded: ≤ one row per (doc, term)) → per-doc window. N
+    rides in via a broadcast 1-row cross join, not a driver collect.
+    """
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("__n"))
+    j = tf.join(dfreq, "term").join(F.broadcast(n_docs))
+    if idf == "log":
+        score = F.col("tf") * F.log(F.col("__n") / F.col("df"))
+    elif idf == "inv":
+        score = (F.col("tf") * F.col("__n")).cast("double") / F.col("df")
+    else:
+        raise ValueError(f"idf must be log|inv: {idf}")
+    w = Window.partitionBy(id_col).orderBy(
+        score.desc(), F.col("term")
+    )
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "df", "rank")
+    )
+
+
+def vocabulary(
+    df: DataFrame,
+    top: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus vocabulary: (term, n_occurrences, n_docs), the building
+    block for tokenizer training and frequency-filtered vocab caps.
+    One explode + one groupBy (map-side partial agg does the heavy
+    lifting); ``top`` > 0 keeps the most frequent terms, ties broken
+    by term for determinism."""
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    per_doc = toks.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    voc = per_doc.groupBy("term").agg(
+        F.sum("n").alias("n_occurrences"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    if top > 0:
+        voc = voc.orderBy(
+            F.col("n_occurrences").desc(), F.col("term")
+        ).limit(top)
+    return voc
+
+
+def _trigrams(col: Column) -> Column:
+    """Character trigrams of the lowercased text, JVM-side (sequence +
+    transform — no Python in the loop). Spark's sequence(1, n) counts
+    DOWN when n < 1, so short texts are gated to an empty array."""
+    lc = F.lower(col)
+    return F.when(
+        F.length(lc) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.length(lc) - 2),
+            lambda i: F.substring(lc, i, 3),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def trigram_typicality(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Character-trigram corpus-typicality score — the integer-exact
+    skeleton of an n-gram LM quality filter (CCNet-style perplexity
+    filtering scores documents against a corpus LM; here the corpus
+    IS the model). Per document: (id, n_trigrams, freq_sum) where
+    freq_sum totals each trigram's corpus-wide occurrence count —
+    low freq_sum/n_trigrams marks atypical (garbled, wrong-language,
+    binary-ish) documents. Integer sums only, so the oracle hash is
+    exact; consumers divide for the per-trigram average.
+
+    Plan: one explode + trigram groupBy builds the model (vocabulary
+    ~ |charset|^3, so the join side is broadcastable); docs join the
+    model on trigram and re-aggregate by id. Two shuffles total,
+    both on uniform keys."""
+    tri = df.select(
+        F.col(id_col), F.explode(_trigrams(F.col(text_col))).alias("tri")
+    )
+    model = tri.groupBy("tri").agg(F.count(F.lit(1)).alias("freq"))
+    return (
+        tri.join(model, "tri")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.sum("freq").alias("freq_sum"),
+        )
+    )

@@ -432,3 +432,81 @@ def test_dedup_corpus_end_to_end(docs, spark):
     assert kept == [0, 2, 3, 5]  # 1 and 4 are near/exact dups of 0
     assert set(rows[0].asDict()) == {"doc_id", "lang", "text"}
     assert unpersist_intermediates(out) >= 3  # sh, sig, edges
+
+
+def test_tf_idf_top_terms(spark):
+    from pyspark.sql import Row
+
+    from cayley_spark.functions.text import tf_idf_top_terms
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="apple apple banana common"),
+            Row(doc_id=2, text="banana cherry common"),
+            Row(doc_id=3, text="cherry cherry cherry common"),
+        ]
+    )
+    out = tf_idf_top_terms(df, k=1, idf="inv").collect()
+    top = {r["doc_id"]: (r["term"], r["tf"], r["df"]) for r in out}
+    # per-doc winner: highest tf/df — doc-unique repeated terms
+    assert top[1] == ("apple", 2, 1)
+    assert top[3] == ("cherry", 3, 2)
+    # 'common' (df=3) never wins over a rarer term
+    assert top[2][0] in ("banana", "cherry")
+    log_out = tf_idf_top_terms(df, k=1, idf="log").collect()
+    # ln-idf agrees on the winners here
+    assert {r["doc_id"]: r["term"] for r in log_out} == {
+        k: v[0] for k, v in top.items()
+    }
+
+
+def test_vocabulary(spark):
+    from pyspark.sql import Row
+
+    from cayley_spark.functions.text import vocabulary
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="a b b"), Row(doc_id=2, text="b c")]
+    )
+    voc = {r["term"]: (r["n_occurrences"], r["n_docs"]) for r in vocabulary(df).collect()}
+    assert voc == {"a": (1, 1), "b": (3, 2), "c": (1, 1)}
+    top1 = vocabulary(df, top=1).collect()
+    assert [(r["term"]) for r in top1] == ["b"]
+
+
+def test_trigram_typicality(spark):
+    from pyspark.sql import Row
+
+    from cayley_spark.functions.text import trigram_typicality
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="abcd"),  # abc, bcd
+            Row(doc_id=2, text="abc"),   # abc
+            Row(doc_id=3, text="xy"),    # too short: no trigrams
+        ]
+    )
+    out = {r["doc_id"]: (r["n_trigrams"], r["freq_sum"]) for r in trigram_typicality(df).collect()}
+    # 'abc' occurs twice corpus-wide, 'bcd' once
+    assert out[1] == (2, 3)
+    assert out[2] == (1, 2)
+    assert 3 not in out  # no trigrams -> no row (inner join semantics)
+
+
+def test_stratified_sample_deterministic(spark):
+    from pyspark.sql import Row
+
+    from cayley_spark.functions.sampling import stratified_sample
+
+    df = spark.createDataFrame(
+        [Row(k=i % 3, id=i) for i in range(90)]
+    )
+    a = sorted((r["k"], r["id"]) for r in stratified_sample(df, "k", 5, "id").collect())
+    b = sorted(
+        (r["k"], r["id"])
+        for r in stratified_sample(df.repartition(7), "k", 5, "id").collect()
+    )
+    assert a == b  # partitioning-independent
+    from collections import Counter
+
+    assert all(v == 5 for v in Counter(k for k, _ in a).values())
