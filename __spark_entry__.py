@@ -664,6 +664,42 @@ def q_stratified(spark, sf):
     ).select("event_id", "event_type", "user_id")
 
 
+def g_pagerank(spark, sf):
+    """Fixed-point PageRank (graphs/algorithms.py) over the
+    order→part bipartite graph from lineitem. Integer-scaled ranks
+    with truncating division make every iteration bit-identical
+    across engines — float PageRank is summation-order dependent and
+    can never hash-match a single-threaded oracle."""
+    from cayley_spark.graphs.algorithms import pagerank
+
+    li = _t(spark, sf, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("o:"), F.col("l_orderkey")).alias("src"),
+        F.concat(F.lit("p:"), F.col("l_partkey")).alias("dst"),
+    ).dropDuplicates(["src", "dst"])
+    return pagerank(edges, iters=3)
+
+
+def q_rollup(spark, sf):
+    """OLAP rollup: (day, event_type) with per-day and grand
+    subtotals — Spark's rollup() mirrors ANSI GROUP BY ROLLUP."""
+    ev = _events(spark, sf)
+    return ev.rollup(
+        F.date_trunc("day", F.col("ts")).alias("day"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec(F.col("value"), 4)).cast("double").alias("sum_value"),
+    )
+
+
+def q_pivot(spark, sf):
+    """Pivot: per-user event counts spread across one column per
+    event type (explicit value list keeps the schema deterministic)."""
+    ev = _events(spark, sf)
+    types = ["click", "error", "purchase", "signup", "view"]
+    return ev.groupBy("user_id").pivot("event_type", types).count()
+
+
 def g_recursive_dist(spark, sf):
     """FollowRecursive forced onto the DISTRIBUTED frontier loop
     (collect budget 0), so the oracle gate checks both recursion
@@ -764,6 +800,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_topuser": q_events_topuser,
         "q_asof": q_asof,
         "q_range": q_range,
+        "q_rollup": q_rollup,
+        "q_pivot": q_pivot,
+        "g_pagerank": g_pagerank,
         "t_tokens": t_tokens,
         "t_quality": t_quality,
         "t_fingerprint": t_fingerprint,
@@ -1209,6 +1248,63 @@ def oracle_sql() -> dict[str, str]:
               ON c.event_type = 'click'
              AND c.ts >= e.ts AND c.ts < e.ts + INTERVAL 120 SECOND
             WHERE e.event_type = 'error'
+        """,
+        "q_rollup": """
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+              COUNT(*) AS n,
+              CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+            FROM events
+            GROUP BY ROLLUP(date_trunc('day', ts), event_type)
+        """,
+        "q_pivot": """
+            SELECT user_id,
+              CAST(SUM(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+              CAST(SUM(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error,
+              CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+              CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
+              CAST(SUM(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view
+            FROM events GROUP BY user_id
+        """,
+        "g_pagerank": """
+            WITH e AS (
+              SELECT DISTINCT 'o:' || l_orderkey AS src,
+                              'p:' || l_partkey AS dst
+              FROM lineitem
+            ), nodes AS (
+              SELECT src AS id FROM e UNION SELECT dst FROM e
+            ), deg AS (
+              SELECT src, COUNT(*) AS deg FROM e GROUP BY 1
+            ), r0 AS (
+              SELECT id, CAST(1000000000 AS BIGINT) AS r FROM nodes
+            ), i1 AS (
+              SELECT n.id,
+                CAST(150000000 + (85 * COALESCE(s.inc, 0)) // 100 AS BIGINT) AS r
+              FROM nodes n LEFT JOIN (
+                SELECT e.dst AS id, CAST(SUM(r.r // d.deg) AS BIGINT) AS inc
+                FROM e JOIN r0 r ON r.id = e.src
+                       JOIN deg d ON d.src = e.src
+                GROUP BY e.dst
+              ) s ON n.id = s.id
+            ), i2 AS (
+              SELECT n.id,
+                CAST(150000000 + (85 * COALESCE(s.inc, 0)) // 100 AS BIGINT) AS r
+              FROM nodes n LEFT JOIN (
+                SELECT e.dst AS id, CAST(SUM(r.r // d.deg) AS BIGINT) AS inc
+                FROM e JOIN i1 r ON r.id = e.src
+                       JOIN deg d ON d.src = e.src
+                GROUP BY e.dst
+              ) s ON n.id = s.id
+            ), i3 AS (
+              SELECT n.id,
+                CAST(150000000 + (85 * COALESCE(s.inc, 0)) // 100 AS BIGINT) AS r
+              FROM nodes n LEFT JOIN (
+                SELECT e.dst AS id, CAST(SUM(r.r // d.deg) AS BIGINT) AS inc
+                FROM e JOIN i2 r ON r.id = e.src
+                       JOIN deg d ON d.src = e.src
+                GROUP BY e.dst
+              ) s ON n.id = s.id
+            )
+            SELECT id, r AS rank FROM i3
         """,
         "t_tokens": r"""
             SELECT doc_id,

@@ -1,0 +1,114 @@
+"""Distributed graph algorithms over edge DataFrames.
+
+The reference engine's only iterative construct is FollowRecursive
+(BFS reachability); a graph *analytics* engine also needs the
+classic whole-graph algorithms. These run on a plain (src, dst) edge
+DataFrame — use ``GraphStore.quads.select("s", "o")`` (optionally
+predicate-filtered) to run them on a loaded graph.
+
+Reproducibility design: floating-point PageRank is order-of-summation
+dependent, so a shuffled Spark aggregation and a single-threaded
+oracle disagree in the low bits. ``pagerank`` therefore runs in
+FIXED-POINT integer arithmetic (scaled longs, truncating division) —
+every operation is exact int64 math with identical semantics in
+Spark (``div``) and ANSI SQL (positive-operand integer division), so
+two engines produce bit-identical ranks. The truncation error is
+deterministic and bounded by iters * out_degree ulps of 1/scale.
+
+Scale posture (the shapes that matter at 100 TB):
+
+- one shuffle per iteration: edges join ranks on src (both sides
+  hash-partitioned on the same key), then groupBy(dst) with map-side
+  partial aggregation;
+- per-round ``localCheckpoint`` truncates the growing lineage, the
+  same pattern as the recursion compiler (plans/compiler.py);
+- no driver-side state beyond the loop counter — ranks stay
+  distributed end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+#: default fixed-point scale: ranks are stored as rank * 1e9
+#: ("parts-per-billion"); keeps worst-case int64 headroom at
+#: ~10^8 nodes per connected sink even after the damping multiply.
+PAGERANK_SCALE = 1_000_000_000
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    scale: int = PAGERANK_SCALE,
+) -> DataFrame:
+    """Fixed-point PageRank. Returns (id, rank) where rank is the
+    scaled integer ``PageRank(v) * scale`` (unnormalized formulation:
+    r(v) = (1-d) + d * sum(r(u)/outdeg(u)) over in-edges, r0 = 1).
+
+    Mass from dangling nodes (no out-edges) is dropped, the common
+    simplification (their contribution term is simply absent).
+    Duplicate edges count as parallel edges; dedupe upstream for
+    simple-graph semantics. ``scale`` must be divisible by
+    ``damping_den`` so the teleport term is exact.
+    """
+    if scale % damping_den:
+        raise ValueError("scale must be divisible by damping_den")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionAll(e.select(F.col("dst").alias("id")))
+        .dropDuplicates(["id"])
+        .localCheckpoint(eager=False)
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ranks = nodes.withColumn("r", F.lit(scale).cast("long"))
+    teleport = scale * (damping_den - damping_num) // damping_den
+    for _ in range(iters):
+        # contribution of u along each out-edge: r(u) div outdeg(u)
+        inc = (
+            e.join(ranks.withColumnRenamed("id", "src"), "src")
+            .join(deg, "src")
+            .select("dst", F.expr("r div deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inc"))
+        )
+        ranks = (
+            nodes.join(inc.withColumnRenamed("dst", "id"), "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(teleport)
+                    + F.expr(
+                        f"({damping_num} * coalesce(inc, 0L)) div {damping_den}"
+                    )
+                ).cast("long").alias("r"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select("id", F.col("r").alias("rank"))
+
+
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 50
+) -> DataFrame:
+    """Undirected connected components: (id, component) with the
+    component labeled by its minimum member id. Thin facade over the
+    min-label-propagation loop shared with duplicate clustering
+    (functions/dedup.duplicate_clusters) — one join + one aggregate
+    per round, monotone-decreasing label sum as the convergence test,
+    all state distributed. ``id`` values must be numeric (the label
+    minimum must be well-ordered identically in any engine)."""
+    from ..functions.dedup import duplicate_clusters
+
+    pairs = edges.select(F.col(src).alias("id_a"), F.col(dst).alias("id_b"))
+    ids = (
+        pairs.select(F.col("id_a").alias("id"))
+        .unionAll(pairs.select(F.col("id_b").alias("id")))
+        .dropDuplicates(["id"])
+    )
+    out = duplicate_clusters(ids, pairs, id_col="id", max_iter=max_iter)
+    return out.select("id", F.col("cluster_id").alias("component"))

@@ -1,0 +1,65 @@
+"""Graph algorithms (graphs/algorithms.py): fixed-point PageRank and
+connected components, checked against exact hand-computed references."""
+
+import pytest
+from pyspark.sql import Row
+
+from cayley_spark.graphs.algorithms import (
+    PAGERANK_SCALE,
+    connected_components,
+    pagerank,
+)
+
+
+def _ranks(df):
+    return {r["id"]: r["rank"] for r in df.collect()}
+
+
+def test_pagerank_chain(spark):
+    # a -> b -> c: replicate the fixed-point recurrence exactly
+    edges = spark.createDataFrame(
+        [Row(src="a", dst="b"), Row(src="b", dst="c")]
+    )
+    s = PAGERANK_SCALE
+    tele = s * 15 // 100
+
+    def step(r):
+        return {
+            "a": tele,
+            "b": tele + 85 * (r["a"] // 1) // 100,
+            "c": tele + 85 * (r["b"] // 1) // 100,
+        }
+
+    r = {"a": s, "b": s, "c": s}
+    for _ in range(3):
+        r = step(r)
+    assert _ranks(pagerank(edges, iters=3)) == r
+    # sink c accumulates more than teleport-only a
+    assert r["c"] > r["a"] == tele
+
+
+def test_pagerank_split_contribution(spark):
+    # a fans out to b and c: each gets r(a) div 2
+    edges = spark.createDataFrame(
+        [Row(src="a", dst="b"), Row(src="a", dst="c"), Row(src="b", dst="c")]
+    )
+    out = _ranks(pagerank(edges, iters=1))
+    s = PAGERANK_SCALE
+    tele = s * 15 // 100
+    assert out["a"] == tele
+    assert out["b"] == tele + 85 * (s // 2) // 100
+    assert out["c"] == tele + 85 * (s // 2 + s) // 100
+
+
+def test_pagerank_validates_scale(spark):
+    edges = spark.createDataFrame([Row(src="a", dst="b")])
+    with pytest.raises(ValueError, match="divisible"):
+        pagerank(edges, scale=1000, damping_den=7)
+
+
+def test_connected_components(spark):
+    edges = spark.createDataFrame(
+        [Row(src=1, dst=2), Row(src=2, dst=3), Row(src=10, dst=11)]
+    )
+    out = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
