@@ -97,3 +97,36 @@ def test_exact_dedup_single_shuffle(spark, entry):
     n_exchanges = plan.count("Exchange hashpartitioning")
     assert n_exchanges <= 2, plan  # partial agg + final agg boundary
     assert "HashAggregate" in plan
+
+
+def test_q_asof_has_no_join_node(spark, entry):
+    """as-of compiles to union + running window — a Join node would
+    mean the inequality-join trap came back."""
+    df = entry.queries()["q_asof"](spark, SF)
+    assert "Join" not in plan_of(df)
+
+
+def test_q_range_is_equi_join(spark, entry):
+    """range join must be a hash/sort-merge equi-join on the bucket,
+    never a broadcast nested loop over all pairs."""
+    df = entry.queries()["q_range"](spark, SF)
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tfidf_prunes_columns(spark, entry):
+    """tf-idf reads only (doc_id, text) from the documents scan."""
+    df = entry.queries()["t_tfidf"](spark, SF)
+    plan = plan_of(df)
+    read = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
+    assert "doc_id" in read and "text" in read
+    assert "source" not in read
+
+
+def test_pagerank_no_cartesian(spark, entry):
+    """each pagerank iteration is keyed joins + one aggregate."""
+    df = entry.queries()["g_pagerank"](spark, SF)
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
