@@ -57,14 +57,22 @@ def pagerank(
     """
     if scale % damping_den:
         raise ValueError("scale must be divisible by damping_den")
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # edges, nodes and degrees are read EVERY iteration — materialize
+    # each once (lazy localCheckpoint: the first action computes and
+    # pins the blocks, later iterations reread them instead of
+    # re-running the upstream scan/dedup lineage 2 per round)
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint(eager=False)
     nodes = (
         e.select(F.col("src").alias("id"))
         .unionAll(e.select(F.col("dst").alias("id")))
         .dropDuplicates(["id"])
         .localCheckpoint(eager=False)
     )
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    deg = e.groupBy("src").agg(
+        F.count(F.lit(1)).alias("deg")
+    ).localCheckpoint(eager=False)
     ranks = nodes.withColumn("r", F.lit(scale).cast("long"))
     teleport = scale * (damping_den - damping_num) // damping_den
     for _ in range(iters):

@@ -1,0 +1,49 @@
+"""Streaming deduplication — the incremental twin of the batch exact
+dedup operator (functions/dedup.exact_duplicate_groups).
+
+An ingest pipeline sees re-crawls and re-deliveries continuously;
+deduping them at ingest time is cheaper than a periodic batch sweep
+over the accumulated corpus. Built on the engine's own
+``dropDuplicatesWithinWatermark`` state-store operator: exact-dup
+state is partitioned by the content key and EXPIRES once the
+watermark passes. The guarantee is one-directional (the engine's
+own contract): a duplicate arriving within the watermark horizon is
+DEFINITELY dropped; one arriving after the horizon is admitted again
+once state eviction runs — eviction lags one micro-batch behind the
+watermark advance, so a duplicate landing in exactly that batch may
+still be dropped. Bounded state buys a bounded dedup window; the
+periodic batch sweep stays the backstop for long-range duplicates.
+
+Keying on ``md5(text)`` instead of the raw text keeps the state
+store at ~32 bytes/entry regardless of document size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def dedup_stream(
+    docs: DataFrame,
+    watermark: str = "1 hour",
+    text_col: str = "text",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Drop exact-content duplicates within the watermark horizon.
+    Works on both streaming inputs (stateful, bounded state) and
+    batch inputs (plain dropDuplicates on the content hash — same
+    rows kept when each content value appears once per horizon).
+
+    Returns the input rows (plus nothing — the hash column is
+    internal) with later duplicates removed; of concurrent
+    duplicates, which single row survives is engine-chosen, same as
+    batch ``dropDuplicates``.
+    """
+    keyed = docs.withColumn("__h", F.md5(F.col(text_col)))
+    if docs.isStreaming:
+        out = keyed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            ["__h"]
+        )
+    else:
+        out = keyed.dropDuplicates(["__h"])
+    return out.drop("__h")

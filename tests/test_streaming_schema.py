@@ -715,3 +715,65 @@ def test_sessionize_stream_out_of_order_batches(spark, tmp_path):
         for r in sessionize(df, gap_seconds=1800).collect()
     }
     assert (1, "2024-01-01 00:00:00", "2024-01-01 00:10:00", 2) in batch
+
+
+def test_dedup_stream_drops_within_watermark(spark, tmp_path):
+    """Streaming exact dedup: duplicates within the watermark horizon
+    are dropped across micro-batches; state expires with the
+    watermark, so a far-later duplicate is admitted again; batch mode
+    degrades to plain content dropDuplicates."""
+    import json as _json
+    import os as _os
+
+    from cayley_spark.streaming.dedup import dedup_stream
+
+    batches = [
+        [(1, "2024-01-01 00:00:00", "alpha"),
+         (2, "2024-01-01 00:05:00", "beta")],
+        # in-horizon duplicate of alpha -> dropped
+        [(3, "2024-01-01 00:10:00", "alpha"),
+         (4, "2024-01-01 00:20:00", "gamma")],
+        # advance the watermark far past alpha's state (1h horizon)
+        [(5, "2024-01-01 06:00:00", "delta")],
+        # eviction lags one batch behind the watermark advance (state
+        # cleanup runs at the end of the batch that OPERATES under the
+        # new watermark) — this batch runs at wm 05:00 and evicts alpha
+        [(7, "2024-01-01 06:05:00", "epsilon")],
+        # alpha's state expired -> admitted again
+        [(6, "2024-01-01 06:10:00", "alpha")],
+    ]
+    src = tmp_path / "dd_in"
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        with open(src / f"b{i}.json", "w") as f:
+            for did, ts, text in rows:
+                f.write(_json.dumps(
+                    {"doc_id": did, "ts": ts, "text": text}) + "\n")
+        _os.utime(src / f"b{i}.json", (1_700_000_000 + i * 60,) * 2)
+
+    schema = "doc_id long, ts timestamp, text string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        dedup_stream(stream, watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("dd_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "dd_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    kept = {r["doc_id"] for r in spark.sql("SELECT * FROM dd_out").collect()}
+    assert 1 in kept and 2 in kept and 4 in kept and 5 in kept and 7 in kept
+    assert 3 not in kept          # in-horizon duplicate dropped
+    assert 6 in kept              # state expired -> re-admitted
+    # batch twin: one row per distinct content
+    batch = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "y")], "doc_id long, text string"
+    ).withColumn("ts", __import__("pyspark").sql.functions.current_timestamp())
+    out = dedup_stream(batch).collect()
+    assert sorted(r["text"] for r in out) == ["x", "y"]
