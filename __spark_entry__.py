@@ -664,6 +664,26 @@ def q_stratified(spark, sf):
     ).select("event_id", "event_type", "user_id")
 
 
+def q_median(spark, sf):
+    """Exact discrete (lower) median of value per event_type: the
+    row at position ceil(n/2) in (value, event_id) order — picked,
+    not interpolated, so no float arithmetic can diverge between
+    engines."""
+    from pyspark.sql.window import Window
+
+    ev = _events(spark, sf)
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value"), F.col("event_id")
+    )
+    cnt = Window.partitionBy("event_type")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(cnt))
+        .where(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select("event_type", F.col("value").alias("median_value"))
+    )
+
+
 def g_pagerank(spark, sf):
     """Fixed-point PageRank (graphs/algorithms.py) over the
     order→part bipartite graph from lineitem. Integer-scaled ranks
@@ -802,6 +822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_range": q_range,
         "q_rollup": q_rollup,
         "q_pivot": q_pivot,
+        "q_median": q_median,
         "g_pagerank": g_pagerank,
         "t_tokens": t_tokens,
         "t_quality": t_quality,
@@ -1255,6 +1276,15 @@ def oracle_sql() -> dict[str, str]:
               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
             FROM events
             GROUP BY ROLLUP(date_trunc('day', ts), event_type)
+        """,
+        "q_median": """
+            SELECT event_type, value AS median_value FROM (
+              SELECT event_type, value, event_id,
+                ROW_NUMBER() OVER (PARTITION BY event_type
+                                   ORDER BY value, event_id) AS rn,
+                COUNT(*) OVER (PARTITION BY event_type) AS n
+              FROM events
+            ) WHERE rn = (n + 1) // 2
         """,
         "q_pivot": """
             SELECT user_id,

@@ -152,3 +152,43 @@ def test_range_join_flood_guard(spark):
     )
     with pytest.raises(Exception, match="10000 buckets|assert"):
         range_join(points, iv, bucket_seconds=60).collect()
+
+
+def test_salted_join_preserves_results(spark):
+    """salted inner/left joins must be result-identical to the plain
+    join — the salt only changes task placement."""
+    from cayley_spark.operators.skew import salted_join
+
+    left = spark.createDataFrame(
+        [(i, i % 4) for i in range(500)] + [(1000 + i, 99) for i in range(50)],
+        "row_id long, k long",
+    )
+    right = spark.createDataFrame(
+        [(k, f"dim{k}") for k in range(4)], "k long, name string"
+    )
+    plain = {(r.row_id, r.name) for r in left.join(right, "k").collect()}
+    salted = {
+        (r.row_id, r.name)
+        for r in salted_join(left, right, "k", salt=8).collect()
+    }
+    assert salted == plain
+    lp = {
+        (r.row_id, r.name)
+        for r in left.join(right, "k", "left").collect()
+    }
+    ls = {
+        (r.row_id, r.name)
+        for r in salted_join(left, right, "k", salt=8, how="left").collect()
+    }
+    assert ls == lp  # unmatched hot key 99 survives with null name
+
+
+def test_salted_count_matches_groupby(spark):
+    from cayley_spark.operators.skew import salted_count
+
+    df = spark.createDataFrame(
+        [(i % 3,) for i in range(999)] + [(7,)], "k long"
+    )
+    plain = {(r.k, r["count"]) for r in df.groupBy("k").count().collect()}
+    salted = {(r.k, r.n) for r in salted_count(df, "k").collect()}
+    assert salted == plain
