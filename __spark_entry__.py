@@ -664,6 +664,25 @@ def q_stratified(spark, sf):
     ).select("event_id", "event_type", "user_id")
 
 
+def t_chunks(spark, sf):
+    """Fixed-size overlapping character chunking (retrieval-index /
+    long-doc primitive) — scan-speed posexplode, no shuffle."""
+    from cayley_spark.functions.chunking import chunk_documents
+
+    docs = _t_wide(spark, sf, "documents")
+    return chunk_documents(docs, chunk_chars=200, overlap=50)
+
+
+def t_pack(spark, sf):
+    """Concat-then-slice sequence packing via a distributed prefix
+    sum (range partition + local cumsum + per-partition offsets) —
+    never a single-partition global window."""
+    from cayley_spark.functions.chunking import pack_sequences
+
+    docs = _t_wide(spark, sf, "documents")
+    return pack_sequences(docs, budget=1000)
+
+
 def q_median(spark, sf):
     """Exact discrete (lower) median of value per event_type: the
     row at position ceil(n/2) in (value, event_id) order — picked,
@@ -835,6 +854,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_tfidf": t_tfidf,
         "t_vocab": t_vocab,
         "t_trigram_lm": t_trigram_lm,
+        "t_chunks": t_chunks,
+        "t_pack": t_pack,
         "q_stratified": q_stratified,
         "d_exact": d_exact,
         "d_lsh": d_lsh,
@@ -1493,6 +1514,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT t.doc_id, COUNT(*) AS n_trigrams,
                    CAST(SUM(m.freq) AS BIGINT) AS freq_sum
             FROM tg t JOIN model m USING (tri) GROUP BY t.doc_id
+        """,
+        "t_chunks": """
+            WITH c AS (
+              SELECT doc_id, unnest(
+                [{'idx': s, 'txt': substr(text, s*150 + 1, 200)}
+                 for s in range(0, CASE WHEN length(text) > 0
+                   THEN (length(text) - 1) // 150 + 1 ELSE 0 END)],
+                recursive := true)
+              FROM documents
+            )
+            SELECT doc_id, CAST(idx AS INT) AS chunk_idx,
+                   txt AS chunk_text
+            FROM c
+        """,
+        "t_pack": r"""
+            WITH t AS (
+              SELECT doc_id,
+                CAST(len(regexp_extract_all(text, '\w+')) AS BIGINT)
+                  AS n_tokens
+              FROM documents
+            ), c AS (
+              SELECT doc_id, n_tokens,
+                CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS "offset"
+              FROM t
+            )
+            SELECT doc_id, n_tokens, "offset", "offset" // 1000 AS bin
+            FROM c
         """,
         "q_stratified": """
             SELECT event_id, event_type, user_id FROM (

@@ -510,3 +510,45 @@ def test_stratified_sample_deterministic(spark):
     from collections import Counter
 
     assert all(v == 5 for v in Counter(k for k, _ in a).values())
+
+
+def test_chunk_documents(spark):
+    from pyspark.sql import Row
+
+    from cayley_spark.functions.chunking import chunk_documents
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="abcdefghij"), Row(doc_id=2, text="xy"),
+         Row(doc_id=3, text="")]
+    )
+    out = chunk_documents(df, chunk_chars=4, overlap=1)
+    got = {(r["doc_id"], r["chunk_idx"]): r["chunk_text"] for r in out.collect()}
+    # stride 3: starts at 0,3,6,9 -> abcd, defg, ghij, j
+    assert got == {
+        (1, 0): "abcd", (1, 1): "defg", (1, 2): "ghij", (1, 3): "j",
+        (2, 0): "xy",
+    }
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_documents(df, chunk_chars=4, overlap=4)
+
+
+def test_pack_sequences(spark):
+    from pyspark.sql import Row
+
+    from cayley_spark.functions.chunking import pack_sequences
+
+    rows = [Row(doc_id=i, text=" ".join(["tok"] * (3 + i % 4))) for i in range(40)]
+    df = spark.createDataFrame(rows)
+    out = {r["doc_id"]: (r["n_tokens"], r["offset"], r["bin"]) for r in pack_sequences(df, budget=10).collect()}
+    # python reference: cumulative offsets in doc_id order
+    off = 0
+    for i in range(40):
+        n = 3 + i % 4
+        assert out[i] == (n, off, off // 10)
+        off += n
+    # partitioning-independent (the distributed prefix sum must not
+    # depend on input layout)
+    out2 = {r["doc_id"]: (r["n_tokens"], r["offset"], r["bin"]) for r in pack_sequences(df.repartition(13), budget=10).collect()}
+    assert out2 == out
