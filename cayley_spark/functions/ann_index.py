@@ -1,0 +1,125 @@
+"""Persisted IVF ANN index: build once, save as partitioned Parquet,
+query forever.
+
+``similarity.ivf_topk`` recomputes centroids + bucketing per call —
+right for a one-shot oracle-checked query, wrong for a serving
+pattern where one corpus answers many queries. ``IVFIndex`` splits
+the lifecycle:
+
+- ``build``: Lloyd centroids (decimal-exact, same kernel as
+  ivf_topk) + one pass assigning every vector to its nearest
+  centroid.
+- ``save``/``load``: the bucketed table is written
+  ``partitionBy("c")`` — one Parquet directory per inverted list —
+  and the centroid matrix rides along as a small JSON sidecar.
+- ``query``: probes the ``nprobe`` nearest centroids per query
+  vector driver-side (centroid count is small by construction), then
+  scans ONLY those buckets: the ``c IN (...)`` predicate prunes at
+  the PARTITION level, so a query over a 100 TB index reads
+  ~nprobe/n_centroids of the files — the Parquet-native equivalent
+  of an inverted-list seek, with zero custom storage code.
+
+Scale notes: bucket skew follows cluster sizes; rebalance by raising
+n_centroids (lists shrink linearly). The probe set is a broadcast;
+scoring is one scan of the probed lists + a per-query top-k window.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .similarity import _nearest, cosine, kmeans_centroids
+
+
+class IVFIndex:
+    def __init__(self, spark: SparkSession, centroids: list[list[float]], bucketed: DataFrame):
+        self.spark = spark
+        self.centroids = centroids
+        self.bucketed = bucketed  # (id long, v array<double>, c int)
+
+    @classmethod
+    def build(
+        cls,
+        df: DataFrame,
+        n_centroids: int = 16,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        iters: int = 2,
+    ) -> "IVFIndex":
+        cents = kmeans_centroids(
+            df, n_centroids, id_col=id_col, vec_col=vec_col, iters=iters
+        )
+        base = df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        bucketed = base.withColumn("c", _nearest(F.col("v"), cents))
+        return cls(df.sparkSession, cents, bucketed)
+
+    def save(self, path: str) -> "IVFIndex":
+        self.bucketed.write.mode("overwrite").partitionBy("c").parquet(
+            os.path.join(path, "buckets")
+        )
+        with open(os.path.join(path, "centroids.json"), "w") as f:
+            json.dump(self.centroids, f)
+        return self
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "IVFIndex":
+        with open(os.path.join(path, "centroids.json")) as f:
+            cents = json.load(f)
+        bucketed = spark.read.parquet(os.path.join(path, "buckets"))
+        return cls(spark, cents, bucketed)
+
+    def _probes(self, qv: list[float], nprobe: int) -> list[int]:
+        ds = [
+            (sum((a - b) * (a - b) for a, b in zip(qv, c)), i)
+            for i, c in enumerate(self.centroids)
+        ]
+        return [i for _, i in sorted(ds)[:nprobe]]
+
+    def query(
+        self,
+        queries: dict[int, list[float]],
+        k: int = 5,
+        nprobe: int = 4,
+    ) -> DataFrame:
+        """queries: {query_id: vector}. Returns
+        (query_id, neighbor_id, score) — cosine top-k per query over
+        the probed buckets only; a query vector already in the index
+        is excluded from its own neighbors by id."""
+        from pyspark.sql.window import Window
+
+        probe_rows = [
+            (int(qid), c, list(map(float, qv)))
+            for qid, qv in queries.items()
+            for c in self._probes(qv, nprobe)
+        ]
+        probe_df = self.spark.createDataFrame(
+            probe_rows, "query_id long, c int, q array<double>"
+        )
+        # the c-filter arrives via the join keys on a c-partitioned
+        # read: AQE's runtime filter / the literal isin below prunes
+        # whole bucket directories before any row is read
+        cs = sorted({c for _, c, _ in probe_rows})
+        pruned = self.bucketed.where(F.col("c").isin(cs))
+        scored = (
+            pruned.join(F.broadcast(probe_df), "c")
+            .where(F.col("id") != F.col("query_id"))
+            .select(
+                "query_id",
+                F.col("id").alias("neighbor_id"),
+                cosine(F.col("q"), F.col("v")).alias("score"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col("neighbor_id")
+        )
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k)
+            .select("query_id", "neighbor_id", "score")
+        )

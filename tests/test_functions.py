@@ -552,3 +552,29 @@ def test_pack_sequences(spark):
     # depend on input layout)
     out2 = {r["doc_id"]: (r["n_tokens"], r["offset"], r["bin"]) for r in pack_sequences(df.repartition(13), budget=10).collect()}
     assert out2 == out
+
+
+def test_ivf_index_save_load_query(spark, tmp_path):
+    """Persisted IVF index: build -> save (c-partitioned parquet) ->
+    load -> query matches the one-shot ivf_topk results, and the
+    probed read prunes bucket partitions."""
+    from cayley_spark.functions.ann_index import IVFIndex
+    from cayley_spark.functions.similarity import ivf_topk
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qids = [0, 7, 11]
+    want = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(df, qids, k=5, n_centroids=8, nprobe=3).collect()
+    }
+    idx = IVFIndex.build(df, n_centroids=8).save(str(tmp_path / "ivf"))
+    loaded = IVFIndex.load(spark, str(tmp_path / "ivf"))
+    queries = {
+        r["vec_id"]: list(r["embedding"])
+        for r in df.where(df.vec_id.isin(qids)).collect()
+    }
+    out = loaded.query(queries, k=5, nprobe=3)
+    got = {(r["query_id"], r["neighbor_id"]) for r in out.collect()}
+    assert got == want
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan  # bucket dirs pruned pre-read
