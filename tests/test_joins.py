@@ -192,3 +192,48 @@ def test_salted_count_matches_groupby(spark):
     plain = {(r.k, r["count"]) for r in df.groupBy("k").count().collect()}
     salted = {(r.k, r.n) for r in salted_count(df, "k").collect()}
     assert salted == plain
+
+
+def test_asof_randomized_vs_bruteforce(spark):
+    """Property check: asof_join against a brute-force python argmax
+    over random keyed series, all four direction/exactness modes."""
+    import random
+
+    rnd = random.Random(21)
+    lrows = [
+        (i, rnd.randrange(4), _ts(rnd.randrange(30), rnd.randrange(60)))
+        for i in range(150)
+    ]
+    # unique (key, ts) on the right (the documented determinism
+    # precondition)
+    seen = set()
+    rrows = []
+    for i in range(200):
+        k, t = rnd.randrange(4), _ts(rnd.randrange(30), rnd.randrange(60))
+        if (k, t) in seen:
+            continue
+        seen.add((k, t))
+        rrows.append((k, t, float(i)))
+    left = spark.createDataFrame(lrows, "lid long, k long, ts timestamp")
+    right = spark.createDataFrame(rrows, "k long, ts timestamp, val double")
+
+    for direction in ("backward", "forward"):
+        for exact in (True, False):
+            out = asof_join(
+                left, right, on="k", direction=direction, allow_exact=exact
+            )
+            got = {r.lid: r.val for r in out.collect()}
+            for lid, k, t in lrows:
+                if direction == "backward":
+                    cand = [
+                        (rt, v) for rk, rt, v in rrows
+                        if rk == k and (rt <= t if exact else rt < t)
+                    ]
+                    want = max(cand)[1] if cand else None
+                else:
+                    cand = [
+                        (rt, v) for rk, rt, v in rrows
+                        if rk == k and (rt >= t if exact else rt > t)
+                    ]
+                    want = min(cand)[1] if cand else None
+                assert got[lid] == want, (direction, exact, lid)
