@@ -146,6 +146,25 @@ def main(argv: list[str] | None = None) -> int:
     h.add_argument("url", nargs="?", default="http://localhost:64210/")
     sc = sub.add_parser("schema")  # cmd/cayley/command/schema.go
     sc.add_argument("kind", choices=["linkedql"])
+    # training-data pipeline verbs (repo extension — no reference
+    # analog): parquet in, parquet out, pure library calls
+    pp = sub.add_parser(
+        "pipeline",
+        help="corpus transforms: dedup/chunk/pack/split/quality",
+    )
+    pp.add_argument(
+        "op", choices=["dedup", "chunk", "pack", "split", "quality"]
+    )
+    pp.add_argument("--in", dest="inp", required=True, help="input parquet")
+    pp.add_argument("--out", required=True, help="output parquet dir")
+    pp.add_argument("--id-col", default="doc_id")
+    pp.add_argument("--text-col", default="text")
+    pp.add_argument("--chunk-chars", type=int, default=512)
+    pp.add_argument("--overlap", type=int, default=0)
+    pp.add_argument("--budget", type=int, default=2048)
+    pp.add_argument("--jaccard-threshold", type=float, default=0.8)
+    pp.add_argument("--val-buckets", type=int, default=1)
+    pp.add_argument("--test-buckets", type=int, default=1)
     args = ap.parse_args(argv)
 
     # Spark-free commands first
@@ -183,6 +202,8 @@ def main(argv: list[str] | None = None) -> int:
         return 1
 
     spark = _spark()
+    if args.cmd == "pipeline":
+        return _pipeline(spark, args)
     from .store import GraphStore
 
     if args.cmd == "init":
@@ -264,6 +285,67 @@ def main(argv: list[str] | None = None) -> int:
         )
         for r in rows:
             print(_json.dumps(r, ensure_ascii=False, default=str))
+    return 0
+
+
+def _pipeline(spark, args) -> int:
+    """`pipeline` verb dispatch: read parquet, apply one corpus
+    transform, write parquet, report row counts."""
+    df = spark.read.parquet(args.inp)
+    n_in = df.count()
+    if args.op == "dedup":
+        from .functions._cache import unpersist_intermediates
+        from .functions.dedup import dedup_corpus
+
+        out = dedup_corpus(
+            df,
+            id_col=args.id_col,
+            text_col=args.text_col,
+            jaccard_threshold=args.jaccard_threshold,
+        )
+        out.write.mode("overwrite").parquet(args.out)
+        unpersist_intermediates(out)
+    elif args.op == "chunk":
+        from .functions.chunking import chunk_documents
+
+        chunk_documents(
+            df,
+            chunk_chars=args.chunk_chars,
+            overlap=args.overlap,
+            id_col=args.id_col,
+            text_col=args.text_col,
+        ).write.mode("overwrite").parquet(args.out)
+    elif args.op == "pack":
+        from .functions.chunking import pack_sequences
+
+        pack_sequences(
+            df,
+            budget=args.budget,
+            id_col=args.id_col,
+            text_col=args.text_col,
+        ).write.mode("overwrite").parquet(args.out)
+    elif args.op == "split":
+        from .functions.sampling import hash_split
+
+        splits = hash_split(
+            df,
+            text_col=args.text_col,
+            id_col=args.id_col,
+            val_buckets=args.val_buckets,
+            test_buckets=args.test_buckets,
+        )
+        df.join(splits.select(args.id_col, "split"), args.id_col).write.mode(
+            "overwrite"
+        ).parquet(args.out)
+    elif args.op == "quality":
+        from .functions.text import quality_stats, repetition_stats
+
+        q = quality_stats(df, text_col=args.text_col)
+        r = repetition_stats(df, id_col=args.id_col, text_col=args.text_col)
+        r = r.drop(*[c for c in r.columns if c != args.id_col and c in q.columns])
+        q.join(r, args.id_col).write.mode("overwrite").parquet(args.out)
+    n_out = spark.read.parquet(args.out).count()
+    print(f"{args.op}: {n_in} rows in -> {n_out} rows out ({args.out})")
     return 0
 
 

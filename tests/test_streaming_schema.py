@@ -777,3 +777,45 @@ def test_dedup_stream_drops_within_watermark(spark, tmp_path):
     ).withColumn("ts", __import__("pyspark").sql.functions.current_timestamp())
     out = dedup_stream(batch).collect()
     assert sorted(r["text"] for r in out) == ["x", "y"]
+
+
+def test_cli_pipeline_verbs(spark, tmp_path, capsys):
+    """python -m cayley_spark pipeline {dedup,chunk,pack,split,quality}:
+    parquet-in/parquet-out corpus transforms."""
+    from cayley_spark.__main__ import main
+
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(i, ("alpha beta gamma " * 5) if i < 2 else f"unique doc {i} "
+          * 4) for i in range(6)],
+        "doc_id long, text string",
+    ).write.parquet(src)
+
+    out = str(tmp_path / "dd")
+    assert main(["pipeline", "dedup", "--in", src, "--out", out,
+                 "--jaccard-threshold", "0.5"]) == 0
+    kept = spark.read.parquet(out)
+    assert kept.count() == 5  # docs 0/1 identical -> one survives
+    assert set(kept.columns) == {"doc_id", "text"}
+
+    out = str(tmp_path / "ch")
+    assert main(["pipeline", "chunk", "--in", src, "--out", out,
+                 "--chunk-chars", "16"]) == 0
+    ch = spark.read.parquet(out)
+    assert ch.count() > 6 and "chunk_text" in ch.columns
+
+    out = str(tmp_path / "pk")
+    assert main(["pipeline", "pack", "--in", src, "--out", out,
+                 "--budget", "10"]) == 0
+    pk = spark.read.parquet(out)
+    assert {"offset", "bin"} <= set(pk.columns) and pk.count() == 6
+
+    out = str(tmp_path / "sp")
+    assert main(["pipeline", "split", "--in", src, "--out", out]) == 0
+    sp = spark.read.parquet(out)
+    assert sp.count() == 6 and "split" in sp.columns and "text" in sp.columns
+
+    out = str(tmp_path / "ql")
+    assert main(["pipeline", "quality", "--in", src, "--out", out]) == 0
+    ql = spark.read.parquet(out)
+    assert ql.count() == 6 and "top_token_ratio" in ql.columns
