@@ -312,3 +312,51 @@ def test_repl_add_delete(social):
     assert "3 Results" in text  # back to 3 after :d
     assert "not a valid quad" in text
     assert ":a <quad> // add quad" in text
+
+
+def test_nquads_literal_escape_fuzz(spark, tmp_path):
+    """Property: ANY string literal survives the full file roundtrip
+    write_nquads -> file -> read_nquads (escapes, quotes, newlines,
+    unicode, control chars) — through the production distributed
+    writer and regex-based reader."""
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    from cayley_spark import GraphStore, IRI, Path, String
+    from cayley_spark.sources.nquads import read_nquads, write_nquads
+
+    texts = st.lists(
+        st.text(
+            alphabet=st.characters(
+                blacklist_categories=("Cs",)  # no lone surrogates
+            ),
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=5,
+        unique=True,
+    )
+    counter = [0]
+
+    @settings(
+        max_examples=15,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(texts)
+    def roundtrip(vals):
+        quads = [
+            (IRI(f"s{i}"), IRI("says"), String(v))
+            for i, v in enumerate(vals)
+        ]
+        stx = GraphStore.from_quad_values(spark, quads)
+        counter[0] += 1
+        path = str(tmp_path / f"fuzz{counter[0]}.nq")
+        with open(path, "w") as f:
+            for r in write_nquads(stx).collect():
+                f.write(r["value"] + "\n")
+        st2 = read_nquads(spark, path)
+        for i, v in enumerate(vals):
+            out = Path.start(st2, IRI(f"s{i}")).out(IRI("says")).all_values()
+            assert out == [String(v).term()], (i, v, out)
+
+    roundtrip()
