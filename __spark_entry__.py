@@ -683,6 +683,35 @@ def t_pack(spark, sf):
     return pack_sequences(docs, budget=1000)
 
 
+def m_image(spark, sf):
+    """Multimodal image decode through the Arrow-batched mapInPandas
+    kernel (functions/multimodal.py): the deterministic netpbm
+    fixtures have closed-form metadata (32x24 RGB P6), so the REAL
+    distributed decode path gets a full rows+schema+hash oracle —
+    the oracle recomputes the expected table from constants."""
+    from cayley_spark.functions.multimodal import (
+        decode_image_info,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, n=300)
+    return decode_image_info(media.where(F.col("kind") == "image"))
+
+
+def m_audio(spark, sf):
+    """Multimodal WAV decode (real stdlib/numpy kernel) — integer
+    metadata columns only, so the oracle hash is exact."""
+    from cayley_spark.functions.multimodal import (
+        decode_audio_info,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, n=300)
+    return decode_audio_info(media.where(F.col("kind") == "audio")).select(
+        "doc_id", "sample_rate", "channels", "duration_ms"
+    )
+
+
 def q_median(spark, sf):
     """Exact discrete (lower) median of value per event_type: the
     row at position ceil(n/2) in (value, event_id) order — picked,
@@ -842,6 +871,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rollup": q_rollup,
         "q_pivot": q_pivot,
         "q_median": q_median,
+        "m_image": m_image,
+        "m_audio": m_audio,
         "g_pagerank": g_pagerank,
         "t_tokens": t_tokens,
         "t_quality": t_quality,
@@ -1297,6 +1328,19 @@ def oracle_sql() -> dict[str, str]:
               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
             FROM events
             GROUP BY ROLLUP(date_trunc('day', ts), event_type)
+        """,
+        "m_image": """
+            SELECT CAST(x * 3 AS BIGINT) AS doc_id,
+                   CAST(32 AS INT) AS width, CAST(24 AS INT) AS height,
+                   CAST(3 AS INT) AS channels, 'ppm' AS format
+            FROM range(0, 100) t(x)
+        """,
+        "m_audio": """
+            SELECT CAST(x * 3 + 1 AS BIGINT) AS doc_id,
+                   CAST(8000 AS INT) AS sample_rate,
+                   CAST(1 AS INT) AS channels,
+                   CAST(250 AS INT) AS duration_ms
+            FROM range(0, 100) t(x)
         """,
         "q_median": """
             SELECT event_type, value AS median_value FROM (
