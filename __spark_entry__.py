@@ -375,6 +375,111 @@ def q6(spark, sf):
     )
 
 
+def q4(spark, sf):
+    """TPC-H Q4 shape (order priority checking): EXISTS → LEFT SEMI
+    join, then a small group-by. The testdata has no
+    l_commitdate/l_receiptdate, so "late" = shipped more than 90 days
+    after the order date (same plan shape, available columns)."""
+    orders = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    late = li.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).where(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    ).select(F.col("l_orderkey").alias("k")).distinct()
+    return (
+        orders.where(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1996-07-01")
+        )
+        .join(late, F.col("o_orderkey") == F.col("k"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q14(spark, sf):
+    """TPC-H Q14 (promotion effect): conditional aggregation over a
+    part join; the ratio is one division of two exact decimal sums."""
+    li = _t(spark, sf, "lineitem")
+    part = _t(spark, sf, "part")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0.0))
+    return (
+        li.where(
+            (F.col("l_shipdate") >= "1996-03-01")
+            & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(_dec(promo, 4)).cast("double")
+                / F.sum(_dec(disc, 4)).cast("double")
+            ).alias("promo_revenue")
+        )
+    )
+
+
+def q17(spark, sf):
+    """TPC-H Q17 (small-quantity-order revenue): correlated scalar
+    subquery (per-part average quantity) — Catalyst decorrelates it
+    into an aggregate + join; the 0.2*avg threshold is computed in
+    exact decimal and compared, so no float-accumulation divergence."""
+    li = _t(spark, sf, "lineitem")
+    part = _t(spark, sf, "part")
+    avg_q = (
+        li.groupBy(F.col("l_partkey").alias("ak"))
+        .agg(
+            F.count(F.lit(1)).alias("nq"),
+            F.sum(_dec(F.col("l_quantity"), 2)).alias("sq"),
+        )
+    )
+    # qty < 0.2*avg ⟺ qty*5*n < sum — multiplication-only decimal
+    # comparison (decimal DIVISION scale rules differ across engines)
+    return (
+        li.join(part.where(F.col("p_brand") == "Brand#13"),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .join(avg_q, F.col("l_partkey") == F.col("ak"))
+        .where(
+            _dec(F.col("l_quantity"), 2) * F.lit(5) * F.col("nq")
+            < F.col("sq")
+        )
+        .agg(
+            (F.sum(_dec(F.col("l_extendedprice"), 2)).cast("double") / 7.0)
+            .alias("avg_yearly")
+        )
+    )
+
+
+def q18(spark, sf):
+    """TPC-H Q18 (large-volume customers): HAVING over a join chain +
+    deterministic top-k."""
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec(F.col("l_quantity"), 2)).alias("sum_qty"))
+        .where(F.col("sum_qty") > 250)
+    )
+    return (
+        orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("o_totalprice"),
+            F.col("sum_qty").cast("double").alias("total_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
 def _events(spark, sf):
     """events.parquet has shipped `ts` as either TIMESTAMP(NANOS)
     (older testdata: the vectorized reader rejects it, so read nanos
@@ -860,8 +965,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_recursive_dist": g_recursive_dist,
         "q1": q1,
         "q3": q3,
+        "q4": q4,
         "q5": q5,
         "q6": q6,
+        "q14": q14,
+        "q17": q17,
+        "q18": q18,
         "q_events_hourly": q_events_hourly,
         "q_events_windowed": q_events_windowed,
         "q_sessions": q_sessions,
@@ -1253,6 +1362,54 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
               AND l_discount >= 0.05 AND l_discount <= 0.07
               AND l_quantity < 24
+        """,
+        "q4": """
+            SELECT o_orderpriority, COUNT(*) AS order_count
+            FROM orders o
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-07-01'
+              AND EXISTS (
+                SELECT 1 FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey
+                  AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+            GROUP BY o_orderpriority
+        """,
+        "q14": """
+            SELECT 100.0 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+                     THEN l_extendedprice * (1 - l_discount)
+                     ELSE 0.0 END AS DECIMAL(18,4))) AS DOUBLE)
+                 / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                     AS DECIMAL(18,4))) AS DOUBLE) AS promo_revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+              AND l_shipdate < TIMESTAMP '1996-04-01'
+        """,
+        "q17": """
+            WITH a AS (
+              SELECT l_partkey AS ak, COUNT(*) AS nq,
+                     SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq
+              FROM lineitem GROUP BY l_partkey
+            )
+            SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                     AS DOUBLE) / 7.0 AS avg_yearly
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#13'
+            JOIN a ON l_partkey = ak
+            WHERE CAST(l_quantity AS DECIMAL(18,2)) * 5 * nq < sq
+        """,
+        "q18": """
+            WITH big AS (
+              SELECT l_orderkey,
+                     SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250
+            )
+            SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+                   o_totalprice, CAST(sum_qty AS DOUBLE) AS total_qty
+            FROM orders
+            JOIN big ON o_orderkey = l_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
         """,
         "q_events_hourly": """
             SELECT date_trunc('hour', ts) AS hour, event_type,
