@@ -130,3 +130,24 @@ def test_pagerank_no_cartesian(spark, entry):
     plan = plan_of(df)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pack_uses_range_partitioning_not_single_task(spark, entry):
+    """sequence packing must distribute via range partitioning — a
+    SinglePartition window (the Window.orderBy-without-partitionBy
+    trap) would serialize the whole corpus through one task."""
+    df = entry.queries()["t_pack"](spark, SF)
+    plan = plan_of(df)
+    # the range exchange itself sits above the localCheckpoint
+    # boundary (Scan ExistingRDD); what must hold downstream is that
+    # the cumsum window is partitioned by __pid — never a global
+    # SinglePartition sort
+    assert "windowspecdefinition(__pid" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_q4_compiles_to_semi_join(spark, entry):
+    """the EXISTS predicate must become a semi join, not a full join
+    plus dedup of multiplied rows."""
+    df = entry.queries()["q4"](spark, SF)
+    assert "LeftSemi" in plan_of(df)
