@@ -1632,15 +1632,24 @@ def oracle_sql() -> dict[str, str]:
             ), f AS (
               SELECT doc_id, tok, COUNT(*) AS c
               FROM toks GROUP BY doc_id, tok
+            ), agg AS (
+              SELECT doc_id,
+                CAST(SUM(c) AS BIGINT) AS n_tokens,
+                COUNT(*) AS n_distinct,
+                CAST(SUM(c) - COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+                  AS dup_token_ratio,
+                CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+                  AS top_token_ratio
+              FROM f GROUP BY doc_id
             )
-            SELECT doc_id,
-              CAST(SUM(c) AS BIGINT) AS n_tokens,
-              COUNT(*) AS n_distinct,
-              CAST(SUM(c) - COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
-                AS dup_token_ratio,
-              CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
-                AS top_token_ratio
-            FROM f GROUP BY doc_id
+            -- LEFT JOIN from documents: a zero-token document still
+            -- gets a row (n=0, NULL ratios), matching the Spark
+            -- operator's pure-column-expression semantics
+            SELECT d.doc_id,
+              CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+              CAST(COALESCE(a.n_distinct, 0) AS BIGINT) AS n_distinct,
+              a.dup_token_ratio, a.top_token_ratio
+            FROM documents d LEFT JOIN agg a USING (doc_id)
         """,
         "t_contaminate": r"""
             WITH toks AS (
@@ -1662,8 +1671,8 @@ def oracle_sql() -> dict[str, str]:
         "t_split": """
             WITH b AS (
               SELECT doc_id,
-                CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 16 AS INT)
-                  AS bucket
+                CAST(('0x' || substr(md5(COALESCE(text, '')), 1, 8))::BIGINT
+                     % 16 AS INT) AS bucket
               FROM documents
             )
             SELECT doc_id, bucket,

@@ -228,7 +228,6 @@ def main(argv: list[str] | None = None) -> int:
             type_pred=IRI(args.pred.strip("<>")),
             type_value=IRI(args.type.strip("<>")),
         )
-        after = out.stats()
         # write to a sibling tmp dir then swap: Spark cannot overwrite
         # the parquet files it is concurrently reading from
         import shutil
@@ -238,6 +237,12 @@ def main(argv: list[str] | None = None) -> int:
             prefix=".dedup-", dir=os.path.dirname(args.db.rstrip("/")) or "."
         )
         out.save(tmp)
+        # after-counts from the WRITTEN store: stats() on the lazy
+        # result would re-run the whole dedup pipeline a second time
+        after = {
+            "nodes": spark.read.parquet(os.path.join(tmp, "nodes")).count(),
+            "quads": spark.read.parquet(os.path.join(tmp, "quads")).count(),
+        }
         # drop the cache entries for the old files BEFORE the swap:
         # Spark's CacheManager matches by canonicalized plan (the scan
         # path), so a later read of the swapped path would silently be
@@ -340,7 +345,7 @@ def _pipeline(spark, args) -> int:
     elif args.op == "quality":
         from .functions.text import quality_stats, repetition_stats
 
-        q = quality_stats(df, text_col=args.text_col)
+        q = quality_stats(df, text_col=args.text_col, id_col=args.id_col)
         r = repetition_stats(df, id_col=args.id_col, text_col=args.text_col)
         r = r.drop(*[c for c in r.columns if c != args.id_col and c in q.columns])
         q.join(r, args.id_col).write.mode("overwrite").parquet(args.out)

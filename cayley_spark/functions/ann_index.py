@@ -75,6 +75,13 @@ class IVFIndex:
         return cls(spark, cents, bucketed)
 
     def _probes(self, qv: list[float], nprobe: int) -> list[int]:
+        dim = len(self.centroids[0]) if self.centroids else 0
+        if len(qv) != dim:
+            # zip() would silently truncate and probe the wrong
+            # buckets — fail loudly instead
+            raise ValueError(
+                f"query vector has dim {len(qv)}, index has dim {dim}"
+            )
         ds = [
             (sum((a - b) * (a - b) for a, b in zip(qv, c)), i)
             for i, c in enumerate(self.centroids)

@@ -21,8 +21,12 @@ def hash_bucket(col: Column, buckets: int = 16) -> Column:
     """Deterministic bucket in [0, buckets): the first 8 hex chars of
     md5(content) as an int, mod buckets. 32 bits of hash is plenty for
     split assignment (collisions only shift bucket sizes, never
-    reproducibility)."""
-    h = F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+    reproducibility). NULL content hashes as the empty string — a
+    NULL md5 would otherwise silently pin such rows to the
+    ``otherwise`` branch of every split rule."""
+    h = F.conv(
+        F.substring(F.md5(F.coalesce(col, F.lit(""))), 1, 8), 16, 10
+    ).cast("long")
     return (h % buckets).cast("int")
 
 

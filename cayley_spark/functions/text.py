@@ -38,7 +38,9 @@ def stopword_count(col: Column) -> Column:
     return F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
 
 
-def quality_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+def quality_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
     """Per-document quality metrics: length, token count, punctuation
     count, stopword count, mean token length. Integer-valued columns
     only (float ratios are left to the caller) so oracle hash-matching
@@ -46,7 +48,7 @@ def quality_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     c = F.col(text_col)
     toks = tokens(c)
     return df.select(
-        "doc_id",
+        id_col,
         F.length(c).alias("n_chars2"),
         token_count(c).alias("n_tokens"),
         punct_count(c).alias("n_punct"),

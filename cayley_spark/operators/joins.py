@@ -85,39 +85,59 @@ def asof_join(
         l_side, r_side = (0, 1) if allow_exact else (1, 0)
 
     lcols = [c for c in left.columns if c not in keys]
-    tmp = {c: f"__r{i}" for i, c in enumerate(attach)}
+    rtypes = dict(right.dtypes)
+    # ALL attached columns ride in ONE struct picked atomically by the
+    # running window: picking each column with its own
+    # last/first(ignorenulls) would stitch values from DIFFERENT right
+    # rows whenever right data itself contains NULLs in attached
+    # columns (ignorenulls must skip only the union's left-side
+    # placeholder rows, never a matched row's genuine NULL fields).
+    struct_t = (
+        "struct<"
+        + ",".join(f"_{i}:{rtypes[c]}" for i, c in enumerate(attach))
+        + ">"
+    )
     lt = left.select(
         *keys,
         F.col(left_ts).alias("__ts"),
         F.lit(l_side).alias("__side"),
         *[F.col(c).alias(c) for c in lcols],
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(tmp[c]) for c in attach],
+        F.lit(None).cast(struct_t).alias("__r"),
     )
-    rt = right.select(
+    # NULL-timestamp right rows can never be "nearest in time" — drop
+    # them (NULLS FIRST ordering would otherwise make one act like
+    # ts = -infinity and match every backward probe).
+    rt = right.where(F.col(right_ts).isNotNull()).select(
         *keys,
         F.col(right_ts).alias("__ts"),
         F.lit(r_side).alias("__side"),
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in lcols],
-        *[F.col(c).alias(tmp[c]) for c in attach],
+        F.struct(
+            *[F.col(c).alias(f"_{i}") for i, c in enumerate(attach)]
+        ).alias("__r"),
     )
     u = lt.unionByName(rt)
     w = Window.partitionBy(*keys).orderBy("__ts", "__side")
     if direction == "backward":
         w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        pick = lambda c: F.last(c, ignorenulls=True)  # noqa: E731
+        u = u.withColumn("__r", F.last("__r", ignorenulls=True).over(w))
     else:
         w = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-        pick = lambda c: F.first(c, ignorenulls=True)  # noqa: E731
-    for c in attach:
-        u = u.withColumn(tmp[c], pick(tmp[c]).over(w))
+        u = u.withColumn("__r", F.first("__r", ignorenulls=True).over(w))
     out_names = {
         c: (c + suffix if c in left.columns else c) for c in attach
     }
     u = u.where(F.col("__side") == F.lit(l_side)).drop("__side")
+    # a NULL-timestamp LEFT row has no position on the time axis: it
+    # must keep left-join NULLs, not match the frame's boundary row
+    u = u.withColumn(
+        "__r", F.when(F.col("__ts").isNotNull(), F.col("__r"))
+    )
     if left_ts not in lcols:  # left_ts was consumed into __ts
         u = u.withColumn(left_ts, F.col("__ts"))
     sel = list(left.columns) + [
-        F.col(tmp[c]).alias(out_names[c]) for c in attach
+        F.col("__r")[f"_{i}"].alias(out_names[c])
+        for i, c in enumerate(attach)
     ]
     return u.select(*sel)
 
@@ -153,20 +173,28 @@ def range_join(
     p_us = _us_of(point_ts)
     s_us = _us_of(start_col)
     e_us = _us_of(end_col)
-    # integer bucket id: floor(us / bus) done exactly via pmod
-    p_b = ((p_us - F.pmod(p_us, F.lit(bus))) / F.lit(bus)).cast("long")
-    s_b = ((s_us - F.pmod(s_us, F.lit(bus))) / F.lit(bus)).cast("long")
+    # bucket id = the bucket's START microsecond (floor-aligned via
+    # pmod) — pure int64 arithmetic, NO division: a double `/` loses
+    # ulps beyond ±2^53 µs from epoch (~1685–2255) and silently
+    # misbuckets; pmod is floor-signed so pre-1970 stamps align too
+    p_b = p_us - F.pmod(p_us, F.lit(bus))
+    s_b = s_us - F.pmod(s_us, F.lit(bus))
     # end is EXCLUSIVE: an interval ending exactly on a bucket
     # boundary does not cover that bucket
     e_adj = e_us - F.lit(1)
-    e_b = ((e_adj - F.pmod(e_adj, F.lit(bus))) / F.lit(bus)).cast("long")
+    e_b = e_adj - F.pmod(e_adj, F.lit(bus))
     guard = F.assert_true(
-        e_b - s_b <= F.lit(10_000),
+        e_b - s_b <= F.lit(10_000 * bus),
         F.lit(f"range_join: interval exceeds 10000 buckets of {bucket_seconds}s — increase bucket_seconds"),
     )
     iv = intervals.withColumn(
         "__bucket",
-        F.explode(F.when(guard.isNull(), F.sequence(s_b, F.greatest(s_b, e_b)))),
+        F.explode(
+            F.when(
+                guard.isNull(),
+                F.sequence(s_b, F.greatest(s_b, e_b), F.lit(bus)),
+            )
+        ),
     )
     pt = points.withColumn("__bucket", p_b)
     out = pt.join(iv, keys + ["__bucket"], "inner").where(

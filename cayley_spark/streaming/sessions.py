@@ -123,6 +123,14 @@ def sessionize_stream(
         events._jdf.queryExecution().analyzed()
     )
     gap_ms = int(round(gap_seconds * 1000))
+    # applyInPandasWithState hands the workers naive timestamps in the
+    # SESSION timezone — capture it at build time so the event-time
+    # timeout is right for any session tz (assuming UTC would shift
+    # expiry by the tz offset, or crash the query when the computed
+    # timeout lands at-or-before the watermark)
+    session_tz = events.sparkSession.conf.get(
+        "spark.sql.session.timeZone", "UTC"
+    )
 
     def fold(key, pdf_iter, state):
         import pandas as pd
@@ -166,11 +174,22 @@ def sessionize_stream(
                 n = 1
         state.update((start, end, n))
         if has_watermark and end is not None:
-            # naive timestamps arrive session-tz-localized; sessions
-            # run with the store's pinned UTC session timezone
-            end_ms = int(
-                end.replace(tzinfo=timezone.utc).timestamp() * 1000
-            )
+            # naive timestamps arrive localized to the captured
+            # session timezone
+            if session_tz[:1] in ("+", "-"):  # fixed-offset form
+                from datetime import timedelta
+
+                hh, _, mm = session_tz[1:].partition(":")
+                off = timedelta(hours=int(hh), minutes=int(mm or 0))
+                tz = timezone(off if session_tz[0] == "+" else -off)
+            else:
+                try:
+                    from zoneinfo import ZoneInfo
+
+                    tz = ZoneInfo(session_tz)
+                except Exception:
+                    tz = timezone.utc
+            end_ms = int(end.replace(tzinfo=tz).timestamp() * 1000)
             state.setTimeoutTimestamp(end_ms + gap_ms)
         if closed:
             yield pd.DataFrame(

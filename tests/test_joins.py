@@ -237,3 +237,40 @@ def test_asof_randomized_vs_bruteforce(spark):
                     ]
                     want = min(cand)[1] if cand else None
                 assert got[lid] == want, (direction, exact, lid)
+
+
+def test_asof_match_is_one_row_not_composite(spark):
+    """A matched right row's genuine NULL fields must come through as
+    NULLs — not be backfilled from an OLDER right row (per-column
+    ignorenulls stitching)."""
+    left = spark.createDataFrame(
+        [(1, "A", _ts(10))], "lid long, sym string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [("A", _ts(1), 10.0, None), ("A", _ts(2), None, 12.0)],
+        "sym string, ts timestamp, bid double, ask double",
+    )
+    r = asof_join(left, right, on="sym").collect()[0]
+    assert r.ts_right == _ts(2)
+    assert r.bid is None and r.ask == 12.0  # nearest ROW, verbatim
+
+
+def test_asof_null_timestamps_never_match(spark):
+    left = spark.createDataFrame(
+        [(1, "A", _ts(5)), (2, "A", None)],
+        "lid long, sym string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("A", None, 7.0), ("A", _ts(3), 8.0)],
+        "sym string, ts timestamp, bid double",
+    )
+    rows = {r.lid: r.bid for r in asof_join(left, right, on="sym").collect()}
+    assert rows[1] == 8.0  # the NULL-ts right row is not "-infinity"
+    assert rows[2] is None  # a NULL-ts left row matches nothing
+    fwd = {
+        r.lid: r.bid
+        for r in asof_join(
+            left, right, on="sym", direction="forward"
+        ).collect()
+    }
+    assert fwd[2] is None
