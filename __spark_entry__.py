@@ -788,6 +788,88 @@ def t_pack(spark, sf):
     return pack_sequences(docs, budget=1000)
 
 
+def q_retention(spark, sf):
+    """Cohort retention: users grouped by first-active day; for each
+    (cohort_day, day_offset) the count of distinct users active
+    offset days later — the standard events-warehouse rollup, built
+    from one window min + one dedup + one group-by."""
+    from pyspark.sql.window import Window
+
+    ev = _events(spark, sf)
+    w = Window.partitionBy("user_id")
+    d = F.date_trunc("day", F.col("ts"))
+    act = (
+        ev.select("user_id", d.alias("day"))
+        .withColumn("cohort_day", F.min("day").over(w))
+        .dropDuplicates(["user_id", "day"])
+    )
+    return (
+        act.groupBy(
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+def q_funnel(spark, sf):
+    """Ordered funnel: per user, first signup -> first click after it
+    -> first purchase after that; one row of stage counts. Built from
+    conditional min-aggregations — one shuffle, no self-joins."""
+    ev = _events(spark, sf)
+    t = F.col("ts")
+    k = F.col("event_type")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(k == "signup", t)).alias("t_signup"),
+    )
+    # first click strictly after the user's first signup, then first
+    # purchase strictly after that click: two more conditional mins
+    ev2 = ev.join(per_user, "user_id")
+    per_user2 = ev2.groupBy("user_id", "t_signup").agg(
+        F.min(
+            F.when((k == "click") & (t > F.col("t_signup")), t)
+        ).alias("t_click")
+    )
+    ev3 = ev.join(per_user2, "user_id")
+    per_user3 = ev3.groupBy("user_id", "t_signup", "t_click").agg(
+        F.min(
+            F.when((k == "purchase") & (t > F.col("t_click")), t)
+        ).alias("t_purchase")
+    )
+    return per_user3.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_signup").alias("n_signup"),
+        F.count("t_click").alias("n_click_after"),
+        F.count("t_purchase").alias("n_purchase_after"),
+    )
+
+
+def g_triangles(spark, sf):
+    """Triangle count over the undirected parts-bought-together graph
+    (parts co-occurring in an order): the canonical a<b<c three-way
+    equi-join — each triangle counted exactly once, no nested loops."""
+    li = _t(spark, sf, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").dropDuplicates()
+    a, b = op.alias("a"), op.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .dropDuplicates()
+        .localCheckpoint(eager=False)
+    )
+    e1 = edges.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    e2 = edges.select(F.col("u").alias("y"), F.col("v").alias("z"))
+    e3 = edges.select(F.col("u").alias("x"), F.col("v").alias("z"))
+    return (
+        e1.join(e2, "y")
+        .join(e3, ["x", "z"])
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+
+
 def m_image(spark, sf):
     """Multimodal image decode through the Arrow-batched mapInPandas
     kernel (functions/multimodal.py): the deterministic netpbm
@@ -982,6 +1064,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_median": q_median,
         "m_image": m_image,
         "m_audio": m_audio,
+        "q_retention": q_retention,
+        "q_funnel": q_funnel,
+        "g_triangles": g_triangles,
         "g_pagerank": g_pagerank,
         "t_tokens": t_tokens,
         "t_quality": t_quality,
@@ -1485,6 +1570,55 @@ def oracle_sql() -> dict[str, str]:
               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
             FROM events
             GROUP BY ROLLUP(date_trunc('day', ts), event_type)
+        """,
+        "q_retention": """
+            WITH act AS (
+              SELECT DISTINCT user_id,
+                CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                CAST(MIN(date_trunc('day', ts))
+                     OVER (PARTITION BY user_id) AS TIMESTAMP) AS cohort_day
+              FROM events
+            )
+            SELECT cohort_day, datediff('day', cohort_day, day) AS day_offset,
+                   COUNT(*) AS n_users
+            FROM act GROUP BY 1, 2
+        """,
+        "q_funnel": """
+            WITH s1 AS (
+              SELECT user_id,
+                MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup
+              FROM events GROUP BY user_id
+            ), s2 AS (
+              SELECT e.user_id, s1.t_signup,
+                MIN(CASE WHEN e.event_type = 'click'
+                          AND e.ts > s1.t_signup THEN e.ts END) AS t_click
+              FROM events e JOIN s1 ON e.user_id = s1.user_id
+              GROUP BY e.user_id, s1.t_signup
+            ), s3 AS (
+              SELECT e.user_id, s2.t_signup, s2.t_click,
+                MIN(CASE WHEN e.event_type = 'purchase'
+                          AND e.ts > s2.t_click THEN e.ts END) AS t_purchase
+              FROM events e JOIN s2 ON e.user_id = s2.user_id
+              GROUP BY e.user_id, s2.t_signup, s2.t_click
+            )
+            SELECT COUNT(*) AS n_users,
+                   COUNT(t_signup) AS n_signup,
+                   COUNT(t_click) AS n_click_after,
+                   COUNT(t_purchase) AS n_purchase_after
+            FROM s3
+        """,
+        "g_triangles": """
+            WITH op AS (
+              SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            ), e AS (
+              SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+              FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+              WHERE a.l_partkey < b.l_partkey
+            )
+            SELECT COUNT(*) AS n_triangles
+            FROM e e1
+            JOIN e e2 ON e1.v = e2.u
+            JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
         """,
         "m_image": """
             SELECT CAST(x * 3 AS BIGINT) AS doc_id,
