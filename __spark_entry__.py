@@ -788,6 +788,44 @@ def t_pack(spark, sf):
     return pack_sequences(docs, budget=1000)
 
 
+def q_sliding(spark, sf):
+    """Sliding-window counts (1h window, 30min slide): every event
+    lands in exactly two overlapping windows — the built-in window()
+    generator, incrementalizable under a watermark unchanged."""
+    ev = _events(spark, sf)
+    return (
+        ev.groupBy(
+            F.window(F.col("ts"), "1 hour", "30 minutes").alias("w"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def q_session_window(spark, sf):
+    """Spark's NATIVE session_window aggregation (1h gap) — the
+    built-in twin of the manual lag/cumsum sessionization
+    (q_sessions); both hash-match the same oracle."""
+    ev = _events(spark, sf)
+    return (
+        ev.groupBy(
+            F.session_window(F.col("ts"), "1 hour").alias("w"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def q_retention(spark, sf):
     """Cohort retention: users grouped by first-active day; for each
     (cohort_day, day_offset) the count of distinct users active
@@ -1064,6 +1102,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_median": q_median,
         "m_image": m_image,
         "m_audio": m_audio,
+        "q_sliding": q_sliding,
+        "q_session_window": q_session_window,
         "q_retention": q_retention,
         "q_funnel": q_funnel,
         "g_triangles": g_triangles,
@@ -1570,6 +1610,41 @@ def oracle_sql() -> dict[str, str]:
               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
             FROM events
             GROUP BY ROLLUP(date_trunc('day', ts), event_type)
+        """,
+        "q_sliding": """
+            WITH wins AS (
+              SELECT event_type, unnest([
+                CAST(to_timestamp((epoch_ms(ts) // 1800000) * 1800)
+                     AS TIMESTAMP),
+                CAST(to_timestamp((epoch_ms(ts) // 1800000) * 1800 - 1800)
+                     AS TIMESTAMP)
+              ]) AS window_start
+              FROM events
+            )
+            SELECT window_start, event_type, COUNT(*) AS n
+            FROM wins GROUP BY 1, 2
+        """,
+        "q_session_window": """
+            -- session_window semantics differ from the manual
+            -- sessionization in two ways mirrored here: the merge rule
+            -- is STRICT (< gap) and session_end = last event + gap
+            WITH m AS (
+              SELECT user_id, ts,
+                CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                             ORDER BY ts)
+                          < INTERVAL 3600 SECOND
+                     THEN 0 ELSE 1 END AS new_sess
+              FROM events
+            ), s AS (
+              SELECT user_id, ts,
+                SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sess
+              FROM m
+            )
+            SELECT user_id, MIN(ts) AS session_start,
+                   MAX(ts) + INTERVAL 3600 SECOND AS session_end,
+                   COUNT(*) AS n_events
+            FROM s GROUP BY user_id, sess
         """,
         "q_retention": """
             WITH act AS (
