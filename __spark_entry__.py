@@ -788,6 +788,24 @@ def t_pack(spark, sf):
     return pack_sequences(docs, budget=1000)
 
 
+def q_json(spark, sf):
+    """Semi-structured extraction: parse the props JSON column
+    (from_json with an explicit schema — vectorized JVM path, not a
+    per-row UDF) and aggregate the typed field."""
+    ev = _events(spark, sf)
+    k = F.from_json(F.col("props"), "k int")["k"]
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
 def q_sliding(spark, sf):
     """Sliding-window counts (1h window, 30min slide): every event
     lands in exactly two overlapping windows — the built-in window()
@@ -1102,6 +1120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_median": q_median,
         "m_image": m_image,
         "m_audio": m_audio,
+        "q_json": q_json,
         "q_sliding": q_sliding,
         "q_session_window": q_session_window,
         "q_retention": q_retention,
@@ -1610,6 +1629,17 @@ def oracle_sql() -> dict[str, str]:
               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
             FROM events
             GROUP BY ROLLUP(date_trunc('day', ts), event_type)
+        """,
+        "q_json": """
+            SELECT event_type,
+              COUNT(k) AS n_with_k,
+              CAST(SUM(k) AS BIGINT) AS sum_k,
+              MIN(k) AS min_k, MAX(k) AS max_k
+            FROM (
+              SELECT event_type,
+                CAST(json_extract(props, '$.k') AS INT) AS k
+              FROM events
+            ) GROUP BY event_type
         """,
         "q_sliding": """
             WITH wins AS (
