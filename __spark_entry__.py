@@ -902,27 +902,53 @@ def q_funnel(spark, sf):
 
 def g_triangles(spark, sf):
     """Triangle count over the undirected parts-bought-together graph
-    (parts co-occurring in an order): the canonical a<b<c three-way
-    equi-join — each triangle counted exactly once, no nested loops."""
+    (parts co-occurring in an order), via DEGREE-ORIENTED wedge
+    counting (compact-forward): every edge is directed from its
+    lower-(degree, id) endpoint to the higher one, wedges are pairs
+    of out-edges, and a wedge closes iff its far endpoints are a
+    directed edge. The id-ordered formulation's wedge count is
+    Σ deg² — a hub vertex alone can explode it — while orientation
+    bounds out-degrees by O(√m), the arboricity bound, which is why
+    it's THE distributed triangle algorithm. No global rank is
+    computed: orientation compares (deg, id) tuples edge-locally."""
     li = _t(spark, sf, "lineitem")
     op = li.select("l_orderkey", "l_partkey").dropDuplicates()
     a, b = op.alias("a"), op.alias("b")
-    edges = (
+    und = (
         a.join(b, "l_orderkey")
         .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
         .select(
             F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
         )
         .dropDuplicates()
-        .localCheckpoint(eager=False)
     )
-    e1 = edges.select(F.col("u").alias("x"), F.col("v").alias("y"))
-    e2 = edges.select(F.col("u").alias("y"), F.col("v").alias("z"))
-    e3 = edges.select(F.col("u").alias("x"), F.col("v").alias("z"))
-    return (
-        e1.join(e2, "y")
-        .join(e3, ["x", "z"])
-        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    deg = (
+        und.select(F.col("u").alias("n"))
+        .unionAll(und.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
+    ed = und.join(du, "u").join(dv, "v")
+    fwd = F.struct("du", "u") < F.struct("dv", "v")
+    dir_e = ed.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"),
+        F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("db"),
+    ).localCheckpoint(eager=False)
+    w1 = dir_e.select("a", F.col("b").alias("x"), F.col("db").alias("dx"))
+    w2 = dir_e.select("a", F.col("b").alias("y"), F.col("db").alias("dy"))
+    wedges = (
+        w1.join(w2, "a")
+        .where(F.struct("dx", "x") < F.struct("dy", "y"))
+        .select("x", "y")
+    )
+    closer = dir_e.select(
+        F.col("a").alias("x"), F.col("b").alias("y")
+    )
+    return wedges.join(closer, ["x", "y"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_triangles")
     )
 
 
