@@ -258,8 +258,14 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("id"),
         word_shingles(F.col(text_col), k).alias("sh"),
     ).where(F.size("sh") > 0)
-    sizes = sh.select("blk", "id", F.size("sh").alias("n"))
     postings = sh.select("blk", "id", F.explode("sh").alias("s")).persist()
+    # set sizes FROM the cached postings (shingles are distinct, so
+    # the per-doc posting count IS the set size): deriving them from
+    # ``sh`` would re-run the regex+shingling scan once per use —
+    # the na/nb joins alone would pay it twice more
+    sizes = postings.groupBy("blk", "id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
     dfreq = postings.groupBy("blk", "s").agg(F.count(F.lit(1)).alias("df"))
     # Adaptive plan choice (the AQE idea, one level up): the direct
     # postings self-join materializes exactly sum(df^2) rows — cheap
