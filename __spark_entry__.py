@@ -921,6 +921,10 @@ def g_triangles(spark, sf):
             F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
         )
         .dropDuplicates()
+        # materialized once: deg reads it twice and ed a third time —
+        # without this the dominant co-occurrence self-join lineage
+        # recomputes in three plan subtrees
+        .localCheckpoint(eager=False)
     )
     deg = (
         und.select(F.col("u").alias("n"))
@@ -1669,11 +1673,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_sliding": """
             WITH wins AS (
+              -- make_timestamp(µs) is timezone-free; a
+              -- to_timestamp()+CAST round-trip goes through
+              -- TIMESTAMPTZ and shifts by the DuckDB session zone
               SELECT event_type, unnest([
-                CAST(to_timestamp((epoch_ms(ts) // 1800000) * 1800)
-                     AS TIMESTAMP),
-                CAST(to_timestamp((epoch_ms(ts) // 1800000) * 1800 - 1800)
-                     AS TIMESTAMP)
+                make_timestamp((epoch_ms(ts) // 1800000) * 1800000000),
+                make_timestamp((epoch_ms(ts) // 1800000) * 1800000000
+                               - 1800000000)
               ]) AS window_start
               FROM events
             )
@@ -1710,7 +1716,9 @@ def oracle_sql() -> dict[str, str]:
                      OVER (PARTITION BY user_id) AS TIMESTAMP) AS cohort_day
               FROM events
             )
-            SELECT cohort_day, datediff('day', cohort_day, day) AS day_offset,
+            SELECT cohort_day,
+                   CAST(datediff('day', cohort_day, day) AS INT)
+                     AS day_offset,
                    COUNT(*) AS n_users
             FROM act GROUP BY 1, 2
         """,
