@@ -788,6 +788,42 @@ def t_pack(spark, sf):
     return pack_sequences(docs, budget=1000)
 
 
+def q_antijoin(spark, sf):
+    """NOT EXISTS → left-anti join: customers with no 1996 order.
+    Catalyst builds the hash side from the filtered orders slice."""
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders")
+    o96 = orders.where(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    ).select(F.col("o_custkey").alias("c_custkey"))
+    return (
+        cust.join(o96, "c_custkey", "left_anti")
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
+def q_rolling(spark, sf):
+    """Interval range-frame window: for each event, how many events
+    the same user fired in the preceding hour (inclusive of now).
+    The frame is RANGE over event-time seconds — order-only frames
+    (ROWS) can't express a time horizon."""
+    from pyspark.sql.window import Window
+
+    ev = _events(spark, sf)
+    secs = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(secs)
+        .rangeBetween(-3_600_000_000 + 1, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+    )
+
+
 def q_json(spark, sf):
     """Semi-structured extraction: parse the props JSON column
     (from_json with an explicit schema — vectorized JVM path, not a
@@ -1151,6 +1187,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m_image": m_image,
         "m_audio": m_audio,
         "q_json": q_json,
+        "q_antijoin": q_antijoin,
+        "q_rolling": q_rolling,
         "q_sliding": q_sliding,
         "q_session_window": q_session_window,
         "q_retention": q_retention,
@@ -1659,6 +1697,21 @@ def oracle_sql() -> dict[str, str]:
               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
             FROM events
             GROUP BY ROLLUP(date_trunc('day', ts), event_type)
+        """,
+        "q_antijoin": """
+            SELECT c_custkey, c_mktsegment FROM customer c
+            WHERE NOT EXISTS (
+              SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+                AND o.o_orderdate < TIMESTAMP '1997-01-01')
+        """,
+        "q_rolling": """
+            SELECT event_id, user_id,
+              COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
+                AS n_last_hour
+            FROM events
         """,
         "q_json": """
             SELECT event_type,

@@ -263,6 +263,49 @@ class GraphStore:
             "quads": self.quads.count(),
         }
 
+    # ---------------- graph analytics (repo extension) ---------------
+
+    def _edge_frame(self, predicate=None):
+        """(src, dst) node-id edges, optionally restricted to one
+        predicate — the bridge from the quad store to the whole-graph
+        algorithms in graphs/algorithms.py. The predicate constraint
+        is a literal pushdown, same as the query compiler's hops."""
+        from pyspark.sql import functions as F
+
+        from .values import coerce
+
+        e = self.quads
+        if predicate is not None:
+            e = e.where(F.col("p") == F.lit(coerce(predicate).id))
+        return e.select(F.col("s").alias("src"), F.col("o").alias("dst"))
+
+    def pagerank(self, predicate=None, iters: int = 3):
+        """Fixed-point PageRank over the (predicate-filtered) graph.
+        Returns (id, term, rank) with the node rendered for the
+        caller."""
+        from pyspark.sql import functions as F
+
+        from .graphs.algorithms import pagerank as _pr
+
+        ranks = _pr(self._edge_frame(predicate), iters=iters)
+        terms = self.nodes.select("id", "term")
+        return ranks.join(terms, "id", "left").select(
+            "id", "term", F.col("rank")
+        )
+
+    def connected_components(self, predicate=None):
+        """Undirected connected components over the (predicate-
+        filtered) graph: (id, term, component)."""
+        from pyspark.sql import functions as F
+
+        from .graphs.algorithms import connected_components as _cc
+
+        comp = _cc(self._edge_frame(predicate))
+        terms = self.nodes.select("id", "term")
+        return comp.join(terms, "id", "left").select(
+            "id", "term", F.col("component")
+        )
+
     # ---------------- write model (reference graph/quadwriter.go) ----
 
     def apply_deltas(

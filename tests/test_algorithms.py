@@ -63,3 +63,25 @@ def test_connected_components(spark):
     )
     out = {r["id"]: r["component"] for r in connected_components(edges).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_store_pagerank_and_components(social):
+    """GraphStore-level facades: run the algorithms on a predicate
+    slice of a loaded graph, with rendered node terms."""
+    from cayley_spark import IRI
+
+    pr = {
+        r["term"]: r["rank"]
+        for r in social.pagerank(IRI("follows")).collect()
+    }
+    # bob is followed by alice/charlie/dani; fred by bob/emily;
+    # greg by dani/fred — sinks rank above pure sources
+    assert pr["<bob>"] > pr["<alice>"]
+    assert pr["<greg>"] > pr["<alice>"]
+    cc = {
+        r["term"]: r["component"]
+        for r in social.connected_components(IRI("follows")).collect()
+    }
+    # the follows graph is one connected component
+    assert len(set(cc.values())) == 1
+    assert len(cc) == 7  # alice bob charlie dani emily fred greg
