@@ -944,8 +944,9 @@ def g_triangles(spark, sf):
     of out-edges, and a wedge closes iff its far endpoints are a
     directed edge. The id-ordered formulation's wedge count is
     Σ deg² — a hub vertex alone can explode it — while orientation
-    bounds out-degrees by O(√m), the arboricity bound, which is why
-    it's THE distributed triangle algorithm. No global rank is
+    bounds out-degrees by O(√m), the arboricity bound (Schank &
+    Wagner 2005 "forward"; Latapy 2008 "compact-forward"), which is
+    why it's THE distributed triangle algorithm. No global rank is
     computed: orientation compares (deg, id) tuples edge-locally."""
     li = _t(spark, sf, "lineitem")
     op = li.select("l_orderkey", "l_partkey").dropDuplicates()
