@@ -788,6 +788,49 @@ def t_pack(spark, sf):
     return pack_sequences(docs, budget=1000)
 
 
+def q_cube(spark, sf):
+    """CUBE grouping: all four aggregation combinations of
+    (event_type, is_weekend) in one pass."""
+    ev = _events(spark, sf)
+    wd = F.dayofweek(F.col("ts")).isin(1, 7).cast("int")
+    return (
+        ev.select("event_type", wd.alias("is_weekend"), "value")
+        .cube("event_type", "is_weekend")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec(F.col("value"), 4)).cast("double").alias("sum_value"),
+        )
+    )
+
+
+def q_wau(spark, sf):
+    """Trailing-7-day active users per day: windowed COUNT(DISTINCT)
+    is not a window aggregate in any engine, so each (user, day)
+    activity floods the 7 report days it contributes to (the same
+    interval-flooding shape as the range join) and a plain distinct
+    group-by finishes — bounded 7x row expansion, no self-join."""
+    ev = _events(spark, sf)
+    day = F.date_trunc("day", F.col("ts"))
+    act = ev.select("user_id", day.alias("day")).dropDuplicates()
+    days = ev.select(day.alias("report_day")).dropDuplicates()
+    flooded = act.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.col("day") + F.expr("INTERVAL 6 DAYS"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("report_day"),
+    )
+    return (
+        flooded.join(days, "report_day", "left_semi")
+        .dropDuplicates(["report_day", "user_id"])
+        .groupBy("report_day")
+        .agg(F.count(F.lit(1)).alias("wau"))
+    )
+
+
 def q_antijoin(spark, sf):
     """NOT EXISTS → left-anti join: customers with no 1996 order.
     Catalyst builds the hash side from the filtered orders slice."""
@@ -1189,6 +1232,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m_audio": m_audio,
         "q_json": q_json,
         "q_antijoin": q_antijoin,
+        "q_cube": q_cube,
+        "q_wau": q_wau,
         "q_rolling": q_rolling,
         "q_sliding": q_sliding,
         "q_session_window": q_session_window,
@@ -1698,6 +1743,34 @@ def oracle_sql() -> dict[str, str]:
               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
             FROM events
             GROUP BY ROLLUP(date_trunc('day', ts), event_type)
+        """,
+        "q_cube": """
+            SELECT event_type, is_weekend, COUNT(*) AS n,
+              CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                AS sum_value
+            FROM (
+              SELECT event_type,
+                CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END
+                  AS is_weekend,
+                value
+              FROM events
+            ) GROUP BY CUBE(event_type, is_weekend)
+        """,
+        "q_wau": """
+            WITH act AS (
+              SELECT DISTINCT user_id,
+                CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+              FROM events
+            ), days AS (
+              SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP)
+                AS report_day
+              FROM events
+            )
+            SELECT d.report_day, COUNT(DISTINCT a.user_id) AS wau
+            FROM days d JOIN act a
+              ON a.day <= d.report_day
+             AND a.day > d.report_day - INTERVAL 7 DAY
+            GROUP BY d.report_day
         """,
         "q_antijoin": """
             SELECT c_custkey, c_mktsegment FROM customer c
