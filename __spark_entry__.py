@@ -728,6 +728,25 @@ def t_split(spark, sf):
     return hash_split(docs)
 
 
+def t_clean(spark, sf):
+    """Normalization pass (functions/text.clean_stats): strip control
+    chars, collapse whitespace, trim — regexp_replace chain at scan
+    speed."""
+    from cayley_spark.functions.text import clean_stats
+
+    docs = _t_wide(spark, sf, "documents")
+    return clean_stats(docs)
+
+
+def t_urls(spark, sf):
+    """Link-density signal (functions/text.url_stats): URL counts and
+    character mass per document."""
+    from cayley_spark.functions.text import url_stats
+
+    docs = _t_wide(spark, sf, "documents")
+    return url_stats(docs)
+
+
 def t_tfidf(spark, sf):
     """Top-3 characteristic terms per document by TF-IDF
     (functions/text.tf_idf_top_terms). idf='inv' keeps the score a
@@ -1249,6 +1268,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_repetition": t_repetition,
         "t_contaminate": t_contaminate,
         "t_split": t_split,
+        "t_clean": t_clean,
+        "t_urls": t_urls,
         "t_tfidf": t_tfidf,
         "t_vocab": t_vocab,
         "t_trigram_lm": t_trigram_lm,
@@ -2080,6 +2101,30 @@ def oracle_sql() -> dict[str, str]:
                    WHEN bucket < 2 THEN 'test'
                    ELSE 'train' END AS split
             FROM b
+        """,
+        "t_clean": r"""
+            WITH c AS (
+              SELECT doc_id, text,
+                trim(regexp_replace(regexp_replace(text,
+                  '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+                  '[ \t\r\n]+', ' ', 'g')) AS cleaned
+              FROM documents
+            )
+            SELECT doc_id, cleaned,
+              CAST(length(text) - length(cleaned) AS INT) AS n_removed
+            FROM c
+        """,
+        "t_urls": r"""
+            WITH u AS (
+              SELECT doc_id, regexp_extract_all(text,
+                'https?://[A-Za-z0-9._~:/?#@!$&''()*+,;=%-]+') AS urls
+              FROM documents
+            )
+            SELECT doc_id,
+              CAST(len(urls) AS INT) AS n_urls,
+              CAST(COALESCE(list_sum([length(x) for x in urls]), 0)
+                   AS INT) AS url_chars
+            FROM u
         """,
         "t_tfidf": r"""
             WITH toks AS (

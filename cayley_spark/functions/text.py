@@ -297,3 +297,49 @@ def trigram_typicality(
             F.sum("freq").alias("freq_sum"),
         )
     )
+
+
+# corpus-cleaning regexes — written in the Java/RE2-common subset so
+# the DuckDB oracle replicates the transform byte-for-byte
+_CTRL_RE = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
+_WS_RE = r"[ \t\r\n]+"
+_URL_RE = r"https?://[A-Za-z0-9._~:/?#@!$&'()*+,;=%-]+"
+
+
+def clean_text(col: Column) -> Column:
+    """Standard pre-training normalization pass: strip control
+    characters, collapse whitespace runs to single spaces, trim.
+    Pure regexp_replace chain — scan speed."""
+    out = F.regexp_replace(col, _CTRL_RE, "")
+    out = F.regexp_replace(out, _WS_RE, " ")
+    return F.trim(out)
+
+
+def clean_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, cleaned, n_removed): the normalized text plus how many
+    characters normalization dropped."""
+    c = F.col(text_col)
+    cleaned = clean_text(c)
+    return df.select(
+        id_col,
+        cleaned.alias("cleaned"),
+        (F.length(c) - F.length(cleaned)).cast("int").alias("n_removed"),
+    )
+
+
+def url_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, n_urls, url_chars): link counts and the character mass
+    they occupy — the link-density quality signal (boilerplate and
+    spam pages are URL-heavy)."""
+    urls = F.regexp_extract_all(F.col(text_col), F.lit(_URL_RE), 0)
+    return df.select(
+        id_col,
+        F.size(urls).cast("int").alias("n_urls"),
+        F.aggregate(
+            urls, F.lit(0), lambda acc, u: acc + F.length(u)
+        ).cast("int").alias("url_chars"),
+    )

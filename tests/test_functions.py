@@ -578,3 +578,23 @@ def test_ivf_index_save_load_query(spark, tmp_path):
     assert got == want
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan  # bucket dirs pruned pre-read
+
+
+def test_clean_and_url_stats(spark):
+    from pyspark.sql import Row
+
+    from cayley_spark.functions.text import clean_stats, url_stats
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a\x00b\t\tc\r\n d  "),
+            Row(doc_id=2, text="see https://x.io/a?b=1 and http://y.z/"),
+            Row(doc_id=3, text="plain"),
+        ]
+    )
+    c = {r["doc_id"]: (r["cleaned"], r["n_removed"]) for r in clean_stats(df).collect()}
+    assert c[1] == ("ab c d", 6)  # ctrl stripped, ws collapsed, trimmed
+    assert c[3] == ("plain", 0)
+    u = {r["doc_id"]: (r["n_urls"], r["url_chars"]) for r in url_stats(df).collect()}
+    assert u[2] == (2, len("https://x.io/a?b=1") + len("http://y.z/"))
+    assert u[1] == (0, 0) and u[3] == (0, 0)
