@@ -21,6 +21,12 @@ from cayley_spark import shapes as S
 NODES = [IRI(f"n{i}") for i in range(8)]
 PREDS = [IRI("p0"), IRI("p1"), IRI("p2")]
 
+# typed literal objects: drive the Comparison/Wildcard kind-gating
+# paths through both engines (an IRI must never match an Int filter)
+from cayley_spark import Int, String  # noqa: E402
+
+LITS = [Int(1), Int(5), Int(9), String("n3"), String("zed")]
+
 
 @st.composite
 def graphs(draw):
@@ -29,7 +35,7 @@ def graphs(draw):
     for _ in range(n):
         s = draw(st.sampled_from(NODES))
         p = draw(st.sampled_from(PREDS))
-        o = draw(st.sampled_from(NODES))
+        o = draw(st.sampled_from(NODES + LITS))
         quads.append((s, p, o))
     return tuple(quads)
 
@@ -47,7 +53,7 @@ def paths(draw):
                 [
                     "out", "in", "both", "has", "tag", "save",
                     "union", "intersect", "except", "unique",
-                    "regex", "optional_save",
+                    "regex", "optional_save", "cmp", "like",
                 ]
             )
         )
@@ -69,6 +75,11 @@ def paths(draw):
                         draw(st.sampled_from(NODES))))
         elif kind == "regex":
             ops.append((kind, draw(st.sampled_from(["n[0-3]", "n.*"]))))
+        elif kind == "cmp":
+            ops.append((kind, draw(st.sampled_from(["lt", "lte", "gt", "gte"])),
+                        draw(st.sampled_from([1, 5, 9]))))
+        elif kind == "like":
+            ops.append((kind, draw(st.sampled_from(["n%", "%3", "n?"]))))
         else:
             ops.append((kind,))
     return (tuple(start), tuple(ops))
@@ -103,6 +114,11 @@ def build_path(store, spec):
             p = p.unique()
         elif kind == "regex":
             p = p.regex(op[1], refs=True)
+        elif kind == "cmp":
+            from cayley_spark import Int
+            p = p.filter(S.Comparison(op[1], Int(op[2])))
+        elif kind == "like":
+            p = p.like(op[1])
     return p
 
 
