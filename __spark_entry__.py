@@ -747,6 +747,21 @@ def t_urls(spark, sf):
     return url_stats(docs)
 
 
+def t_postings(spark, sf):
+    """Inverted-index materialization (functions/text.inverted_index):
+    term → document frequency + sorted posting list (serialized to a
+    string so the cross-engine hash compares exactly)."""
+    from cayley_spark.functions.text import inverted_index
+
+    docs = _t_wide(spark, sf, "documents")
+    idx = inverted_index(docs)
+    return idx.select(
+        "term",
+        "df",
+        F.array_join(F.col("postings"), ",").alias("postings"),
+    )
+
+
 def t_tfidf(spark, sf):
     """Top-3 characteristic terms per document by TF-IDF
     (functions/text.tf_idf_top_terms). idf='inv' keeps the score a
@@ -1268,6 +1283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_repetition": t_repetition,
         "t_contaminate": t_contaminate,
         "t_split": t_split,
+        "t_postings": t_postings,
         "t_clean": t_clean,
         "t_urls": t_urls,
         "t_tfidf": t_tfidf,
@@ -2101,6 +2117,17 @@ def oracle_sql() -> dict[str, str]:
                    WHEN bucket < 2 THEN 'test'
                    ELSE 'train' END AS split
             FROM b
+        """,
+        "t_postings": r"""
+            WITH toks AS (
+              SELECT DISTINCT doc_id,
+                unnest(regexp_extract_all(lower(text), '\w+')) AS term
+              FROM documents
+            )
+            SELECT term, COUNT(*) AS df,
+              array_to_string(list(doc_id ORDER BY doc_id), ',')
+                AS postings
+            FROM toks GROUP BY term
         """,
         "t_clean": r"""
             WITH c AS (

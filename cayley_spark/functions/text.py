@@ -343,3 +343,28 @@ def url_stats(
             urls, F.lit(0), lambda acc, u: acc + F.length(u)
         ).cast("int").alias("url_chars"),
     )
+
+
+def inverted_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 1,
+) -> DataFrame:
+    """Materialize the retrieval inverted index: one row per term
+    with its sorted posting list and document frequency —
+    (term, df, postings array<long>). One explode + per-(doc,term)
+    dedup + one groupBy with a sorted collect; terms below
+    ``min_docs`` are dropped. At 100 TB the posting lists of stop-like
+    terms get long — cap or shard them downstream (``slice``), the
+    aggregation itself is one shuffle on the term key."""
+    toks = df.select(
+        F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("term")
+    ).dropDuplicates(["doc", "term"])
+    out = toks.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sort_array(F.collect_list("doc")).alias("postings"),
+    )
+    if min_docs > 1:
+        out = out.where(F.col("df") >= min_docs)
+    return out

@@ -598,3 +598,17 @@ def test_clean_and_url_stats(spark):
     u = {r["doc_id"]: (r["n_urls"], r["url_chars"]) for r in url_stats(df).collect()}
     assert u[2] == (2, len("https://x.io/a?b=1") + len("http://y.z/"))
     assert u[1] == (0, 0) and u[3] == (0, 0)
+
+
+def test_inverted_index(spark):
+    from pyspark.sql import Row
+
+    from cayley_spark.functions.text import inverted_index
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="a b a"), Row(doc_id=2, text="b c")]
+    )
+    idx = {r["term"]: (r["df"], r["postings"]) for r in inverted_index(df).collect()}
+    assert idx == {"a": (1, [1]), "b": (2, [1, 2]), "c": (1, [2])}
+    idx2 = {r["term"] for r in inverted_index(df, min_docs=2).collect()}
+    assert idx2 == {"b"}
