@@ -368,3 +368,61 @@ def inverted_index(
     if min_docs > 1:
         out = out.where(F.col("df") >= min_docs)
     return out
+
+
+def bm25_topk(
+    df: DataFrame,
+    query: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 ranking of documents against a query string:
+    (id, score, rank), top-``k``, ties broken by id.
+
+    Classic Robertson/Sparck-Jones BM25 with the standard
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))`` idf. Plan: the query's
+    terms become a broadcast filter on the exploded token stream, so
+    only matching postings shuffle; corpus stats (N, avg doc length)
+    ride in via a broadcast 1-row aggregate. Uses libm ``ln`` — float
+    scores are ulp-variant across engines, so this operator is
+    pytest-verified rather than oracle-hash-gated (the integer-exact
+    ranking variant for the gate is tf_idf_top_terms(idf='inv'))."""
+    from pyspark.sql.window import Window
+
+    terms = sorted({t for t in __import__("re").findall(TOKEN_RE, query.lower())})
+    if not terms:
+        raise ValueError("query has no tokens")
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        token_count(F.col(text_col)).alias("dl"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    )
+    hits = toks.where(F.col("term").isin(terms))
+    tf = hits.groupBy("doc", "dl", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = df.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(token_count(F.col(text_col))).alias("avgdl"),
+    )
+    j = tf.join(F.broadcast(dfreq), "term").join(F.broadcast(stats))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    tf_norm = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf")
+        + F.lit(k1) * (1 - b + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    )
+    scored = j.groupBy("doc").agg(F.sum(idf * tf_norm).alias("score"))
+    w = Window.orderBy(F.col("score").desc(), F.col("doc"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(F.col("doc").alias(id_col), "score", "rank")
+    )

@@ -612,3 +612,27 @@ def test_inverted_index(spark):
     assert idx == {"a": (1, [1]), "b": (2, [1, 2]), "c": (1, [2])}
     idx2 = {r["term"] for r in inverted_index(df, min_docs=2).collect()}
     assert idx2 == {"b"}
+
+
+def test_bm25_topk(spark):
+    from pyspark.sql import Row
+
+    from cayley_spark.functions.text import bm25_topk
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="spark engine for graphs"),
+            Row(doc_id=2, text="spark spark spark everywhere spark"),
+            Row(doc_id=3, text="a totally unrelated document text"),
+            Row(doc_id=4, text="graph engine"),
+        ]
+    )
+    out = bm25_topk(df, "graph engine", k=3).collect()
+    ranked = [r["doc_id"] for r in out]
+    assert ranked[0] == 4  # both query terms, shortest doc
+    assert 3 not in ranked  # no matching term -> never scored
+    assert [r["rank"] for r in out] == list(range(1, len(out) + 1))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        bm25_topk(df, "...")
