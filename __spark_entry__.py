@@ -747,6 +747,18 @@ def t_urls(spark, sf):
     return url_stats(docs)
 
 
+def d_editdist(spark, sf):
+    """Near-dup pairs verified by EDIT DISTANCE (integer-exact, both
+    engines have a levenshtein builtin): LSH candidates only — the
+    O(len^2)-per-pair verifier never sees the cross product."""
+    from cayley_spark.functions.dedup import editdist_dup_pairs
+
+    docs = _t_wide(spark, sf, "documents")
+    return editdist_dup_pairs(
+        docs, max_dist=50, k=3, num_hashes=16, bands=4
+    )
+
+
 def t_postings(spark, sf):
     """Inverted-index materialization (functions/text.inverted_index):
     term → document frequency + sorted posting list (serialized to a
@@ -1294,6 +1306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stratified": q_stratified,
         "d_exact": d_exact,
         "d_lsh": d_lsh,
+        "d_editdist": d_editdist,
         "d_jaccard": d_jaccard,
         "d_simhash": d_simhash,
         "d_cluster": d_cluster,
@@ -2344,6 +2357,30 @@ def oracle_sql() -> dict[str, str]:
               FROM reach GROUP BY id
             )
             SELECT doc_id FROM clusters WHERE cluster_id = doc_id
+        """,
+        "d_editdist": rf"""
+            WITH sh AS (
+              SELECT doc_id AS id, {_SHINGLE3} AS sh
+              FROM (SELECT doc_id,
+                           regexp_extract_all(lower(text), '\w+') AS toks
+                    FROM documents)
+              WHERE len(toks) >= 3
+            ), sig AS (
+              SELECT id, {_MINHASH} AS sig FROM (SELECT id, sh FROM sh)
+            ), banded AS (
+              SELECT id, unnest({_BANDS}, recursive := true)
+              FROM sig
+            ), pairs AS (
+              SELECT DISTINCT a.id AS id_a, b.id AS id_b
+              FROM banded a JOIN banded b
+                ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
+            )
+            SELECT p.id_a, p.id_b,
+              CAST(levenshtein(x.text, y.text) AS INT) AS dist
+            FROM pairs p
+            JOIN documents x ON x.doc_id = p.id_a
+            JOIN documents y ON y.doc_id = p.id_b
+            WHERE levenshtein(x.text, y.text) <= 50
         """,
         "d_jaccard": r"""
             WITH sh AS (

@@ -461,3 +461,51 @@ def dedup_corpus(
         *getattr(pairs_full, "_cayley_persisted", ()),
         *getattr(clusters, "_cayley_persisted", ()),
     )
+
+
+def editdist_dup_pairs(
+    df: DataFrame,
+    max_dist: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-duplicate pairs verified by EDIT DISTANCE: MinHash-LSH
+    proposes candidates (never all pairs), then ``levenshtein`` on the
+    candidate pairs confirms ``distance <= max_dist``. Returns
+    (id_a, id_b, dist).
+
+    Edit distance is the right verifier when duplicates differ by
+    character-level noise (OCR errors, encoding damage) that
+    token-set Jaccard under-counts. It is also an exact INTEGER, so
+    unlike float-similarity verifiers the result hash-matches any
+    engine with a levenshtein builtin. Cost note: levenshtein is
+    O(len²) per pair — keep it behind candidate generation, never on
+    the cross product.
+    """
+    cand = minhash_lsh_pairs(
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        k=k,
+        num_hashes=num_hashes,
+        bands=bands,
+    )
+    ta = df.select(
+        F.col(id_col).alias("id_a"), F.col(text_col).alias("__ta")
+    )
+    tb = df.select(
+        F.col(id_col).alias("id_b"), F.col(text_col).alias("__tb")
+    )
+    from ._cache import track_persisted
+
+    return track_persisted(
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .withColumn("dist", F.levenshtein("__ta", "__tb"))
+        .where(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", "dist"),
+        *getattr(cand, "_cayley_persisted", ()),
+    )

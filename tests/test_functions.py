@@ -636,3 +636,15 @@ def test_bm25_topk(spark):
 
     with _pytest.raises(ValueError):
         bm25_topk(df, "...")
+
+
+def test_editdist_dup_pairs(docs, spark):
+    from cayley_spark.functions._cache import unpersist_intermediates
+    from cayley_spark.functions.dedup import editdist_dup_pairs
+
+    out = editdist_dup_pairs(docs, max_dist=6, k=3, bands=8)
+    got = {(r["id_a"], r["id_b"]): r["dist"] for r in out.collect()}
+    assert got[(0, 4)] == 0  # exact dup
+    assert got[(0, 1)] <= 6  # one-word-off near dup
+    assert (0, 2) not in got  # unrelated
+    assert unpersist_intermediates(out) >= 2  # sh + sig released
