@@ -120,3 +120,46 @@ def connected_components(
     )
     out = duplicate_clusters(ids, pairs, id_col="id", max_iter=max_iter)
     return out.select("id", F.col("cluster_id").alias("component"))
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 100,
+) -> DataFrame:
+    """Vertices of the k-core: the maximal subgraph where every
+    vertex has undirected degree >= k. Iterative peeling — each round
+    drops vertices whose degree within the surviving subgraph is
+    below k, until a fixpoint; one degree aggregation + one semi-join
+    per round, all state distributed, lineage truncated per round
+    (the recursion compiler's localCheckpoint pattern). Rounds needed
+    = peeling depth, bounded by ``max_iter``. Returns (id, degree)
+    with the vertex's final in-core degree."""
+    und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    und = und.unionAll(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=False)
+    cur = und
+    prev_n = None
+    for _ in range(max_iter):
+        deg = cur.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.where(F.col("d") >= k).select("a").localCheckpoint(
+            eager=False
+        )
+        n = keep.count()
+        if n == prev_n:
+            break
+        prev_n = n
+        cur = (
+            cur.join(keep, "a", "left_semi")
+            .join(keep.withColumnRenamed("a", "b"), "b", "left_semi")
+            .localCheckpoint(eager=False)
+        )
+    return (
+        cur.groupBy("a")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .where(F.col("degree") >= k)
+        .select(F.col("a").alias("id"), "degree")
+    )

@@ -85,3 +85,19 @@ def test_store_pagerank_and_components(social):
     # the follows graph is one connected component
     assert len(set(cc.values())) == 1
     assert len(cc) == 7  # alice bob charlie dani emily fred greg
+
+
+def test_kcore(spark):
+    from cayley_spark.graphs.algorithms import kcore
+
+    # triangle {1,2,3} + pendant chain 3-4-5: the 2-core is exactly
+    # the triangle (4 and 5 peel off in cascading rounds)
+    edges = spark.createDataFrame(
+        [Row(src=1, dst=2), Row(src=2, dst=3), Row(src=1, dst=3),
+         Row(src=3, dst=4), Row(src=4, dst=5)]
+    )
+    core = {r["id"]: r["degree"] for r in kcore(edges, k=2).collect()}
+    assert core == {1: 2, 2: 2, 3: 2}
+    assert kcore(edges, k=3).count() == 0
+    # k=1 keeps everything with an edge
+    assert kcore(edges, k=1).count() == 5
