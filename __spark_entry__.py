@@ -1131,6 +1131,23 @@ def q_median(spark, sf):
     )
 
 
+def g_degrees(spark, sf):
+    """Degree distribution of the order→part graph: (degree,
+    n_nodes) histogram — two keyed aggregations, the basic
+    graph-stats primitive."""
+    li = _t(spark, sf, "lineitem")
+    edges = li.select("l_orderkey", "l_partkey").dropDuplicates()
+    deg = (
+        edges.select(F.concat(F.lit("o:"), F.col("l_orderkey")).alias("n"))
+        .unionAll(
+            edges.select(F.concat(F.lit("p:"), F.col("l_partkey")).alias("n"))
+        )
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
 def g_pagerank(spark, sf):
     """Fixed-point PageRank (graphs/algorithms.py) over the
     order→part bipartite graph from lineitem. Integer-scaled ranks
@@ -1287,6 +1304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_funnel": q_funnel,
         "g_triangles": g_triangles,
         "g_pagerank": g_pagerank,
+        "g_degrees": g_degrees,
         "t_tokens": t_tokens,
         "t_quality": t_quality,
         "t_fingerprint": t_fingerprint,
@@ -1966,6 +1984,18 @@ def oracle_sql() -> dict[str, str]:
               CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
               CAST(SUM(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view
             FROM events GROUP BY user_id
+        """,
+        "g_degrees": """
+            WITH e AS (
+              SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            ), deg AS (
+              SELECT n, COUNT(*) AS degree FROM (
+                SELECT 'o:' || l_orderkey AS n FROM e
+                UNION ALL
+                SELECT 'p:' || l_partkey AS n FROM e
+              ) GROUP BY n
+            )
+            SELECT degree, COUNT(*) AS n_nodes FROM deg GROUP BY degree
         """,
         "g_pagerank": """
             WITH e AS (

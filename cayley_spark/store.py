@@ -306,6 +306,19 @@ class GraphStore:
             "id", "term", F.col("component")
         )
 
+    def kcore(self, k: int = 2, predicate=None):
+        """Vertices of the k-core of the (predicate-filtered) graph:
+        (id, term, degree)."""
+        from pyspark.sql import functions as F
+
+        from .graphs.algorithms import kcore as _kc
+
+        core = _kc(self._edge_frame(predicate), k=k)
+        terms = self.nodes.select("id", "term")
+        return core.join(terms, "id", "left").select(
+            "id", "term", F.col("degree")
+        )
+
     # ---------------- write model (reference graph/quadwriter.go) ----
 
     def apply_deltas(

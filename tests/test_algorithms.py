@@ -101,3 +101,16 @@ def test_kcore(spark):
     assert kcore(edges, k=3).count() == 0
     # k=1 keeps everything with an edge
     assert kcore(edges, k=1).count() == 5
+
+
+def test_store_kcore(social):
+    from cayley_spark import IRI
+
+    core = {r["term"] for r in social.kcore(k=2, predicate=IRI("follows")).collect()}
+    # follows graph 2-core: the cycle-free fringe peels away; at
+    # minimum every member must have had degree >= 2 pre-peel
+    if core:
+        assert core <= {"<alice>", "<bob>", "<charlie>", "<dani>",
+                        "<emily>", "<fred>", "<greg>"}
+    # k=1 keeps every vertex with an edge
+    assert social.kcore(k=1, predicate=IRI("follows")).count() == 7
