@@ -747,6 +747,23 @@ def t_urls(spark, sf):
     return url_stats(docs)
 
 
+def d_against(spark, sf):
+    """Asymmetric cross-corpus dedup (functions/dedup.dedup_against):
+    documents from sources src10+ that near-duplicate the historical
+    src0-9 corpus are dropped — the daily-crawl admission pattern.
+    Depends on MinHash signatures being REPRODUCIBLE across separate
+    builds (regression anchor for the lambda-arity seed bug)."""
+    from cayley_spark.functions.dedup import dedup_against
+
+    docs = _t_wide(spark, sf, "documents")
+    old = [f"src{i}" for i in range(10)]
+    existing = docs.where(F.col("source").isin(old))
+    new = docs.where(~F.col("source").isin(old))
+    return dedup_against(
+        new, existing, jaccard_threshold=0.5
+    ).select("doc_id", "source")
+
+
 def d_editdist(spark, sf):
     """Near-dup pairs verified by EDIT DISTANCE (integer-exact, both
     engines have a levenshtein builtin): LSH candidates only — the
@@ -1325,6 +1342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_exact": d_exact,
         "d_lsh": d_lsh,
         "d_editdist": d_editdist,
+        "d_against": d_against,
         "d_jaccard": d_jaccard,
         "d_simhash": d_simhash,
         "d_cluster": d_cluster,
@@ -2387,6 +2405,39 @@ def oracle_sql() -> dict[str, str]:
               FROM reach GROUP BY id
             )
             SELECT doc_id FROM clusters WHERE cluster_id = doc_id
+        """,
+        "d_against": rf"""
+            WITH olds(s) AS (VALUES ('src0'),('src1'),('src2'),('src3'),
+              ('src4'),('src5'),('src6'),('src7'),('src8'),('src9')
+            ), sh AS (
+              SELECT doc_id AS id, source, {_SHINGLE3} AS sh
+              FROM (SELECT doc_id, source,
+                           regexp_extract_all(lower(text), '\w+') AS toks
+                    FROM documents)
+              WHERE len(toks) >= 3
+            ), sig AS (
+              SELECT id, source, {_MINHASH} AS sig
+              FROM (SELECT id, source, sh FROM sh)
+            ), banded AS (
+              SELECT id, source, unnest({_BANDS}, recursive := true)
+              FROM sig
+            ), cand AS (
+              SELECT DISTINCT n.id AS id_n, e.id AS id_e
+              FROM banded n JOIN banded e
+                ON n.band = e.band AND n.bh = e.bh
+              WHERE n.source NOT IN (SELECT s FROM olds)
+                AND e.source IN (SELECT s FROM olds)
+            ), dup AS (
+              SELECT DISTINCT c.id_n FROM cand c
+              JOIN sh x ON x.id = c.id_n
+              JOIN sh y ON y.id = c.id_e
+              WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))
+                >= 0.5
+            )
+            SELECT d.doc_id, d.source FROM documents d
+            WHERE d.source NOT IN (SELECT s FROM olds)
+              AND d.doc_id NOT IN (SELECT id_n FROM dup)
         """,
         "d_editdist": rf"""
             WITH sh AS (

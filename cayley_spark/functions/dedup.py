@@ -123,18 +123,26 @@ def word_shingles(col: Column, k: int = 3) -> Column:
     return F.array_distinct(F.when(n >= k, sh).otherwise(F.array()))
 
 
+def _seeded_md5(i: int):
+    """One-arg transform callable hashing with seed ``i``. MUST be a
+    closure factory, not ``lambda s, i=i``: pyspark decides the
+    lambda's higher-order-function arity from its Python parameter
+    count, so a two-parameter lambda receives (element, INDEX) and
+    the "default" is silently shadowed by the index column — the
+    seed then stringifies a Column object, which is unique per
+    invocation and makes signatures irreproducible across calls
+    (caught by dedup_against joining signatures built in two calls)."""
+    seed = f"{i}:"
+    return lambda s: F.md5(F.concat(F.lit(seed), s))
+
+
 def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
     """MinHash signature as array<string>: element i is
     min(md5(i || ':' || shingle)) over the shingle set — a portable
     stand-in for i-th hash-permutation minima."""
     return F.array(
         *[
-            F.array_min(
-                F.transform(
-                    shingles,
-                    lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s)),
-                )
-            )
+            F.array_min(F.transform(shingles, _seeded_md5(i)))
             for i in range(num_hashes)
         ]
     )
@@ -508,4 +516,68 @@ def editdist_dup_pairs(
         .where(F.col("dist") <= max_dist)
         .select("id_a", "id_b", "dist"),
         *getattr(cand, "_cayley_persisted", ()),
+    )
+
+
+def dedup_against(
+    new: DataFrame,
+    existing: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """Asymmetric dedup: drop rows of ``new`` that duplicate the
+    ``existing`` corpus (exactly or near) — the daily-crawl-vs-
+    historical-corpus pattern. Returns the surviving ``new`` rows.
+
+    Candidates come from an LSH band join of new signatures against
+    existing signatures only (never new×new — intra-batch dups are a
+    separate, symmetric pass), verified by exact shingle Jaccard.
+    At scale the existing side's banded signatures are the persisted
+    index, incrementally appended as batches are admitted; nothing
+    here rescans existing TEXT except for the candidate pairs.
+    """
+    rows = num_hashes // bands
+
+    def prep(df, side):
+        sh = df.select(
+            F.col(id_col).alias(f"id_{side}"),
+            word_shingles(F.col(text_col), k).alias(f"sh_{side}"),
+        ).where(F.size(f"sh_{side}") > 0)
+        sig = sh.select(
+            f"id_{side}",
+            f"sh_{side}",
+            minhash_signature(F.col(f"sh_{side}"), num_hashes).alias("sig"),
+        ).persist()
+        banded = sig.select(
+            f"id_{side}",
+            F.posexplode(
+                lsh_bands(F.col("sig"), bands, rows)
+            ).alias("band", "bh"),
+        )
+        return sig, banded
+
+    sig_n, band_n = prep(new, "n")
+    sig_e, band_e = prep(existing, "e")
+    cand = (
+        band_n.join(band_e, ["band", "bh"])
+        .select("id_n", "id_e")
+        .dropDuplicates()
+    )
+    inter = F.size(F.array_intersect("sh_n", "sh_e"))
+    union = F.size("sh_n") + F.size("sh_e") - inter
+    dup_ids = (
+        cand.join(sig_n.select("id_n", "sh_n"), "id_n")
+        .join(sig_e.select("id_e", "sh_e"), "id_e")
+        .where(inter.cast("double") / union >= jaccard_threshold)
+        .select(F.col("id_n").alias(id_col))
+        .dropDuplicates()
+    )
+    from ._cache import track_persisted
+
+    return track_persisted(
+        new.join(dup_ids, id_col, "left_anti"), sig_n, sig_e
     )

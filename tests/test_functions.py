@@ -648,3 +648,16 @@ def test_editdist_dup_pairs(docs, spark):
     assert got[(0, 1)] <= 6  # one-word-off near dup
     assert (0, 2) not in got  # unrelated
     assert unpersist_intermediates(out) >= 2  # sh + sig released
+
+
+def test_dedup_against(docs, spark):
+    from cayley_spark.functions._cache import unpersist_intermediates
+    from cayley_spark.functions.dedup import dedup_against
+
+    existing = docs.where("doc_id <= 2")  # has the cat/hat doc (0)
+    new = docs.where("doc_id >= 3")       # 4 is an exact dup of 0
+    out = dedup_against(new, existing, jaccard_threshold=0.5)
+    kept = sorted(r["doc_id"] for r in out.collect())
+    assert kept == [3, 5]  # 4 removed: duplicates existing doc 0
+    assert set(out.columns) == set(docs.columns)
+    assert unpersist_intermediates(out) == 2
