@@ -661,3 +661,41 @@ def test_dedup_against(docs, spark):
     assert kept == [3, 5]  # 4 removed: duplicates existing doc 0
     assert set(out.columns) == set(docs.columns)
     assert unpersist_intermediates(out) == 2
+
+
+def test_sharded_layout_roundtrip_and_pruning(spark, tmp_path):
+    """Hash-sharded parquet: roundtrip preserves rows, a point read
+    prunes to one shard directory (PartitionFilters), and two tables
+    sharded on the same key are co-partitioned (same shard id for the
+    same key value)."""
+    from pyspark.sql import Row
+
+    from cayley_spark.sources.sharded import (
+        read_shard_for,
+        read_sharded,
+        shard_of,
+        write_sharded,
+    )
+
+    df = spark.createDataFrame(
+        [Row(k=i, v=f"row{i}") for i in range(200)]
+    )
+    p = str(tmp_path / "sharded")
+    write_sharded(df, p, "k", n_shards=8)
+    back = read_sharded(spark, p)
+    assert back.count() == 200 and set(back.columns) == {"k", "v"}
+
+    point = read_shard_for(spark, p, "k", 42, n_shards=8)
+    rows = point.collect()
+    assert [r["v"] for r in rows] == ["row42"]
+    plan = point._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "__shard" in plan
+
+    # co-partitioning: the shard function is pure key hashing
+    import pyspark.sql.functions as F
+
+    a = df.select("k", shard_of("k", 8).alias("s1"))
+    b = spark.createDataFrame([Row(k=i) for i in range(200)]).select(
+        "k", shard_of("k", 8).alias("s2")
+    )
+    assert a.join(b, "k").where(F.col("s1") != F.col("s2")).count() == 0
