@@ -764,6 +764,29 @@ def d_against(spark, sf):
     ).select("doc_id", "source")
 
 
+def d_index(spark, sf):
+    """Persisted cross-corpus dedup index (functions/dedup_index.
+    LSHDedupIndex): build over the historical src0-9 corpus, save to
+    Parquet, LOAD it back, and admit the src10+ batch against the
+    saved signatures — same verdict as d_against, but the existing
+    side is read from the index files, never recomputed. The
+    round-trip through save/load is part of the query on purpose:
+    the oracle then certifies the persisted representation, not just
+    the in-memory plan."""
+    import tempfile
+
+    from cayley_spark.functions.dedup_index import LSHDedupIndex
+
+    docs = _t_wide(spark, sf, "documents")
+    old = [f"src{i}" for i in range(10)]
+    existing = docs.where(F.col("source").isin(old))
+    new = docs.where(~F.col("source").isin(old))
+    path = tempfile.mkdtemp(prefix="cayley_dedup_index_")
+    LSHDedupIndex.build(existing, k=3, num_hashes=16, bands=4).save(path)
+    idx = LSHDedupIndex.load(spark, path)
+    return idx.dedup(new, jaccard_threshold=0.5).select("doc_id", "source")
+
+
 def d_editdist(spark, sf):
     """Near-dup pairs verified by EDIT DISTANCE (integer-exact, both
     engines have a levenshtein builtin): LSH candidates only — the
@@ -1266,7 +1289,53 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registry, ordered for the driver's 50-query oracle window.
+
+    The driver verifies the FIRST 50 entries in dict order, so ordering is
+    evidence policy: entries that have never (or not recently) had a driver
+    rows+schema+hash verdict go first; entries green in CORRECTNESS_r04 go
+    last (they retain pytest + tools/check_oracles.py coverage).  Round-5
+    head = the 34 entries VERDICT.md r4 flagged as driver-unchecked, plus
+    any new registrations this round.
+    """
     return {
+        # --- head: driver-unchecked as of CORRECTNESS_r04 -------------
+        "g_triangles": g_triangles,
+        "g_pagerank": g_pagerank,
+        "g_degrees": g_degrees,
+        "q_retention": q_retention,
+        "q_funnel": q_funnel,
+        "q_stratified": q_stratified,
+        "d_exact": d_exact,
+        "d_lsh": d_lsh,
+        "d_editdist": d_editdist,
+        "d_against": d_against,
+        "d_index": d_index,
+        "d_jaccard": d_jaccard,
+        "d_simhash": d_simhash,
+        "d_cluster": d_cluster,
+        "d_dedup_corpus": d_dedup_corpus,
+        "d_embed": d_embed,
+        "s_knn": s_knn,
+        "s_knn_lsh": s_knn_lsh,
+        "s_knn_ivf": s_knn_ivf,
+        "t_tokens": t_tokens,
+        "t_quality": t_quality,
+        "t_fingerprint": t_fingerprint,
+        "t_langid": t_langid,
+        "t_redact": t_redact,
+        "t_repetition": t_repetition,
+        "t_contaminate": t_contaminate,
+        "t_split": t_split,
+        "t_postings": t_postings,
+        "t_clean": t_clean,
+        "t_urls": t_urls,
+        "t_tfidf": t_tfidf,
+        "t_vocab": t_vocab,
+        "t_trigram_lm": t_trigram_lm,
+        "t_chunks": t_chunks,
+        "t_pack": t_pack,
+        # --- tail: green in CORRECTNESS_r04 (pytest-held) -------------
         "g_in": g_in,
         "g_out2": g_out2,
         "g_tags": g_tags,
@@ -1317,40 +1386,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rolling": q_rolling,
         "q_sliding": q_sliding,
         "q_session_window": q_session_window,
-        "q_retention": q_retention,
-        "q_funnel": q_funnel,
-        "g_triangles": g_triangles,
-        "g_pagerank": g_pagerank,
-        "g_degrees": g_degrees,
-        "t_tokens": t_tokens,
-        "t_quality": t_quality,
-        "t_fingerprint": t_fingerprint,
-        "t_langid": t_langid,
-        "t_redact": t_redact,
-        "t_repetition": t_repetition,
-        "t_contaminate": t_contaminate,
-        "t_split": t_split,
-        "t_postings": t_postings,
-        "t_clean": t_clean,
-        "t_urls": t_urls,
-        "t_tfidf": t_tfidf,
-        "t_vocab": t_vocab,
-        "t_trigram_lm": t_trigram_lm,
-        "t_chunks": t_chunks,
-        "t_pack": t_pack,
-        "q_stratified": q_stratified,
-        "d_exact": d_exact,
-        "d_lsh": d_lsh,
-        "d_editdist": d_editdist,
-        "d_against": d_against,
-        "d_jaccard": d_jaccard,
-        "d_simhash": d_simhash,
-        "d_cluster": d_cluster,
-        "d_dedup_corpus": d_dedup_corpus,
-        "d_embed": d_embed,
-        "s_knn": s_knn,
-        "s_knn_lsh": s_knn_lsh,
-        "s_knn_ivf": s_knn_ivf,
     }
 
 
@@ -2406,6 +2441,49 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id FROM clusters WHERE cluster_id = doc_id
         """,
+        # d_index runs the same admission semantics as d_against with
+        # the existing side round-tripped through the saved index —
+        # the oracle is therefore identical by construction.
+        "d_index": rf"""
+            WITH olds(s) AS (VALUES ('src0'),('src1'),('src2'),('src3'),
+              ('src4'),('src5'),('src6'),('src7'),('src8'),('src9')
+            ), sh AS (
+              SELECT doc_id AS id, source, {_SHINGLE3} AS sh
+              FROM (SELECT doc_id, source,
+                           regexp_extract_all(lower(text), '\w+') AS toks
+                    FROM documents)
+              WHERE len(toks) >= 3
+            ), sig AS (
+              SELECT id, source, {_MINHASH} AS sig
+              FROM (SELECT id, source, sh FROM sh)
+            ), banded AS (
+              SELECT id, source, unnest({_BANDS}, recursive := true)
+              FROM sig
+            ), cand AS (
+              SELECT DISTINCT n.id AS id_n, e.id AS id_e
+              FROM banded n JOIN banded e
+                ON n.band = e.band AND n.bh = e.bh
+              WHERE n.source NOT IN (SELECT s FROM olds)
+                AND e.source IN (SELECT s FROM olds)
+            ), dup AS (
+              SELECT DISTINCT c.id_n FROM cand c
+              JOIN sh x ON x.id = c.id_n
+              JOIN sh y ON y.id = c.id_e
+              WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))
+                >= 0.5
+            ), exact AS (
+              SELECT DISTINCT n.doc_id AS id_n
+              FROM documents n JOIN documents e
+                ON md5(n.text) = md5(e.text)
+              WHERE n.source NOT IN (SELECT s FROM olds)
+                AND e.source IN (SELECT s FROM olds)
+            )
+            SELECT d.doc_id, d.source FROM documents d
+            WHERE d.source NOT IN (SELECT s FROM olds)
+              AND d.doc_id NOT IN (SELECT id_n FROM dup)
+              AND d.doc_id NOT IN (SELECT id_n FROM exact)
+        """,
         "d_against": rf"""
             WITH olds(s) AS (VALUES ('src0'),('src1'),('src2'),('src3'),
               ('src4'),('src5'),('src6'),('src7'),('src8'),('src9')
@@ -2434,10 +2512,17 @@ def oracle_sql() -> dict[str, str]:
               WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
                 / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))
                 >= 0.5
+            ), exact AS (
+              SELECT DISTINCT n.doc_id AS id_n
+              FROM documents n JOIN documents e
+                ON md5(n.text) = md5(e.text)
+              WHERE n.source NOT IN (SELECT s FROM olds)
+                AND e.source IN (SELECT s FROM olds)
             )
             SELECT d.doc_id, d.source FROM documents d
             WHERE d.source NOT IN (SELECT s FROM olds)
               AND d.doc_id NOT IN (SELECT id_n FROM dup)
+              AND d.doc_id NOT IN (SELECT id_n FROM exact)
         """,
         "d_editdist": rf"""
             WITH sh AS (

@@ -233,7 +233,16 @@ def main() -> None:
 
     timings.update(_movie_bench(spark))
 
-    out = {
+    # Round 4's single line grew past the driver's stdout tail capture
+    # (BENCH_r04.json: "parsed": null — the front of the warm map was
+    # truncated away).  The printed line is now a compact summary only
+    # (3-sig-fig warm numbers, no cold/untimed maps); the full
+    # warm/cold/untimed/load detail is written to BENCH_DETAIL.json
+    # next to this script so round-over-round comparison stays in-repo.
+    def _sig3(x: float) -> float:
+        return float(f"{x:.3g}")
+
+    detail = {
         "metric": "suite_seconds",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
@@ -244,7 +253,22 @@ def main() -> None:
         "load_sec": load_sec,
         "cpus": cpus,
     }
-    print(json.dumps(out))
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+
+    out = {
+        "metric": "suite_seconds",
+        "value": _sig3(sum(timings.values())),
+        "unit": "sec",
+        "queries": {k: _sig3(v) for k, v in timings.items()},
+        "sf": sf,
+        "load_sec": _sig3(load_sec),
+    }
+    line = json.dumps(out, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 

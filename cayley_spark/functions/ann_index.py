@@ -11,7 +11,8 @@ the lifecycle:
   centroid.
 - ``save``/``load``: the bucketed table is written
   ``partitionBy("c")`` — one Parquet directory per inverted list —
-  and the centroid matrix rides along as a small JSON sidecar.
+  and the centroid matrix rides along as a 1-row Parquet sidecar
+  table (written via Spark's writer, so any Hadoop FS works).
 - ``query``: probes the ``nprobe`` nearest centroids per query
   vector driver-side (centroid count is small by construction), then
   scans ONLY those buckets: the ``c IN (...)`` predicate prunes at
@@ -26,7 +27,6 @@ scoring is one scan of the probed lists + a per-query top-k window.
 
 from __future__ import annotations
 
-import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -63,14 +63,22 @@ class IVFIndex:
         self.bucketed.write.mode("overwrite").partitionBy("c").parquet(
             os.path.join(path, "buckets")
         )
-        with open(os.path.join(path, "centroids.json"), "w") as f:
-            json.dump(self.centroids, f)
+        # The centroid matrix rides along as a 1-row Parquet table,
+        # written through Spark's writer so save/load work on ANY
+        # Hadoop filesystem (s3://, hdfs://, file://) — a builtin
+        # open() sidecar would half-succeed on remote paths (buckets
+        # land on S3, sidecar lands on the driver's local disk).
+        self.spark.createDataFrame(
+            [(self.centroids,)], "centroids array<array<double>>"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(path, "centroids")
+        )
         return self
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "IVFIndex":
-        with open(os.path.join(path, "centroids.json")) as f:
-            cents = json.load(f)
+        crow = spark.read.parquet(os.path.join(path, "centroids")).head()
+        cents = [list(c) for c in crow["centroids"]]
         bucketed = spark.read.parquet(os.path.join(path, "buckets"))
         return cls(spark, cents, bucketed)
 

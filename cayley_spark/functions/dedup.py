@@ -533,12 +533,21 @@ def dedup_against(
     ``existing`` corpus (exactly or near) — the daily-crawl-vs-
     historical-corpus pattern. Returns the surviving ``new`` rows.
 
-    Candidates come from an LSH band join of new signatures against
-    existing signatures only (never new×new — intra-batch dups are a
-    separate, symmetric pass), verified by exact shingle Jaccard.
-    At scale the existing side's banded signatures are the persisted
-    index, incrementally appended as batches are admitted; nothing
-    here rescans existing TEXT except for the candidate pairs.
+    Two passes, both asymmetric (never new×new — intra-batch dups are
+    a separate, symmetric pass):
+
+    - EXACT: ``md5(text)`` digest semi-join against the existing
+      digests — one shuffle on uniform 128-bit keys. This is what
+      catches byte-identical documents SHORTER than ``k`` tokens,
+      which have no shingles and are invisible to the LSH path.
+    - NEAR: an LSH band join of new signatures against existing
+      signatures, verified by exact shingle Jaccard on the candidate
+      pairs only.
+
+    At scale the existing side's digests + banded signatures are a
+    persisted index, incrementally appended as batches are admitted
+    (see ``dedup_index.LSHDedupIndex``); nothing here rescans
+    existing TEXT except for the candidate pairs.
     """
     rows = num_hashes // bands
 
@@ -569,13 +578,23 @@ def dedup_against(
     )
     inter = F.size(F.array_intersect("sh_n", "sh_e"))
     union = F.size("sh_n") + F.size("sh_e") - inter
-    dup_ids = (
+    near_ids = (
         cand.join(sig_n.select("id_n", "sh_n"), "id_n")
         .join(sig_e.select("id_e", "sh_e"), "id_e")
         .where(inter.cast("double") / union >= jaccard_threshold)
         .select(F.col("id_n").alias(id_col))
         .dropDuplicates()
     )
+    exact_ids = (
+        new.select(F.col(id_col), F.md5(F.col(text_col)).alias("__dg"))
+        .join(
+            existing.select(F.md5(F.col(text_col)).alias("__dg")),
+            "__dg",
+            "left_semi",
+        )
+        .select(id_col)
+    )
+    dup_ids = near_ids.unionAll(exact_ids).dropDuplicates()
     from ._cache import track_persisted
 
     return track_persisted(

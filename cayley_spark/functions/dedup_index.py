@@ -1,0 +1,231 @@
+"""Persisted cross-corpus dedup index: build once over the historical
+corpus, save as Parquet, admit new batches against it forever.
+
+``dedup.dedup_against`` recomputes the existing side's shingles,
+MinHash signatures and digests on EVERY call — right for a one-shot
+oracle-checked query, wrong for the daily-crawl admission pattern
+where one 100 TB historical corpus screens every incoming batch.
+``LSHDedupIndex`` splits the lifecycle (the same build/save/load/
+append shape as ``ann_index.IVFIndex``):
+
+- ``build``: one pass over the existing corpus computing, per doc,
+  the md5 digest (exact-match key), the k-word shingle set, and the
+  MinHash signature. Documents shorter than ``k`` tokens carry a
+  NULL signature but still carry their digest, so byte-identical
+  short documents are caught by the exact pass.
+- ``save``/``load``: the signature table is plain Parquet written
+  through Spark's writer (any Hadoop FS); the (k, num_hashes, bands)
+  parameters ride along as a 1-row Parquet sidecar so a ``load``
+  can never be queried with mismatched shingling.
+- ``append``: admitted batches are APPENDED to the saved table —
+  the index grows incrementally; the existing corpus's text is
+  never re-read.
+- ``dedup``: drops rows of a new batch that duplicate the indexed
+  corpus exactly (digest semi-join) or nearly (LSH band join of the
+  batch's signatures against the INDEX's signatures — never
+  batch×batch — verified by exact shingle Jaccard on candidates).
+
+Scale shape: the stored row is (id, digest, sh, sig) — signatures
+and shingle sets, not text. The band join is an equi-join on
+(band, band_hash): uniform keys, and only the tiny banded projection
+shuffles. Candidate verification joins shingle sets back by id for
+the candidate pairs only, never all-pairs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .dedup import lsh_bands, minhash_signature, word_shingles
+
+_META_SCHEMA = "k int, num_hashes int, bands int, id_type string"
+
+
+def _sig_frame(
+    df: DataFrame, id_col: str, text_col: str, k: int, num_hashes: int
+) -> DataFrame:
+    """(id, digest, sh, sig) for every row of ``df`` — sig/sh NULL for
+    documents with no k-shingle (shorter than k tokens), which keeps
+    them visible to the exact-digest pass."""
+    sh = word_shingles(F.col(text_col), k)
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.md5(F.col(text_col)).alias("digest"),
+        F.when(F.size(sh) > 0, sh).alias("sh"),
+    ).select(
+        "id",
+        "digest",
+        "sh",
+        F.when(
+            F.col("sh").isNotNull(),
+            minhash_signature(F.col("sh"), num_hashes),
+        ).alias("sig"),
+    )
+
+
+class LSHDedupIndex:
+    def __init__(
+        self,
+        spark: SparkSession,
+        sigs: DataFrame,
+        k: int = 3,
+        num_hashes: int = 16,
+        bands: int = 4,
+        path: str | None = None,
+    ):
+        if num_hashes % bands:
+            raise ValueError("num_hashes must be divisible by bands")
+        self.spark = spark
+        self.sigs = sigs  # (id, digest string, sh array<str>, sig array<str>)
+        self.k = k
+        self.num_hashes = num_hashes
+        self.bands = bands
+        self.path = path
+
+    @classmethod
+    def build(
+        cls,
+        existing: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        k: int = 3,
+        num_hashes: int = 16,
+        bands: int = 4,
+    ) -> "LSHDedupIndex":
+        return cls(
+            existing.sparkSession,
+            _sig_frame(existing, id_col, text_col, k, num_hashes),
+            k=k,
+            num_hashes=num_hashes,
+            bands=bands,
+        )
+
+    # ---------------- persistence ----------------
+
+    def save(self, path: str) -> "LSHDedupIndex":
+        self.sigs.write.mode("overwrite").parquet(
+            os.path.join(path, "sigs")
+        )
+        id_type = self.sigs.schema["id"].dataType.simpleString()
+        self.spark.createDataFrame(
+            [(self.k, self.num_hashes, self.bands, id_type)], _META_SCHEMA
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(path, "meta")
+        )
+        # reads go through the saved files from here on: append() must
+        # extend what dedup() scans, not a stale in-memory plan
+        self.sigs = self.spark.read.parquet(os.path.join(path, "sigs"))
+        self.path = path
+        return self
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "LSHDedupIndex":
+        meta = spark.read.parquet(os.path.join(path, "meta")).head()
+        return cls(
+            spark,
+            spark.read.parquet(os.path.join(path, "sigs")),
+            k=meta["k"],
+            num_hashes=meta["num_hashes"],
+            bands=meta["bands"],
+            path=path,
+        )
+
+    def append(
+        self,
+        batch: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> "LSHDedupIndex":
+        """Admit ``batch`` into the index: compute its signature rows
+        once and APPEND them to the saved table. Requires a saved
+        index (call ``save`` first) — append is a files operation, not
+        a recompute."""
+        if self.path is None:
+            raise ValueError("append requires a saved index; call save(path)")
+        _sig_frame(batch, id_col, text_col, self.k, self.num_hashes).write.mode(
+            "append"
+        ).parquet(os.path.join(self.path, "sigs"))
+        self.sigs = self.spark.read.parquet(os.path.join(self.path, "sigs"))
+        return self
+
+    # ---------------- admission ----------------
+
+    def duplicate_ids(
+        self,
+        new: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        jaccard_threshold: float = 0.8,
+    ) -> DataFrame:
+        """Ids of ``new`` rows duplicating the indexed corpus —
+        one column named ``id_col``, distinct."""
+        rows = self.num_hashes // self.bands
+        nsig = _sig_frame(new, id_col, text_col, self.k, self.num_hashes)
+        from ._cache import track_persisted
+
+        nsig = nsig.persist()
+        band_n = nsig.where(F.col("sig").isNotNull()).select(
+            F.col("id").alias("id_n"),
+            F.col("sh").alias("sh_n"),
+            F.posexplode(
+                lsh_bands(F.col("sig"), self.bands, rows)
+            ).alias("band", "bh"),
+        )
+        esig = self.sigs
+        band_e = esig.where(F.col("sig").isNotNull()).select(
+            F.col("id").alias("id_e"),
+            F.posexplode(
+                lsh_bands(F.col("sig"), self.bands, rows)
+            ).alias("band", "bh"),
+        )
+        cand = (
+            band_n.select("id_n", "band", "bh")
+            .join(band_e, ["band", "bh"])
+            .select("id_n", "id_e")
+            .dropDuplicates()
+        )
+        inter = F.size(F.array_intersect("sh_n", "sh_e"))
+        union = F.size("sh_n") + F.size("sh_e") - inter
+        near = (
+            cand.join(
+                nsig.select(F.col("id").alias("id_n"), F.col("sh").alias("sh_n")),
+                "id_n",
+            )
+            .join(
+                esig.select(F.col("id").alias("id_e"), F.col("sh").alias("sh_e")),
+                "id_e",
+            )
+            .where(inter.cast("double") / union >= jaccard_threshold)
+            .select(F.col("id_n").alias(id_col))
+        )
+        exact = (
+            nsig.select(F.col("id").alias(id_col), "digest")
+            .join(esig.select("digest"), "digest", "left_semi")
+            .select(id_col)
+        )
+        return track_persisted(
+            near.unionAll(exact).dropDuplicates(), nsig
+        )
+
+    def dedup(
+        self,
+        new: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        jaccard_threshold: float = 0.8,
+    ) -> DataFrame:
+        """Surviving rows of ``new`` (same semantics as
+        ``dedup.dedup_against``, with the existing side read from the
+        index instead of recomputed)."""
+        dup = self.duplicate_ids(
+            new, id_col=id_col, text_col=text_col,
+            jaccard_threshold=jaccard_threshold,
+        )
+        from ._cache import track_persisted
+
+        return track_persisted(
+            new.join(dup, id_col, "left_anti"),
+            *getattr(dup, "_cayley_persisted", ()),
+        )

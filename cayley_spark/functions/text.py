@@ -420,9 +420,15 @@ def bm25_topk(
         + F.lit(k1) * (1 - b + F.lit(b) * F.col("dl") / F.col("avgdl"))
     )
     scored = j.groupBy("doc").agg(F.sum(idf * tf_norm).alias("score"))
+    # Top-k via orderBy().limit(k) — Spark plans this as TakeOrdered
+    # (per-partition heaps + a k-row driver merge), so every matching
+    # document does NOT funnel through one global-sort task the way a
+    # no-partition row_number window would (the single-partition trap
+    # chunking.py/SCALE.md call out). Ranks are assigned after, over
+    # at most k rows.
+    topk = scored.orderBy(F.col("score").desc(), F.col("doc")).limit(k)
     w = Window.orderBy(F.col("score").desc(), F.col("doc"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
+        topk.withColumn("rank", F.row_number().over(w))
         .select(F.col("doc").alias(id_col), "score", "rank")
     )

@@ -136,8 +136,21 @@ def kcore(
     per round, all state distributed, lineage truncated per round
     (the recursion compiler's localCheckpoint pattern). Rounds needed
     = peeling depth, bounded by ``max_iter``. Returns (id, degree)
-    with the vertex's final in-core degree."""
-    und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    with the vertex's final in-core degree.
+
+    Simple-graph semantics: the input is canonicalized before
+    symmetrizing — each undirected pair {a, b} counts as ONE edge no
+    matter how many parallel or reciprocal directed edges carry it
+    (a quad store holding both (a,follows,b) and (b,follows,a) must
+    not give a and b degree 2 for one mutual link), and self-loops
+    are dropped (a self-loop cannot hold a vertex in any k-core).
+    The canonicalization is one least/greatest projection plus a
+    dropDuplicates — a single extra shuffle on the same key space
+    the peeling loop already aggregates on."""
+    und = edges.select(
+        F.least(F.col(src), F.col(dst)).alias("a"),
+        F.greatest(F.col(src), F.col(dst)).alias("b"),
+    ).where(F.col("a") != F.col("b")).dropDuplicates(["a", "b"])
     und = und.unionAll(
         und.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).localCheckpoint(eager=False)

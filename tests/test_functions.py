@@ -663,6 +663,61 @@ def test_dedup_against(docs, spark):
     assert unpersist_intermediates(out) == 2
 
 
+def test_dedup_against_short_exact_dup(spark):
+    """A byte-identical document SHORTER than k tokens has no
+    shingles — the exact md5 pass must still drop it (ADVICE r4)."""
+    from cayley_spark.functions.dedup import dedup_against
+
+    existing = spark.createDataFrame([Row(doc_id=0, text="hi there")])
+    new = spark.createDataFrame(
+        [Row(doc_id=10, text="hi there"), Row(doc_id=11, text="bye now")]
+    )
+    out = dedup_against(new, existing, k=3, jaccard_threshold=0.5)
+    assert [r["doc_id"] for r in out.collect()] == [11]
+
+
+def test_lsh_dedup_index_lifecycle(docs, spark, tmp_path):
+    """build/save/load/append: a loaded index dedups from its saved
+    signatures (the plan reads the index parquet, never the existing
+    corpus), and an appended batch extends what later batches are
+    screened against."""
+    from cayley_spark.functions._cache import unpersist_intermediates
+    from cayley_spark.functions.dedup import dedup_against
+    from cayley_spark.functions.dedup_index import LSHDedupIndex
+
+    existing = docs.where("doc_id <= 2")
+    new = docs.where("doc_id >= 3")
+    p = str(tmp_path / "dedup_index")
+    LSHDedupIndex.build(existing, k=3, num_hashes=16, bands=4).save(p)
+
+    idx = LSHDedupIndex.load(spark, p)
+    assert (idx.k, idx.num_hashes, idx.bands) == (3, 16, 4)
+    out = idx.dedup(new, jaccard_threshold=0.5)
+    kept = sorted(r["doc_id"] for r in out.collect())
+    # identical verdict to the recompute-everything operator
+    ref = dedup_against(new, existing, jaccard_threshold=0.5)
+    assert kept == sorted(r["doc_id"] for r in ref.collect()) == [3, 5]
+    # second-batch admission reads the index, not the corpus: the
+    # existing side arrives from the saved sigs parquet (and the
+    # corpus frame is not even an input to the loaded index)
+    assert any("dedup_index/sigs" in f for f in out.inputFiles())
+    unpersist_intermediates(out)
+    unpersist_intermediates(ref)
+
+    # append the surviving batch; a later batch duplicating doc 3
+    # (only present in the APPENDED slice) must now be dropped
+    idx.append(new.join(out.select("doc_id"), "doc_id", "left_semi"))
+    batch2 = spark.createDataFrame(
+        [
+            Row(doc_id=20, lang="de", text="der hund und das haus"),  # = 3
+            Row(doc_id=21, lang="en", text="totally novel content words"),
+        ]
+    )
+    out2 = idx.dedup(batch2, jaccard_threshold=0.5)
+    assert [r["doc_id"] for r in out2.collect()] == [21]
+    unpersist_intermediates(out2)
+
+
 def test_sharded_layout_roundtrip_and_pruning(spark, tmp_path):
     """Hash-sharded parquet: roundtrip preserves rows, a point read
     prunes to one shard directory (PartitionFilters), and two tables
