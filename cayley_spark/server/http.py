@@ -81,6 +81,62 @@ class CayleyHandler(BaseHTTPRequestHandler):
         n = int(self.headers.get("Content-Length", 0))
         return self.rfile.read(n).decode()
 
+    def _stream_dump(self, fmt: str = "nquads"):
+        """Dump of the whole store, STREAMED: toLocalIterator pulls
+        one partition at a time through the driver and chunked
+        transfer-encoding forwards it, so the full dump is never
+        materialized in driver memory (same shape as gephi.py's event
+        feed) — a collect()-then-join here is an OOM at scale.
+        ``format=pquads`` matches the reference client's
+        ``/api/v2/read?format=pquads`` (client/client.go:48-51)."""
+        if fmt == "pquads":
+            from ..sources.pquads import MAGIC, _uvarint, encode_quad
+            from ..values import parse_term
+
+            store = self.server.store
+            resolved = store.resolve(store.quads.toDF("s", "p", "o", "l"))
+
+            def blocks():
+                yield MAGIC
+                for r in resolved.toLocalIterator():
+                    rec = encode_quad(
+                        parse_term(r["s"]),
+                        parse_term(r["p"]),
+                        parse_term(r["o"]),
+                        parse_term(r["l"]) if r["l"] is not None else None,
+                    )
+                    yield _uvarint(len(rec)) + rec
+
+            return self._stream_chunked(blocks(), "application/x-protobuf")
+        from ..sources.nquads import write_nquads
+
+        rows = write_nquads(self.server.store).toLocalIterator()
+        return self._stream_chunked(
+            ((r["value"] + "\n").encode() for r in rows),
+            "application/n-quads",
+        )
+
+    def _stream_chunked(self, blocks, ctype: str):
+        self.send_response(200)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Transfer-Encoding", "chunked")
+        self.end_headers()
+
+        def chunk(data: bytes):
+            self.wfile.write(b"%x\r\n%s\r\n" % (len(data), data))
+
+        buf: list[bytes] = []
+        size = 0
+        for b in blocks:
+            buf.append(b)
+            size += len(b)
+            if size >= 64 * 1024:
+                chunk(b"".join(buf))
+                buf, size = [], 0
+        if buf:
+            chunk(b"".join(buf))
+        self.wfile.write(b"0\r\n\r\n")
+
     # ------------- routes -------------
 
     def do_GET(self):
@@ -116,13 +172,8 @@ class CayleyHandler(BaseHTTPRequestHandler):
             return self._text(body, ctype="application/stream+json")
         if u.path == "/api/v2/read":
             # reference registers GET and POST for /read (api_v2.go:131-132)
-            from ..sources.nquads import write_nquads
-
-            lines = [
-                r["value"] for r in write_nquads(self.server.store).collect()
-            ]
-            return self._text(
-                "\n".join(lines) + "\n", ctype="application/n-quads"
+            return self._stream_dump(
+                parse_qs(u.query).get("format", ["nquads"])[0]
             )
         if urlparse(self.path).path == "/api/v2/formats":
             return self._json(
@@ -163,14 +214,9 @@ class CayleyHandler(BaseHTTPRequestHandler):
                 if parts[2:4] == ["node", "delete"]:
                     return self._node_delete(self._body())
                 if parts[2] == "read":
-                    from ..sources.nquads import write_nquads
-
-                    lines = [
-                        r["value"]
-                        for r in write_nquads(self.server.store).collect()
-                    ]
-                    return self._text("\n".join(lines) + "\n",
-                                      ctype="application/n-quads")
+                    return self._stream_dump(
+                        parse_qs(u.query).get("format", ["nquads"])[0]
+                    )
             self._json({"error": "not found"}, 404)
         except Exception as e:  # reference returns {"error": ...}
             self._json({"error": str(e)}, 400)

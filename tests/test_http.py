@@ -132,6 +132,26 @@ def test_read_dump(srv):
     assert any("<alice> <follows> <bob> ." in l for l in lines)
 
 
+def test_read_dump_streams_without_collect(srv, monkeypatch):
+    """The dump handler must never materialize the full store via
+    collect() (driver OOM at scale) — with collect() poisoned, the
+    chunked toLocalIterator path still serves the full dump, on both
+    the GET and POST routes."""
+    from pyspark.sql import DataFrame
+
+    def boom(self):
+        raise AssertionError("dump handler called collect()")
+
+    monkeypatch.setattr(DataFrame, "collect", boom)
+    with urllib.request.urlopen(f"{srv}/api/v2/read") as r:
+        assert r.headers.get("Transfer-Encoding") == "chunked"
+        get_lines = [l for l in r.read().decode().splitlines() if l.strip()]
+    req = urllib.request.Request(f"{srv}/api/v2/read", data=b"")
+    with urllib.request.urlopen(req) as r:
+        post_lines = [l for l in r.read().decode().splitlines() if l.strip()]
+    assert len(get_lines) == len(post_lines) == 15
+
+
 def test_gephi_graphstream(srv):
     """GET /gephi/gs — Gephi graph-streaming protocol (reference
     internal/gephi/stream.go): one JSON event per CRLF line, an/ae
@@ -320,3 +340,33 @@ def test_gizmo_js_style_program(srv):
         assert False
     except urllib.error.HTTPError as e:
         assert e.code == 400
+
+
+def test_client_library(srv):
+    """cayley_spark.client.Client — the reference Go client analog
+    (client/client.go): health, streamed quad read (nquads + pquads),
+    write/delete, and queries, all over the wire."""
+    from cayley_spark.client import Client, RequestFailed
+    from cayley_spark.values import IRI
+
+    c = Client(srv)
+    assert c.health()
+
+    quads = list(c.quads())
+    assert len(quads) == 15
+    assert (IRI("alice"), IRI("follows"), IRI("bob"), None) in quads
+    # labeled quads carry their graph value
+    assert any(q[3] is not None for q in quads)
+
+    # binary wire format parity with the text dump
+    pq = list(c.quads(fmt="pquads"))
+    assert sorted(map(repr, pq)) == sorted(map(repr, quads))
+
+    assert c.write([(IRI("zeke"), IRI("follows"), IRI("bob"))]) == 1
+    got = c.query('g.V("<bob>").In("<follows>").ToArray()')
+    assert "<zeke>" in got
+    assert c.delete([(IRI("zeke"), IRI("follows"), IRI("bob"))]) == 1
+    assert "<zeke>" not in c.query('g.V("<bob>").In("<follows>").ToArray()')
+
+    with pytest.raises(RequestFailed):
+        c.query("this is not gizmo (")

@@ -8,8 +8,10 @@ implementation (multiplicity, tag merge, optional nulls, filter
 kind-gating, recursion frontiers).
 
 Hypothesis runs derandomized (fixed seed) so CI is stable; bump
-``max_examples`` locally when hunting."""
+``CAYLEY_FUZZ_EXAMPLES`` (env) locally when hunting — e.g. 200 for
+the certification run recorded in COVERAGE.md."""
 
+import os
 from collections import Counter
 
 import pytest
@@ -18,8 +20,11 @@ from hypothesis import HealthCheck, given, settings, strategies as st
 from cayley_spark import GraphStore, IRI, Path
 from cayley_spark import shapes as S
 
+N_EXAMPLES = int(os.environ.get("CAYLEY_FUZZ_EXAMPLES", "25"))
+
 NODES = [IRI(f"n{i}") for i in range(8)]
 PREDS = [IRI("p0"), IRI("p1"), IRI("p2")]
+LABELS = [IRI("g1"), IRI("g2")]
 
 # typed literal objects: drive the Comparison/Wildcard kind-gating
 # paths through both engines (an IRI must never match an Int filter)
@@ -36,7 +41,10 @@ def graphs(draw):
         s = draw(st.sampled_from(NODES))
         p = draw(st.sampled_from(PREDS))
         o = draw(st.sampled_from(NODES + LITS))
-        quads.append((s, p, o))
+        # ~half the quads live in a named graph so LabelContext has
+        # real work to do (reference query/path/path.go:52-61)
+        lab = draw(st.sampled_from([None, None, *LABELS]))
+        quads.append((s, p, o) if lab is None else (s, p, o, lab))
     return tuple(quads)
 
 
@@ -54,6 +62,7 @@ def paths(draw):
                     "out", "in", "both", "has", "tag", "save",
                     "union", "intersect", "except", "unique",
                     "regex", "optional_save", "cmp", "like",
+                    "label_ctx", "recursive",
                 ]
             )
         )
@@ -80,6 +89,18 @@ def paths(draw):
                         draw(st.sampled_from([1, 5, 9]))))
         elif kind == "like":
             ops.append((kind, draw(st.sampled_from(["n%", "%3", "n?"]))))
+        elif kind == "label_ctx":
+            # a specific named graph, or None = reset to all labels
+            ops.append((kind, draw(st.sampled_from([*LABELS, None]))))
+        elif kind == "recursive":
+            ops.append(
+                (
+                    kind,
+                    draw(st.sampled_from(PREDS)),
+                    draw(st.integers(min_value=1, max_value=4)),
+                    draw(st.sampled_from(["d", None])),
+                )
+            )
         else:
             ops.append((kind,))
     return (tuple(start), tuple(ops))
@@ -119,6 +140,12 @@ def build_path(store, spec):
             p = p.filter(S.Comparison(op[1], Int(op[2])))
         elif kind == "like":
             p = p.like(op[1])
+        elif kind == "label_ctx":
+            p = p.label_context(op[1]) if op[1] is not None else p.label_context()
+        elif kind == "recursive":
+            p = p.follow_recursive(
+                op[1], max_depth=op[2], depth_tag=op[3]
+            )
     return p
 
 
@@ -134,7 +161,7 @@ def session(spark):
 
 
 @settings(
-    max_examples=25,
+    max_examples=N_EXAMPLES,
     deadline=None,
     derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
@@ -150,7 +177,7 @@ def test_engines_agree(session, g, spec):
 
 
 @settings(
-    max_examples=10,
+    max_examples=max(10, N_EXAMPLES // 2),
     deadline=None,
     derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
