@@ -728,6 +728,31 @@ def t_split(spark, sf):
     return hash_split(docs)
 
 
+def t_mixture(spark, sf):
+    """Temperature-based source mixing (functions/sampling.
+    source_mixture, alpha=0.5): per-source keep-rates ∝ n^alpha,
+    capped at 1, applied by content-hash threshold — the standard
+    multi-source re-weighting for pre-training mixes, fully
+    deterministic (same survivors on any engine/partitioning)."""
+    from cayley_spark.functions.sampling import source_mixture
+
+    docs = _t_wide(spark, sf, "documents")
+    return source_mixture(
+        docs, source_col="source", alpha=0.5, target_frac=0.5
+    ).select("doc_id", "source")
+
+
+def t_shards(spark, sf):
+    """Deterministic training-export shard assignment (functions/
+    sampling.export_shards): shard = md5-hash(id) mod 16 plus an
+    in-shard content-addressed sort key — a reproducible global
+    shuffle with no global sort task."""
+    from cayley_spark.functions.sampling import export_shards
+
+    docs = _t_wide(spark, sf, "documents")
+    return export_shards(docs, id_col="doc_id", n_shards=16, salt="x")
+
+
 def t_clean(spark, sf):
     """Normalization pass (functions/text.clean_stats): strip control
     chars, collapse whitespace, trim — regexp_replace chain at scan
@@ -1278,6 +1303,20 @@ def s_knn_ivf(spark, sf):
     return ivf_topk(emb, KNN_QUERIES, k=5).select("query_id", "neighbor_id")
 
 
+def s_knn_quant(spark, sf):
+    """Exact top-k cosine over INT8-QUANTIZED embeddings
+    (functions/similarity.quantized_topk): scales cancel out of
+    cosine, so the ranking is a deterministic function of exact
+    integer dot products — hash-gateable, unlike float-accumulated
+    cosine."""
+    from cayley_spark.functions.similarity import quantized_topk
+
+    emb = _t_wide(spark, sf, "embeddings")
+    return quantized_topk(emb, KNN_QUERIES, k=5).select(
+        "query_id", "neighbor_id"
+    )
+
+
 # ---------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------
@@ -1335,6 +1374,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_trigram_lm": t_trigram_lm,
         "t_chunks": t_chunks,
         "t_pack": t_pack,
+        "t_mixture": t_mixture,
+        "t_shards": t_shards,
+        "s_knn_quant": s_knn_quant,
         # --- tail: green in CORRECTNESS_r04 (pytest-held) -------------
         "g_in": g_in,
         "g_out2": g_out2,
@@ -2214,6 +2256,32 @@ def oracle_sql() -> dict[str, str]:
                    ELSE 'train' END AS split
             FROM b
         """,
+        "t_mixture": """
+            WITH c AS (
+              SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+            ), w AS (
+              SELECT source, n, pow(CAST(n AS DOUBLE), 0.5) AS w FROM c
+            ), t AS (
+              SELECT SUM(w) AS wsum, SUM(n) AS total FROM w
+            ), r AS (
+              SELECT w.source,
+                LEAST(1.0,
+                  (w.w / t.wsum) * (CAST(t.total AS DOUBLE) * 0.5) / w.n
+                ) AS rate
+              FROM w, t
+            )
+            SELECT d.doc_id, d.source
+            FROM documents d JOIN r ON r.source = d.source
+            WHERE CAST(CAST(('0x' || substr(md5(COALESCE(d.text, '')), 1, 8))::BIGINT
+                       % 1048576 AS INT) AS DOUBLE) / 1048576 < r.rate
+        """,
+        "t_shards": """
+            SELECT doc_id,
+              CAST(('0x' || substr(md5('x' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   % 16 AS INT) AS shard,
+              md5('x' || CAST(doc_id AS VARCHAR)) AS sort_key
+            FROM documents
+        """,
         "t_postings": r"""
             WITH toks AS (
               SELECT DISTINCT doc_id,
@@ -2614,4 +2682,35 @@ def oracle_sql() -> dict[str, str]:
         "d_embed": _embed_dup_oracle(),
         "s_knn_lsh": _lsh_oracle(),
         "s_knn_ivf": _ivf_oracle(),
+        "s_knn_quant": """
+            WITH base AS (
+              SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings
+            ), sc AS (
+              SELECT id, v,
+                CASE WHEN list_max([abs(x) for x in v]) > 0
+                     THEN list_max([abs(x) for x in v]) / 127.0
+                     ELSE 1.0 END AS scale
+              FROM base
+            ), q8 AS (
+              SELECT id,
+                [CAST(floor(x / scale + 0.5) AS DOUBLE) for x in v] AS qv
+              FROM sc
+            ), s AS (
+              SELECT q.id AS query_id, c.id AS neighbor_id,
+                list_inner_product(q.qv, c.qv)
+                  / (sqrt(list_inner_product(q.qv, q.qv))
+                     * sqrt(list_inner_product(c.qv, c.qv))) AS qscore
+              FROM q8 q, q8 c
+              WHERE q.id IN (0, 1, 2) AND c.id <> q.id
+                AND list_inner_product(q.qv, q.qv) > 0
+                AND list_inner_product(c.qv, c.qv) > 0
+            )
+            SELECT query_id, neighbor_id FROM (
+              SELECT query_id, neighbor_id,
+                ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY qscore DESC, neighbor_id) AS rn
+              FROM s
+            ) WHERE rn <= 5
+        """,
     }

@@ -60,6 +60,89 @@ def hash_sample(
     return df.where(hash_bucket(F.col(text_col), rate_denominator) == 0)
 
 
+def source_mixture(
+    df: DataFrame,
+    source_col: str = "source",
+    alpha: float = 0.5,
+    target_frac: float = 0.5,
+    text_col: str = "text",
+    denominator: int = 1 << 20,
+) -> DataFrame:
+    """Temperature-based source re-weighting — the standard
+    multilingual/multi-source mixing rule (sample source s with
+    probability ∝ n_s^alpha): alpha=1 keeps natural proportions,
+    alpha→0 approaches uniform-over-sources, boosting small sources.
+
+    Deterministic: per-source keep-rates are computed from exact
+    counts, and each row is kept iff its content-hash bucket (a
+    20-bit uniform rational) falls below its source's rate — the
+    same rows survive on every run, engine, and partitioning.
+    ``target_frac`` sets the expected kept fraction of the corpus;
+    per-source rates are capped at 1 (a boosted small source is
+    never oversampled, matching the no-duplication convention).
+
+    Scale shape: one count aggregation on the (low-cardinality)
+    source key, rates re-joined via broadcast, then a scan-speed
+    hash filter — no shuffle of the corpus itself.
+    """
+    counts = df.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("__n")
+    ).withColumn("__w", F.pow(F.col("__n").cast("double"), alpha))
+    totals = counts.agg(
+        F.sum("__w").alias("__wsum"), F.sum("__n").alias("__total")
+    )
+    rates = counts.crossJoin(F.broadcast(totals)).select(
+        source_col,
+        F.least(
+            F.lit(1.0),
+            (F.col("__w") / F.col("__wsum"))
+            * (F.col("__total").cast("double") * target_frac)
+            / F.col("__n"),
+        ).alias("__rate"),
+    )
+    kept = (
+        df.join(F.broadcast(rates), source_col)
+        .where(
+            hash_bucket(F.col(text_col), denominator).cast("double")
+            / denominator
+            < F.col("__rate")
+        )
+        .drop("__rate")
+    )
+    return kept
+
+
+def shard_key(col: Column, salt: str = "") -> Column:
+    """Content-addressed sort key for a deterministic global shuffle:
+    md5(salt || value). Reordering a 100 TB corpus for training
+    export = repartition by ``shard_of(key)`` + sortWithinPartitions
+    on this key — reproducible on every engine, no global sort."""
+    return F.md5(F.concat(F.lit(salt), F.coalesce(col.cast("string"), F.lit(""))))
+
+
+def export_shards(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 16,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic training-export shard assignment: every row gets
+    (shard, sort_key) where shard = hash(id) mod n_shards and
+    sort_key orders rows WITHIN a shard — together a reproducible
+    global shuffle of the corpus (the pre-training requirement that
+    document order be fixed but pseudo-random, decoupled from crawl
+    order). The writer pattern is
+    ``out.repartition('shard').sortWithinPartitions('sort_key')`` —
+    one shuffle, no single global sort task."""
+    k = shard_key(F.col(id_col), salt)
+    shard = (
+        F.conv(F.substring(k, 1, 8), 16, 10).cast("long") % n_shards
+    ).cast("int")
+    return df.select(
+        F.col(id_col), shard.alias("shard"), k.alias("sort_key")
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

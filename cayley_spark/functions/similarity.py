@@ -373,3 +373,90 @@ def lsh_topk(
         .where(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "score")
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric int8 quantization: (id, qv array<int>, scale) with
+    qv[i] = floor(v[i] / scale + 0.5), scale = max(|v|)/127 — an 8x
+    storage/bandwidth cut for ANN serving (the standard int8 scheme).
+    floor(x + 0.5) rather than round() on purpose: IEEE floor is
+    identical in every engine, while round()'s half-way rule is not.
+    All-zero vectors quantize to all-zero (scale set to 1 to avoid
+    0/0). Pure column expressions, zero shuffle."""
+    v = F.col(vec_col).cast("array<double>")
+    amax = F.aggregate(
+        v, F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x))
+    )
+    scale = F.when(amax > 0, amax / F.lit(127.0)).otherwise(F.lit(1.0))
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            v, lambda x: F.floor(x / scale + F.lit(0.5)).cast("int")
+        ).alias("qv"),
+        scale.alias("scale"),
+    )
+
+
+def quantized_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k COSINE over int8-quantized vectors: rank by the
+    integer dot product of quantized vectors over integer norms —
+    cosine is scale-invariant, so the per-vector scales cancel and
+    the score is a deterministic function of exact int64 sums (the
+    only float ops are two correctly-rounded sqrts and one divide,
+    identical in any IEEE engine — this is what makes the operator
+    oracle-hashable, unlike float-accumulated cosine).
+
+    Returns (query_id, neighbor_id, qscore). Recall vs full-precision
+    cosine_topk degrades only via quantization error (~1/254 per
+    component); the broadcast/cross-join shape matches cosine_topk.
+    """
+    from pyspark.sql.window import Window
+
+    quant = quantize_embeddings(df, id_col=id_col, vec_col=vec_col)
+    corpus = quant.select(
+        F.col("id").alias("neighbor_id"), F.col("qv").alias("nv")
+    )
+    queries = quant.where(F.col("id").isin(query_ids)).select(
+        F.col("id").alias("query_id"), F.col("qv").alias("q")
+    )
+    idot = F.aggregate(
+        F.zip_with("q", "nv", lambda x, y: (x * y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    inorm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.col(c),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + (x * x).cast("long"),
+        ).cast("double")
+    )
+    scored = (
+        corpus.join(F.broadcast(queries))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        # zero vectors have no direction: excluded rather than NaN
+        .where((inorm("q") > 0) & (inorm("nv") > 0))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (idot / (inorm("q") * inorm("nv"))).alias("qscore"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qscore").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .select("query_id", "neighbor_id", "qscore")
+    )

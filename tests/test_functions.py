@@ -754,3 +754,84 @@ def test_sharded_layout_roundtrip_and_pruning(spark, tmp_path):
         "k", shard_of("k", 8).alias("s2")
     )
     assert a.join(b, "k").where(F.col("s1") != F.col("s2")).count() == 0
+
+
+def test_source_mixture(spark):
+    """Temperature mixing: alpha<1 boosts small sources' keep-RATE
+    above large ones'; the selection is content-addressed (same
+    survivors on a repartitioned input)."""
+    from cayley_spark.functions.sampling import source_mixture
+
+    rows = [
+        Row(doc_id=i, source="big" if i < 400 else "small",
+            text=f"document number {i} with some words")
+        for i in range(440)
+    ]
+    df = spark.createDataFrame(rows)
+    out = source_mixture(df, alpha=0.25, target_frac=0.5)
+    kept = out.groupBy("source").count().collect()
+    by_src = {r["source"]: r["count"] for r in kept}
+    # rate_small should be ~1 (capped), rate_big well below 1
+    assert by_src.get("small", 0) / 40 > by_src.get("big", 0) / 400
+    # deterministic under partitioning
+    again = source_mixture(df.repartition(7), alpha=0.25, target_frac=0.5)
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+
+
+def test_export_shards(spark):
+    from cayley_spark.functions.sampling import export_shards
+
+    df = spark.createDataFrame([Row(doc_id=i) for i in range(300)])
+    out = export_shards(df, n_shards=8, salt="s").collect()
+    assert len(out) == 300
+    shards = {r["shard"] for r in out}
+    assert shards <= set(range(8)) and len(shards) == 8
+    # keys are unique and orderable; salt changes the permutation
+    assert len({r["sort_key"] for r in out}) == 300
+    out2 = export_shards(df, n_shards=8, salt="t").collect()
+    m1 = {r["doc_id"]: r["sort_key"] for r in out}
+    m2 = {r["doc_id"]: r["sort_key"] for r in out2}
+    assert m1 != m2
+
+
+def test_quantized_topk_matches_exact_ranking(spark):
+    """int8-quantized cosine top-k: high recall vs full precision on
+    well-separated clusters, and exact self-consistency (scales
+    cancel — a uniformly scaled copy of a vector ranks first)."""
+    import random
+
+    from cayley_spark.functions.similarity import (
+        cosine_topk,
+        quantize_embeddings,
+        quantized_topk,
+    )
+
+    random.seed(11)
+    rows = []
+    for i in range(40):
+        base = [1.0, 0.0, 0.0, 0.0] if i % 2 == 0 else [0.0, 1.0, 0.0, 0.0]
+        rows.append(
+            Row(
+                vec_id=i,
+                embedding=[
+                    b + random.uniform(-0.05, 0.05) for b in base
+                ],
+            )
+        )
+    df = spark.createDataFrame(rows)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(df, [0, 1], k=5).collect()
+    }
+    quant = {
+        (r["query_id"], r["neighbor_id"])
+        for r in quantized_topk(df, [0, 1], k=5).collect()
+    }
+    # same cluster membership: every quantized neighbor shares the
+    # query's parity (clusters are ~orthogonal)
+    assert all((q % 2) == (n % 2) for q, n in quant)
+    assert len(quant & exact) >= 8  # >=80% overlap of 10 pairs
+    qz = quantize_embeddings(df).collect()
+    assert all(max(abs(x) for x in r["qv"]) <= 127 for r in qz)
