@@ -480,6 +480,443 @@ def q18(spark, sf):
     )
 
 
+def q2(spark, sf):
+    """TPC-H Q2 shape (min-cost supplier): the part-supplier relation
+    is derived from lineitem (the testdata has no partsupp), cost =
+    MIN(l_extendedprice) per (part, supplier) — the correlated
+    min-subquery over region-local suppliers survives intact.
+    Division-free (no unit-price divide), so decimal-exact."""
+    li = _t(spark, sf, "lineitem")
+    part = _t(spark, sf, "part").where(
+        (F.col("p_size") == 15) | (F.col("p_type") == "LARGE")
+    )
+    supp = _t(spark, sf, "supplier")
+    nat = _t(spark, sf, "nation")
+    reg = _t(spark, sf, "region").where(F.col("r_name") == "EUROPE")
+    offers = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(_dec(F.col("l_extendedprice"), 2)).alias("cost")
+    )
+    eu = (
+        offers.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(nat, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    best = eu.groupBy(F.col("l_partkey").alias("bk")).agg(
+        F.min("cost").alias("best_cost")
+    )
+    return (
+        eu.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            best,
+            (F.col("l_partkey") == F.col("bk"))
+            & (F.col("cost") == F.col("best_cost")),
+        )
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_type",
+            F.col("cost").cast("double").alias("supply_cost"),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+def q7(spark, sf):
+    """TPC-H Q7 (volume shipping between two nations, both
+    directions): year extracted from l_shipdate; revenue in exact
+    decimal per (supp_nation, cust_nation, year)."""
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer")
+    supp = _t(spark, sf, "supplier")
+    nat = _t(spark, sf, "nation")
+    n1 = nat.select(
+        F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nat.select(
+        F.col("n_nationkey").alias("cnk"), F.col("n_name").alias("cust_nation")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("snk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cnk"))
+        .where(pair)
+        .where(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(F.sum(_dec(rev, 4)).cast("double").alias("revenue"))
+    )
+
+
+def q8(spark, sf):
+    """TPC-H Q8 (national market share): share of ASIA-customer PROMO
+    order volume supplied by NATION_3, per order year. The share is
+    ONE division of two exact decimal sums cast to double."""
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer")
+    supp = _t(spark, sf, "supplier")
+    part = _t(spark, sf, "part").where(F.col("p_type") == "PROMO")
+    nat = _t(spark, sf, "nation")
+    reg = _t(spark, sf, "region").where(F.col("r_name") == "ASIA")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    nation_vol = F.when(
+        F.col("sn_name") == "NATION_3", vol
+    ).otherwise(F.lit(0.0))
+    cnat = nat.select(
+        F.col("n_nationkey").alias("cnk"), F.col("n_regionkey").alias("crk")
+    )
+    snat = nat.select(
+        F.col("n_nationkey").alias("snk"), F.col("n_name").alias("sn_name")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cnat), F.col("c_nationkey") == F.col("cnk"))
+        .join(F.broadcast(reg), F.col("crk") == F.col("r_regionkey"))
+        .join(F.broadcast(snat), F.col("s_nationkey") == F.col("snk"))
+        .where(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1998-01-01")
+        )
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                F.sum(_dec(nation_vol, 4)).cast("double")
+                / F.sum(_dec(vol, 4)).cast("double")
+            ).alias("mkt_share")
+        )
+    )
+
+
+def q9(spark, sf):
+    """TPC-H Q9 (product-type profit by nation and year). The
+    testdata has no partsupp, so unit cost = p_retailprice (documented
+    adaptation): profit = price*(1-disc) - retailprice*quantity, both
+    terms exact decimal(18,4) so the difference is exact."""
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders")
+    supp = _t(spark, sf, "supplier")
+    part = _t(spark, sf, "part").where(F.col("p_name").contains("red"))
+    nat = _t(spark, sf, "nation")
+    amount = _dec(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+    ) - _dec(F.col("p_retailprice") * F.col("l_quantity"), 4)
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+    )
+
+
+def q10(spark, sf):
+    """TPC-H Q10 (returned-item reporting): top 20 customers by
+    returned revenue in a quarter."""
+    li = _t(spark, sf, "lineitem").where(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer")
+    nat = _t(spark, sf, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .where(
+            (F.col("o_orderdate") >= "1996-10-01")
+            & (F.col("o_orderdate") < "1997-01-01")
+        )
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(_dec(rev, 4)).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+def q11(spark, sf):
+    """TPC-H Q11 shape (important stock): per-part value share above
+    a global-scalar threshold. Value from lineitem (no partsupp);
+    the HAVING against the scalar total is the division-free
+    comparison value*1000 > total (exact decimal both sides)."""
+    li = _t(spark, sf, "lineitem")
+    supp = _t(spark, sf, "supplier")
+    nat = _t(spark, sf, "nation").where(F.col("n_name") == "NATION_4")
+    scoped = li.join(
+        F.broadcast(
+            supp.join(nat, F.col("s_nationkey") == F.col("n_nationkey"))
+        ),
+        F.col("l_suppkey") == F.col("s_suppkey"),
+    )
+    per_part = scoped.groupBy("l_partkey").agg(
+        F.sum(_dec(F.col("l_extendedprice"), 2)).alias("value")
+    )
+    total = per_part.agg(F.sum("value").alias("total"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(F.col("value") * 1000 > F.col("total"))
+        .select("l_partkey", F.col("value").cast("double").alias("value"))
+    )
+
+
+def q12(spark, sf):
+    """TPC-H Q12 shape (priority counting by shipping class): the
+    testdata has no l_shipmode/commitdate, so the class is lateness
+    (shipped >60 days after order date); high/low priority line
+    counts per class via conditional aggregation."""
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders")
+    j = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    )
+    late = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+        F.lit("LATE"),
+    ).otherwise(F.lit("ONTIME"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return j.groupBy(late.alias("ship_class")).agg(
+        F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+        F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+    )
+
+
+def q13(spark, sf):
+    """TPC-H Q13 (customer order-count distribution): LEFT OUTER join
+    (customers with zero orders count), two-level aggregation. The
+    reference's comment filter becomes an o_orderpriority filter."""
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders").where(
+        F.col("o_orderpriority") != "5-LOW"
+    )
+    per_cust = (
+        cust.join(
+            orders, F.col("c_custkey") == F.col("o_custkey"), "left"
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+def q15(spark, sf):
+    """TPC-H Q15 (top supplier): 3-month revenue per supplier, select
+    the max via an exact-decimal scalar-max join (ties all returned,
+    like the reference)."""
+    li = _t(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-04-01")
+    )
+    supp = _t(spark, sf, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4))
+        .alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+def q16(spark, sf):
+    """TPC-H Q16 (supplier count per part attribute group): the
+    part-supplier relation from DISTINCT lineitem pairs; the
+    complaint-supplier exclusion becomes a negative-balance NOT IN
+    (same anti-join shape)."""
+    li = _t(spark, sf, "lineitem")
+    part = _t(spark, sf, "part").where(
+        (F.col("p_brand") != "Brand#13")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 24, 28, 35)
+    )
+    bad = _t(spark, sf, "supplier").where(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("bad_k")
+    )
+    rel = li.select("l_partkey", "l_suppkey").dropDuplicates()
+    return (
+        rel.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(bad, F.col("l_suppkey") == F.col("bad_k"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q19(spark, sf):
+    """TPC-H Q19 (discounted revenue, OR-of-ANDs predicate): three
+    brand/size/quantity branches — one scan, the disjunction is a
+    single pushed filter."""
+    li = _t(spark, sf, "lineitem")
+    part = _t(spark, sf, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    b1 = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    )
+    b2 = (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    )
+    b3 = (
+        (F.col("p_brand") == "Brand#34")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .where(b1 | b2 | b3)
+        .agg(F.sum(_dec(rev, 4)).cast("double").alias("revenue"))
+    )
+
+
+def q20(spark, sf):
+    """TPC-H Q20 shape (excess-supply suppliers): suppliers whose
+    shipped 1996 quantity of a 'red' part exceeds half that part's
+    total 1996 quantity — nested aggregate + multiplication-only
+    comparison (2*supplier_qty > part_qty), then a semi-join up to
+    EUROPE suppliers."""
+    li = _t(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    )
+    part = _t(spark, sf, "part").where(F.col("p_name").contains("red"))
+    supp = _t(spark, sf, "supplier")
+    nat = _t(spark, sf, "nation")
+    reg = _t(spark, sf, "region").where(F.col("r_name") == "EUROPE")
+    red = li.join(
+        F.broadcast(part.select("p_partkey")),
+        F.col("l_partkey") == F.col("p_partkey"),
+        "left_semi",
+    )
+    per_ps = red.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(_dec(F.col("l_quantity"), 2)).alias("sq_ps")
+    )
+    per_p = red.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(_dec(F.col("l_quantity"), 2)).alias("sq_p")
+    )
+    dominant = (
+        per_ps.join(per_p, F.col("l_partkey") == F.col("pk"))
+        .where(F.col("sq_ps") * 2 > F.col("sq_p"))
+        .select(F.col("l_suppkey").alias("dk"))
+        .dropDuplicates()
+    )
+    return (
+        supp.join(nat, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(dominant, F.col("s_suppkey") == F.col("dk"), "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+def q21(spark, sf):
+    """TPC-H Q21 (suppliers who kept orders waiting): failed orders
+    where THIS supplier shipped late (>90 days), ANOTHER supplier is
+    on the order (EXISTS), and NO other supplier was late
+    (NOT EXISTS) — the double-correlated-subquery shape, as one late
+    aggregate + semi + anti join."""
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders").where(F.col("o_orderstatus") == "F")
+    supp = _t(spark, sf, "supplier")
+    lo = li.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    late = lo.where(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    )
+    # per order: distinct suppliers on it, distinct LATE suppliers
+    all_s = lo.select("l_orderkey", "l_suppkey").dropDuplicates()
+    late_s = late.select("l_orderkey", "l_suppkey").dropDuplicates()
+    n_all = all_s.groupBy(F.col("l_orderkey").alias("ka")).agg(
+        F.count(F.lit(1)).alias("n_supp")
+    )
+    n_late = late_s.groupBy(F.col("l_orderkey").alias("kl")).agg(
+        F.count(F.lit(1)).alias("n_late")
+    )
+    culprit = (
+        late_s.join(n_all, F.col("l_orderkey") == F.col("ka"))
+        .join(n_late, F.col("l_orderkey") == F.col("kl"))
+        .where((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+    )
+    return (
+        culprit.join(
+            F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+def q22(spark, sf):
+    """TPC-H Q22 (global sales opportunity): rich-but-inactive
+    customers per nation — above-average balance (division-free:
+    bal*n > sum over positive-balance customers in the nation set),
+    no RECENT orders (anti-join against the post-2000 order
+    window — the analog of the reference's 7-year inactivity rule).
+    Balance sums in exact decimal."""
+    cust = _t(spark, sf, "customer").where(
+        F.col("c_nationkey").isin(1, 3, 5, 7, 9, 11, 13)
+    )
+    orders = _t(spark, sf, "orders")
+    stats = cust.where(F.col("c_acctbal") > 0).agg(
+        F.count(F.lit(1)).alias("n_pos"),
+        F.sum(_dec(F.col("c_acctbal"), 2)).alias("sum_pos"),
+    )
+    return (
+        cust.crossJoin(F.broadcast(stats))
+        .where(_dec(F.col("c_acctbal"), 2) * F.col("n_pos") > F.col("sum_pos"))
+        .join(
+            orders.where(F.col("o_orderdate") >= "2000-01-01")
+            .select(F.col("o_custkey").alias("ok"))
+            .dropDuplicates(),
+            F.col("c_custkey") == F.col("ok"),
+            "left_anti",
+        )
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(_dec(F.col("c_acctbal"), 2)).cast("double").alias("totacctbal"),
+        )
+    )
+
+
 def _events(spark, sf):
     """events.parquet has shipped `ts` as either TIMESTAMP(NANOS)
     (older testdata: the vectorized reader rejects it, so read nanos
@@ -1377,6 +1814,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_mixture": t_mixture,
         "t_shards": t_shards,
         "s_knn_quant": s_knn_quant,
+        "q2": q2,
+        "q7": q7,
+        "q8": q8,
+        "q9": q9,
+        "q10": q10,
+        "q11": q11,
+        "q15": q15,
+        "q16": q16,
+        "q19": q19,
+        "q20": q20,
+        "q21": q21,
+        "q22": q22,
+        "q12": q12,
+        "q13": q13,
         # --- tail: green in CORRECTNESS_r04 (pytest-held) -------------
         "g_in": g_in,
         "g_out2": g_out2,
@@ -1737,6 +2188,244 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT '<nation:' || nk || '>' AS id, CAST(depth AS INT) AS depth
             FROM r WHERE depth >= 1
+        """,
+        "q2": """
+WITH offers AS (
+          SELECT l_partkey, l_suppkey,
+                 MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS cost
+          FROM lineitem GROUP BY l_partkey, l_suppkey
+        ), eu AS (
+          SELECT o.l_partkey, o.cost, s.s_acctbal, s.s_name, n.n_name
+          FROM offers o
+          JOIN supplier s ON o.l_suppkey = s.s_suppkey
+          JOIN nation n ON s.s_nationkey = n.n_nationkey
+          JOIN region r ON n.n_regionkey = r.r_regionkey
+          WHERE r.r_name = 'EUROPE'
+        ), best AS (
+          SELECT l_partkey AS bk, MIN(cost) AS best_cost
+          FROM eu GROUP BY l_partkey
+        )
+        SELECT e.s_acctbal, e.s_name, e.n_name, p.p_partkey, p.p_type,
+               CAST(e.cost AS DOUBLE) AS supply_cost
+        FROM eu e
+        JOIN part p ON e.l_partkey = p.p_partkey
+        JOIN best b ON e.l_partkey = b.bk AND e.cost = b.best_cost
+        WHERE p.p_size = 15 OR p.p_type = 'LARGE'
+        ORDER BY e.s_acctbal DESC, e.n_name, e.s_name, p.p_partkey
+        LIMIT 100
+        """,
+        "q7": """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+          CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+          CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                        AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY 1, 2, 3
+        """,
+        "q8": """
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+          CAST(SUM(CAST(CASE WHEN ns.n_name = 'NATION_3'
+                     THEN l_extendedprice * (1 - l_discount)
+                     ELSE 0.0 END AS DECIMAL(18,4))) AS DOUBLE)
+          / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                     AS DECIMAL(18,4))) AS DOUBLE) AS mkt_share
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation nc ON c_nationkey = nc.n_nationkey
+        JOIN region ON nc.n_regionkey = r_regionkey
+        JOIN nation ns ON s_nationkey = ns.n_nationkey
+        WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY 1
+        """,
+        "q9": """
+SELECT n_name AS nation,
+          CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+          CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                        AS DECIMAL(18,4))
+                 - CAST(p_retailprice * l_quantity
+                        AS DECIMAL(18,4))) AS DOUBLE) AS sum_profit
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%red%'
+        GROUP BY 1, 2
+        """,
+        "q10": """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+          CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                        AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-10-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY 1, 2, 3, 4
+        ORDER BY revenue DESC, c_custkey LIMIT 20
+        """,
+        "q11": """
+WITH per_part AS (
+          SELECT l_partkey,
+                 SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS value
+          FROM lineitem
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          WHERE n_name = 'NATION_4'
+          GROUP BY l_partkey
+        ), t AS (SELECT SUM(value) AS total FROM per_part)
+        SELECT l_partkey, CAST(value AS DOUBLE) AS value
+        FROM per_part, t WHERE value * 1000 > total
+        """,
+        "q15": """
+WITH rev AS (
+          SELECT l_suppkey,
+            SUM(CAST(l_extendedprice * (1 - l_discount)
+                     AS DECIMAL(18,4))) AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1996-04-01'
+          GROUP BY l_suppkey
+        ), mx AS (SELECT MAX(total_revenue) AS m FROM rev)
+        SELECT s_suppkey, s_name,
+               CAST(total_revenue AS DOUBLE) AS total_revenue
+        FROM rev JOIN supplier ON l_suppkey = s_suppkey, mx
+        WHERE total_revenue = mx.m
+        """,
+        "q16": """
+WITH rel AS (
+          SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+        )
+        SELECT p_brand, p_type, p_size,
+               COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM rel
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO'
+          AND p_size IN (1, 4, 9, 14, 19, 24, 28, 35)
+          AND l_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY 1, 2, 3
+        """,
+        "q19": """
+SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                     AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "q20": """
+WITH red AS (
+          SELECT l_partkey, l_suppkey, l_quantity FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1997-01-01'
+            AND l_partkey IN (
+              SELECT p_partkey FROM part WHERE p_name LIKE '%red%')
+        ), per_ps AS (
+          SELECT l_partkey, l_suppkey,
+                 SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq_ps
+          FROM red GROUP BY 1, 2
+        ), per_p AS (
+          SELECT l_partkey AS pk,
+                 SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq_p
+          FROM red GROUP BY 1
+        ), dominant AS (
+          SELECT DISTINCT l_suppkey FROM per_ps
+          JOIN per_p ON l_partkey = pk WHERE sq_ps * 2 > sq_p
+        )
+        SELECT s_suppkey, s_name
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+          AND s_suppkey IN (SELECT l_suppkey FROM dominant)
+        """,
+        "q21": """
+WITH lo AS (
+          SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE o_orderstatus = 'F'
+        ), all_s AS (
+          SELECT DISTINCT l_orderkey, l_suppkey FROM lo
+        ), late_s AS (
+          SELECT DISTINCT l_orderkey, l_suppkey FROM lo
+          WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+        ), n_all AS (
+          SELECT l_orderkey AS ka, COUNT(*) AS n_supp
+          FROM all_s GROUP BY 1
+        ), n_late AS (
+          SELECT l_orderkey AS kl, COUNT(*) AS n_late
+          FROM late_s GROUP BY 1
+        )
+        SELECT s_name, COUNT(*) AS numwait
+        FROM late_s
+        JOIN n_all ON l_orderkey = ka
+        JOIN n_late ON l_orderkey = kl
+        JOIN supplier ON l_suppkey = s_suppkey
+        WHERE n_supp > 1 AND n_late = 1
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name LIMIT 20
+        """,
+        "q22": """
+WITH cust AS (
+          SELECT * FROM customer
+          WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+        ), stats AS (
+          SELECT COUNT(*) AS n_pos,
+                 SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_pos
+          FROM cust WHERE c_acctbal > 0
+        )
+        SELECT c_nationkey AS cntrycode, COUNT(*) AS numcust,
+          CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+            AS totacctbal
+        FROM cust, stats
+        WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n_pos > sum_pos
+          AND c_custkey NOT IN (
+            SELECT o_custkey FROM orders
+            WHERE o_orderdate >= TIMESTAMP '2000-01-01')
+        GROUP BY c_nationkey
+        """,
+        "q12": """
+SELECT CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                    THEN 'LATE' ELSE 'ONTIME' END AS ship_class,
+          SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                   THEN 1 ELSE 0 END) AS high_line_count,
+          SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                   THEN 0 ELSE 1 END) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY 1
+        """,
+        "q13": """
+WITH per_cust AS (
+          SELECT c_custkey, COUNT(o_orderkey) AS c_count
+          FROM customer
+          LEFT JOIN orders ON c_custkey = o_custkey
+                          AND o_orderpriority <> '5-LOW'
+          GROUP BY c_custkey
+        )
+        SELECT c_count, COUNT(*) AS custdist
+        FROM per_cust GROUP BY c_count
         """,
         "q1": """
             SELECT l_returnflag, l_linestatus,
