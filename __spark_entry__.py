@@ -1249,6 +1249,22 @@ def d_index(spark, sf):
     return idx.dedup(new, jaccard_threshold=0.5).select("doc_id", "source")
 
 
+def d_neardup(spark, sf):
+    """Batch twin of the STREAMING near-dup operator
+    (streaming/neardup.neardup_pairs_batch): banded LSH self-join
+    with the MinHash component-match ESTIMATOR (matching signature
+    slots / 16) instead of exact shingle verification — the verify
+    path that needs no text re-read, certifying the same estimator
+    the stateful stream applies against bucket state. Constant ts:
+    arrival order falls to doc_id."""
+    from cayley_spark.streaming.neardup import neardup_pairs_batch
+
+    docs = _t_wide(spark, sf, "documents").withColumn(
+        "ts", F.lit("2024-01-01 00:00:00").cast("timestamp")
+    )
+    return neardup_pairs_batch(docs, threshold=0.5)
+
+
 def d_editdist(spark, sf):
     """Near-dup pairs verified by EDIT DISTANCE (integer-exact, both
     engines have a levenshtein builtin): LSH candidates only — the
@@ -1787,6 +1803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_editdist": d_editdist,
         "d_against": d_against,
         "d_index": d_index,
+        "d_neardup": d_neardup,
         "d_jaccard": d_jaccard,
         "d_simhash": d_simhash,
         "d_cluster": d_cluster,
@@ -3280,6 +3297,30 @@ WITH per_cust AS (
             WHERE d.source NOT IN (SELECT s FROM olds)
               AND d.doc_id NOT IN (SELECT id_n FROM dup)
               AND d.doc_id NOT IN (SELECT id_n FROM exact)
+        """,
+        "d_neardup": rf"""
+            WITH sh AS (
+              SELECT doc_id AS id, {_SHINGLE3} AS sh
+              FROM (SELECT doc_id,
+                           regexp_extract_all(lower(text), '\w+') AS toks
+                    FROM documents)
+              WHERE len(toks) >= 3
+            ), sig AS (
+              SELECT id, {_MINHASH} AS sig FROM (SELECT id, sh FROM sh)
+            ), banded AS (
+              SELECT id, sig, unnest({_BANDS}, recursive := true)
+              FROM sig
+            ), cand AS (
+              SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.band,
+                CAST(list_sum([CASE WHEN a.sig[i] = b.sig[i]
+                               THEN 1 ELSE 0 END
+                               for i in range(1, 17)]) AS DOUBLE) / 16
+                  AS est_jaccard
+              FROM banded a JOIN banded b
+                ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
+            )
+            SELECT id_a, id_b, est_jaccard, band
+            FROM cand WHERE est_jaccard >= 0.5
         """,
         "d_editdist": rf"""
             WITH sh AS (

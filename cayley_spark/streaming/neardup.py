@@ -1,0 +1,265 @@
+"""Streaming NEAR-duplicate detection — the incremental twin of the
+batch MinHash-LSH operator (functions/dedup.minhash_lsh_pairs).
+
+``dedup_stream`` (streaming/dedup.py) catches byte-identical
+re-deliveries; a crawl also re-sees *slightly edited* pages, and a
+periodic batch LSH sweep discovers them hours late. This operator
+flags near-duplicate arrivals at ingest time, with bounded state.
+
+Design (the batch LSH plan re-expressed as keyed stream state):
+
+- each document's MinHash signature is computed at scan speed with
+  the SAME column expressions as the batch operator (so a doc gets
+  the identical signature in both pipelines), then exploded to its
+  ``bands`` (band, band_hash) bucket keys;
+- the stream is grouped by bucket key; ``applyInPandasWithState``
+  keeps, per bucket, the signatures of documents seen within the
+  watermark horizon (a bucket is the streaming analog of one LSH
+  candidate cell — the batch equi-join on (band, bh) becomes a
+  lookup against this state);
+- a new arrival is compared against the bucket's occupants by the
+  MinHash ESTIMATE of Jaccard (matching signature components /
+  num_hashes). Batch verification re-reads document text for exact
+  shingle Jaccard; state must not hold text, so streaming verifies
+  with the unbiased estimator instead — pairs are emitted with the
+  estimate, and a caller needing exact scores joins text back on
+  the (tiny) emitted pair stream;
+- state expires by EVENT-TIME TIMEOUT once the watermark passes the
+  bucket's newest document + horizon, so state size is bounded by
+  documents-per-horizon x bands, independent of stream lifetime;
+  ``max_occupants`` additionally caps degenerate hot buckets (e.g.
+  boilerplate shingles) with FIFO eviction, the streaming analog of
+  the batch operator's df²-priced bucket skip.
+
+A pair colliding in several bands is emitted once per colliding
+band; downstream exact-once consumers apply
+``dropDuplicatesWithinWatermark(["id_a", "id_b"])`` — kept out of
+this operator so the emitted stream stays append-only and cheap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.dedup import lsh_bands, minhash_signature, word_shingles
+
+
+def _signed(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    ts_col: str,
+    k: int,
+    num_hashes: int,
+    bands: int,
+) -> DataFrame:
+    """(id, ts, band, bh, sig) — one row per (doc, band); sub-k-token
+    docs carry no shingles and are dropped (they are the exact-dedup
+    stream's job)."""
+    rows = num_hashes // bands
+    sh = word_shingles(F.col(text_col), k)
+    sig = minhash_signature(sh, num_hashes)
+    return (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.col(ts_col).alias("ts"),
+            F.when(F.size(sh) > 0, sig).alias("sig"),
+        )
+        .where(F.col("sig").isNotNull())
+        .select(
+            "id",
+            "ts",
+            F.concat_ws("|", F.col("sig")).alias("sigs"),
+            F.posexplode(lsh_bands(F.col("sig"), bands, rows)).alias(
+                "band", "bh"
+            ),
+        )
+    )
+
+
+def neardup_pairs_stream(
+    docs: DataFrame,
+    watermark: str = "1 hour",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str = "ts",
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    max_occupants: int = 256,
+) -> DataFrame:
+    """Streaming near-dup pair stream: (id_a, id_b, est_jaccard, band)
+    where id_a arrived at-or-before id_b in the bucket and the
+    MinHash-estimated Jaccard >= threshold. Streaming input only
+    (``applyInPandasWithState`` is a streaming-only operator); the
+    declarative batch twin with identical semantics is
+    :func:`neardup_pairs_batch` — the equivalence test pins them to
+    each other.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    signed = _signed(docs, id_col, text_col, ts_col, k, num_hashes, bands)
+    is_streaming = docs.isStreaming
+    if is_streaming:
+        signed = signed.withWatermark("ts", watermark)
+
+    out_schema = (
+        "id_a long, id_b long, est_jaccard double, band int"
+    )
+    state_schema = (
+        "ids array<bigint>, sigs array<string>, tss array<timestamp>, "
+        "newest timestamp"
+    )
+    horizon_ms = _interval_ms(watermark)
+    horizon_s = horizon_ms / 1000.0
+    session_tz = docs.sparkSession.conf.get(
+        "spark.sql.session.timeZone", "UTC"
+    )
+
+    def fold(key, pdf_iter, state):
+        import pandas as pd
+
+        band = int(key[0])
+        if state.hasTimedOut:
+            # idle-bucket garbage collection: no new data arrived and
+            # the watermark passed newest + horizon
+            state.remove()
+            return
+        if state.exists:
+            ids, sigs, tss, newest = state.get
+            ids, sigs, tss = list(ids), list(sigs), list(tss)
+        else:
+            ids, sigs, tss, newest = [], [], [], None
+        out = []
+        rows = pd.concat(list(pdf_iter)).sort_values(["ts", "id"])
+        for _, r in rows.iterrows():
+            rid, rsig = int(r["id"]), r["sigs"]
+            t = r["ts"]
+            t = t.to_pydatetime() if hasattr(t, "to_pydatetime") else t
+            parts = rsig.split("|")
+            for oid, osig, ots in zip(ids, sigs, tss):
+                if oid == rid:
+                    continue
+                # the horizon is part of the PAIRING contract, not
+                # just a GC policy: a group that receives new data in
+                # the same batch its timeout would fire is handed its
+                # state intact (hasTimedOut is only raised for quiet
+                # groups), so occupants are age-filtered here too
+                if (t - ots).total_seconds() > horizon_s:
+                    continue
+                oparts = osig.split("|")
+                match = sum(a == b for a, b in zip(parts, oparts))
+                est = match / len(parts)
+                if est >= threshold:
+                    out.append((oid, rid, est, band))
+            ids.append(rid)
+            sigs.append(rsig)
+            tss.append(t)
+            newest = t if newest is None else max(newest, t)
+        # evict occupants no future in-watermark arrival could pair
+        # with, then cap degenerate hot buckets (FIFO)
+        keep = [
+            i for i, ots in enumerate(tss)
+            if (newest - ots).total_seconds() <= horizon_s
+        ][-max_occupants:]
+        ids = [ids[i] for i in keep]
+        sigs = [sigs[i] for i in keep]
+        tss = [tss[i] for i in keep]
+        state.update((ids, sigs, tss, newest))
+        if is_streaming and newest is not None:
+            from datetime import timezone
+
+            try:
+                from zoneinfo import ZoneInfo
+
+                tz = ZoneInfo(session_tz)
+            except Exception:
+                tz = timezone.utc
+            state.setTimeoutTimestamp(
+                int(newest.replace(tzinfo=tz).timestamp() * 1000)
+                + horizon_ms
+            )
+        if out:
+            yield pd.DataFrame(
+                out, columns=["id_a", "id_b", "est_jaccard", "band"]
+            )
+
+    return signed.groupBy("band", "bh").applyInPandasWithState(
+        fold,
+        out_schema,
+        state_schema,
+        "append",
+        GroupStateTimeout.EventTimeTimeout
+        if is_streaming
+        else GroupStateTimeout.NoTimeout,
+    )
+
+
+def neardup_pairs_batch(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str = "ts",
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Declarative batch twin of :func:`neardup_pairs_stream` (no
+    horizon, no occupant cap): the banded self-join with the SAME
+    signature-match estimator and the same arrival ordering
+    (id_a precedes id_b by (ts, id)). Used to differential-test the
+    stateful streaming operator; also a standalone operator when the
+    estimator (no text re-read) is preferred over exact verification.
+    """
+    signed = _signed(docs, id_col, text_col, ts_col, k, num_hashes, bands)
+    a = signed.select(
+        F.col("id").alias("id_a"),
+        F.col("ts").alias("ts_a"),
+        F.col("sigs").alias("sigs_a"),
+        "band",
+        "bh",
+    )
+    b = signed.select(
+        F.col("id").alias("id_b"),
+        F.col("ts").alias("ts_b"),
+        F.col("sigs").alias("sigs_b"),
+        "band",
+        "bh",
+    )
+    match = F.size(
+        F.filter(
+            F.zip_with(
+                F.split("sigs_a", r"\|"),
+                F.split("sigs_b", r"\|"),
+                lambda x, y: x == y,
+            ),
+            lambda m: m,
+        )
+    )
+    est = match.cast("double") / num_hashes
+    before = (F.col("ts_a") < F.col("ts_b")) | (
+        (F.col("ts_a") == F.col("ts_b")) & (F.col("id_a") < F.col("id_b"))
+    )
+    return (
+        a.join(b, ["band", "bh"])
+        .where(before)
+        .withColumn("est_jaccard", est)
+        .where(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard", "band")
+        .dropDuplicates(["id_a", "id_b", "band"])
+    )
+
+
+def _interval_ms(spec: str) -> int:
+    """'1 hour' / '30 minutes' / '10 seconds' → milliseconds."""
+    n, _, unit = spec.strip().partition(" ")
+    mult = {
+        "millisecond": 1,
+        "second": 1000,
+        "minute": 60_000,
+        "hour": 3_600_000,
+        "day": 86_400_000,
+    }[unit.rstrip("s")]
+    return int(float(n) * mult)

@@ -819,3 +819,106 @@ def test_cli_pipeline_verbs(spark, tmp_path, capsys):
     assert main(["pipeline", "quality", "--in", src, "--out", out]) == 0
     ql = spark.read.parquet(out)
     assert ql.count() == 6 and "top_token_ratio" in ql.columns
+
+
+def test_neardup_stream_matches_batch(spark, tmp_path):
+    """Streaming MinHash-LSH near-dup (streaming/neardup.py): the
+    stateful bucket operator and the declarative batch twin emit the
+    same pairs when every arrival is within the horizon."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from cayley_spark.streaming.neardup import (
+        neardup_pairs_batch,
+        neardup_pairs_stream,
+    )
+
+    rows = [
+        (1, "2024-01-01 00:00:00", "the quick brown fox jumps over the lazy dog"),
+        (2, "2024-01-01 00:05:00", "the quick brown fox jumps over the lazy cat"),
+        (3, "2024-01-01 00:10:00", "completely unrelated text about spark plans"),
+        (4, "2024-01-01 00:15:00", "the quick brown fox jumps over the lazy dog"),
+        (5, "2024-01-01 00:20:00", "short"),  # < k tokens: ignored
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, ts string, text string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    batch = {
+        (r["id_a"], r["id_b"], round(r["est_jaccard"], 6), r["band"])
+        for r in neardup_pairs_batch(df, threshold=0.5).collect()
+    }
+    # the exact dup (1,4) must be found in every band; (1,2) in >=1
+    assert {(a, b) for a, b, _, _ in batch} >= {(1, 4), (1, 2)}
+    assert all(3 not in (a, b) and 5 not in (a, b) for a, b, _, _ in batch)
+
+    src = tmp_path / "nd_in"
+    src.mkdir()
+    with open(src / "docs.json", "w") as f:
+        for did, ts, text in rows:
+            f.write(_json.dumps({"doc_id": did, "ts": ts, "text": text}) + "\n")
+    stream = spark.readStream.schema(
+        "doc_id long, ts timestamp, text string"
+    ).json(str(src))
+    q = (
+        neardup_pairs_stream(stream, watermark="1 hour", threshold=0.5)
+        .writeStream.format("memory")
+        .queryName("nd_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "nd_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["id_a"], r["id_b"], round(r["est_jaccard"], 6), r["band"])
+        for r in spark.table("nd_out").collect()
+    }
+    assert got == batch
+
+
+def test_neardup_stream_state_expiry(spark, tmp_path):
+    """A near-dup arriving AFTER the watermark horizon is not paired
+    (its partner's bucket state expired) — bounded state is the
+    contract, the periodic batch sweep is the backstop."""
+    import json as _json
+
+    from cayley_spark.streaming.neardup import neardup_pairs_stream
+
+    text = "the quick brown fox jumps over the lazy dog"
+    early = [(1, "2024-01-01 00:00:00", text)]
+    # a filler batch advances the watermark past 00:00 + horizon, so
+    # doc 1's bucket state times out BEFORE its duplicate arrives
+    # (state eviction lags one micro-batch behind the watermark
+    # advance — the same one-directional contract dedup_stream
+    # documents — hence the separate filler batch)
+    filler = [(9, "2024-01-01 06:00:00", "unrelated filler words to move time")]
+    late = [
+        (2, "2024-01-01 06:01:00", text),  # dup of 1, but 1 expired
+        (3, "2024-01-01 06:02:00", text),  # pairs with 2 (same batch window)
+    ]
+    src = tmp_path / "ndx_in"
+    src.mkdir()
+    for i, chunk in enumerate([early, filler, late]):
+        with open(src / f"b{i}.json", "w") as f:
+            for did, ts, t in chunk:
+                f.write(_json.dumps({"doc_id": did, "ts": ts, "text": t}) + "\n")
+    stream = spark.readStream.schema(
+        "doc_id long, ts timestamp, text string"
+    ).json(str(src))
+    q = (
+        neardup_pairs_stream(stream, watermark="10 minutes", threshold=0.5)
+        .writeStream.format("memory")
+        .queryName("ndx_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ndx_ckpt"))
+        .option("maxFilesPerTrigger", 1)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    pairs = {
+        (r["id_a"], r["id_b"]) for r in spark.table("ndx_out").collect()
+    }
+    assert (2, 3) in pairs  # same-horizon dup found
+    assert all(a != 1 for a, _ in pairs)  # expired doc 1 never pairs
