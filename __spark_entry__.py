@@ -1165,6 +1165,28 @@ def t_split(spark, sf):
     return hash_split(docs)
 
 
+def t_html(spark, sf):
+    """HTML → visible-text extraction (functions/text.html_to_text):
+    each document is wrapped in a deterministic HTML shell (script +
+    style + entities + nested tags) and the extractor must recover
+    the title, body and decoded footer at scan speed. The wrapper is
+    built identically in the oracle, so the extraction chain itself
+    is what's hash-gated."""
+    from cayley_spark.functions.text import html_text_stats
+
+    docs = _t_wide(spark, sf, "documents")
+    html = F.concat(
+        F.lit(
+            "<html><head><script>var x = 1 < 2;</script>"
+            "<style>p {color: red}</style></head><body>"
+            "<h1>Doc &amp; Title</h1><p>"
+        ),
+        F.col("text"),
+        F.lit("</p><p>&#169; footer&nbsp;text &lt;end&gt;</p></body></html>"),
+    )
+    return html_text_stats(docs.withColumn("html", html))
+
+
 def t_mixture(spark, sf):
     """Temperature-based source mixing (functions/sampling.
     source_mixture, alpha=0.5): per-source keep-rates ∝ n^alpha,
@@ -1828,6 +1850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_trigram_lm": t_trigram_lm,
         "t_chunks": t_chunks,
         "t_pack": t_pack,
+        "t_html": t_html,
         "t_mixture": t_mixture,
         "t_shards": t_shards,
         "s_knn_quant": s_knn_quant,
@@ -2961,6 +2984,39 @@ WITH per_cust AS (
                    WHEN bucket < 2 THEN 'test'
                    ELSE 'train' END AS split
             FROM b
+        """,
+        "t_html": r"""
+            WITH h AS (
+              SELECT doc_id,
+                '<html><head><script>var x = 1 < 2;</script>'
+                || '<style>p {color: red}</style></head><body>'
+                || '<h1>Doc &amp; Title</h1><p>' || text
+                || '</p><p>&#169; footer&nbsp;text &lt;end&gt;</p></body></html>'
+                AS html
+              FROM documents
+            ), x AS (
+              SELECT doc_id,
+                trim(regexp_replace(
+                  replace(replace(replace(replace(replace(replace(
+                    regexp_replace(
+                      regexp_replace(
+                        regexp_replace(
+                          regexp_replace(
+                            regexp_replace(html,
+                              '(?is)<script\b.*?</script\s*>', ' ', 'g'),
+                            '(?is)<style\b.*?</style\s*>', ' ', 'g'),
+                          '(?i)<(br|/p|/div|/li|/h[1-6]|/tr)\b[^>]*>',
+                          chr(10), 'g'),
+                        '(?s)<[^>]*>', ' ', 'g'),
+                      '&#(\d+);', ' ', 'g'),
+                  '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'),
+                  '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+                  '\s+', ' ', 'g')) AS text
+              FROM h
+            )
+            SELECT doc_id, text,
+              len(regexp_extract_all(text, '\w+')) AS n_tokens
+            FROM x
         """,
         "t_mixture": """
             WITH c AS (

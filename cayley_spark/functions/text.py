@@ -432,3 +432,54 @@ def bm25_topk(
         topk.withColumn("rank", F.row_number().over(w))
         .select(F.col("doc").alias(id_col), "score", "rank")
     )
+
+
+def html_to_text(col: Column) -> Column:
+    """Extract visible text from an HTML column — the first step of
+    any web-crawl training pipeline. Pure regexp_replace chain
+    (JVM-side, whole-stage codegen, zero shuffle):
+
+    1. drop <script>/<style> elements WITH their contents
+       (``(?is)`` — case-insensitive, dot-matches-newline: inline
+       flags shared by Java regex and RE2, so the DuckDB oracle runs
+       the identical pattern),
+    2. block-level closers/br become newlines (paragraph structure
+       survives as whitespace),
+    3. every remaining tag is stripped,
+    4. the five standard entities + &nbsp; and numeric &#NN;
+       decimal escapes are decoded,
+    5. whitespace runs collapse to single spaces, trimmed.
+
+    Not a full HTML5 parser by design (at 100 TB the parser IS the
+    budget): malformed markup degrades to extra whitespace, never to
+    dropped visible text. Patterns avoid backreferences on purpose —
+    RE2 (the oracle engine's regex) has none, so script/style are two
+    separate literal-closer patterns."""
+    c = F.regexp_replace(col, r"(?is)<script\b.*?</script\s*>", " ")
+    c = F.regexp_replace(c, r"(?is)<style\b.*?</style\s*>", " ")
+    c = F.regexp_replace(c, r"(?i)<(br|/p|/div|/li|/h[1-6]|/tr)\b[^>]*>", "\n")
+    c = F.regexp_replace(c, r"(?s)<[^>]*>", " ")
+    c = F.regexp_replace(c, r"&#(\d+);", " ")
+    for ent, rep in (
+        ("&nbsp;", " "),
+        ("&amp;", "&"),
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+    ):
+        c = F.replace(c, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def html_text_stats(
+    df: DataFrame, id_col: str = "doc_id", html_col: str = "html"
+) -> DataFrame:
+    """(id, text, n_tokens) for an HTML column — extraction + the
+    token count the downstream quality gates key on."""
+    t = html_to_text(F.col(html_col))
+    return df.select(
+        F.col(id_col),
+        t.alias("text"),
+        token_count(t).alias("n_tokens"),
+    )

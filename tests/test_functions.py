@@ -835,3 +835,26 @@ def test_quantized_topk_matches_exact_ranking(spark):
     assert len(quant & exact) >= 8  # >=80% overlap of 10 pairs
     qz = quantize_embeddings(df).collect()
     assert all(max(abs(x) for x in r["qv"]) <= 127 for r in qz)
+
+
+def test_html_to_text(spark):
+    from cayley_spark.functions.text import html_text_stats
+
+    rows = [
+        Row(doc_id=1, html=(
+            "<html><head><title>T</title>"
+            "<script>if (a < b) { alert('<p>not text</p>'); }</script>"
+            "<style>body { color: blue }</style></head>"
+            "<body><h1>Hello &amp; Welcome</h1>"
+            "<p>line one</p><p>line &#8212; two</p>"
+            "<div>5 &lt; 7 &gt; 3&nbsp;ok</div></body></html>")),
+        Row(doc_id=2, html="plain text, no markup at all"),
+        Row(doc_id=3, html="<p>broken <unclosed"),
+    ]
+    df = spark.createDataFrame(rows)
+    out = {r["doc_id"]: r for r in html_text_stats(df).collect()}
+    assert out[1]["text"] == "T Hello & Welcome line one line two 5 < 7 > 3 ok"
+    assert out[1]["n_tokens"] == 11  # \w+ runs only; & < > aren't tokens
+    assert out[2]["text"] == "plain text, no markup at all"
+    # malformed markup degrades to whitespace, never drops prior text
+    assert out[3]["text"].startswith("broken")
