@@ -1165,6 +1165,24 @@ def t_split(spark, sf):
     return hash_split(docs)
 
 
+def t_bpe(spark, sf):
+    """BPE-style pre-tokenization (functions/text.bpe_pretokens): the
+    GPT-2 segmentation pattern in the Java∩RE2 regex subset —
+    contraction suffixes, space-prefixed word/number/punct runs.
+    Output: non-whitespace pre-token count + the first three
+    pre-tokens (joined) per document, both hash-gated."""
+    from cayley_spark.functions.text import bpe_pretokens, bpe_token_count
+
+    docs = _t_wide(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        bpe_token_count(F.col("text")).alias("n_bpe"),
+        F.concat_ws(
+            "|", F.slice(bpe_pretokens(F.col("text")), 1, 3)
+        ).alias("head_toks"),
+    )
+
+
 def t_html(spark, sf):
     """HTML → visible-text extraction (functions/text.html_to_text):
     each document is wrapped in a deterministic HTML shell (script +
@@ -1850,6 +1868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_trigram_lm": t_trigram_lm,
         "t_chunks": t_chunks,
         "t_pack": t_pack,
+        "t_bpe": t_bpe,
         "t_html": t_html,
         "t_mixture": t_mixture,
         "t_shards": t_shards,
@@ -2984,6 +3003,19 @@ WITH per_cust AS (
                    WHEN bucket < 2 THEN 'test'
                    ELSE 'train' END AS split
             FROM b
+        """,
+        "t_bpe": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                regexp_extract_all(text,
+                  '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+'
+                ) AS t
+              FROM documents
+            )
+            SELECT doc_id,
+              len([x for x in t if trim(x) <> '']) AS n_bpe,
+              array_to_string(t[1:3], '|') AS head_toks
+            FROM toks
         """,
         "t_html": r"""
             WITH h AS (

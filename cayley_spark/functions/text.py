@@ -483,3 +483,35 @@ def html_text_stats(
         t.alias("text"),
         token_count(t).alias("n_tokens"),
     )
+
+
+#: GPT-2-style pre-tokenization pattern, restricted to the regex
+#: subset Java and RE2 share (no lookahead — the original's
+#: trailing-space lookahead is dropped): contraction suffixes,
+#: space-prefixed letter runs, space-prefixed digit runs,
+#: space-prefixed punctuation runs, residual whitespace runs.
+BPE_PRETOKEN_RE = (
+    r"'(?:s|t|re|ve|m|ll|d)"
+    r"| ?[A-Za-z]+"
+    r"| ?[0-9]+"
+    r"| ?[^A-Za-z0-9\s]+"
+    r"|\s+"
+)
+
+
+def bpe_pretokens(col: Column) -> Column:
+    """Split text the way BPE tokenizers pre-segment it (word/number/
+    punctuation runs with their leading space, contraction suffixes
+    as separate tokens) — array<string>, whitespace runs included.
+    The merge step of a real BPE is vocabulary-dependent and out of
+    scope; pre-token counts are the standard cheap proxy for token
+    budgets (they upper-bound merged-token counts per segment)."""
+    return F.regexp_extract_all(col, F.lit(BPE_PRETOKEN_RE), 0)
+
+
+def bpe_token_count(col: Column) -> Column:
+    """Count of non-whitespace BPE pre-tokens — the token-budget
+    estimator used for packing and pricing."""
+    return F.size(
+        F.filter(bpe_pretokens(col), lambda t: F.trim(t) != "")
+    )

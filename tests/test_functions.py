@@ -858,3 +858,18 @@ def test_html_to_text(spark):
     assert out[2]["text"] == "plain text, no markup at all"
     # malformed markup degrades to whitespace, never drops prior text
     assert out[3]["text"].startswith("broken")
+
+
+def test_bpe_pretokens(spark):
+    from cayley_spark.functions.text import bpe_pretokens, bpe_token_count
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="Don't count 42 apples, it's easy!")]
+    )
+    row = df.select(
+        bpe_pretokens(F.col("text")).alias("t"),
+        bpe_token_count(F.col("text")).alias("n"),
+    ).first()
+    assert row["t"][:4] == ["Don", "'t", " count", " 42"]
+    assert "'s" in row["t"]  # contraction split
+    assert row["n"] == 10  # Don 't _count _42 _apples , _it 's _easy !
