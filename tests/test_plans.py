@@ -64,13 +64,19 @@ def test_s_knn_broadcasts_queries(spark, entry):
 
 
 def test_no_cartesian_products_anywhere(spark, entry):
-    """No oracle query may compile to a cartesian product (the
-    all-pairs anti-pattern)."""
+    """EVERY registered query must compile free of (a) cartesian
+    products (the all-pairs anti-pattern) and (b) row-at-a-time
+    Python execution (BatchEvalPython — only Arrow-vectorized
+    Python is allowed, and only where documented). Swept over the
+    whole registry so a new query cannot regress silently.
+    BroadcastNestedLoopJoin is permitted: it only appears here for
+    1-row scalar-aggregate broadcasts (q11/q15/q22-style scalar
+    subqueries), which are size-bounded by construction."""
     queries = entry.queries()
-    for name in ("d_lsh", "d_jaccard", "d_embed", "s_knn_lsh", "g_intersect",
-                 "g_follow", "q3", "q5"):
-        df = queries[name](spark, SF)
-        assert "CartesianProduct" not in plan_of(df), name
+    for name, fn in queries.items():
+        plan = plan_of(fn(spark, SF))
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
 
 
 def test_hop_literal_predicate_prunes(spark, entry):
