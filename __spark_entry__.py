@@ -1602,51 +1602,23 @@ def g_triangles(spark, sf):
     Σ deg² — a hub vertex alone can explode it — while orientation
     bounds out-degrees by O(√m), the arboricity bound (Schank &
     Wagner 2005 "forward"; Latapy 2008 "compact-forward"), which is
-    why it's THE distributed triangle algorithm. No global rank is
-    computed: orientation compares (deg, id) tuples edge-locally."""
+    why it's THE distributed triangle algorithm (now a library
+    operator: graphs/algorithms.triangles, also exposed as
+    GraphStore.triangle_count)."""
+    from cayley_spark.graphs.algorithms import triangles
+
     li = _t(spark, sf, "lineitem")
     op = li.select("l_orderkey", "l_partkey").dropDuplicates()
     a, b = op.alias("a"), op.alias("b")
-    und = (
+    cooc = (
         a.join(b, "l_orderkey")
         .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
         .select(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
         )
-        .dropDuplicates()
-        # materialized once: deg reads it twice and ed a third time —
-        # without this the dominant co-occurrence self-join lineage
-        # recomputes in three plan subtrees
-        .localCheckpoint(eager=False)
     )
-    deg = (
-        und.select(F.col("u").alias("n"))
-        .unionAll(und.select(F.col("v").alias("n")))
-        .groupBy("n")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
-    du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
-    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
-    ed = und.join(du, "u").join(dv, "v")
-    fwd = F.struct("du", "u") < F.struct("dv", "v")
-    dir_e = ed.select(
-        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),
-        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"),
-        F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("db"),
-    ).localCheckpoint(eager=False)
-    w1 = dir_e.select("a", F.col("b").alias("x"), F.col("db").alias("dx"))
-    w2 = dir_e.select("a", F.col("b").alias("y"), F.col("db").alias("dy"))
-    wedges = (
-        w1.join(w2, "a")
-        .where(F.struct("dx", "x") < F.struct("dy", "y"))
-        .select("x", "y")
-    )
-    closer = dir_e.select(
-        F.col("a").alias("x"), F.col("b").alias("y")
-    )
-    return wedges.join(closer, ["x", "y"], "left_semi").agg(
-        F.count(F.lit(1)).alias("n_triangles")
-    )
+    return triangles(cooc)
 
 
 def m_image(spark, sf):

@@ -122,6 +122,64 @@ def connected_components(
     return out.select("id", F.col("cluster_id").alias("component"))
 
 
+def triangles(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Triangle count of the undirected simple graph, via
+    DEGREE-ORIENTED wedge counting (compact-forward): every edge is
+    directed from its lower-(degree, id) endpoint to the higher one,
+    wedges are pairs of out-edges, and a wedge closes iff its far
+    endpoints are a directed edge. The id-ordered formulation's
+    wedge count is Σ deg² — one hub vertex can explode it — while
+    orientation bounds out-degrees by O(√m), the arboricity bound
+    (Schank & Wagner 2005 "forward"; Latapy 2008 "compact-forward"),
+    which is why this is THE distributed triangle algorithm. No
+    global rank is computed: orientation compares (deg, id) tuples
+    edge-locally. Returns a 1-row (n_triangles) DataFrame.
+
+    Input is canonicalized like :func:`kcore` (parallel/reciprocal
+    edges collapse, self-loops drop), so multigraph storage cannot
+    inflate the count."""
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .dropDuplicates(["u", "v"])
+        # materialized once: deg reads it twice and ed a third time —
+        # without this the upstream lineage recomputes in three
+        # plan subtrees
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        und.select(F.col("u").alias("n"))
+        .unionAll(und.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
+    ed = und.join(du, "u").join(dv, "v")
+    fwd = F.struct("du", "u") < F.struct("dv", "v")
+    dir_e = ed.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"),
+        F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("db"),
+    ).localCheckpoint(eager=False)
+    w1 = dir_e.select("a", F.col("b").alias("x"), F.col("db").alias("dx"))
+    w2 = dir_e.select("a", F.col("b").alias("y"), F.col("db").alias("dy"))
+    wedges = (
+        w1.join(w2, "a")
+        .where(F.struct("dx", "x") < F.struct("dy", "y"))
+        .select("x", "y")
+    )
+    closer = dir_e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    return wedges.join(closer, ["x", "y"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+
+
 def kcore(
     edges: DataFrame,
     k: int = 2,

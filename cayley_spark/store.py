@@ -319,6 +319,15 @@ class GraphStore:
             "id", "term", F.col("degree")
         )
 
+    def triangle_count(self, predicate=None):
+        """Triangle count of the (predicate-filtered) graph treated
+        as undirected and simple — 1-row (n_triangles). Multigraph
+        storage (parallel/reciprocal predicate edges) is collapsed
+        by the algorithm's canonicalization."""
+        from .graphs.algorithms import triangles as _tri
+
+        return _tri(self._edge_frame(predicate))
+
     # ---------------- write model (reference graph/quadwriter.go) ----
 
     def apply_deltas(

@@ -153,3 +153,32 @@ def test_store_kcore(social):
                         "<emily>", "<fred>", "<greg>"}
     # k=1 keeps every vertex with an edge
     assert social.kcore(k=1, predicate=IRI("follows")).count() == 7
+
+
+def test_triangles(spark):
+    from cayley_spark.graphs.algorithms import triangles
+
+    # K4 has 4 triangles; a pendant edge adds none; reciprocal and
+    # parallel storage of an edge must not change the count
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges = spark.createDataFrame(
+        [Row(src=a, dst=b) for a, b in k4]
+        + [Row(src=3, dst=9)]          # pendant
+        + [Row(src=1, dst=0)]          # reciprocal duplicate
+        + [Row(src=2, dst=3)]          # parallel duplicate
+        + [Row(src=5, dst=5)]          # self-loop
+    )
+    assert triangles(edges).first()["n_triangles"] == 4
+    # triangle-free graph
+    path = spark.createDataFrame([Row(src=1, dst=2), Row(src=2, dst=3)])
+    assert triangles(path).first()["n_triangles"] == 0
+
+
+def test_store_triangle_count(social):
+    from cayley_spark import IRI
+
+    # follows graph: charlie->bob, charlie->dani, dani->bob form the
+    # single undirected triangle {bob, charlie, dani}
+    assert social.triangle_count(IRI("follows")).first()["n_triangles"] == 1
+    # whole graph (all predicates) still runs and returns one row
+    assert social.triangle_count().count() == 1
