@@ -150,10 +150,15 @@ def main(argv: list[str] | None = None) -> int:
     # analog): parquet in, parquet out, pure library calls
     pp = sub.add_parser(
         "pipeline",
-        help="corpus transforms: dedup/chunk/pack/split/quality",
+        help="corpus transforms: dedup/chunk/pack/split/quality/"
+             "html/mix/shard",
     )
     pp.add_argument(
-        "op", choices=["dedup", "chunk", "pack", "split", "quality"]
+        "op",
+        choices=[
+            "dedup", "chunk", "pack", "split", "quality",
+            "html", "mix", "shard",
+        ],
     )
     pp.add_argument("--in", dest="inp", required=True, help="input parquet")
     pp.add_argument("--out", required=True, help="output parquet dir")
@@ -165,6 +170,12 @@ def main(argv: list[str] | None = None) -> int:
     pp.add_argument("--jaccard-threshold", type=float, default=0.8)
     pp.add_argument("--val-buckets", type=int, default=1)
     pp.add_argument("--test-buckets", type=int, default=1)
+    pp.add_argument("--html-col", default="html")
+    pp.add_argument("--source-col", default="source")
+    pp.add_argument("--alpha", type=float, default=0.5)
+    pp.add_argument("--target-frac", type=float, default=0.5)
+    pp.add_argument("--n-shards", type=int, default=16)
+    pp.add_argument("--salt", default="")
     args = ap.parse_args(argv)
 
     # Spark-free commands first
@@ -342,6 +353,34 @@ def _pipeline(spark, args) -> int:
         df.join(splits.select(args.id_col, "split"), args.id_col).write.mode(
             "overwrite"
         ).parquet(args.out)
+    elif args.op == "html":
+        from .functions.text import html_text_stats
+
+        html_text_stats(
+            df, id_col=args.id_col, html_col=args.html_col
+        ).write.mode("overwrite").parquet(args.out)
+    elif args.op == "mix":
+        from .functions.sampling import source_mixture
+
+        source_mixture(
+            df,
+            source_col=args.source_col,
+            alpha=args.alpha,
+            target_frac=args.target_frac,
+            text_col=args.text_col,
+        ).write.mode("overwrite").parquet(args.out)
+    elif args.op == "shard":
+        from .functions.sampling import export_shards
+
+        sh = export_shards(
+            df, id_col=args.id_col, n_shards=args.n_shards, salt=args.salt
+        )
+        # the canonical export layout: one sorted file per shard
+        df.join(sh, args.id_col).repartition(
+            args.n_shards, "shard"
+        ).sortWithinPartitions("sort_key").write.mode(
+            "overwrite"
+        ).partitionBy("shard").parquet(args.out)
     elif args.op == "quality":
         from .functions.text import quality_stats, repetition_stats
 

@@ -922,3 +922,38 @@ def test_neardup_stream_state_expiry(spark, tmp_path):
     }
     assert (2, 3) in pairs  # same-horizon dup found
     assert all(a != 1 for a, _ in pairs)  # expired doc 1 never pairs
+
+
+def test_cli_pipeline_html_mix_shard(spark, tmp_path, capsys):
+    """CLI parity for the round-5 operators: pipeline {html,mix,shard}."""
+    from pyspark.sql import Row
+
+    from cayley_spark.__main__ import main as cli
+
+    src = str(tmp_path / "in.parquet")
+    spark.createDataFrame(
+        [
+            Row(doc_id=i, source="big" if i < 40 else "small",
+                text=f"document {i} body words here",
+                html=f"<p>document {i} body</p><script>x()</script>")
+            for i in range(50)
+        ]
+    ).write.parquet(src)
+
+    out1 = str(tmp_path / "html_out")
+    assert cli(["pipeline", "html", "--in", src, "--out", out1]) == 0
+    got = spark.read.parquet(out1)
+    assert got.count() == 50 and set(got.columns) == {"doc_id", "text", "n_tokens"}
+    assert "script" not in got.first()["text"]
+
+    out2 = str(tmp_path / "mix_out")
+    assert cli(["pipeline", "mix", "--in", src, "--out", out2,
+                "--alpha", "0.25"]) == 0
+    assert 0 < spark.read.parquet(out2).count() < 50
+
+    out3 = str(tmp_path / "shard_out")
+    assert cli(["pipeline", "shard", "--in", src, "--out", out3,
+                "--n-shards", "4"]) == 0
+    sh = spark.read.parquet(out3)
+    assert sh.count() == 50
+    assert sh.select("shard").distinct().count() <= 4
