@@ -213,28 +213,31 @@ def neardup_pairs_batch(
     stateful streaming operator; also a standalone operator when the
     estimator (no text re-read) is preferred over exact verification.
     """
-    signed = _signed(docs, id_col, text_col, ts_col, k, num_hashes, bands)
+    # split each side's signature into its array ONCE per (doc, band)
+    # row and persist, so the per-PAIR work after the band join is
+    # only the zip_with comparison — without this, project-collapse
+    # inlines the split into the pair stream and re-splits both
+    # signatures for every candidate pair
+    signed = _signed(
+        docs, id_col, text_col, ts_col, k, num_hashes, bands
+    ).withColumn("sigarr", F.split("sigs", r"\|")).persist()
     a = signed.select(
         F.col("id").alias("id_a"),
         F.col("ts").alias("ts_a"),
-        F.col("sigs").alias("sigs_a"),
+        F.col("sigarr").alias("sa"),
         "band",
         "bh",
     )
     b = signed.select(
         F.col("id").alias("id_b"),
         F.col("ts").alias("ts_b"),
-        F.col("sigs").alias("sigs_b"),
+        F.col("sigarr").alias("sb"),
         "band",
         "bh",
     )
     match = F.size(
         F.filter(
-            F.zip_with(
-                F.split("sigs_a", r"\|"),
-                F.split("sigs_b", r"\|"),
-                lambda x, y: x == y,
-            ),
+            F.zip_with(F.col("sa"), F.col("sb"), lambda x, y: x == y),
             lambda m: m,
         )
     )
@@ -242,13 +245,16 @@ def neardup_pairs_batch(
     before = (F.col("ts_a") < F.col("ts_b")) | (
         (F.col("ts_a") == F.col("ts_b")) & (F.col("id_a") < F.col("id_b"))
     )
-    return (
+    from ..functions._cache import track_persisted
+
+    return track_persisted(
         a.join(b, ["band", "bh"])
         .where(before)
         .withColumn("est_jaccard", est)
         .where(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard", "band")
-        .dropDuplicates(["id_a", "id_b", "band"])
+        .dropDuplicates(["id_a", "id_b", "band"]),
+        signed,
     )
 
 
