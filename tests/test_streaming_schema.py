@@ -957,3 +957,65 @@ def test_cli_pipeline_html_mix_shard(spark, tmp_path, capsys):
     sh = spark.read.parquet(out3)
     assert sh.count() == 50
     assert sh.select("shard").distinct().count() <= 4
+
+
+def test_neardup_stream_matches_batch_randomized(spark, tmp_path):
+    """Randomized differential: 3 seeded corpora with planted dup
+    clusters; the stateful stream and the declarative twin must
+    agree exactly on every one."""
+    import json as _json
+    import random
+
+    from pyspark.sql import functions as F
+
+    from cayley_spark.functions._cache import unpersist_intermediates
+    from cayley_spark.streaming.neardup import (
+        neardup_pairs_batch,
+        neardup_pairs_stream,
+    )
+
+    words = ("alpha beta gamma delta epsilon zeta eta theta iota "
+             "kappa lam mu nu xi omicron pi rho sigma tau").split()
+    for seed in (3, 17, 29):
+        rng = random.Random(seed)
+        rows = []
+        for i in range(20):
+            if i % 4 == 0 and i > 0:
+                base = rows[i - 4][2]  # plant a near-dup of an earlier doc
+                toks = base.split()
+                toks[rng.randrange(len(toks))] = rng.choice(words)
+                text = " ".join(toks)
+            else:
+                text = " ".join(rng.choice(words) for _ in range(10))
+            rows.append((i, f"2024-01-01 00:{i:02d}:00", text))
+        df = spark.createDataFrame(
+            rows, "doc_id long, ts string, text string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        out = neardup_pairs_batch(df, threshold=0.5)
+        batch = {(r["id_a"], r["id_b"], r["band"]) for r in out.collect()}
+        unpersist_intermediates(out)
+
+        src = tmp_path / f"rnd{seed}"
+        src.mkdir()
+        with open(src / "d.json", "w") as f:
+            for did, ts, text in rows:
+                f.write(_json.dumps(
+                    {"doc_id": did, "ts": ts, "text": text}) + "\n")
+        stream = spark.readStream.schema(
+            "doc_id long, ts timestamp, text string"
+        ).json(str(src))
+        q = (
+            neardup_pairs_stream(stream, watermark="1 hour", threshold=0.5)
+            .writeStream.format("memory")
+            .queryName(f"rnd_out_{seed}")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"ck{seed}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r["id_a"], r["id_b"], r["band"])
+            for r in spark.table(f"rnd_out_{seed}").collect()
+        }
+        assert got == batch, f"seed {seed}: {got ^ batch}"
