@@ -1688,6 +1688,16 @@ def g_degrees(spark, sf):
     return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
 
 
+def g_predstats(spark, sf):
+    """Per-predicate quad counts (GraphStore.predicate_stats) — the
+    reference Stats surface extended per predicate: the statistics a
+    cost-based join order keys on. Oracle = the closed-form
+    relational count of each edge branch in graphs/tpch.py."""
+    from cayley_spark.graphs.tpch import tpch_graph
+
+    return tpch_graph(spark, sf).predicate_stats()
+
+
 def g_pagerank(spark, sf):
     """Fixed-point PageRank (graphs/algorithms.py) over the
     order→part bipartite graph from lineitem. Integer-scaled ranks
@@ -1830,6 +1840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_triangles": g_triangles,
         "g_pagerank": g_pagerank,
         "g_degrees": g_degrees,
+        "g_predstats": g_predstats,
         "q_retention": q_retention,
         "q_funnel": q_funnel,
         "q_stratified": q_stratified,
@@ -2151,6 +2162,29 @@ def oracle_sql() -> dict[str, str]:
             WHERE c_mktsegment = 'BUILDING'
         """,
         "g_count": "SELECT COUNT(*) AS count FROM lineitem",
+        "g_predstats": """
+            SELECT '<placed_by>' AS predicate,
+                   (SELECT COUNT(*) FROM orders) AS n_quads
+            UNION ALL SELECT '<in_nation>',
+                   (SELECT COUNT(*) FROM customer)
+                   + (SELECT COUNT(*) FROM supplier)
+            UNION ALL SELECT '<in_region>',
+                   (SELECT COUNT(*) FROM nation)
+            UNION ALL SELECT '<in_segment>',
+                   (SELECT COUNT(*) FROM customer)
+            UNION ALL SELECT '<named>',
+                   (SELECT COUNT(*) FROM nation)
+                   + (SELECT COUNT(*) FROM region)
+            UNION ALL SELECT '<balance>',
+                   (SELECT COUNT(*) FROM customer)
+            UNION ALL SELECT '<status>',
+                   (SELECT COUNT(*) FROM orders)
+            UNION ALL SELECT '<next>',
+                   (SELECT COUNT(*) FROM nation a JOIN nation b
+                    ON a.n_nationkey + 1 = b.n_nationkey)
+            UNION ALL SELECT '<contains>',
+                   (SELECT COUNT(*) FROM lineitem)
+        """,
         "g_allnodes": """
             SELECT CAST(
               (SELECT COUNT(*) FROM customer) + (SELECT COUNT(*) FROM orders)

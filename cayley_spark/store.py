@@ -319,6 +319,24 @@ class GraphStore:
             "id", "term", F.col("degree")
         )
 
+    def predicate_stats(self):
+        """Per-predicate quad counts: (predicate term, n_quads) — the
+        reference's Stats surface (graph/quadstore.go:77-88) extended
+        per predicate, i.e. the statistics a cost-based join-order
+        decision keys on (reference query/shape optimizer §4.2). One
+        map-side-combined groupBy on the quads table's p column plus
+        a dictionary join to render terms; the predicate dictionary
+        slice is dimension-sized, so the join broadcasts."""
+        from pyspark.sql import functions as F
+
+        counts = self.quads.groupBy("p").agg(
+            F.count(F.lit(1)).alias("n_quads")
+        )
+        terms = self.nodes.select(F.col("id").alias("p"), "term")
+        return counts.join(terms, "p", "left").select(
+            F.col("term").alias("predicate"), "n_quads"
+        )
+
     def triangle_count(self, predicate=None):
         """Triangle count of the (predicate-filtered) graph treated
         as undirected and simple — 1-row (n_triangles). Multigraph

@@ -182,3 +182,13 @@ def test_store_triangle_count(social):
     assert social.triangle_count(IRI("follows")).first()["n_triangles"] == 1
     # whole graph (all predicates) still runs and returns one row
     assert social.triangle_count().count() == 1
+
+
+def test_predicate_stats(social):
+    stats = {
+        r["predicate"]: r["n_quads"]
+        for r in social.predicate_stats().collect()
+    }
+    # 15-quad social fixture (conftest SIMPLE_SOCIAL):
+    # 8 follows + 5 status + 2 are
+    assert stats == {"<follows>": 8, "<status>": 5, "<are>": 2}
