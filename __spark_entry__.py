@@ -1636,6 +1636,20 @@ def m_image(spark, sf):
     return decode_image_info(media.where(F.col("kind") == "image"))
 
 
+def m_dhash(spark, sf):
+    """Perceptual image hashing through the REAL distributed netpbm
+    decode + dHash kernel (functions/multimodal.image_dhash): the
+    synthetic gradient images all share one dHash by construction
+    (x-monotone luminance ⇒ all 64 gradient bits set ⇒ signed -1),
+    so the oracle recomputes the expected table from constants —
+    the hash-gate certifies the decode + pooling + bit-packing
+    pipeline row-for-row."""
+    from cayley_spark.functions.multimodal import image_dhash, synthetic_media
+
+    media = synthetic_media(spark, n=300)
+    return image_dhash(media.where(F.col("kind") == "image"))
+
+
 def m_audio(spark, sf):
     """Multimodal WAV decode (real stdlib/numpy kernel) — integer
     metadata columns only, so the oracle hash is exact."""
@@ -1841,6 +1855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_pagerank": g_pagerank,
         "g_degrees": g_degrees,
         "g_predstats": g_predstats,
+        "m_dhash": m_dhash,
         "q_retention": q_retention,
         "q_funnel": q_funnel,
         "q_stratified": q_stratified,
@@ -2830,6 +2845,11 @@ WITH per_cust AS (
             SELECT CAST(x * 3 AS BIGINT) AS doc_id,
                    CAST(32 AS INT) AS width, CAST(24 AS INT) AS height,
                    CAST(3 AS INT) AS channels, 'ppm' AS format
+            FROM range(0, 100) t(x)
+        """,
+        "m_dhash": """
+            SELECT CAST(x * 3 AS BIGINT) AS doc_id,
+                   CAST(-1 AS BIGINT) AS dhash
             FROM range(0, 100) t(x)
         """,
         "m_audio": """

@@ -528,3 +528,95 @@ def synthetic_media(spark, n: int = 100, seed: int = 7) -> DataFrame:
         ).alias("meta"),
         "duration_ms",
     )
+
+
+# ---------------- perceptual image hashing / near-dup ----------------
+
+
+def _dhash64(arr: "np.ndarray") -> int:
+    """Classic difference hash: grayscale → 9x8 mean-pooled grid →
+    64 bits of left<right gradient signs. Deterministic pure-numpy
+    (no interpolation library): pooling over an index-partitioned
+    grid, so any engine reproduces it from the same pixels."""
+    if arr.ndim == 3:
+        arr = arr.mean(axis=2)
+    h, w = arr.shape
+    ys = (np.arange(9) * h // 8).clip(max=h)  # 8 rows
+    xs = (np.arange(10) * w // 9).clip(max=w)  # 9 cols
+    grid = np.empty((8, 9))
+    for r in range(8):
+        for c in range(9):
+            block = arr[ys[r]:max(ys[r + 1], ys[r] + 1),
+                        xs[c]:max(xs[c + 1], xs[c] + 1)]
+            grid[r, c] = float(block.mean())
+    bits = (grid[:, :-1] < grid[:, 1:]).flatten()
+    out = 0
+    for i, b in enumerate(bits):
+        if b:
+            out |= 1 << i
+    return out - (1 << 64) if out >= (1 << 63) else out  # signed i64
+
+
+def image_dhash(media: DataFrame, id_col: str = "doc_id",
+                content_col: str = "content") -> DataFrame:
+    """Per-image 64-bit perceptual difference hash (doc_id, dhash):
+    the image analog of simhash64 — identical content hashes equal,
+    small visual edits flip few bits. Real kernel for decodable
+    payloads (netpbm always; JPEG/PNG via Pillow when installed);
+    undecodable payloads take the deterministic content-hash fake
+    path, same seam as decode_image_info. Arrow-batched mapInPandas,
+    one scan."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hs = []
+            for b in pdf[content_col]:
+                data = bytes(b or b"")
+                dec = _decode_image(data)
+                if dec is not None:
+                    hs.append(_dhash64(dec[3]))
+                else:
+                    v = _fake_u64(data)
+                    hs.append(v - (1 << 64) if v >= (1 << 63) else v)
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col], "dhash": pd.array(hs, dtype="int64")}
+            )
+
+    return media.select(id_col, content_col).mapInPandas(
+        run, schema="doc_id long, dhash long"
+    )
+
+
+def image_dup_pairs(media: DataFrame, max_hamming: int = 4,
+                    id_col: str = "doc_id",
+                    content_col: str = "content") -> DataFrame:
+    """Near-duplicate image pairs (id_a, id_b, hamming): dhash the
+    corpus once, band the 64 bits into four 16-bit keys (a pair
+    within Hamming distance 3 of 64 shares at least one band by
+    pigeonhole; max_hamming above that trades recall), equi-join on
+    (band, key), verify with the exact popcount — the SimHash
+    banding scheme applied to pixels. Never all-pairs."""
+    hashed = image_dhash(media, id_col=id_col, content_col=content_col)
+    banded = hashed.select(
+        F.col("doc_id"),
+        F.col("dhash"),
+        F.posexplode(
+            F.array(*[
+                F.shiftright(F.col("dhash"), b * 16).bitwiseAND(F.lit(0xFFFF))
+                for b in range(4)
+            ])
+        ).alias("band", "key"),
+    )
+    a = banded.select(F.col("doc_id").alias("id_a"),
+                      F.col("dhash").alias("ha"), "band", "key")
+    b = banded.select(F.col("doc_id").alias("id_b"),
+                      F.col("dhash").alias("hb"), "band", "key")
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        a.join(b, ["band", "key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", ham)
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .dropDuplicates(["id_a", "id_b"])
+    )

@@ -873,3 +873,49 @@ def test_bpe_pretokens(spark):
     assert row["t"][:4] == ["Don", "'t", " count", " 42"]
     assert "'s" in row["t"]  # contraction split
     assert row["n"] == 10  # Don 't _count _42 _apples , _it 's _easy !
+
+
+def test_image_dhash_and_dup_pairs(spark):
+    """Perceptual image near-dup: identical pixels → equal dhash;
+    a lightly-noised copy lands within the Hamming radius; distinct
+    images do not pair."""
+    import numpy as np
+
+    from cayley_spark.functions.multimodal import (
+        _dhash64,
+        _ppm_decode,
+        _ppm_encode,
+        _synth_ppm,
+        image_dhash,
+        image_dup_pairs,
+    )
+
+    base = _synth_ppm(1)
+    w, h, c, arr = _ppm_decode(base)
+    noised = arr.astype(np.int16)
+    noised[0, 0] += 3  # one-pixel perturbation
+    near = _ppm_encode(noised.clip(0, 255).astype(np.uint8))
+    rows = [
+        Row(doc_id=1, content=bytearray(base)),
+        Row(doc_id=2, content=bytearray(base)),       # exact dup
+        Row(doc_id=3, content=bytearray(near)),       # near dup
+        # genuinely different structure (synth_ppm differs only by a
+        # constant channel, which dhash correctly ignores): noise image
+        Row(doc_id=4, content=bytearray(_ppm_encode(
+            (np.random.RandomState(5).rand(24, 32, 3) * 255).astype("uint8")
+        ))),
+    ]
+    media = spark.createDataFrame(rows, "doc_id long, content binary")
+    hs = {r["doc_id"]: r["dhash"] for r in image_dhash(media).collect()}
+    assert hs[1] == hs[2]
+    assert bin((hs[1] ^ hs[3]) & (2**64 - 1)).count("1") <= 4
+    # driver-side kernel agrees with the distributed one
+    assert hs[1] == _dhash64(arr)
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in image_dup_pairs(media, max_hamming=4).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs
+    assert all(4 not in p for p in pairs)
