@@ -1650,6 +1650,24 @@ def m_dhash(spark, sf):
     return image_dhash(media.where(F.col("kind") == "image"))
 
 
+def m_audio_segments(spark, sf):
+    """Per-segment audio activity (functions/multimodal.
+    audio_segments) through the REAL PCM decode: the synthetic
+    corpus is pure sine tones with frequency a closed-form function
+    of doc_id, so the ORACLE REGENERATES THE SAMPLES IN SQL
+    (trunc(sin(2π f i / rate) * 12000) matches numpy's
+    truncate-toward-zero int16 cast) and aggregates the identical
+    exact-integer features — the strongest multimodal gate in the
+    suite: every sample of every row is re-derived independently."""
+    from cayley_spark.functions.multimodal import (
+        audio_segments,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, n=120)
+    return audio_segments(media.where(F.col("kind") == "audio"))
+
+
 def m_audio(spark, sf):
     """Multimodal WAV decode (real stdlib/numpy kernel) — integer
     metadata columns only, so the oracle hash is exact."""
@@ -1856,6 +1874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_degrees": g_degrees,
         "g_predstats": g_predstats,
         "m_dhash": m_dhash,
+        "m_audio_segments": m_audio_segments,
         "q_retention": q_retention,
         "q_funnel": q_funnel,
         "q_stratified": q_stratified,
@@ -2851,6 +2870,23 @@ WITH per_cust AS (
             SELECT CAST(x * 3 AS BIGINT) AS doc_id,
                    CAST(-1 AS BIGINT) AS dhash
             FROM range(0, 100) t(x)
+        """,
+        "m_audio_segments": """
+            WITH docs AS (
+              SELECT CAST(x * 3 + 1 AS BIGINT) AS doc_id
+              FROM range(0, 40) t(x)
+            ), samp AS (
+              SELECT d.doc_id, CAST(i.i AS INT) AS i,
+                CAST(trunc(sin(2 * pi()
+                       * (220.0 + (d.doc_id % 16) * 55.0)
+                       * i.i / 8000.0) * 12000.0) AS BIGINT) AS s
+              FROM docs d CROSS JOIN range(0, 2000) i(i)
+            )
+            SELECT doc_id, CAST(i // 250 AS INT) AS segment,
+              CAST(SUM(CASE WHEN s > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_pos,
+              CAST(SUM(abs(s)) AS BIGINT) AS energy
+            FROM samp GROUP BY 1, 2
         """,
         "m_audio": """
             SELECT CAST(x * 3 + 1 AS BIGINT) AS doc_id,

@@ -620,3 +620,55 @@ def image_dup_pairs(media: DataFrame, max_hamming: int = 4,
         .select("id_a", "id_b", "hamming")
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+# ---------------- audio segment features ----------------
+
+
+def audio_segments(media: DataFrame, n_segments: int = 8,
+                   id_col: str = "doc_id",
+                   content_col: str = "content") -> DataFrame:
+    """Per-segment audio activity features: (doc_id, segment, n_pos,
+    energy) — the sample-exact building blocks of VAD/loudness
+    gating: positive-sample count and total |amplitude| (exact
+    int64, so the distributed decode is hash-verifiable) over
+    ``n_segments`` equal time slices. Real PCM decode for WAV
+    payloads (stdlib wave); undecodable payloads take the
+    deterministic fake path (n_pos = -1 marker). Samples beyond the
+    last full segment boundary are dropped (n - n % n_segments).
+    Arrow-batched mapInPandas, one scan."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, segs, npos, energy = [], [], [], []
+            for did, b in zip(pdf[id_col], pdf[content_col]):
+                data = bytes(b or b"")
+                dec = _wav_decode(data)
+                if dec is not None and dec[3] is not None:
+                    s = dec[3].astype(np.int64)
+                    n = len(s) - len(s) % n_segments
+                    chunks = s[:n].reshape(n_segments, -1)
+                    for k in range(n_segments):
+                        ids.append(did)
+                        segs.append(k)
+                        npos.append(int((chunks[k] > 0).sum()))
+                        energy.append(int(np.abs(chunks[k]).sum()))
+                else:
+                    v = _fake_u64(data)
+                    for k in range(n_segments):
+                        ids.append(did)
+                        segs.append(k)
+                        npos.append(-1)
+                        energy.append((v >> (8 * (k % 8))) & 0xFF)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(ids, dtype="int64"),
+                    "segment": pd.array(segs, dtype="int32"),
+                    "n_pos": pd.array(npos, dtype="int64"),
+                    "energy": pd.array(energy, dtype="int64"),
+                }
+            )
+
+    return media.select(id_col, content_col).mapInPandas(
+        run, schema="doc_id long, segment int, n_pos long, energy long"
+    )

@@ -919,3 +919,20 @@ def test_image_dhash_and_dup_pairs(spark):
     assert pairs[(1, 2)] == 0
     assert (1, 3) in pairs
     assert all(4 not in p for p in pairs)
+
+
+def test_audio_segments(spark):
+    from cayley_spark.functions.multimodal import audio_segments, synthetic_media
+
+    media = synthetic_media(spark, n=9)
+    rows = audio_segments(media).collect()
+    assert len(rows) == 9 * 8
+    by = {(r["doc_id"], r["segment"]): r for r in rows}
+    # WAV rows (1,4,7): real decode — a pure tone is active in every
+    # segment: roughly half the samples positive, nonzero energy
+    for d in (1, 4, 7):
+        for k in range(8):
+            r = by[(d, k)]
+            assert 80 <= r["n_pos"] <= 170 and r["energy"] > 0
+    # non-WAV rows take the fake path (n_pos = -1 marker)
+    assert by[(0, 0)]["n_pos"] == -1
