@@ -1999,6 +1999,17 @@ _BANDS = (
     "for b in range(0, 4)]"
 )
 
+# Hot-bucket guard mirror (dedup.minhash_lsh_pairs max_bucket_size):
+# buckets with > 256 occupants emit no candidate pairs. Filtering the
+# a-side of the (band, bh) equi-join is equivalent to dropping the
+# whole bucket. Expects a CTE named ``banded``.
+_BOK = """bsz AS (
+              SELECT band, bh, COUNT(*) AS n FROM banded GROUP BY band, bh
+            ), bok AS (
+              SELECT banded.* FROM banded JOIN bsz USING (band, bh)
+              WHERE bsz.n <= 256
+            )"""
+
 
 def _lsh_planes_values() -> str:
     """The deterministic hyperplanes as SQL VALUES rows ``(t, p, pv)``,
@@ -3298,9 +3309,9 @@ WITH per_cust AS (
             ), banded AS (
               SELECT id, sh, unnest({_BANDS}, recursive := true)
               FROM sig
-            ), pairs AS (
+            ), {_BOK}, pairs AS (
               SELECT DISTINCT a.id AS id_a, b.id AS id_b
-              FROM banded a JOIN banded b
+              FROM bok a JOIN banded b
                 ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
             )
             SELECT p.id_a, p.id_b,
@@ -3324,9 +3335,9 @@ WITH per_cust AS (
             ), banded AS (
               SELECT id, sh, unnest({_BANDS}, recursive := true)
               FROM sig
-            ), cand AS (
+            ), {_BOK}, cand AS (
               SELECT DISTINCT a.id AS id_a, b.id AS id_b
-              FROM banded a JOIN banded b
+              FROM bok a JOIN banded b
                 ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
             ), pairs AS (
               SELECT p.id_a, p.id_b
@@ -3362,9 +3373,9 @@ WITH per_cust AS (
             ), banded AS (
               SELECT id, sh, unnest({_BANDS}, recursive := true)
               FROM sig
-            ), cand AS (
+            ), {_BOK}, cand AS (
               SELECT DISTINCT a.id AS id_a, b.id AS id_b
-              FROM banded a JOIN banded b
+              FROM bok a JOIN banded b
                 ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
             ), pairs AS (
               SELECT p.id_a, p.id_b
@@ -3406,9 +3417,9 @@ WITH per_cust AS (
             ), banded AS (
               SELECT id, source, unnest({_BANDS}, recursive := true)
               FROM sig
-            ), cand AS (
+            ), {_BOK}, cand AS (
               SELECT DISTINCT n.id AS id_n, e.id AS id_e
-              FROM banded n JOIN banded e
+              FROM bok n JOIN banded e
                 ON n.band = e.band AND n.bh = e.bh
               WHERE n.source NOT IN (SELECT s FROM olds)
                 AND e.source IN (SELECT s FROM olds)
@@ -3446,9 +3457,9 @@ WITH per_cust AS (
             ), banded AS (
               SELECT id, source, unnest({_BANDS}, recursive := true)
               FROM sig
-            ), cand AS (
+            ), {_BOK}, cand AS (
               SELECT DISTINCT n.id AS id_n, e.id AS id_e
-              FROM banded n JOIN banded e
+              FROM bok n JOIN banded e
                 ON n.band = e.band AND n.bh = e.bh
               WHERE n.source NOT IN (SELECT s FROM olds)
                 AND e.source IN (SELECT s FROM olds)
@@ -3483,13 +3494,13 @@ WITH per_cust AS (
             ), banded AS (
               SELECT id, sig, unnest({_BANDS}, recursive := true)
               FROM sig
-            ), cand AS (
+            ), {_BOK}, cand AS (
               SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.band,
                 CAST(list_sum([CASE WHEN a.sig[i] = b.sig[i]
                                THEN 1 ELSE 0 END
                                for i in range(1, 17)]) AS DOUBLE) / 16
                   AS est_jaccard
-              FROM banded a JOIN banded b
+              FROM bok a JOIN banded b
                 ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
             )
             SELECT id_a, id_b, est_jaccard, band
@@ -3507,9 +3518,9 @@ WITH per_cust AS (
             ), banded AS (
               SELECT id, unnest({_BANDS}, recursive := true)
               FROM sig
-            ), pairs AS (
+            ), {_BOK}, pairs AS (
               SELECT DISTINCT a.id AS id_a, b.id AS id_b
-              FROM banded a JOIN banded b
+              FROM bok a JOIN banded b
                 ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
             )
             SELECT p.id_a, p.id_b,

@@ -16,6 +16,16 @@ Design for scale:
 - Verification joins candidates back and computes exact n-gram
   Jaccard with array_intersect/array_union — only on the candidate
   set, never all-pairs.
+- HOT-BUCKET GUARD: a band hash shared by B documents (boilerplate
+  templates, license headers) would otherwise emit B² candidate
+  rows from one skewed shuffle key. Every banded join here skips
+  buckets with more than ``max_bucket_size`` occupants (default
+  256) — the batch analog of the streaming operator's FIFO
+  ``max_occupants`` cap. The trade-off is documented recall loss on
+  ubiquitous boilerplate; byte-identical members of a skipped
+  bucket are still caught by the exact-digest passes
+  (``exact_duplicate_groups`` / ``dedup_against``'s digest
+  semi-join), which don't go through LSH at all.
 """
 
 from __future__ import annotations
@@ -159,6 +169,34 @@ def lsh_bands(sig: Column, bands: int, rows: int) -> Column:
     )
 
 
+def hot_bucket_keys(banded: DataFrame, max_bucket_size: int) -> DataFrame:
+    """(band, bh) keys of LSH buckets holding more than
+    ``max_bucket_size`` rows of ``banded``. One partial-aggregated
+    count on the tiny banded projection; the result is by definition
+    sparse (only pathological boilerplate buckets qualify), so
+    callers BROADCAST it into a left-anti join — the banded stream
+    itself is never reshuffled for the guard."""
+    return (
+        banded.groupBy("band", "bh")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") > max_bucket_size)
+        .select("band", "bh")
+    )
+
+
+def _skip_hot_buckets(
+    side: DataFrame, count_from: DataFrame, max_bucket_size: int | None
+) -> DataFrame:
+    """Drop rows of ``side`` that land in hot buckets (occupancy
+    measured over ``count_from``). Filtering ONE side of an inner
+    band join is enough to kill the whole bucket's pair product.
+    ``None`` disables the guard (explicit opt-out only)."""
+    if max_bucket_size is None:
+        return side
+    hot = hot_bucket_keys(count_from, max_bucket_size)
+    return side.join(F.broadcast(hot), ["band", "bh"], "left_anti")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -167,11 +205,18 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     jaccard_threshold: float | None = None,
+    max_bucket_size: int | None = 256,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via MinHash-LSH banding:
     (id_a, id_b) with id_a < id_b, distinct. If ``jaccard_threshold``
     is set, candidates are verified with exact shingle-set Jaccard and
-    the score column ``jaccard`` is returned."""
+    the score column ``jaccard`` is returned.
+
+    Buckets with more than ``max_bucket_size`` occupants are skipped
+    entirely (see module docstring): candidate volume is bounded by
+    O(buckets x cap²) instead of O(hottest-bucket²). Byte-identical
+    boilerplate inside a skipped bucket is ``exact_duplicate_groups``'s
+    job — it never goes through LSH."""
     rows = num_hashes // bands
     # Persist the two expensive intermediates: `sh` (tokenize+shingle)
     # and `banded` (16 md5 minima per doc). Without this, the a/b
@@ -193,7 +238,9 @@ def minhash_lsh_pairs(
     banded = sig.select(
         "id", F.posexplode(lsh_bands(F.col("sig"), bands, rows)).alias("band", "bh")
     )
-    a = banded.select(F.col("id").alias("id_a"), "band", "bh")
+    a = _skip_hot_buckets(banded, banded, max_bucket_size).select(
+        F.col("id").alias("id_a"), "band", "bh"
+    )
     b = banded.select(F.col("id").alias("id_b"), "band", "bh")
     pairs = (
         a.join(b, ["band", "bh"])
@@ -430,6 +477,7 @@ def dedup_corpus(
     num_hashes: int = 16,
     bands: int = 4,
     jaccard_threshold: float = 0.8,
+    max_bucket_size: int | None = 256,
 ) -> DataFrame:
     """End-to-end near-duplicate REMOVAL: MinHash-LSH candidates →
     exact-Jaccard verification → connected-component clustering →
@@ -451,6 +499,7 @@ def dedup_corpus(
         num_hashes=num_hashes,
         bands=bands,
         jaccard_threshold=jaccard_threshold,
+        max_bucket_size=max_bucket_size,
     )
     # note: .select() returns a NEW DataFrame without the persist
     # handles — track from pairs_full, not the projection
@@ -479,6 +528,7 @@ def editdist_dup_pairs(
     k: int = 3,
     num_hashes: int = 16,
     bands: int = 4,
+    max_bucket_size: int | None = 256,
 ) -> DataFrame:
     """Near-duplicate pairs verified by EDIT DISTANCE: MinHash-LSH
     proposes candidates (never all pairs), then ``levenshtein`` on the
@@ -500,6 +550,7 @@ def editdist_dup_pairs(
         k=k,
         num_hashes=num_hashes,
         bands=bands,
+        max_bucket_size=max_bucket_size,
     )
     ta = df.select(
         F.col(id_col).alias("id_a"), F.col(text_col).alias("__ta")
@@ -528,6 +579,7 @@ def dedup_against(
     num_hashes: int = 16,
     bands: int = 4,
     jaccard_threshold: float = 0.8,
+    max_bucket_size: int | None = 256,
 ) -> DataFrame:
     """Asymmetric dedup: drop rows of ``new`` that duplicate the
     ``existing`` corpus (exactly or near) — the daily-crawl-vs-
@@ -571,6 +623,12 @@ def dedup_against(
 
     sig_n, band_n = prep(new, "n")
     sig_e, band_e = prep(existing, "e")
+    # hot-bucket guard: occupancy counted over BOTH sides (the pair
+    # product of a bucket is n_new x n_existing), new side filtered —
+    # a skipped bucket's byte-identical members still fall to the
+    # exact-digest pass below, which is LSH-free
+    both = band_n.select("band", "bh").unionAll(band_e.select("band", "bh"))
+    band_n = _skip_hot_buckets(band_n, both, max_bucket_size)
     cand = (
         band_n.join(band_e, ["band", "bh"])
         .select("id_n", "id_e")

@@ -84,6 +84,20 @@ class LSHDedupIndex:
         self.bands = bands
         self.path = path
 
+    def _check_id_type(self, df: DataFrame, id_col: str) -> None:
+        """Reject a batch whose id column's type differs from the
+        indexed corpus's — a silent mismatch would append mixed-schema
+        rows into sigs/ that only fail (or coerce) at a later read.
+        The index's authoritative id type is whatever ``self.sigs``
+        carries (meta's id_type is a human-readable mirror of it)."""
+        want = self.sigs.schema["id"].dataType.simpleString()
+        got = df.schema[id_col].dataType.simpleString()
+        if got != want:
+            raise TypeError(
+                f"id column {id_col!r} is {got}; this index stores {want} "
+                "ids — cast the batch's ids before admitting it"
+            )
+
     @classmethod
     def build(
         cls,
@@ -144,6 +158,7 @@ class LSHDedupIndex:
         a recompute."""
         if self.path is None:
             raise ValueError("append requires a saved index; call save(path)")
+        self._check_id_type(batch, id_col)
         _sig_frame(batch, id_col, text_col, self.k, self.num_hashes).write.mode(
             "append"
         ).parquet(os.path.join(self.path, "sigs"))
@@ -158,9 +173,16 @@ class LSHDedupIndex:
         id_col: str = "doc_id",
         text_col: str = "text",
         jaccard_threshold: float = 0.8,
+        max_bucket_size: int | None = 256,
     ) -> DataFrame:
         """Ids of ``new`` rows duplicating the indexed corpus —
-        one column named ``id_col``, distinct."""
+        one column named ``id_col``, distinct.
+
+        LSH buckets with more than ``max_bucket_size`` combined
+        occupants (batch + index) are skipped — same hot-bucket guard
+        and recall trade-off as ``dedup.dedup_against``; the exact
+        digest semi-join below is unaffected by the skip."""
+        self._check_id_type(new, id_col)
         rows = self.num_hashes // self.bands
         nsig = _sig_frame(new, id_col, text_col, self.k, self.num_hashes)
         from ._cache import track_persisted
@@ -180,8 +202,15 @@ class LSHDedupIndex:
                 lsh_bands(F.col("sig"), self.bands, rows)
             ).alias("band", "bh"),
         )
+        from .dedup import _skip_hot_buckets
+
+        both = band_n.select("band", "bh").unionAll(
+            band_e.select("band", "bh")
+        )
         cand = (
-            band_n.select("id_n", "band", "bh")
+            _skip_hot_buckets(
+                band_n.select("id_n", "band", "bh"), both, max_bucket_size
+            )
             .join(band_e, ["band", "bh"])
             .select("id_n", "id_e")
             .dropDuplicates()
@@ -215,6 +244,7 @@ class LSHDedupIndex:
         id_col: str = "doc_id",
         text_col: str = "text",
         jaccard_threshold: float = 0.8,
+        max_bucket_size: int | None = 256,
     ) -> DataFrame:
         """Surviving rows of ``new`` (same semantics as
         ``dedup.dedup_against``, with the existing side read from the
@@ -222,6 +252,7 @@ class LSHDedupIndex:
         dup = self.duplicate_ids(
             new, id_col=id_col, text_col=text_col,
             jaccard_threshold=jaccard_threshold,
+            max_bucket_size=max_bucket_size,
         )
         from ._cache import track_persisted
 

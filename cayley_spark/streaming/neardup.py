@@ -28,8 +28,11 @@ Design (the batch LSH plan re-expressed as keyed stream state):
   bucket's newest document + horizon, so state size is bounded by
   documents-per-horizon x bands, independent of stream lifetime;
   ``max_occupants`` additionally caps degenerate hot buckets (e.g.
-  boilerplate shingles) with FIFO eviction, the streaming analog of
-  the batch operator's df²-priced bucket skip.
+  boilerplate shingles) with FIFO eviction. The batch twin bounds
+  the same blow-up differently: buckets with more than
+  ``max_bucket_size`` occupants are skipped outright (the same
+  guard as ``dedup.minhash_lsh_pairs``); only the n-gram Jaccard
+  operator prices sum(df²) to choose a plan.
 
 A pair colliding in several bands is emitted once per colliding
 band; downstream exact-once consumers apply
@@ -205,23 +208,35 @@ def neardup_pairs_batch(
     num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
+    max_bucket_size: int | None = 256,
 ) -> DataFrame:
     """Declarative batch twin of :func:`neardup_pairs_stream` (no
-    horizon, no occupant cap): the banded self-join with the SAME
-    signature-match estimator and the same arrival ordering
-    (id_a precedes id_b by (ts, id)). Used to differential-test the
-    stateful streaming operator; also a standalone operator when the
-    estimator (no text re-read) is preferred over exact verification.
+    horizon): the banded self-join with the SAME signature-match
+    estimator and the same arrival ordering (id_a precedes id_b by
+    (ts, id)). Used to differential-test the stateful streaming
+    operator; also a standalone operator when the estimator (no text
+    re-read) is preferred over exact verification.
+
+    Buckets with more than ``max_bucket_size`` occupants are SKIPPED
+    (broadcast anti-join of the rare hot keys), bounding candidate
+    volume at O(buckets x cap²) — the batch counterpart of the
+    stream's FIFO ``max_occupants``. The two twins diverge on a
+    bucket above the bound (stream keeps the newest ``max_occupants``,
+    batch emits nothing); the differential test keeps buckets below
+    both limits.
     """
     # split each side's signature into its array ONCE per (doc, band)
     # row and persist, so the per-PAIR work after the band join is
     # only the zip_with comparison — without this, project-collapse
     # inlines the split into the pair stream and re-splits both
     # signatures for every candidate pair
+    from ..functions.dedup import _skip_hot_buckets
+
     signed = _signed(
         docs, id_col, text_col, ts_col, k, num_hashes, bands
     ).withColumn("sigarr", F.split("sigs", r"\|")).persist()
-    a = signed.select(
+    guarded = _skip_hot_buckets(signed, signed, max_bucket_size)
+    a = guarded.select(
         F.col("id").alias("id_a"),
         F.col("ts").alias("ts_a"),
         F.col("sigarr").alias("sa"),
