@@ -138,6 +138,10 @@ def main() -> None:
         # its 30min default and the query loop below triggers GC
         # explicitly BETWEEN queries, off the timed path.
         .config("spark.cleaner.periodicGC.interval", os.environ.get("SPARK_GRAFT_GC_INTERVAL", "30min"))
+        # legacy-nanos events testdata: set at session build so no
+        # query function ever mutates session config (harmless for
+        # modern micros/NTZ files - the conf only affects NANOS cols)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

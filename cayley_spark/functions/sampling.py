@@ -92,7 +92,7 @@ def source_mixture(
         F.sum("__w").alias("__wsum"), F.sum("__n").alias("__total")
     )
     rates = counts.crossJoin(F.broadcast(totals)).select(
-        source_col,
+        F.col(source_col).alias("__src"),
         F.least(
             F.lit(1.0),
             (F.col("__w") / F.col("__wsum"))
@@ -100,14 +100,21 @@ def source_mixture(
             / F.col("__n"),
         ).alias("__rate"),
     )
+    # null-safe join: a NULL source is a legitimate group (groupBy
+    # counted it, so it carries weight in __wsum/__total) — an
+    # equi-join would silently drop its rows while still depressing
+    # every other source's keep-rate
     kept = (
-        df.join(F.broadcast(rates), source_col)
+        df.join(
+            F.broadcast(rates),
+            F.col(source_col).eqNullSafe(F.col("__src")),
+        )
         .where(
             hash_bucket(F.col(text_col), denominator).cast("double")
             / denominator
             < F.col("__rate")
         )
-        .drop("__rate")
+        .drop("__rate", "__src")
     )
     return kept
 

@@ -446,8 +446,13 @@ def html_to_text(col: Column) -> Column:
     2. block-level closers/br become newlines (paragraph structure
        survives as whitespace),
     3. every remaining tag is stripped,
-    4. the five standard entities + &nbsp; and numeric &#NN;
-       decimal escapes are decoded,
+    4. entities are decoded in dependency order: named entities
+       (&nbsp; &lt; &gt; &quot; &#39;) first, then the generic
+       numeric &#NN; sweep (to a space), and &amp; strictly LAST —
+       so ``&#39;`` really decodes to an apostrophe (the numeric
+       sweep no longer shadows it) and double-escaped literals like
+       ``&amp;lt;`` correctly yield the text "&lt;" rather than
+       being double-decoded to "<",
     5. whitespace runs collapse to single spaces, trimmed.
 
     Not a full HTML5 parser by design (at 100 TB the parser IS the
@@ -459,16 +464,16 @@ def html_to_text(col: Column) -> Column:
     c = F.regexp_replace(c, r"(?is)<style\b.*?</style\s*>", " ")
     c = F.regexp_replace(c, r"(?i)<(br|/p|/div|/li|/h[1-6]|/tr)\b[^>]*>", "\n")
     c = F.regexp_replace(c, r"(?s)<[^>]*>", " ")
-    c = F.regexp_replace(c, r"&#(\d+);", " ")
     for ent, rep in (
         ("&nbsp;", " "),
-        ("&amp;", "&"),
         ("&lt;", "<"),
         ("&gt;", ">"),
         ("&quot;", '"'),
         ("&#39;", "'"),
     ):
         c = F.replace(c, F.lit(ent), F.lit(rep))
+    c = F.regexp_replace(c, r"&#(\d+);", " ")
+    c = F.replace(c, F.lit("&amp;"), F.lit("&"))
     return F.trim(F.regexp_replace(c, r"\s+", " "))
 
 

@@ -55,6 +55,12 @@ def _parse_nquads_lines(text: str) -> list[tuple]:
 
 class CayleyHandler(BaseHTTPRequestHandler):
     server_version = "cayley_spark/0.1"
+    # chunked transfer (_stream_chunked) is only legal on HTTP/1.1 —
+    # an HTTP/1.0 response line makes spec-compliant clients (Go
+    # net/http, curl) pass the raw chunk framing through as body
+    # bytes. Safe for every other handler: they all send
+    # Content-Length, which satisfies 1.1 keep-alive framing.
+    protocol_version = "HTTP/1.1"
 
     def log_message(self, *args):  # quiet
         pass

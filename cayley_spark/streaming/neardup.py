@@ -107,12 +107,16 @@ def neardup_pairs_stream(
     if is_streaming:
         signed = signed.withWatermark("ts", watermark)
 
+    # output/state id type follows the INPUT id column (as the batch
+    # twin's does naturally) — a string doc id must not crash the
+    # stream or silently diverge from neardup_pairs_batch's schema
+    id_type = docs.schema[id_col].dataType.simpleString()
     out_schema = (
-        "id_a long, id_b long, est_jaccard double, band int"
+        f"id_a {id_type}, id_b {id_type}, est_jaccard double, band int"
     )
     state_schema = (
-        "ids array<bigint>, sigs array<string>, tss array<timestamp>, "
-        "newest timestamp"
+        f"ids array<{id_type}>, sigs array<string>, "
+        "tss array<timestamp>, newest timestamp"
     )
     horizon_ms = _interval_ms(watermark)
     horizon_s = horizon_ms / 1000.0
@@ -137,7 +141,10 @@ def neardup_pairs_stream(
         out = []
         rows = pd.concat(list(pdf_iter)).sort_values(["ts", "id"])
         for _, r in rows.iterrows():
-            rid, rsig = int(r["id"]), r["sigs"]
+            rid, rsig = r["id"], r["sigs"]
+            # numpy scalar → native python (state tuples and emitted
+            # rows must round-trip through Arrow for ANY id type)
+            rid = rid.item() if hasattr(rid, "item") else rid
             t = r["ts"]
             t = t.to_pydatetime() if hasattr(t, "to_pydatetime") else t
             parts = rsig.split("|")

@@ -780,6 +780,32 @@ def test_source_mixture(spark):
     )
 
 
+def test_source_mixture_null_source(spark):
+    """A NULL source is a legitimate group: its rows get the null
+    group's own keep-rate (null-safe join) instead of being silently
+    dropped while still depressing every other source's rate."""
+    from cayley_spark.functions.sampling import source_mixture
+
+    rows = [
+        Row(doc_id=i, source=None if i < 40 else "named",
+            text=f"null-source document {i} body words")
+        for i in range(440)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    )
+    out = source_mixture(df, alpha=0.25, target_frac=0.5)
+    by_src = {
+        r["source"]: r["count"]
+        for r in out.groupBy("source").count().collect()
+    }
+    # the null group is SMALL, so alpha=0.25 boosts its rate to ~1:
+    # most of its rows must survive
+    assert by_src.get(None, 0) > 20
+    # and the realized overall fraction is near target, not under it
+    assert abs(sum(by_src.values()) / 440 - 0.5) < 0.15
+
+
 def test_export_shards(spark):
     from cayley_spark.functions.sampling import export_shards
 
@@ -850,6 +876,10 @@ def test_html_to_text(spark):
             "<div>5 &lt; 7 &gt; 3&nbsp;ok</div></body></html>")),
         Row(doc_id=2, html="plain text, no markup at all"),
         Row(doc_id=3, html="<p>broken <unclosed"),
+        # entity decode ORDER: &#39; decodes to an apostrophe (named
+        # entities run before the numeric sweep), double-escaped
+        # &amp;lt; yields the literal text "&lt;" (&amp; decodes last)
+        Row(doc_id=4, html="<p>don&#39;t render &amp;lt; as a tag</p>"),
     ]
     df = spark.createDataFrame(rows)
     out = {r["doc_id"]: r for r in html_text_stats(df).collect()}
@@ -858,6 +888,7 @@ def test_html_to_text(spark):
     assert out[2]["text"] == "plain text, no markup at all"
     # malformed markup degrades to whitespace, never drops prior text
     assert out[3]["text"].startswith("broken")
+    assert out[4]["text"] == "don't render &lt; as a tag"
 
 
 def test_bpe_pretokens(spark):

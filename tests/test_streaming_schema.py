@@ -877,6 +877,58 @@ def test_neardup_stream_matches_batch(spark, tmp_path):
     assert got == batch
 
 
+def test_neardup_stream_string_ids(spark, tmp_path):
+    """Non-long doc ids: the output/state id type follows the input
+    schema (as the batch twin's always did) instead of the former
+    hardcoded bigint, which crashed on string ids."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from cayley_spark.streaming.neardup import (
+        neardup_pairs_batch,
+        neardup_pairs_stream,
+    )
+
+    rows = [
+        ("doc-a", "2024-01-01 00:00:00", "the quick brown fox jumps over the lazy dog"),
+        ("doc-b", "2024-01-01 00:05:00", "the quick brown fox jumps over the lazy dog"),
+        ("doc-c", "2024-01-01 00:10:00", "completely unrelated text about spark plans"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id string, ts string, text string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    batch = {
+        (r["id_a"], r["id_b"], round(r["est_jaccard"], 6), r["band"])
+        for r in neardup_pairs_batch(df, threshold=0.5).collect()
+    }
+    assert {(a, b) for a, b, _, _ in batch} == {("doc-a", "doc-b")}
+
+    src = tmp_path / "nds_in"
+    src.mkdir()
+    with open(src / "docs.json", "w") as f:
+        for did, ts, text in rows:
+            f.write(_json.dumps({"doc_id": did, "ts": ts, "text": text}) + "\n")
+    stream = spark.readStream.schema(
+        "doc_id string, ts timestamp, text string"
+    ).json(str(src))
+    q = (
+        neardup_pairs_stream(stream, watermark="1 hour", threshold=0.5)
+        .writeStream.format("memory")
+        .queryName("nds_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "nds_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["id_a"], r["id_b"], round(r["est_jaccard"], 6), r["band"])
+        for r in spark.table("nds_out").collect()
+    }
+    assert got == batch
+
+
 def test_neardup_stream_state_expiry(spark, tmp_path):
     """A near-dup arriving AFTER the watermark horizon is not paired
     (its partner's bucket state expired) — bounded state is the

@@ -47,6 +47,10 @@ def main():
         SparkSession.builder.master("local[8]")
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.sql.adaptive.enabled", "true")
+        # legacy-nanos events testdata: set at session build so no
+        # query function ever mutates session config (harmless for
+        # modern micros/NTZ files - the conf only affects NANOS cols)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "8g")
         .getOrCreate()
