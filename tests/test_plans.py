@@ -157,3 +157,49 @@ def test_q4_compiles_to_semi_join(spark, entry):
     plus dedup of multiplied rows."""
     df = entry.queries()["q4"](spark, SF)
     assert "LeftSemi" in plan_of(df)
+
+
+def test_intersect_probe_order_follows_predicate_stats(spark):
+    """Reference and_optimize.go:44-88: cheapest And branch probes
+    first. Tag-free probes (semi-joins, which commute) are sorted by
+    the per-predicate quad statistics; the driver branch and tagged
+    probes never move (multiplicity and tag precedence follow branch
+    order). Results are identical either way — ordering is pure plan
+    shaping."""
+    from cayley_spark import GraphStore, IRI
+    from cayley_spark import shapes as S
+    from cayley_spark.plans.compiler import (
+        _estimate_size,
+        _order_probes,
+        compile_nodes,
+    )
+
+    quads = [
+        (IRI(f"s{i}"), IRI("common"), IRI(f"o{i % 5}")) for i in range(60)
+    ]
+    quads += [
+        (IRI("s1"), IRI("rare"), IRI("o1")),
+        (IRI("s2"), IRI("rare"), IRI("o1")),
+    ]
+    st = GraphStore.from_quad_values(spark, quads).persist()
+
+    def probe(pred, d="s"):
+        return S.NodesFrom(
+            d, S.Quads(filters=(S.QuadFilter("p", S.Fixed((IRI(pred),))),))
+        )
+
+    common, rare = probe("common"), probe("rare")
+    assert _estimate_size(st, rare) == 2.0
+    assert _estimate_size(st, common) == 62.0 or _estimate_size(st, common) == 60.0
+    assert _order_probes(st, [common, rare]) == [rare, common]
+    # tagged probes keep their (relative) position at the end
+    tagged = S.Tag(common, ("t",))
+    assert _order_probes(st, [tagged, common, rare]) == [rare, common, tagged]
+    # end-to-end: the compiled intersect is branch-order-independent
+    driver = probe("common", d="s")
+    a = compile_nodes(st, S.Intersect((driver, common, rare)))
+    b = compile_nodes(st, S.Intersect((driver, rare, common)))
+    assert sorted(r["id"] for r in a.collect()) == sorted(
+        r["id"] for r in b.collect()
+    )
+    assert len(a.collect()) > 0
