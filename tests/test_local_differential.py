@@ -198,3 +198,115 @@ def test_engines_agree_recursive(session, g, start, pred):
         )
 
     assert run(dist) == run(local)
+
+
+# ---------------- write-path fuzz (ApplyDeltas / refcounts) ----------
+
+
+@st.composite
+def quad_gen(draw):
+    s = draw(st.sampled_from(NODES))
+    p = draw(st.sampled_from(PREDS))
+    o = draw(st.sampled_from(NODES + LITS))
+    lab = draw(st.sampled_from([None, None, *LABELS]))
+    return (s, p, o) if lab is None else (s, p, o, lab)
+
+
+@st.composite
+def delta_scripts(draw):
+    """Initial graph + 1-3 delta rounds of adds and deletes. Deletes
+    are usually an index into the quads seen so far (high hit rate,
+    incl. re-add-after-delete chains) and sometimes a random quad
+    (miss / never-existed paths through orphan detection)."""
+    base = draw(graphs())
+    rounds = []
+    for _ in range(draw(st.integers(min_value=1, max_value=3))):
+        adds = tuple(
+            draw(quad_gen()) for _ in range(draw(st.integers(0, 4)))
+        )
+        dels = tuple(
+            ("idx", draw(st.integers(0, 63)))
+            if draw(st.booleans())
+            else ("quad", draw(quad_gen()))
+            for _ in range(draw(st.integers(0, 3)))
+        )
+        rounds.append((adds, dels))
+    qn = draw(st.sampled_from(NODES))
+    qp = draw(st.sampled_from(PREDS))
+    return base, tuple(rounds), qn, qp
+
+
+def _key(q):
+    from cayley_spark.values import coerce
+
+    vals = [coerce(x) for x in q]
+    return (
+        vals[0].id,
+        vals[1].id,
+        vals[2].id,
+        vals[3].id if len(vals) == 4 else None,
+    )
+
+
+@settings(
+    max_examples=max(10, N_EXAMPLES // 2),
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(script=delta_scripts())
+def test_write_path_engines_and_model_agree(session, script):
+    """ApplyDeltas fuzz (reference writer/single.go:84-113 semantics):
+    after every randomized add/delete round, BOTH engines must agree
+    with each other AND with a pure-python model of the quad bag —
+    duplicate adds kept (bag), a delete removes every copy of the
+    exact (s,p,o,l)-null-safe match, and orphaned nodes disappear
+    from AllNodes (refcount maintenance)."""
+    from cayley_spark.values import coerce
+
+    base, rounds, qn, qp = script
+    cur = GraphStore.from_quad_values(session, list(base))
+    bag = list(base)   # model: one entry per surviving quad copy
+    seen = list(base)  # all quads ever added (delete-index pool)
+    for adds, dels in rounds:
+        del_quads = []
+        for kind, v in dels:
+            if kind == "idx":
+                if seen:
+                    del_quads.append(seen[v % len(seen)])
+            else:
+                del_quads.append(v)
+        cur = cur.apply_deltas(add=list(adds), delete=del_quads)
+        bag.extend(adds)
+        seen.extend(adds)
+        if del_quads:
+            gone = {_key(q) for q in del_quads}
+            bag = [q for q in bag if _key(q) not in gone]
+
+        dist = cur
+        local = GraphStore(session, cur.nodes, cur.quads).enable_local()
+        assert getattr(local, "_local_index", None) is not None
+
+        # AllNodes: the node dictionary tracks surviving references
+        model_nodes = {
+            coerce(x).id for q in bag for x in q if x is not None
+        }
+        alln_d = sorted(r["id"] for r in Path.start(dist).all())
+        alln_l = sorted(r["id"] for r in Path.start(local).all())
+        assert alln_d == alln_l, f"AllNodes diverge after {script!r}"
+        assert len(alln_d) == len(model_nodes), (
+            f"refcount drift: {len(alln_d)} nodes vs model "
+            f"{len(model_nodes)} after {script!r}"
+        )
+
+        # one hop with per-copy multiplicity
+        out_d = rows_multiset(Path.start(dist, qn).out(qp))
+        out_l = rows_multiset(Path.start(local, qn).out(qp))
+        assert out_d == out_l, f"out() diverges after {script!r}"
+        nk, pk = coerce(qn).id, coerce(qp).id
+        model_hits = sum(
+            1 for q in bag if _key(q)[0] == nk and _key(q)[1] == pk
+        )
+        assert sum(out_d.values()) == model_hits, (
+            f"multiplicity drift after {script!r}"
+        )
