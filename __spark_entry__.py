@@ -1258,6 +1258,45 @@ def t_shards(spark, sf):
     return export_shards(docs, id_col="doc_id", n_shards=16, salt="x")
 
 
+def t_paradedup(spark, sf):
+    """Boilerplate paragraph removal (functions/text.paragraph_dedup —
+    the C4/RefinedWeb rule at paragraph granularity): drop all copies
+    of any paragraph appearing in >1 distinct documents, reassemble
+    survivors in order. The testdata text carries no newlines, so the
+    query first synthesizes 5-token paragraphs (every 5-token run's
+    trailing space becomes a blank line), mirrored in the oracle —
+    same pattern as t_html's synthesized markup."""
+    from cayley_spark.functions.text import paragraph_dedup
+
+    docs = _t_wide(spark, sf, "documents").withColumn(
+        "text",
+        F.regexp_replace("text", r"((?:\S+ ){4}\S+) ", "$1\n\n"),
+    )
+    return paragraph_dedup(docs, max_df=1)
+
+
+def d_spans(spark, sf):
+    """Verbatim cross-document span detection (functions/dedup.
+    duplicated_spans — the per-doc signal of Lee et al. 2022 exact-
+    substring dedup): count each document's distinct 5-word shingles
+    that also appear verbatim in another document. No pair join —
+    O(total shingles)."""
+    from cayley_spark.functions.dedup import duplicated_spans
+
+    docs = _t_wide(spark, sf, "documents")
+    return duplicated_spans(docs, k=5, min_docs=2)
+
+
+def t_scripts(spark, sf):
+    """Unicode script mix (functions/text.script_profile): exact
+    integer character counts per script + digits — the script-vs-
+    declared-language consistency signal."""
+    from cayley_spark.functions.text import script_profile
+
+    docs = _t_wide(spark, sf, "documents")
+    return script_profile(docs)
+
+
 def t_clean(spark, sf):
     """Normalization pass (functions/text.clean_stats): strip control
     chars, collapse whitespace, trim — regexp_replace chain at scan
@@ -1910,6 +1949,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20": q20,
         "q21": q21,
         "q22": q22,
+        # --- round-6 additions (never checked) ------------------------
+        "t_paradedup": t_paradedup,
+        "d_spans": d_spans,
+        "t_scripts": t_scripts,
         # --- last verified in r04: re-verification rotation -----------
         "g_in": g_in,
         "g_out2": g_out2,
@@ -1950,12 +1993,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_asof": q_asof,
         "q_range": q_range,
         "q_rollup": q_rollup,
-        "q_pivot": q_pivot,
-        "q_median": q_median,
-        "m_image": m_image,
         # --- positions 51+: r04 remainder; leads the round-7 window ---
         # (round-6 additions are inserted ABOVE this marker so they get
         # a verdict immediately, displacing r04 entries downward)
+        "q_pivot": q_pivot,
+        "q_median": q_median,
+        "m_image": m_image,
         "m_audio": m_audio,
         "q_json": q_json,
         "q_antijoin": q_antijoin,
@@ -3211,6 +3254,72 @@ WITH per_cust AS (
               CAST(('0x' || substr(md5('x' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
                    % 16 AS INT) AS shard,
               md5('x' || CAST(doc_id AS VARCHAR)) AS sort_key
+            FROM documents
+        """,
+        "t_paradedup": r"""
+            WITH syn AS (
+              SELECT doc_id,
+                regexp_replace(text, '((?:\S+ ){4}\S+) ',
+                  '\1' || chr(10) || chr(10), 'g') AS text
+              FROM documents
+            ), paras AS (
+              SELECT doc_id,
+                unnest([{'pos': i - 1, 'para': arr[i]}
+                        for i in range(1, len(arr) + 1)],
+                       recursive := true)
+              FROM (SELECT doc_id,
+                      regexp_split_to_array(text, '\n{2,}') AS arr
+                    FROM syn)
+            ), pd AS (
+              SELECT doc_id, pos, para FROM paras WHERE trim(para) <> ''
+            ), dfreq AS (
+              SELECT para, COUNT(DISTINCT doc_id) AS pdf
+              FROM pd GROUP BY para
+            ), kept AS (
+              SELECT p.doc_id, p.pos, p.para, (f.pdf > 1) AS drp
+              FROM pd p JOIN dfreq f USING (para)
+            )
+            SELECT doc_id,
+              COALESCE(array_to_string(
+                list(para ORDER BY pos) FILTER (WHERE NOT drp),
+                chr(10) || chr(10)), '') AS clean_text,
+              CAST(COUNT(*) AS INT) AS n_paragraphs,
+              CAST(COUNT(*) FILTER (WHERE drp) AS INT) AS n_dropped
+            FROM kept GROUP BY doc_id
+        """,
+        "d_spans": r"""
+            WITH sh AS (
+              SELECT doc_id AS id,
+                list_distinct([array_to_string(toks[i:i+4], ' ')
+                               for i in range(1, len(toks) - 3)]) AS sh
+              FROM (SELECT doc_id,
+                           regexp_extract_all(lower(text), '\w+') AS toks
+                    FROM documents)
+              WHERE len(toks) >= 5
+            ), g AS (
+              SELECT id, unnest(sh) AS g FROM sh
+            ), dup AS (
+              SELECT g FROM (
+                SELECT g, COUNT(DISTINCT id) AS nd FROM g GROUP BY g
+              ) WHERE nd >= 2
+            )
+            SELECT id AS doc_id, COUNT(*) AS n_dup_spans
+            FROM g WHERE g IN (SELECT g FROM dup)
+            GROUP BY id
+        """,
+        "t_scripts": r"""
+            SELECT doc_id,
+              CAST(length(text) - length(regexp_replace(text,
+                '\p{Latin}', '', 'g')) AS INT) AS latin_n,
+              CAST(length(text) - length(regexp_replace(text,
+                '\p{Cyrillic}', '', 'g')) AS INT) AS cyrillic_n,
+              CAST(length(text) - length(regexp_replace(text,
+                '\p{Han}', '', 'g')) AS INT) AS han_n,
+              CAST(length(text) - length(regexp_replace(text,
+                '\p{Arabic}', '', 'g')) AS INT) AS arabic_n,
+              CAST(length(text) - length(regexp_replace(text,
+                '[0-9]', '', 'g')) AS INT) AS digit_n,
+              CAST(length(text) AS INT) AS total_n
             FROM documents
         """,
         "t_postings": r"""

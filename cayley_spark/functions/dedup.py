@@ -389,6 +389,47 @@ def ngram_jaccard_pairs(
     )
 
 
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Verbatim cross-document span detection — the per-doc signal
+    behind exact-substring dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", which uses suffix
+    arrays; the fixed-k shingle form is its streaming-friendly
+    relaxation): a span is a k-word shingle, a span occurring in at
+    least ``min_docs`` DISTINCT documents is "duplicated", and every
+    document reports how many distinct duplicated spans it contains —
+    (id, n_dup_spans), documents with none omitted. Consumers route
+    on it (drop, trim the span, or send to exact dedup).
+
+    Scale shape: NO pair join anywhere — explode shingles, one
+    groupBy(shingle) for the distinct-doc count, one semi-join back,
+    one per-doc count. O(total shingles) with uniform keys; a
+    boilerplate span shared by a million documents costs one counter
+    row, not 10^12 candidate pairs (the failure mode the LSH
+    operators need the hot-bucket guard for never arises here)."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), k)).alias("g"),
+    )
+    dup = (
+        sh.groupBy("g")
+        .agg(F.count_distinct("id").alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("g")
+    )
+    return (
+        sh.join(dup, "g", "left_semi")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_dup_spans"))
+        .select(F.col("id").alias(id_col), "n_dup_spans")
+    )
+
+
 def simhash64(col: Column, k: int = 2) -> Column:
     """64-bit SimHash over k-word shingles: for each bit b, sum ±1
     across shingle hashes, take the sign. Pure column expressions;

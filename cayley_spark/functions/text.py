@@ -490,6 +490,89 @@ def html_text_stats(
     )
 
 
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int = 1,
+    sep_re: str = r"\n{2,}",
+    joiner: str = "\n\n",
+) -> DataFrame:
+    """Boilerplate PARAGRAPH removal — the C4/RefinedWeb line-dedup
+    rule at paragraph granularity: split each document on ``sep_re``,
+    count every distinct paragraph's corpus-wide document frequency,
+    drop ALL copies of paragraphs appearing in more than ``max_df``
+    distinct documents (cookie banners, nav text, license footers),
+    and reassemble the survivors in original order. Returns
+    (id, clean_text, n_paragraphs, n_dropped); documents that are
+    entirely whitespace (no paragraphs) are omitted.
+
+    Scale shape: paragraphs shuffle by their md5 digest (16-byte
+    uniform keys, never paragraph text), one groupBy for document
+    frequency, one digest-keyed join back, one per-doc re-aggregation
+    with an order-preserving array_sort — O(total paragraphs), no
+    pair joins. The df join is shuffle-on-digest rather than
+    broadcast because a 100 TB crawl's distinct-paragraph dictionary
+    is itself corpus-scale."""
+    paras = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), sep_re)).alias(
+            "pos", "para"
+        ),
+    ).where(F.trim("para") != "")
+    pd_ = paras.withColumn("dg", F.md5("para"))
+    dfreq = pd_.groupBy("dg").agg(
+        F.count_distinct("id").alias("pdf")
+    )
+    kept = pd_.join(dfreq, "dg").withColumn(
+        "drop", F.col("pdf") > max_df
+    )
+    agg = kept.groupBy("id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("pos", "para", "drop"))
+        ).alias("ps")
+    )
+    survivors = F.filter("ps", lambda x: ~x["drop"])
+    return agg.select(
+        F.col("id").alias(id_col),
+        F.concat_ws(
+            joiner, F.transform(survivors, lambda x: x["para"])
+        ).alias("clean_text"),
+        F.size("ps").cast("int").alias("n_paragraphs"),
+        (F.size("ps") - F.size(survivors)).cast("int").alias("n_dropped"),
+    )
+
+
+def script_profile(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Unicode script mix per document — the script-detection signal
+    multilingual pipelines route on (a "lang=en" doc that is 40%
+    Cyrillic is mislabeled or spam). Integer character counts for the
+    major scripts plus digits: (id, latin_n, cyrillic_n, han_n,
+    arabic_n, digit_n, total_n). Counts are exact ints (length minus
+    length-after-strip, one regexp_replace per script at scan speed);
+    consumers divide for ratios. The oracle writes the same classes
+    in RE2 spelling (\\p{Latin}) vs Java's \\p{IsLatin} — class
+    SEMANTICS are the shared subset, the prefix is engine syntax."""
+    c = F.col(text_col)
+
+    def n_of(cls: str) -> Column:
+        return (
+            F.length(c) - F.length(F.regexp_replace(c, cls, ""))
+        ).cast("int")
+
+    return df.select(
+        F.col(id_col),
+        n_of(r"\p{IsLatin}").alias("latin_n"),
+        n_of(r"\p{IsCyrillic}").alias("cyrillic_n"),
+        n_of(r"\p{IsHan}").alias("han_n"),
+        n_of(r"\p{IsArabic}").alias("arabic_n"),
+        n_of(r"[0-9]").alias("digit_n"),
+        F.length(c).cast("int").alias("total_n"),
+    )
+
+
 #: GPT-2-style pre-tokenization pattern, restricted to the regex
 #: subset Java and RE2 share (no lookahead — the original's
 #: trailing-space lookahead is dropped): contraction suffixes,

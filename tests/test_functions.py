@@ -967,3 +967,73 @@ def test_audio_segments(spark):
             assert 80 <= r["n_pos"] <= 170 and r["energy"] > 0
     # non-WAV rows take the fake path (n_pos = -1 marker)
     assert by[(0, 0)]["n_pos"] == -1
+
+
+def test_paragraph_dedup(spark):
+    """C4-style boilerplate removal: all copies of a paragraph seen in
+    >1 distinct docs are dropped; survivors keep their order; a doc
+    whose every paragraph is boilerplate survives with empty text."""
+    from cayley_spark.functions.text import paragraph_dedup
+
+    boiler = "subscribe to our newsletter"
+    rows = [
+        Row(doc_id=1, text=f"unique opening one\n\n{boiler}\n\nunique closing one"),
+        Row(doc_id=2, text=f"{boiler}\n\nsecond doc body text"),
+        Row(doc_id=3, text=boiler),
+        Row(doc_id=4, text="entirely original content here"),
+        # duplicate paragraph WITHIN one doc only: df counts DISTINCT
+        # docs, so an in-doc refrain is not boilerplate
+        Row(doc_id=5, text="chorus line\n\nverse text\n\nchorus line"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in paragraph_dedup(spark.createDataFrame(rows)).collect()
+    }
+    assert out[1]["clean_text"] == "unique opening one\n\nunique closing one"
+    assert out[1]["n_paragraphs"] == 3 and out[1]["n_dropped"] == 1
+    assert out[2]["clean_text"] == "second doc body text"
+    assert out[3]["clean_text"] == "" and out[3]["n_dropped"] == 1
+    assert out[4]["clean_text"] == "entirely original content here"
+    assert out[5]["clean_text"] == "chorus line\n\nverse text\n\nchorus line"
+    assert out[5]["n_dropped"] == 0
+
+
+def test_duplicated_spans(spark):
+    """Lee-et-al-style verbatim span flag: only spans shared across
+    >=2 DISTINCT docs count; no pair join is involved so a span in
+    many docs costs one counter row."""
+    from cayley_spark.functions.dedup import duplicated_spans
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        Row(doc_id=1, text=f"intro words then {shared} and more after"),
+        Row(doc_id=2, text=f"other opening {shared} different tail"),
+        Row(doc_id=3, text="totally unrelated text with nothing shared here"),
+    ]
+    out = {
+        r["doc_id"]: r["n_dup_spans"]
+        for r in duplicated_spans(
+            spark.createDataFrame(rows), k=5, min_docs=2
+        ).collect()
+    }
+    # the 9-word shared run yields 5 distinct 5-grams, all shared
+    assert out[1] == 5 and out[2] == 5
+    assert 3 not in out
+
+
+def test_script_profile(spark):
+    from cayley_spark.functions.text import script_profile
+
+    rows = [
+        Row(doc_id=1, text="hello world 42"),
+        Row(doc_id=2, text="привет мир"),
+        Row(doc_id=3, text="汉字 text"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in script_profile(spark.createDataFrame(rows)).collect()
+    }
+    assert out[1]["latin_n"] == 10 and out[1]["digit_n"] == 2
+    assert out[1]["total_n"] == 14
+    assert out[2]["cyrillic_n"] == 9 and out[2]["latin_n"] == 0
+    assert out[3]["han_n"] == 2 and out[3]["latin_n"] == 4
