@@ -292,6 +292,16 @@ def main() -> None:
         line = json.dumps(out, separators=(",", ":"))
         if len(line) <= 1800:
             break
+    if len(line) > 1800:
+        # registry outgrew even 1-sig-fig: keep the suite total exact
+        # and the slowest 40 queries (the ones perf review looks at);
+        # the full map is always in BENCH_DETAIL.json
+        out["queries"] = dict(
+            sorted(timings.items(), key=lambda kv: -kv[1])[:40]
+        )
+        out["queries"] = {k: _sig(v, 1) for k, v in out["queries"].items()}
+        out["n_queries_total"] = len(timings)
+        line = json.dumps(out, separators=(",", ":"))
     print(line)
     spark.stop()
 

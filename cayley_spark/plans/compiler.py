@@ -211,10 +211,20 @@ def _pred_count_map(store: GraphStore) -> dict:
     never go stale."""
     m = getattr(store, "_pred_count_cache", None)
     if m is None:
-        rows = store.quads.groupBy("p").agg(
-            F.count(F.lit(1)).alias("n")
-        ).collect()
-        m = {r["p"]: r["n"] for r in rows}
+        # bounded collect: predicates are dimension-sized in real
+        # graphs, but a pathological store (unique predicate per quad)
+        # must not stream a quads-sized map to the driver — above the
+        # bound, decline stats (estimates become +inf → written order)
+        bound = 65536
+        rows = (
+            store.quads.groupBy("p")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .limit(bound + 1)
+            .collect()
+        )
+        m = (
+            {r["p"]: r["n"] for r in rows} if len(rows) <= bound else {}
+        )
         store._pred_count_cache = m
     return m
 
@@ -236,6 +246,8 @@ def _estimate_size(store: GraphStore, shape) -> float:
         if not isinstance(q, S.Quads):
             return float("inf")
         m = _pred_count_map(store)
+        if not m:  # stats declined (see bound above): don't pretend
+            return float("inf")
         est = float(sum(m.values()))
         extra = 0
         for qf in q.filters:
