@@ -290,9 +290,9 @@ def main() -> None:
             "load_sec": _sig(load_sec, prec),
         }
         line = json.dumps(out, separators=(",", ":"))
-        if len(line) <= 1800:
+        if len(line) <= 1900:
             break
-    if len(line) > 1800:
+    if len(line) > 1900:
         # registry outgrew even 1-sig-fig: keep the suite total exact
         # and the slowest 40 queries (the ones perf review looks at);
         # the full map is always in BENCH_DETAIL.json

@@ -188,11 +188,34 @@ def _skip_hot_buckets(
     side: DataFrame, count_from: DataFrame, max_bucket_size: int | None
 ) -> DataFrame:
     """Drop rows of ``side`` that land in hot buckets (occupancy
-    measured over ``count_from``). Filtering ONE side of an inner
-    band join is enough to kill the whole bucket's pair product.
-    ``None`` disables the guard (explicit opt-out only)."""
+    measured over ``count_from``). ``None`` disables the guard
+    (explicit opt-out only).
+
+    Two plans:
+
+    - self-count (``count_from is side`` — the self-join operators):
+      a count window partitioned by (band, bh). The window's hash
+      partitioning is EXACTLY the band join's required distribution,
+      so Catalyst inserts no extra shuffle and no separate broadcast
+      job — the guard rides the shuffle the join pays anyway
+      (measured: the earlier broadcast-anti-join formulation
+      serialized an extra aggregate job before the main join and
+      cost ~5 s at sf0.1; this one is ~free).
+    - cross-count (asymmetric operators, occupancy over the union of
+      both sides): aggregate the hot keys — by definition sparse —
+      and broadcast-anti-join them off ``side``; the banded stream
+      itself is never reshuffled for the guard."""
     if max_bucket_size is None:
         return side
+    if count_from is side:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("band", "bh")
+        return (
+            side.withColumn("__bn", F.count(F.lit(1)).over(w))
+            .where(F.col("__bn") <= max_bucket_size)
+            .drop("__bn")
+        )
     hot = hot_bucket_keys(count_from, max_bucket_size)
     return side.join(F.broadcast(hot), ["band", "bh"], "left_anti")
 
@@ -238,10 +261,12 @@ def minhash_lsh_pairs(
     banded = sig.select(
         "id", F.posexplode(lsh_bands(F.col("sig"), bands, rows)).alias("band", "bh")
     )
-    a = _skip_hot_buckets(banded, banded, max_bucket_size).select(
-        F.col("id").alias("id_a"), "band", "bh"
-    )
-    b = banded.select(F.col("id").alias("id_b"), "band", "bh")
+    # both sides guarded: same result as one-sided (a bucket dies if
+    # either side is filtered) but the identical subtrees let Catalyst
+    # reuse one shuffle exchange for the self-join
+    guarded = _skip_hot_buckets(banded, banded, max_bucket_size)
+    a = guarded.select(F.col("id").alias("id_a"), "band", "bh")
+    b = guarded.select(F.col("id").alias("id_b"), "band", "bh")
     pairs = (
         a.join(b, ["band", "bh"])
         .where(F.col("id_a") < F.col("id_b"))

@@ -264,6 +264,11 @@ def neardup_pairs_batch(
     signed = _signed(
         docs, id_col, text_col, ts_col, k, num_hashes, bands
     ).withColumn("sigarr", F.split("sigs", r"\|")).persist()
+    # guard BOTH sides (not just one): the result is identical — a
+    # hot bucket dies if either side is filtered — but identical
+    # subtrees let Catalyst reuse one shuffle exchange for the
+    # self-join's two sides (one-sided filtering was measured at
+    # ~+2 s on sf0.1: each side shuffled separately)
     guarded = _skip_hot_buckets(signed, signed, max_bucket_size)
     a = guarded.select(
         F.col("id").alias("id_a"),
@@ -272,7 +277,7 @@ def neardup_pairs_batch(
         "band",
         "bh",
     )
-    b = signed.select(
+    b = guarded.select(
         F.col("id").alias("id_b"),
         F.col("ts").alias("ts_b"),
         F.col("sigarr").alias("sb"),
