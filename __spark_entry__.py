@@ -1297,6 +1297,18 @@ def t_scripts(spark, sf):
     return script_profile(docs)
 
 
+def t_tiers(spark, sf):
+    """CCNet-style quality tiering (functions/text.quality_buckets):
+    rank by integer stopword density, cut into 10 ntile tiers via the
+    distributed-rank machinery (range partition + per-partition
+    row_number + offset exchange — never a single-task global
+    window). Oracle = plain SQL ntile."""
+    from cayley_spark.functions.text import quality_buckets
+
+    docs = _t_wide(spark, sf, "documents")
+    return quality_buckets(docs, n_buckets=10)
+
+
 def t_clean(spark, sf):
     """Normalization pass (functions/text.clean_stats): strip control
     chars, collapse whitespace, trim — regexp_replace chain at scan
@@ -1953,6 +1965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_paradedup": t_paradedup,
         "d_spans": d_spans,
         "t_scripts": t_scripts,
+        "t_tiers": t_tiers,
         # --- last verified in r04: re-verification rotation -----------
         "g_in": g_in,
         "g_out2": g_out2,
@@ -1992,10 +2005,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_topuser": q_events_topuser,
         "q_asof": q_asof,
         "q_range": q_range,
-        "q_rollup": q_rollup,
         # --- positions 51+: r04 remainder; leads the round-7 window ---
         # (round-6 additions are inserted ABOVE this marker so they get
         # a verdict immediately, displacing r04 entries downward)
+        "q_rollup": q_rollup,
         "q_pivot": q_pivot,
         "q_median": q_median,
         "m_image": m_image,
@@ -3306,6 +3319,23 @@ WITH per_cust AS (
             SELECT id AS doc_id, COUNT(*) AS n_dup_spans
             FROM g WHERE g IN (SELECT g FROM dup)
             GROUP BY id
+        """,
+        "t_tiers": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '\w+') AS toks
+              FROM documents
+            ), s AS (
+              SELECT doc_id,
+                (CAST(len(list_filter(toks, x -> x IN
+                   ('the','and','of','to','a','in','is','it'))) AS BIGINT)
+                 * 1000000) // CAST(len(toks) AS BIGINT) AS density_ppm
+              FROM t WHERE len(toks) > 0
+            )
+            SELECT doc_id, density_ppm,
+              CAST(ntile(10) OVER (ORDER BY density_ppm DESC, doc_id)
+                   AS INT) AS bucket
+            FROM s
         """,
         "t_scripts": r"""
             SELECT doc_id,

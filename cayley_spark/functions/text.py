@@ -543,6 +543,88 @@ def paragraph_dedup(
     )
 
 
+def quality_buckets(
+    df: DataFrame,
+    n_buckets: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style quality tiering (Wenzek et al. 2019 cut the crawl
+    into head/middle/tail by LM perplexity; here the rank key is the
+    integer stopword-density proxy, ppm, so the tiering is
+    engine-exact): documents are ranked by density descending (ties
+    by id) and cut into ``n_buckets`` contiguous tiers with SQL
+    ntile semantics — the first N mod b tiers hold one extra
+    document. Returns (id, density_ppm, bucket), bucket 1-indexed;
+    zero-token documents are excluded (no density).
+
+    Scale shape: ntile needs a GLOBAL ordering, and the naive
+    ``Window.orderBy()`` without partitionBy is a single-task plan
+    (the trap bm25_topk and pack_sequences already avoid). This uses
+    pack_sequences' distributed machinery: range partition on the
+    sort key, per-partition row_number, and a numPartitions-sized
+    offset exchange — rank assignment stays fully parallel."""
+    from pyspark.sql.window import Window
+
+    c = F.col(text_col)
+    scored = (
+        df.select(
+            F.col(id_col).alias("id"),
+            stopword_count(c).cast("long").alias("__sw"),
+            token_count(c).cast("long").alias("__nt"),
+        )
+        .where(F.col("__nt") > 0)
+        .select(
+            "id", F.expr("(__sw * 1000000) div __nt").alias("density_ppm")
+        )
+    )
+    # localCheckpoint pins one placement of the sample-based range
+    # shuffle: the counts job and the output job must agree on it
+    ranged = (
+        scored.repartitionByRange(
+            F.col("density_ppm").desc(), F.col("id")
+        )
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    w = Window.partitionBy("__pid").orderBy(
+        F.col("density_ppm").desc(), "id"
+    )
+    local = ranged.withColumn("__r", F.row_number().over(w))
+    counts = sorted(
+        (r["__pid"], r["c"])
+        for r in ranged.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    run, offs = 0, []
+    for pid, cnt in counts:
+        offs.append((pid, run))
+        run += cnt
+    size, extra = divmod(run, n_buckets)
+    cut = extra * (size + 1)
+    off_df = F.broadcast(
+        df.sparkSession.createDataFrame(offs, "__pid: int, __base: long")
+    )
+    rank = F.col("__base") + F.col("__r")
+    bucket = (
+        F.when(rank <= cut, F.ceil(rank / (size + 1)))
+        .otherwise(
+            extra
+            + F.ceil((rank - cut) / F.greatest(F.lit(size), F.lit(1)))
+        )
+        .cast("int")
+    )
+    return (
+        local.join(off_df, "__pid")
+        .select(
+            F.col("id").alias(id_col),
+            "density_ppm",
+            bucket.alias("bucket"),
+        )
+    )
+
+
 def script_profile(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -1037,3 +1037,45 @@ def test_script_profile(spark):
     assert out[1]["total_n"] == 14
     assert out[2]["cyrillic_n"] == 9 and out[2]["latin_n"] == 0
     assert out[3]["han_n"] == 2 and out[3]["latin_n"] == 4
+
+
+def test_quality_buckets_matches_sql_ntile(spark):
+    """The distributed-rank tiering must reproduce SQL ntile exactly
+    (first N mod b buckets one larger), stay deterministic under
+    repartitioning, and exclude zero-token docs."""
+    from pyspark.sql.window import Window
+
+    from cayley_spark.functions.text import quality_buckets
+
+    rows = [
+        Row(doc_id=i, text=("the and of " * (i % 5)) + f"word{i} tail")
+        for i in range(23)
+    ] + [Row(doc_id=99, text="!!! ...")]  # zero tokens? '!!!' has no \w
+    df = spark.createDataFrame(rows)
+    got = quality_buckets(df, n_buckets=4)
+    rowsd = {r["doc_id"]: r for r in got.collect()}
+    assert 99 not in rowsd and len(rowsd) == 23
+    # differential vs Spark's own ntile (fine for a 23-row test)
+    ref = (
+        got.select("doc_id", "density_ppm")
+        .withColumn(
+            "b",
+            F.ntile(4).over(
+                Window.orderBy(F.col("density_ppm").desc(), "doc_id")
+            ),
+        )
+        .collect()
+    )
+    for r in ref:
+        assert rowsd[r["doc_id"]]["bucket"] == r["b"], r
+    # bucket sizes: 23 = 4*5+3 -> sizes [6,6,6,5]
+    from collections import Counter
+
+    sizes = Counter(r["bucket"] for r in rowsd.values())
+    assert sizes == {1: 6, 2: 6, 3: 6, 4: 5}
+    # partitioning-independent
+    again = {
+        r["doc_id"]: r["bucket"]
+        for r in quality_buckets(df.repartition(7), n_buckets=4).collect()
+    }
+    assert again == {k: v["bucket"] for k, v in rowsd.items()}
