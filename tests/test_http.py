@@ -370,3 +370,56 @@ def test_client_library(srv):
 
     with pytest.raises(RequestFailed):
         c.query("this is not gizmo (")
+
+
+def test_responses_advertise_http_1_1_raw_socket(srv):
+    """Chunked transfer framing is only legal on HTTP/1.1; CPython's
+    http.client de-chunks regardless of the advertised version, so
+    this pins the STATUS LINE over a raw socket — a Go net/http or
+    curl client would otherwise see raw chunk framing in the
+    /api/v2/read dump body."""
+    import socket
+    from urllib.parse import urlparse
+
+    u = urlparse(srv)
+    with socket.create_connection((u.hostname, u.port), timeout=10) as s:
+        s.sendall(
+            b"GET /health HTTP/1.1\r\nHost: x\r\nConnection: close\r\n\r\n"
+        )
+        first = b""
+        while b"\r\n" not in first:
+            first += s.recv(256)
+    assert first.startswith(b"HTTP/1.1 2"), first[:40]
+
+
+def test_chunked_dump_dechunks_by_the_spec(srv):
+    """Manually de-chunk /api/v2/read over a raw socket (what a
+    spec-compliant non-CPython client does) and check the nquads
+    payload parses — guards the chunk framing itself."""
+    import socket
+    from urllib.parse import urlparse
+
+    u = urlparse(srv)
+    with socket.create_connection((u.hostname, u.port), timeout=30) as s:
+        s.sendall(
+            b"GET /api/v2/read HTTP/1.1\r\nHost: x\r\nConnection: close\r\n\r\n"
+        )
+        buf = b""
+        while True:
+            b_ = s.recv(65536)
+            if not b_:
+                break
+            buf += b_
+    head, _, body = buf.partition(b"\r\n\r\n")
+    assert b"Transfer-Encoding: chunked" in head, head
+    # RFC 7230 §4.1 de-chunking
+    out = b""
+    rest = body
+    while True:
+        size_line, _, rest = rest.partition(b"\r\n")
+        size = int(size_line.split(b";")[0], 16)
+        if size == 0:
+            break
+        out, rest = out + rest[:size], rest[size + 2:]
+    text = out.decode()
+    assert "<bob>" in text and text.count("\n") >= 10
