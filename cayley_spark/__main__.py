@@ -151,13 +151,13 @@ def main(argv: list[str] | None = None) -> int:
     pp = sub.add_parser(
         "pipeline",
         help="corpus transforms: dedup/chunk/pack/split/quality/"
-             "html/mix/shard",
+             "html/mix/shard/paradedup/spans/tiers",
     )
     pp.add_argument(
         "op",
         choices=[
             "dedup", "chunk", "pack", "split", "quality",
-            "html", "mix", "shard",
+            "html", "mix", "shard", "paradedup", "spans", "tiers",
         ],
     )
     pp.add_argument("--in", dest="inp", required=True, help="input parquet")
@@ -176,6 +176,10 @@ def main(argv: list[str] | None = None) -> int:
     pp.add_argument("--target-frac", type=float, default=0.5)
     pp.add_argument("--n-shards", type=int, default=16)
     pp.add_argument("--salt", default="")
+    pp.add_argument("--max-df", type=int, default=1)
+    pp.add_argument("--span-k", type=int, default=5)
+    pp.add_argument("--min-docs", type=int, default=2)
+    pp.add_argument("--n-buckets", type=int, default=10)
     args = ap.parse_args(argv)
 
     # Spark-free commands first
@@ -381,6 +385,27 @@ def _pipeline(spark, args) -> int:
         ).sortWithinPartitions("sort_key").write.mode(
             "overwrite"
         ).partitionBy("shard").parquet(args.out)
+    elif args.op == "paradedup":
+        from .functions.text import paragraph_dedup
+
+        paragraph_dedup(
+            df, id_col=args.id_col, text_col=args.text_col,
+            max_df=args.max_df,
+        ).write.mode("overwrite").parquet(args.out)
+    elif args.op == "spans":
+        from .functions.dedup import duplicated_spans
+
+        duplicated_spans(
+            df, id_col=args.id_col, text_col=args.text_col,
+            k=args.span_k, min_docs=args.min_docs,
+        ).write.mode("overwrite").parquet(args.out)
+    elif args.op == "tiers":
+        from .functions.text import quality_buckets
+
+        quality_buckets(
+            df, n_buckets=args.n_buckets, id_col=args.id_col,
+            text_col=args.text_col,
+        ).write.mode("overwrite").parquet(args.out)
     elif args.op == "quality":
         from .functions.text import quality_stats, repetition_stats
 

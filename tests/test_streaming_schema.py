@@ -820,6 +820,26 @@ def test_cli_pipeline_verbs(spark, tmp_path, capsys):
     ql = spark.read.parquet(out)
     assert ql.count() == 6 and "top_token_ratio" in ql.columns
 
+    out = str(tmp_path / "sn")
+    assert main(["pipeline", "spans", "--in", src, "--out", out,
+                 "--span-k", "3"]) == 0
+    sn = spark.read.parquet(out)
+    # docs 0/1 share all their 3-gram spans
+    assert sn.count() == 2 and "n_dup_spans" in sn.columns
+
+    out = str(tmp_path / "tr")
+    assert main(["pipeline", "tiers", "--in", src, "--out", out,
+                 "--n-buckets", "3"]) == 0
+    tr = spark.read.parquet(out)
+    assert tr.count() == 6 and set(
+        r["bucket"] for r in tr.collect()
+    ) == {1, 2, 3}
+
+    out = str(tmp_path / "pdd")
+    assert main(["pipeline", "paradedup", "--in", src, "--out", out]) == 0
+    pdd = spark.read.parquet(out)
+    assert pdd.count() == 6 and "clean_text" in pdd.columns
+
 
 def test_neardup_stream_matches_batch(spark, tmp_path):
     """Streaming MinHash-LSH near-dup (streaming/neardup.py): the
