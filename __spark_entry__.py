@@ -1809,6 +1809,25 @@ def g_predstats(spark, sf):
     return tpch_graph(spark, sf).predicate_stats()
 
 
+def g_walks(spark, sf):
+    """DeepWalk-style deterministic random-walk corpus
+    (graphs/algorithms.random_walks) over the symmetrized order↔part
+    graph — the sampling stage of graph-embedding training. Seeded
+    md5 argmin stands in for the RNG, so the DuckDB oracle replays
+    every hop exactly (4 unrolled rounds)."""
+    from cayley_spark.graphs.algorithms import random_walks
+
+    li = _t(spark, sf, "lineitem")
+    fwd = li.select(
+        (F.col("l_orderkey") * 2).alias("src"),
+        (F.col("l_partkey") * 2 + 1).alias("dst"),
+    )
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).dropDuplicates()
+    return random_walks(edges, walk_length=4, seed="w")
+
+
 def g_pagerank(spark, sf):
     """Fixed-point PageRank (graphs/algorithms.py) over the
     order→part bipartite graph from lineitem. Integer-scaled ranks
@@ -1966,6 +1985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_spans": d_spans,
         "t_scripts": t_scripts,
         "t_tiers": t_tiers,
+        "g_walks": g_walks,
         # --- last verified in r04: re-verification rotation -----------
         "g_in": g_in,
         "g_out2": g_out2,
@@ -2004,10 +2024,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sessions": q_sessions,
         "q_events_topuser": q_events_topuser,
         "q_asof": q_asof,
-        "q_range": q_range,
         # --- positions 51+: r04 remainder; leads the round-7 window ---
         # (round-6 additions are inserted ABOVE this marker so they get
         # a verdict immediately, displacing r04 entries downward)
+        "q_range": q_range,
         "q_rollup": q_rollup,
         "q_pivot": q_pivot,
         "q_median": q_median,
@@ -2101,6 +2121,23 @@ _BOK = """bsz AS (
             ), bok AS (
               SELECT banded.* FROM banded JOIN bsz USING (band, bh)
               WHERE bsz.n <= 256
+            )"""
+
+
+def _walk_round(n: int, prev: str) -> str:
+    """One random-walk hop as a SQL CTE: per walk, the out-neighbor
+    of the current node minimizing the seeded md5 — mirrors
+    cayley_spark.graphs.algorithms.random_walks exactly (argmin on
+    the md5hash:zero-padded-id string, ties to smallest id)."""
+    return f"""s{n} AS (
+              SELECT w.walk_id,
+                CAST(substr(min(
+                  md5('w:{n}:' || CAST(w.node AS VARCHAR) || '>' ||
+                      CAST(e.d AS VARCHAR))
+                  || ':' || lpad(CAST(e.d AS VARCHAR), 20, '0')
+                ), 34, 20) AS BIGINT) AS node
+              FROM {prev} w JOIN e ON e.s = w.node
+              GROUP BY w.walk_id
             )"""
 
 
@@ -3028,6 +3065,24 @@ WITH per_cust AS (
               ) GROUP BY n
             )
             SELECT degree, COUNT(*) AS n_nodes FROM deg GROUP BY degree
+        """,
+        "g_walks": f"""
+            WITH fwd AS (
+              SELECT DISTINCT l_orderkey * 2 AS s, l_partkey * 2 + 1 AS d
+              FROM lineitem
+            ), e AS (
+              SELECT s, d FROM fwd UNION SELECT d, s FROM fwd
+            ), w0 AS (
+              SELECT DISTINCT s AS walk_id, s AS node FROM e
+            ), {_walk_round(1, 'w0')},
+            {_walk_round(2, 's1')},
+            {_walk_round(3, 's2')},
+            {_walk_round(4, 's3')}
+            SELECT walk_id, 0 AS step, node FROM w0
+            UNION ALL SELECT walk_id, 1 AS step, node FROM s1
+            UNION ALL SELECT walk_id, 2 AS step, node FROM s2
+            UNION ALL SELECT walk_id, 3 AS step, node FROM s3
+            UNION ALL SELECT walk_id, 4 AS step, node FROM s4
         """,
         "g_pagerank": """
             WITH e AS (

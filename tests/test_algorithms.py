@@ -192,3 +192,41 @@ def test_predicate_stats(social):
     # 15-quad social fixture (conftest SIMPLE_SOCIAL):
     # 8 follows + 5 status + 2 are
     assert stats == {"<follows>": 8, "<status>": 5, "<are>": 2}
+
+
+def test_random_walks_deterministic_and_sink_aware(spark):
+    """Walk corpus: step 0 = start, each hop is the seeded-md5 argmin
+    over out-neighbors (replayable by any engine), walks stop at
+    sinks, and the same input yields the same walks under any
+    partitioning."""
+    from pyspark.sql import Row
+
+    from cayley_spark.graphs.algorithms import random_walks
+
+    edges = spark.createDataFrame(
+        [Row(src=1, dst=2), Row(src=1, dst=3), Row(src=2, dst=1),
+         Row(src=3, dst=4)]  # 4 is a sink
+    )
+    out = random_walks(edges, walk_length=3, seed="t")
+    rows = {(r["walk_id"], r["step"]): r["node"] for r in out.collect()}
+    # every start has a step-0 row naming itself
+    assert rows[(1, 0)] == 1 and rows[(2, 0)] == 2 and rows[(3, 0)] == 3
+    # node 3's only neighbor is 4; 4 is a sink so the walk ends there
+    assert rows[(3, 1)] == 4
+    assert (3, 2) not in rows
+    # node 1 picks deterministically between 2 and 3
+    first_hop = rows[(1, 1)]
+    assert first_hop in (2, 3)
+    again = {
+        (r["walk_id"], r["step"]): r["node"]
+        for r in random_walks(
+            edges.repartition(5), walk_length=3, seed="t"
+        ).collect()
+    }
+    assert again == rows
+    # a different seed changes at least one hop on this graph, or at
+    # minimum produces a valid walk set of the same shape
+    other = random_walks(edges, walk_length=3, seed="u").collect()
+    assert {(r["walk_id"], 0) for r in other if r["step"] == 0} == {
+        (1, 0), (2, 0), (3, 0)
+    }
