@@ -1297,6 +1297,17 @@ def t_scripts(spark, sf):
     return script_profile(docs)
 
 
+def t_cooc(spark, sf):
+    """GloVe-input co-occurrence matrix (functions/text.
+    cooccurrence_counts): canonical word pairs within a ±3 window,
+    integer counts — pair generation is pure array expressions at
+    scan speed, the only shuffle is the final pair groupBy."""
+    from cayley_spark.functions.text import cooccurrence_counts
+
+    docs = _t_wide(spark, sf, "documents")
+    return cooccurrence_counts(docs, window=3, min_count=5)
+
+
 def t_tiers(spark, sf):
     """CCNet-style quality tiering (functions/text.quality_buckets):
     rank by integer stopword density, cut into 10 ntile tiers via the
@@ -1986,6 +1997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_scripts": t_scripts,
         "t_tiers": t_tiers,
         "g_walks": g_walks,
+        "t_cooc": t_cooc,
         # --- last verified in r04: re-verification rotation -----------
         "g_in": g_in,
         "g_out2": g_out2,
@@ -2023,10 +2035,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_windowed": q_events_windowed,
         "q_sessions": q_sessions,
         "q_events_topuser": q_events_topuser,
-        "q_asof": q_asof,
         # --- positions 51+: r04 remainder; leads the round-7 window ---
         # (round-6 additions are inserted ABOVE this marker so they get
         # a verdict immediately, displacing r04 entries downward)
+        "q_asof": q_asof,
         "q_range": q_range,
         "q_rollup": q_rollup,
         "q_pivot": q_pivot,
@@ -3374,6 +3386,22 @@ WITH per_cust AS (
             SELECT id AS doc_id, COUNT(*) AS n_dup_spans
             FROM g WHERE g IN (SELECT g FROM dup)
             GROUP BY id
+        """,
+        "t_cooc": r"""
+            WITH t AS (
+              SELECT regexp_extract_all(lower(text), '\w+') AS toks
+              FROM documents
+            ), p AS (
+              SELECT unnest(flatten([
+                [{'a': least(toks[i], toks[i+d]),
+                  'b': greatest(toks[i], toks[i+d])}
+                 for d in range(1, 4) if i + d <= len(toks)]
+                for i in range(1, len(toks) + 1)
+              ]), recursive := true)
+              FROM t
+            )
+            SELECT a, b, COUNT(*) AS cnt
+            FROM p GROUP BY a, b HAVING COUNT(*) >= 5
         """,
         "t_tiers": r"""
             WITH t AS (

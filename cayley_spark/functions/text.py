@@ -543,6 +543,62 @@ def paragraph_dedup(
     )
 
 
+def cooccurrence_counts(
+    df: DataFrame,
+    window: int = 3,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Word co-occurrence counts within a ±``window`` token span —
+    the input matrix of GloVe-style embedding training (Pennington
+    et al. 2014; GloVe weights by 1/distance, left to the consumer —
+    integer counts keep the oracle hash exact). Pairs are canonical
+    (a <= b lexicographically, symmetric context); returns
+    (a, b, cnt) for pairs seen at least ``min_count`` times.
+
+    Scale shape — ZERO joins: the naive formulation (positions
+    self-joined per doc) is quadratic in document length; this one
+    builds each position's forward pairs with pure array expressions
+    (transform over a position sequence x transform over 1..window,
+    try_element_at guarding the tail), so pair generation runs at
+    scan speed inside codegen and the only shuffle is the final
+    (a, b) groupBy — uniform word-pair keys with map-side combine."""
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+            lambda i: F.filter(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(window)),
+                    lambda d: F.when(
+                        i + d <= n,
+                        F.struct(
+                            F.least(
+                                F.try_element_at(toks, i),
+                                F.try_element_at(toks, i + d),
+                            ).alias("a"),
+                            F.greatest(
+                                F.try_element_at(toks, i),
+                                F.try_element_at(toks, i + d),
+                            ).alias("b"),
+                        ),
+                    ),
+                ),
+                lambda s: s.isNotNull(),
+            ),
+        )
+    )
+    return (
+        df.select(F.explode(pairs).alias("p"))
+        .select("p.a", "p.b")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= min_count)
+    )
+
+
 def quality_buckets(
     df: DataFrame,
     n_buckets: int = 10,

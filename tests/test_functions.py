@@ -1079,3 +1079,33 @@ def test_quality_buckets_matches_sql_ntile(spark):
         for r in quality_buckets(df.repartition(7), n_buckets=4).collect()
     }
     assert again == {k: v["bucket"] for k, v in rowsd.items()}
+
+
+def test_cooccurrence_counts(spark):
+    """GloVe-input co-occurrence: canonical symmetric pairs within
+    the window, exact integer counts, no pairs across the window
+    bound, zero-join plan (pure array exprs + one groupBy)."""
+    from cayley_spark.functions.text import cooccurrence_counts
+
+    rows = [
+        Row(doc_id=1, text="a b c a b"),
+        Row(doc_id=2, text="a b"),
+    ]
+    out = {
+        (r["a"], r["b"]): r["cnt"]
+        for r in cooccurrence_counts(
+            spark.createDataFrame(rows), window=2, min_count=1
+        ).collect()
+    }
+    # doc1 pairs (w=2): (a,b)x2 (b,c) (a,c) (c,a) (a,b->? positions:
+    # a1b2c3a4b5 -> (a,b),(a,c),(b,c),(a,b->b2a4? within 2: yes),(c,a4),(c,b5? d=2),(a4,b5)
+    # canonical counts: (a,b): a1b2, b2a4, a4b5 = 3; doc2 adds 1 -> 4
+    assert out[("a", "b")] == 4
+    assert out[("a", "c")] == 2  # a1c3? d=2 yes; c3a4 d=1
+    assert out[("b", "c")] == 2  # b2c3; c3b5 d=2
+    assert ("a", "a") not in out  # a1..a4 is distance 3 > window
+    # plan: no join nodes at all
+    plan = cooccurrence_counts(
+        spark.createDataFrame(rows), window=2
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
