@@ -151,13 +151,14 @@ def main(argv: list[str] | None = None) -> int:
     pp = sub.add_parser(
         "pipeline",
         help="corpus transforms: dedup/chunk/pack/split/quality/"
-             "html/mix/shard/paradedup/spans/tiers",
+             "html/mix/shard/paradedup/spans/tiers/compact",
     )
     pp.add_argument(
         "op",
         choices=[
             "dedup", "chunk", "pack", "split", "quality",
             "html", "mix", "shard", "paradedup", "spans", "tiers",
+            "compact",
         ],
     )
     pp.add_argument("--in", dest="inp", required=True, help="input parquet")
@@ -180,6 +181,7 @@ def main(argv: list[str] | None = None) -> int:
     pp.add_argument("--span-k", type=int, default=5)
     pp.add_argument("--min-docs", type=int, default=2)
     pp.add_argument("--n-buckets", type=int, default=10)
+    pp.add_argument("--target-mb", type=int, default=512)
     args = ap.parse_args(argv)
 
     # Spark-free commands first
@@ -406,6 +408,27 @@ def _pipeline(spark, args) -> int:
             df, n_buckets=args.n_buckets, id_col=args.id_col,
             text_col=args.text_col,
         ).write.mode("overwrite").parquet(args.out)
+    elif args.op == "compact":
+        # small-files maintenance: a long-running ingest leaves a
+        # directory of tiny parquet files whose per-file open/footer
+        # cost dominates scans; rewrite to ~target-mb files. Row
+        # count is preserved exactly; file count drops to
+        # ceil(bytes / target). Uses the input's on-disk size (not
+        # row count) so the result is layout-, not data-, dependent.
+        import math
+        import os as _os
+
+        if _os.path.isdir(args.inp):
+            total = sum(
+                _os.path.getsize(_os.path.join(r, f))
+                for r, _, fs in _os.walk(args.inp)
+                for f in fs
+                if f.endswith(".parquet")
+            )
+        else:
+            total = _os.path.getsize(args.inp)
+        n_files = max(1, math.ceil(total / (args.target_mb * 1024 * 1024)))
+        df.coalesce(n_files).write.mode("overwrite").parquet(args.out)
     elif args.op == "quality":
         from .functions.text import quality_stats, repetition_stats
 

@@ -1091,3 +1091,22 @@ def test_neardup_stream_matches_batch_randomized(spark, tmp_path):
             for r in spark.table(f"rnd_out_{seed}").collect()
         }
         assert got == batch, f"seed {seed}: {got ^ batch}"
+
+
+def test_cli_pipeline_compact(spark, tmp_path, capsys):
+    """pipeline compact: small-files maintenance — many tiny parquet
+    files rewrite to few target-sized ones, rows preserved exactly."""
+    from cayley_spark.__main__ import main
+
+    src = str(tmp_path / "tiny.parquet")
+    spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(200)], "doc_id long, text string"
+    ).repartition(50).write.parquet(src)
+    import glob
+
+    assert len(glob.glob(src + "/*.parquet")) == 50
+    out = str(tmp_path / "compacted")
+    assert main(["pipeline", "compact", "--in", src, "--out", out,
+                 "--target-mb", "512"]) == 0
+    assert len(glob.glob(out + "/*.parquet")) == 1
+    assert spark.read.parquet(out).count() == 200
