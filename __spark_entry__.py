@@ -2139,15 +2139,14 @@ _BOK = """bsz AS (
 def _walk_round(n: int, prev: str) -> str:
     """One random-walk hop as a SQL CTE: per walk, the out-neighbor
     of the current node minimizing the seeded md5 — mirrors
-    cayley_spark.graphs.algorithms.random_walks exactly (argmin on
-    the md5hash:zero-padded-id string, ties to smallest id)."""
+    cayley_spark.graphs.algorithms.random_walks exactly (struct-min
+    on (hash, id): lexicographic on the hash, ties to smallest id —
+    sign-safe for any integer id)."""
     return f"""s{n} AS (
               SELECT w.walk_id,
-                CAST(substr(min(
-                  md5('w:{n}:' || CAST(w.node AS VARCHAR) || '>' ||
-                      CAST(e.d AS VARCHAR))
-                  || ':' || lpad(CAST(e.d AS VARCHAR), 20, '0')
-                ), 34, 20) AS BIGINT) AS node
+                min({{'h': md5('w:{n}:' || CAST(w.node AS VARCHAR)
+                          || '>' || CAST(e.d AS VARCHAR)),
+                     'd': e.d}}).d AS node
               FROM {prev} w JOIN e ON e.s = w.node
               GROUP BY w.walk_id
             )"""

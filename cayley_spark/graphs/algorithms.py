@@ -251,9 +251,10 @@ def random_walks(
     in for the RNG (the MinHash portability trick), so the walks are
     deterministic and any SQL engine replays them EXACTLY. Returns
     (walk_id, step, node): step 0 is the start node; a walk ends
-    early at a sink. Node ids must be non-negative integers (the
-    argmin is decided on ``md5hash:zero-padded-id`` strings, which
-    also breaks hash ties by smallest id).
+    early at a sink. The argmin is a struct-min on (md5, id) —
+    lexicographic on the hash, hash ties (astronomically rare) to
+    the smallest id — which is sign-safe for any integer id,
+    including this store's signed 64-bit content hashes.
 
     Scale shape — one pass, not one per hop: the hash depends only
     on (step, current node), so every walk standing at node v at
@@ -278,24 +279,20 @@ def random_walks(
                 F.col("d").cast("string"),
             )
         )
-        return F.concat(
-            h, F.lit(":"), F.lpad(F.col("d").cast("string"), 20, "0")
-        )
+        return F.struct(h.alias("h"), F.col("d").alias("d"))
 
     nexts = (
         e.groupBy("s")
         .agg(
             *[
-                F.min(key(step)).alias(f"hk{step}")
+                F.min(key(step)).alias(f"m{step}")
                 for step in range(1, walk_length + 1)
             ]
         )
         .select(
             "s",
             *[
-                F.substring(f"hk{step}", 34, 20)
-                .cast("long")
-                .alias(f"n{step}")
+                F.col(f"m{step}")["d"].alias(f"n{step}")
                 for step in range(1, walk_length + 1)
             ],
         )

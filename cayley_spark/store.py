@@ -346,6 +346,39 @@ class GraphStore:
 
         return _tri(self._edge_frame(predicate))
 
+    def random_walks(self, predicate=None, walk_length=4, seed="w"):
+        """Deterministic DeepWalk corpus over the (predicate-filtered)
+        graph, terms rendered: (walk_term, step, term). Same facade
+        shape as pagerank/triangle_count; the hop rule is the seeded
+        md5 argmin of graphs/algorithms.random_walks, so the walks
+        replay identically on any engine."""
+        from pyspark.sql import functions as F
+
+        from .graphs.algorithms import random_walks as _rw
+
+        walks = _rw(
+            self._edge_frame(predicate),
+            walk_length=walk_length,
+            seed=seed,
+        )
+        terms = self.nodes.select("id", "term")
+        return (
+            walks.join(
+                terms.select(
+                    F.col("id").alias("walk_id"),
+                    F.col("term").alias("walk_term"),
+                ),
+                "walk_id",
+            )
+            .join(
+                terms.select(
+                    F.col("id").alias("node"), F.col("term").alias("term")
+                ),
+                "node",
+            )
+            .select("walk_term", "step", "term")
+        )
+
     # ---------------- write model (reference graph/quadwriter.go) ----
 
     def apply_deltas(

@@ -230,3 +230,27 @@ def test_random_walks_deterministic_and_sink_aware(spark):
     assert {(r["walk_id"], 0) for r in other if r["step"] == 0} == {
         (1, 0), (2, 0), (3, 0)
     }
+
+
+def test_store_random_walks_facade(spark):
+    """GraphStore.random_walks renders walk terms over the store's
+    SIGNED 64-bit content-hash ids — exercising the sign-safe
+    struct-argmin (the old string-padded argmin returned NULL hops
+    for negative ids)."""
+    from pyspark.sql import Row  # noqa: F401
+
+    from cayley_spark import GraphStore, IRI
+
+    quads = [
+        (IRI("a"), IRI("p"), IRI("b")),
+        (IRI("b"), IRI("p"), IRI("c")),
+        (IRI("c"), IRI("p"), IRI("a")),
+    ]
+    st = GraphStore.from_quad_values(spark, quads)
+    out = st.random_walks(predicate=IRI("p"), walk_length=2).collect()
+    rows = {(r["walk_term"], r["step"]): r["term"] for r in out}
+    # the ring a->b->c->a: every node walks 2 full hops
+    assert rows[("<a>", 0)] == "<a>"
+    assert rows[("<a>", 1)] == "<b>" and rows[("<a>", 2)] == "<c>"
+    assert rows[("<b>", 1)] == "<c>" and rows[("<c>", 1)] == "<a>"
+    assert len(out) == 9  # 3 walks x steps 0..2, no NULL hops
