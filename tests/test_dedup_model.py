@@ -129,3 +129,82 @@ def test_minhash_model_hot_bucket_cap(spark):
     }
     assert got == set(_model_pairs(rows, 0.5, cap=8))
     assert got == {(50, 51)}
+
+
+def _model_against(new_rows, old_rows, threshold, cap):
+    """Pure-python replica of dedup_against: exact digest pass +
+    asymmetric band join (combined bucket occupancy capped) + exact
+    Jaccard verify. Returns surviving new ids."""
+    old_digests = {
+        hashlib.md5(t.encode()).hexdigest() for _, t in old_rows
+    }
+    sides = {}
+    for tag, rows in (("n", new_rows), ("e", old_rows)):
+        for i, t in rows:
+            s = _shingles(t)
+            if s:
+                sig = [
+                    min(
+                        hashlib.md5(f"{j}:{x}".encode()).hexdigest()
+                        for x in s
+                    )
+                    for j in range(H)
+                ]
+                sides.setdefault(tag, {})[i] = (set(s), sig)
+    buckets = {}
+    for tag in ("n", "e"):
+        for i, (_, sig) in sides.get(tag, {}).items():
+            for b in range(B):
+                bh = hashlib.md5(
+                    "|".join(sig[b * ROWS : (b + 1) * ROWS]).encode()
+                ).hexdigest()
+                buckets.setdefault((b, bh), []).append((tag, i))
+    dup = set()
+    for members in buckets.values():
+        if cap is not None and len(members) > cap:
+            continue
+        ns = [i for t, i in members if t == "n"]
+        es = [i for t, i in members if t == "e"]
+        for a in ns:
+            for b in es:
+                sa, _ = sides["n"][a]
+                sb, _ = sides["e"][b]
+                inter = len(sa & sb)
+                if inter / (len(sa) + len(sb) - inter) >= threshold:
+                    dup.add(a)
+    for i, t in new_rows:
+        if hashlib.md5(t.encode()).hexdigest() in old_digests:
+            dup.add(i)
+    return {i for i, _ in new_rows} - dup
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    new=corpora(),
+    old=corpora(),
+    thresh=st.sampled_from([0.3, 0.6]),
+)
+def test_dedup_against_matches_model(spark, new, old, thresh):
+    """The asymmetric crawl-admission path: exact digest semi-join +
+    new-vs-existing band join (combined-occupancy hot-bucket cap) +
+    Jaccard verify — pinned to the python replica. Ids offset so the
+    two sides never share one."""
+    from cayley_spark.functions.dedup import dedup_against
+
+    new = [(i + 1000, t) for i, t in new]
+    ndf = spark.createDataFrame(new, "doc_id long, text string")
+    odf = spark.createDataFrame(old, "doc_id long, text string")
+    got = {
+        r["doc_id"]
+        for r in dedup_against(
+            ndf, odf, jaccard_threshold=thresh
+        ).collect()
+    }
+    assert got == _model_against(new, old, thresh, cap=256), (
+        f"diverges: new={new!r} old={old!r} @ {thresh}"
+    )
