@@ -940,17 +940,25 @@ def _events(spark, sf):
     import pyarrow.parquet as pq
 
     path = os.path.join(sf, "events.parquet")
-    probe = (
-        sorted(glob.glob(os.path.join(path, "*.parquet")))[0]
-        if os.path.isdir(path)
-        else path
+    if os.path.isdir(path):
+        parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        # Partitioned/empty layout with no top-level part files: skip
+        # the footer probe (the nanos latch only matters for the flat
+        # single-file testdata layout) and let the dtype fallback
+        # below handle a bigint ts column.
+        probe = parts[0] if parts else None
+    else:
+        probe = path
+    ts_type = (
+        dict(
+            zip(
+                pq.ParquetFile(probe).schema_arrow.names,
+                pq.ParquetFile(probe).schema_arrow.types,
+            )
+        ).get("ts")
+        if probe is not None
+        else None
     )
-    ts_type = dict(
-        zip(
-            pq.ParquetFile(probe).schema_arrow.names,
-            pq.ParquetFile(probe).schema_arrow.types,
-        )
-    ).get("ts")
     if ts_type is not None and getattr(ts_type, "unit", None) == "ns":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = _t(spark, sf, "events")
@@ -1285,6 +1293,75 @@ def d_spans(spark, sf):
 
     docs = _t_wide(spark, sf, "documents")
     return duplicated_spans(docs, k=5, min_docs=2)
+
+
+def d_trimspans(spark, sf):
+    """Exact-substring REMOVAL (functions/dedup.trim_spans — the
+    actionable form of d_spans, Lee et al. 2022 §3: delete the
+    duplicated substring, keep the document): 5-word shingles in >=2
+    distinct docs are duplicated, adjacent duplicated shingles merge
+    into maximal token spans, covered tokens are dropped, and every
+    document returns with its reassembled clean_text. No pair join;
+    span merging is a per-doc run-length aggregate."""
+    from cayley_spark.functions.dedup import trim_spans
+
+    docs = _t_wide(spark, sf, "documents")
+    return trim_spans(docs, k=5, min_docs=2)
+
+
+def t_urlnorm(spark, sf):
+    """URL canonicalization + url-keyed crawl dedup (functions/text.
+    canonicalize_url / url_dedup): the first dedup key a crawl
+    pipeline applies, upstream of MinHash. The testdata has no URL
+    column, so the query synthesizes one per document from doc_id —
+    six deterministic messy spellings (case, :80/:443, trailing
+    slash, fragments, tracking params, %-hex case, param order) that
+    alias pairwise after canonicalization; the oracle builds the
+    identical strings and replays the identical normalization chain
+    (same regenerate-in-SQL pattern as m_audio)."""
+    from cayley_spark.functions.text import url_dedup
+
+    docs = _t_wide(spark, sf, "documents")
+    h = F.col("doc_id") % 7
+    v = F.col("doc_id") % 5
+    url = (
+        F.when(
+            F.col("doc_id") % 6 == 0,
+            F.concat(
+                F.lit("HTTP://Example"), h, F.lit(".COM/path/a/?utm_source=feed&x="), v
+            ),
+        )
+        .when(
+            F.col("doc_id") % 6 == 1,
+            F.concat(
+                F.lit("http://example"), h, F.lit(".com:80/path/a?x="), v,
+                F.lit("&utm_campaign=z"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 6 == 2,
+            F.concat(
+                F.lit("https://Example"), h, F.lit(".com:443/path/b/#frag")
+            ),
+        )
+        .when(
+            F.col("doc_id") % 6 == 3,
+            F.concat(F.lit("https://example"), h, F.lit(".com/path/b")),
+        )
+        .when(
+            F.col("doc_id") % 6 == 4,
+            F.concat(
+                F.lit("http://example"), h, F.lit(".com/p%2fq?b=2&a="), v
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("http://example"), h, F.lit(".com/p%2Fq?gclid=abc&a="),
+                v, F.lit("&b=2"),
+            )
+        )
+    )
+    return url_dedup(docs.withColumn("url", url))
 
 
 def t_scripts(spark, sf):
@@ -1972,18 +2049,93 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     The driver verifies the FIRST 50 entries in dict order, so ordering
     is evidence policy (a CONTINUOUS ROTATION, documented in
     COVERAGE.md): entries with no driver verdict yet go first, then the
-    entries whose last green verdict is oldest; entries green in the
-    immediately previous round go last (they retain pytest +
-    tools/check_oracles.py coverage while they wait their turn).
-    Round-6 window = the 8 TPC-H shapes that sat past position 50 in
-    round 5 (never driver-checked), then 42 of the 49 r04-verified
-    entries; the 8 r04 entries that don't fit (m_audio ..
-    q_session_window) sit at positions 51-58 and lead the round-7
-    window.
+    one red row (q12, hash-only fail in r06 — oracle cast fixed this
+    round), then the entries whose last green verdict is OLDEST;
+    entries green in the immediately previous round go last (they
+    retain pytest + tools/check_oracles.py coverage while they wait).
+    Round-7 window (50) = 2 round-7 additions + q12 + the 14
+    r04-verified entries displaced past position 50 in rounds 5-6
+    (q_asof .. q_session_window) + 33 r05-verified entries, leading
+    with the six whose code changed in round 6 without a fresh driver
+    verdict (d_lsh d_against d_index d_neardup t_html t_mixture).
+    17 r05 entries overflow at positions 51-67 and lead the round-8
+    window; the 48 r06-green entries sit at the tail.
     """
     return {
-        # --- head: never driver-checked (registry overflow in r5) -----
+        # --- round-7 additions (never driver-checked) ------------------
+        "d_trimspans": d_trimspans,
+        "t_urlnorm": t_urlnorm,
+        # --- red in r06 (hash-only; oracle SUM cast fixed this round) --
         "q12": q12,
+        # --- last verified r04 (displaced past 50 in r5 and r6) --------
+        "q_asof": q_asof,
+        "q_range": q_range,
+        "q_rollup": q_rollup,
+        "q_pivot": q_pivot,
+        "q_median": q_median,
+        "m_image": m_image,
+        "m_audio": m_audio,
+        "q_json": q_json,
+        "q_antijoin": q_antijoin,
+        "q_cube": q_cube,
+        "q_wau": q_wau,
+        "q_rolling": q_rolling,
+        "q_sliding": q_sliding,
+        "q_session_window": q_session_window,
+        # --- r05-verified whose code changed in r6 (replica-only since) -
+        "d_lsh": d_lsh,
+        "d_against": d_against,
+        "d_index": d_index,
+        "d_neardup": d_neardup,
+        "t_html": t_html,
+        "t_mixture": t_mixture,
+        # --- r05-verified, unchanged: oldest-first rotation ------------
+        "g_triangles": g_triangles,
+        "g_pagerank": g_pagerank,
+        "g_degrees": g_degrees,
+        "g_predstats": g_predstats,
+        "m_dhash": m_dhash,
+        "m_audio_segments": m_audio_segments,
+        "q_retention": q_retention,
+        "q_funnel": q_funnel,
+        "q_stratified": q_stratified,
+        "d_exact": d_exact,
+        "d_editdist": d_editdist,
+        "d_jaccard": d_jaccard,
+        "d_simhash": d_simhash,
+        "d_cluster": d_cluster,
+        "d_dedup_corpus": d_dedup_corpus,
+        "d_embed": d_embed,
+        "s_knn": s_knn,
+        "s_knn_lsh": s_knn_lsh,
+        "s_knn_ivf": s_knn_ivf,
+        "t_tokens": t_tokens,
+        "t_quality": t_quality,
+        "t_fingerprint": t_fingerprint,
+        "t_langid": t_langid,
+        "t_redact": t_redact,
+        "t_repetition": t_repetition,
+        "t_contaminate": t_contaminate,
+        "t_split": t_split,
+        # --- positions 51+: r05 remainder; leads the round-8 window ----
+        "t_postings": t_postings,
+        "t_clean": t_clean,
+        "t_urls": t_urls,
+        "t_tfidf": t_tfidf,
+        "t_vocab": t_vocab,
+        "t_trigram_lm": t_trigram_lm,
+        "t_chunks": t_chunks,
+        "t_pack": t_pack,
+        "t_bpe": t_bpe,
+        "t_shards": t_shards,
+        "s_knn_quant": s_knn_quant,
+        "q2": q2,
+        "q7": q7,
+        "q8": q8,
+        "q9": q9,
+        "q10": q10,
+        "q11": q11,
+        # --- tail: green in CORRECTNESS_r06 (pytest-held this round) ---
         "q13": q13,
         "q15": q15,
         "q16": q16,
@@ -1991,14 +2143,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20": q20,
         "q21": q21,
         "q22": q22,
-        # --- round-6 additions (never checked) ------------------------
         "t_paradedup": t_paradedup,
         "d_spans": d_spans,
         "t_scripts": t_scripts,
         "t_tiers": t_tiers,
         "g_walks": g_walks,
         "t_cooc": t_cooc,
-        # --- last verified in r04: re-verification rotation -----------
         "g_in": g_in,
         "g_out2": g_out2,
         "g_tags": g_tags,
@@ -2035,74 +2185,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_windowed": q_events_windowed,
         "q_sessions": q_sessions,
         "q_events_topuser": q_events_topuser,
-        # --- positions 51+: r04 remainder; leads the round-7 window ---
-        # (round-6 additions are inserted ABOVE this marker so they get
-        # a verdict immediately, displacing r04 entries downward)
-        "q_asof": q_asof,
-        "q_range": q_range,
-        "q_rollup": q_rollup,
-        "q_pivot": q_pivot,
-        "q_median": q_median,
-        "m_image": m_image,
-        "m_audio": m_audio,
-        "q_json": q_json,
-        "q_antijoin": q_antijoin,
-        "q_cube": q_cube,
-        "q_wau": q_wau,
-        "q_rolling": q_rolling,
-        "q_sliding": q_sliding,
-        "q_session_window": q_session_window,
-        # --- tail: green in CORRECTNESS_r05 (pytest-held this round) --
-        "g_triangles": g_triangles,
-        "g_pagerank": g_pagerank,
-        "g_degrees": g_degrees,
-        "g_predstats": g_predstats,
-        "m_dhash": m_dhash,
-        "m_audio_segments": m_audio_segments,
-        "q_retention": q_retention,
-        "q_funnel": q_funnel,
-        "q_stratified": q_stratified,
-        "d_exact": d_exact,
-        "d_lsh": d_lsh,
-        "d_editdist": d_editdist,
-        "d_against": d_against,
-        "d_index": d_index,
-        "d_neardup": d_neardup,
-        "d_jaccard": d_jaccard,
-        "d_simhash": d_simhash,
-        "d_cluster": d_cluster,
-        "d_dedup_corpus": d_dedup_corpus,
-        "d_embed": d_embed,
-        "s_knn": s_knn,
-        "s_knn_lsh": s_knn_lsh,
-        "s_knn_ivf": s_knn_ivf,
-        "t_tokens": t_tokens,
-        "t_quality": t_quality,
-        "t_fingerprint": t_fingerprint,
-        "t_langid": t_langid,
-        "t_redact": t_redact,
-        "t_repetition": t_repetition,
-        "t_contaminate": t_contaminate,
-        "t_split": t_split,
-        "t_postings": t_postings,
-        "t_clean": t_clean,
-        "t_urls": t_urls,
-        "t_tfidf": t_tfidf,
-        "t_vocab": t_vocab,
-        "t_trigram_lm": t_trigram_lm,
-        "t_chunks": t_chunks,
-        "t_pack": t_pack,
-        "t_bpe": t_bpe,
-        "t_html": t_html,
-        "t_mixture": t_mixture,
-        "t_shards": t_shards,
-        "s_knn_quant": s_knn_quant,
-        "q2": q2,
-        "q7": q7,
-        "q8": q8,
-        "q9": q9,
-        "q10": q10,
-        "q11": q11,
     }
 
 
@@ -2681,10 +2763,10 @@ WITH cust AS (
         "q12": """
 SELECT CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
                     THEN 'LATE' ELSE 'ONTIME' END AS ship_class,
-          SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                   THEN 1 ELSE 0 END) AS high_line_count,
-          SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                   THEN 0 ELSE 1 END) AS low_line_count
+          CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                   THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+          CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                   THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
           AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -3385,6 +3467,111 @@ WITH per_cust AS (
             SELECT id AS doc_id, COUNT(*) AS n_dup_spans
             FROM g WHERE g IN (SELECT g FROM dup)
             GROUP BY id
+        """,
+        # Independent relational formulation of the span trim: covered
+        # positions via a start-to-offset join, span count via
+        # islands-and-gaps (lag), clean_text via ordered string_agg of
+        # the uncovered tokens — no shared code shape with the Spark
+        # run-length array aggregate.
+        "d_trimspans": r"""
+            WITH base AS (
+              SELECT doc_id AS id,
+                     regexp_extract_all(text, '\w+') AS toks
+              FROM documents
+            ), sh AS (
+              SELECT id, unnest(
+                [{'pos': i - 1,
+                  'g': lower(array_to_string(toks[i:i+4], ' '))}
+                 for i in range(1, len(toks) - 3)],
+                recursive := true)
+              FROM base
+            ), dup AS (
+              SELECT g FROM (
+                SELECT g, COUNT(DISTINCT id) AS nd FROM sh GROUP BY g
+              ) WHERE nd >= 2
+            ), cov AS (
+              SELECT DISTINCT s.id, s.pos + d.d AS cpos
+              FROM sh s
+              JOIN dup USING (g)
+              CROSS JOIN (SELECT unnest(range(0, 5)) AS d) d
+            ), sp AS (
+              SELECT id,
+                     CAST(COUNT(*) AS INT) AS n_removed,
+                     CAST(SUM(CASE WHEN prev = cpos - 1 THEN 0 ELSE 1
+                              END) AS INT) AS n_spans
+              FROM (
+                SELECT id, cpos,
+                       lag(cpos) OVER (PARTITION BY id ORDER BY cpos)
+                         AS prev
+                FROM cov
+              ) GROUP BY id
+            ), tokpos AS (
+              SELECT id, unnest(
+                [{'i': i - 1, 'tok': toks[i]}
+                 for i in range(1, len(toks) + 1)],
+                recursive := true)
+              FROM base
+            ), ct AS (
+              SELECT t.id,
+                     string_agg(t.tok, ' ' ORDER BY t.i) AS clean_text
+              FROM tokpos t
+              LEFT JOIN cov c ON t.id = c.id AND t.i = c.cpos
+              WHERE c.cpos IS NULL
+              GROUP BY t.id
+            )
+            SELECT b.id AS doc_id,
+                   COALESCE(ct.clean_text, '') AS clean_text,
+                   CAST(len(b.toks) AS INT) AS n_tokens,
+                   COALESCE(sp.n_removed, 0) AS n_removed,
+                   COALESCE(sp.n_spans, 0) AS n_spans
+            FROM base b
+            LEFT JOIN ct ON b.id = ct.id
+            LEFT JOIN sp ON b.id = sp.id
+        """,
+        # The oracle does NOT replay the normalization chain: it
+        # derives each synthesized case's expected canonical form
+        # analytically (independent derivation, the m_dhash
+        # closed-form pattern), then aggregates like url_dedup.
+        "t_urlnorm": r"""
+            WITH u AS (
+              SELECT doc_id,
+                CASE doc_id % 6
+                  WHEN 0 THEN 'HTTP://Example' || (doc_id % 7)
+                    || '.COM/path/a/?utm_source=feed&x=' || (doc_id % 5)
+                  WHEN 1 THEN 'http://example' || (doc_id % 7)
+                    || '.com:80/path/a?x=' || (doc_id % 5)
+                    || '&utm_campaign=z'
+                  WHEN 2 THEN 'https://Example' || (doc_id % 7)
+                    || '.com:443/path/b/#frag'
+                  WHEN 3 THEN 'https://example' || (doc_id % 7)
+                    || '.com/path/b'
+                  WHEN 4 THEN 'http://example' || (doc_id % 7)
+                    || '.com/p%2fq?b=2&a=' || (doc_id % 5)
+                  ELSE 'http://example' || (doc_id % 7)
+                    || '.com/p%2Fq?gclid=abc&a=' || (doc_id % 5)
+                    || '&b=2'
+                END AS raw,
+                CASE doc_id % 6
+                  WHEN 0 THEN 'http://example' || (doc_id % 7)
+                    || '.com/path/a?x=' || (doc_id % 5)
+                  WHEN 1 THEN 'http://example' || (doc_id % 7)
+                    || '.com/path/a?x=' || (doc_id % 5)
+                  WHEN 2 THEN 'https://example' || (doc_id % 7)
+                    || '.com/path/b'
+                  WHEN 3 THEN 'https://example' || (doc_id % 7)
+                    || '.com/path/b'
+                  WHEN 4 THEN 'http://example' || (doc_id % 7)
+                    || '.com/p%2Fq?a=' || (doc_id % 5) || '&b=2'
+                  ELSE 'http://example' || (doc_id % 7)
+                    || '.com/p%2Fq?a=' || (doc_id % 5) || '&b=2'
+                END AS canon_url
+              FROM documents
+            )
+            SELECT canon_url,
+                   MIN(doc_id) AS keeper_id,
+                   COUNT(*) AS n_copies,
+                   COUNT(DISTINCT raw) AS n_variants
+            FROM u GROUP BY canon_url
         """,
         "t_cooc": r"""
             WITH t AS (

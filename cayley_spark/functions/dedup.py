@@ -455,6 +455,114 @@ def duplicated_spans(
     )
 
 
+def trim_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact-substring REMOVAL — the actionable form of
+    :func:`duplicated_spans` (Lee et al. 2022 §3 remove the
+    duplicated substring, not the document; fixed-k shingle
+    relaxation of their suffix-array match): positional k-word
+    shingles, a shingle occurring in >= ``min_docs`` distinct
+    documents is duplicated, adjacent/overlapping duplicated
+    shingles merge into MAXIMAL token spans per document, and the
+    covered tokens are deleted. Returns every document as
+    (id, clean_text, n_tokens, n_removed, n_spans) where clean_text
+    is the space-joined surviving tokens in original order and
+    original case (matching is case-insensitive, output is not).
+
+    Scale shape: same no-pair-join discipline as duplicated_spans —
+    explode positional shingles, ONE groupBy(shingle) for the
+    distinct-doc count, one semi-join back, one per-doc collect of
+    duplicated start positions. Span merging is a per-doc
+    F.aggregate over the SORTED start list (run-length merge:
+    extend the open span while start <= end+1), so a fully
+    boilerplate document collapses to ONE merged span and the
+    token-coverage test costs O(n_tokens x n_merged_spans), not
+    O(n_tokens x n_starts). Token text never shuffles twice: the
+    only wide ops are the shingle groupBy and the id-keyed joins."""
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), 0)
+    base = df.select(F.col(id_col).alias("id"), toks.alias("toks"))
+    n = F.size("toks")
+    # positional shingles: (id, start_pos, lowercased k-gram)
+    sh = base.select(
+        "id",
+        F.posexplode(
+            F.when(
+                n >= k,
+                F.transform(
+                    F.sequence(F.lit(0), n - k),
+                    lambda i: F.lower(
+                        F.concat_ws(" ", F.slice("toks", i + 1, k))
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pos", "g"),
+    )
+    dup = (
+        sh.groupBy("g")
+        .agg(F.count_distinct("id").alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("g")
+    )
+    starts = (
+        sh.join(dup, "g", "left_semi")
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list("pos")).alias("starts"))
+    )
+    empty_spans = F.expr("CAST(array() AS array<struct<s:int,e:int>>)")
+    merged = F.aggregate(
+        F.coalesce(F.col("starts"), F.expr("CAST(array() AS array<int>)")),
+        empty_spans,
+        lambda acc, s: F.when(
+            # try_element_at: ANSI-safe on the empty accumulator (the
+            # size(acc) > 0 conjunct is not guaranteed to evaluate
+            # first after optimizer reordering)
+            (F.size(acc) > 0)
+            & (s <= F.try_element_at(acc, F.lit(-1))["e"] + 1),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        F.try_element_at(acc, F.lit(-1))["s"].alias("s"),
+                        (s + k - 1).alias("e"),
+                    )
+                ),
+            ),
+        ).otherwise(
+            F.concat(
+                acc,
+                F.array(F.struct(s.alias("s"), (s + k - 1).alias("e"))),
+            )
+        ),
+    )
+    out = base.join(starts, "id", "left").withColumn("spans", merged)
+    kept = F.when(
+        n > 0,
+        F.filter(
+            F.sequence(F.lit(0), n - 1),
+            lambda i: ~F.exists(
+                "spans", lambda sp: (i >= sp["s"]) & (i <= sp["e"])
+            ),
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<int>)"))
+    return out.select(
+        F.col("id").alias(id_col),
+        F.concat_ws(
+            " ",
+            F.transform(
+                kept, lambda i: F.try_element_at("toks", i + 1)
+            ),
+        ).alias("clean_text"),
+        n.cast("int").alias("n_tokens"),
+        (n - F.size(kept)).cast("int").alias("n_removed"),
+        F.size("spans").cast("int").alias("n_spans"),
+    )
+
+
 def simhash64(col: Column, k: int = 2) -> Column:
     """64-bit SimHash over k-word shingles: for each bit b, sum ±1
     across shingle hashes, take the sign. Pure column expressions;

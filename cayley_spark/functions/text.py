@@ -345,6 +345,125 @@ def url_stats(
     )
 
 
+# query parameters that identify a CLICK, not a resource — the strip
+# list every crawl canonicalizer applies before url-keyed dedup
+# (utm_* per Google Analytics docs; the rest are ad-click ids)
+_TRACKING_PARAM_RE = (
+    r"^(utm_[a-z0-9_]+|gclid|fbclid|msclkid|mc_eid|igshid|ref|ref_src)="
+)
+
+
+def canonicalize_url(col: Column) -> Column:
+    """Canonical URL form — the FIRST dedup key a crawl pipeline
+    applies, upstream of any content hash (two fetches of the same
+    resource must collide BEFORE the corpus pays to compare texts):
+
+    - fragment stripped (never sent to the server),
+    - scheme and host lowercased (RFC 3986 §6.2.2.1),
+    - default port removed (http:80 / https:443, §6.2.3),
+    - percent-encoding hex uppercased (%2f -> %2F, §6.2.2.1),
+    - tracking query parameters removed (utm_*, gclid, fbclid, ...),
+    - remaining query parameters sorted (order-insensitive key),
+    - empty path -> '/', and a trailing slash on a non-root path
+      stripped (the common aliasing pair; real path '//' runs are
+      preserved — they are distinct resources per RFC).
+
+    Pure column expressions in the Java∩RE2 regex subset, so the
+    DuckDB oracle replays the identical chain; no UDFs, scan speed.
+    Non-URL input (no scheme://host) passes through unchanged except
+    fragment stripping, so the operator is safe on dirty columns."""
+    u = F.regexp_replace(col, r"#.*$", "")
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    hostport = F.lower(
+        F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    )
+    # rest = path[?query] after the authority
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
+    # percent-encoding: uppercase the two hex digits after every '%'
+    def _pct_upper(s: Column) -> Column:
+        parts = F.split(s, "%", -1)
+        tail = F.slice(parts, 2, F.greatest(F.size(parts) - 1, F.lit(0)))
+        fixed = F.transform(
+            tail,
+            lambda p: F.when(
+                p.rlike(r"^[0-9a-fA-F]{2}"),
+                F.concat(
+                    F.lit("%"),
+                    F.upper(F.substring(p, 1, 2)),
+                    F.substring(p, 3, 1_000_000),
+                ),
+            ).otherwise(F.concat(F.lit("%"), p)),
+        )
+        return F.concat(
+            F.try_element_at(parts, F.lit(1)),
+            F.array_join(fixed, ""),
+        )
+
+    path = _pct_upper(F.regexp_extract(rest, r"^([^?]*)", 1))
+    query = _pct_upper(F.regexp_extract(rest, r"\?(.*)$", 1))
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "&", -1),
+            lambda p: (p != "") & ~p.rlike(_TRACKING_PARAM_RE),
+        )
+    )
+    qnorm = F.array_join(params, "&")
+    hp = F.when(
+        (scheme == "http") & hostport.endswith(":80"),
+        F.substring(hostport, 1, F.length(hostport) - 3),
+    ).when(
+        (scheme == "https") & hostport.endswith(":443"),
+        F.substring(hostport, 1, F.length(hostport) - 4),
+    ).otherwise(hostport)
+    pnorm = F.when(path == "", F.lit("/")).otherwise(
+        F.when(
+            (F.length(path) > 1) & path.endswith("/"),
+            F.substring(path, 1, F.length(path) - 1),
+        ).otherwise(path)
+    )
+    canon = F.concat(
+        scheme,
+        F.lit("://"),
+        hp,
+        pnorm,
+        F.when(qnorm != "", F.concat(F.lit("?"), qnorm)).otherwise(
+            F.lit("")
+        ),
+    )
+    return F.when(scheme == "", F.regexp_replace(col, r"#.*$", "")).otherwise(
+        canon
+    )
+
+
+def url_dedup(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """URL-keyed crawl dedup: group documents by
+    :func:`canonicalize_url`, keep the lowest id per canonical URL.
+    Returns (canon_url, keeper_id, n_copies, n_variants) — n_copies
+    is how many rows collapsed, n_variants how many DISTINCT raw
+    spellings aliased to the key.
+
+    Scale shape: canonicalization is pure expressions at scan speed;
+    the ONE shuffle is the groupBy on the canonical string (uniform
+    unless one URL dominates the crawl, which the consumer sees via
+    n_copies and can salt). No joins, no text movement — this runs
+    BEFORE content dedup precisely because it is this cheap."""
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(url_col).alias("raw"),
+            canonicalize_url(F.col(url_col)).alias("canon_url"),
+        )
+        .groupBy("canon_url")
+        .agg(
+            F.min("id").alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.count_distinct("raw").alias("n_variants"),
+        )
+    )
+
+
 def inverted_index(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -247,7 +247,9 @@ def neardup_pairs_batch(
     re-read) is preferred over exact verification.
 
     Buckets with more than ``max_bucket_size`` occupants are SKIPPED
-    (broadcast anti-join of the rare hot keys), bounding candidate
+    (a (band, bh) count-window filter that rides the band join's own
+    shuffle — the broadcast anti-join form is only used by the
+    asymmetric cross-corpus operators), bounding candidate
     volume at O(buckets x cap²) — the batch counterpart of the
     stream's FIFO ``max_occupants``. The two twins diverge on a
     bucket above the bound (stream keeps the newest ``max_occupants``,

@@ -1109,3 +1109,128 @@ def test_cooccurrence_counts(spark):
         spark.createDataFrame(rows), window=2
     )._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
+
+
+def test_trim_spans_golden(spark):
+    """Exact-substring removal with planted cross-doc spans: the two
+    docs sharing a 10-token run each lose exactly those tokens (one
+    MERGED span, not six 5-gram reports), matching is
+    case-insensitive but output keeps original case, disjoint
+    duplicated runs stay separate spans, and clean docs/short docs/
+    empty docs pass through intact."""
+    from cayley_spark.functions.dedup import trim_spans
+
+    shared = "the quick brown fox jumps over the lazy dog and"
+    far = "zulu yankee xray whiskey victor"
+    rows = [
+        Row(doc_id=1, text=f"{shared} runs away fast today"),
+        Row(doc_id=2, text=f"Intro text here {shared.upper()} ends"),
+        # two DISJOINT duplicated runs -> 2 spans
+        Row(doc_id=3, text=f"{shared} gap one two three four {far} tail"),
+        Row(doc_id=4, text=f"open {far} close padding filler words here"),
+        Row(doc_id=5, text="totally unrelated text with nothing shared in it"),
+        Row(doc_id=6, text=""),
+        Row(doc_id=7, text="tiny"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in trim_spans(
+            spark.createDataFrame(rows), k=5, min_docs=2
+        ).collect()
+    }
+    assert len(out) == 7  # every doc returned, unlike duplicated_spans
+    assert out[1]["clean_text"] == "runs away fast today"
+    assert out[1]["n_spans"] == 1 and out[1]["n_removed"] == 10
+    # original case survives; matching was case-insensitive
+    assert out[2]["clean_text"] == "Intro text here ends"
+    assert out[2]["n_removed"] == 10
+    # two disjoint shared runs merge into two separate maximal spans
+    assert out[3]["n_spans"] == 2
+    assert out[3]["n_removed"] == 15
+    assert out[3]["clean_text"] == "gap one two three four tail"
+    assert out[4]["clean_text"] == "open close padding filler words here"
+    assert out[5]["n_removed"] == 0 and out[5]["n_spans"] == 0
+    assert out[6]["clean_text"] == "" and out[6]["n_tokens"] == 0
+    assert out[7]["clean_text"] == "tiny"
+
+
+def test_trim_spans_no_pair_join(spark):
+    """A span shared by MANY docs costs one dup-set row, never a
+    candidate pair: a 6-doc boilerplate corpus trims cleanly and the
+    plan contains no cartesian/broadcast-nested-loop node."""
+    from cayley_spark.functions.dedup import trim_spans
+
+    boiler = "all rights reserved contact us for details"
+    rows = [
+        Row(doc_id=i, text=f"doc {i} body content number {i} {boiler}")
+        for i in range(6)
+    ]
+    res = trim_spans(spark.createDataFrame(rows), k=5, min_docs=2)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for r in res.collect():
+        assert "reserved" not in r["clean_text"]
+        assert r["n_spans"] >= 1
+
+
+def test_canonicalize_url_aliases(spark):
+    """The usual crawl-aliasing pairs collapse to one canonical key:
+    case, default ports, trailing slash, fragments, tracking params,
+    %-hex case, query order; path // runs and real params survive."""
+    from pyspark.sql import functions as F
+
+    from cayley_spark.functions.text import canonicalize_url
+
+    cases = [
+        # (raw, expected canonical)
+        ("HTTP://WWW.Example.COM:80/A/b/?utm_source=f&x=1#z",
+         "http://www.example.com/A/b?x=1"),
+        ("http://www.example.com/A/b?x=1",
+         "http://www.example.com/A/b?x=1"),
+        ("https://Example.com:443/p%2fq/", "https://example.com/p%2Fq"),
+        ("http://example.com", "http://example.com/"),
+        ("http://example.com/", "http://example.com/"),
+        ("http://example.com/?b=2&a=1&fbclid=x",
+         "http://example.com/?a=1&b=2"),
+        # :8080 is NOT a default port; ref= is tracking, refx= is not
+        ("http://example.com:8080/x?refx=1&ref=abc",
+         "http://example.com:8080/x?refx=1"),
+        # path // runs are distinct resources and survive
+        ("http://example.com/a//b/", "http://example.com/a//b"),
+        # non-URL input: fragment strip only
+        ("not a url#frag", "not a url"),
+    ]
+    df = spark.createDataFrame(
+        [(i, c[0]) for i, c in enumerate(cases)], ["i", "url"]
+    )
+    got = {
+        r["i"]: r["c"]
+        for r in df.select(
+            "i", canonicalize_url(F.col("url")).alias("c")
+        ).collect()
+    }
+    for i, (raw, want) in enumerate(cases):
+        assert got[i] == want, f"{raw!r}: {got[i]!r} != {want!r}"
+
+
+def test_url_dedup_groups(spark):
+    """url_dedup keeps the lowest id per canonical key and counts
+    copies + distinct raw spellings; the plan is join-free (one
+    groupBy on the canonical string)."""
+    from cayley_spark.functions.text import url_dedup
+
+    rows = [
+        Row(doc_id=10, url="http://A.com/x?utm_source=1"),
+        Row(doc_id=11, url="HTTP://a.COM:80/x"),
+        Row(doc_id=12, url="http://a.com/x"),
+        Row(doc_id=13, url="http://b.com/y"),
+    ]
+    res = url_dedup(spark.createDataFrame(rows))
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    out = {r["canon_url"]: r for r in res.collect()}
+    a = out["http://a.com/x"]
+    assert a["keeper_id"] == 10 and a["n_copies"] == 3
+    assert a["n_variants"] == 3
+    assert out["http://b.com/y"]["n_copies"] == 1
