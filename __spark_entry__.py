@@ -1364,6 +1364,19 @@ def t_urlnorm(spark, sf):
     return url_dedup(docs.withColumn("url", url))
 
 
+def d_semdedup(spark, sf):
+    """SemDeDup (functions/similarity.semdedup — Abbas et al. 2023):
+    8-cluster kmeans over the embeddings, in-cluster cosine >= 0.43
+    marks semantic duplicates, min-id survivor per twin group. The
+    oracle replays the identical deterministic kmeans (2 decimal-exact
+    Lloyd rounds, the s_knn_ivf pattern) and the same threshold; the
+    score itself never reaches the output (d_embed precedent)."""
+    from cayley_spark.functions.similarity import semdedup
+
+    emb = _t_wide(spark, sf, "embeddings")
+    return semdedup(emb, n_centroids=8, iters=2, threshold=0.43)
+
+
 def t_scripts(spark, sf):
     """Unicode script mix (functions/text.script_profile): exact
     integer character counts per script + digits — the script-vs-
@@ -2053,18 +2066,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round), then the entries whose last green verdict is OLDEST;
     entries green in the immediately previous round go last (they
     retain pytest + tools/check_oracles.py coverage while they wait).
-    Round-7 window (50) = 2 round-7 additions + q12 + the 14
+    Round-7 window (50) = 3 round-7 additions + q12 + the 14
     r04-verified entries displaced past position 50 in rounds 5-6
-    (q_asof .. q_session_window) + 33 r05-verified entries, leading
+    (q_asof .. q_session_window) + 32 r05-verified entries, leading
     with the six whose code changed in round 6 without a fresh driver
     verdict (d_lsh d_against d_index d_neardup t_html t_mixture).
-    17 r05 entries overflow at positions 51-67 and lead the round-8
+    18 r05 entries overflow at positions 51-68 and lead the round-8
     window; the 48 r06-green entries sit at the tail.
     """
     return {
         # --- round-7 additions (never driver-checked) ------------------
         "d_trimspans": d_trimspans,
         "t_urlnorm": t_urlnorm,
+        "d_semdedup": d_semdedup,
         # --- red in r06 (hash-only; oracle SUM cast fixed this round) --
         "q12": q12,
         # --- last verified r04 (displaced past 50 in r5 and r6) --------
@@ -2116,8 +2130,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_redact": t_redact,
         "t_repetition": t_repetition,
         "t_contaminate": t_contaminate,
-        "t_split": t_split,
         # --- positions 51+: r05 remainder; leads the round-8 window ----
+        "t_split": t_split,
         "t_postings": t_postings,
         "t_clean": t_clean,
         "t_urls": t_urls,
@@ -3467,6 +3481,79 @@ WITH per_cust AS (
             SELECT id AS doc_id, COUNT(*) AS n_dup_spans
             FROM g WHERE g IN (SELECT g FROM dup)
             GROUP BY id
+        """,
+        # SemDeDup: replay the deterministic kmeans (seeds = first 8
+        # ids, 2 decimal-exact Lloyd rounds — the s_knn_ivf oracle
+        # pattern with LIMIT 8), then the in-cluster pair rule.
+        "d_semdedup": r"""
+            WITH base AS (
+              SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings
+            ), c0 AS (
+              SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS c, v
+              FROM (SELECT id, v FROM base ORDER BY id LIMIT 8)
+            ),
+            a1 AS (
+              SELECT id, v, c FROM (
+                SELECT b.id, b.v, s.c,
+                  ROW_NUMBER() OVER (PARTITION BY b.id
+                    ORDER BY list_sum([(b.v[i] - s.v[i]) * (b.v[i] - s.v[i]) for i in range(1, len(b.v)+1)]), s.c) AS rn
+                FROM base b CROSS JOIN c0 s
+              ) WHERE rn = 1
+            ), m1 AS (
+              SELECT c, pos,
+                CAST(SUM(CAST(x AS DECIMAL(27,12))) AS DOUBLE)
+                  / COUNT(*) AS m
+              FROM (SELECT c, unnest(
+                      [{'pos': i, 'x': v[i]} for i in range(1, len(v)+1)],
+                      recursive := true)
+                    FROM a1)
+              GROUP BY c, pos
+            ), c1 AS (
+              SELECT p.c, coalesce(g.gv, p.v) AS v
+              FROM c0 p LEFT JOIN
+                (SELECT c, list(m ORDER BY pos) AS gv FROM m1 GROUP BY c) g
+                USING (c)
+            ),
+            a2 AS (
+              SELECT id, v, c FROM (
+                SELECT b.id, b.v, s.c,
+                  ROW_NUMBER() OVER (PARTITION BY b.id
+                    ORDER BY list_sum([(b.v[i] - s.v[i]) * (b.v[i] - s.v[i]) for i in range(1, len(b.v)+1)]), s.c) AS rn
+                FROM base b CROSS JOIN c1 s
+              ) WHERE rn = 1
+            ), m2 AS (
+              SELECT c, pos,
+                CAST(SUM(CAST(x AS DECIMAL(27,12))) AS DOUBLE)
+                  / COUNT(*) AS m
+              FROM (SELECT c, unnest(
+                      [{'pos': i, 'x': v[i]} for i in range(1, len(v)+1)],
+                      recursive := true)
+                    FROM a2)
+              GROUP BY c, pos
+            ), c2 AS (
+              SELECT p.c, coalesce(g.gv, p.v) AS v
+              FROM c1 p LEFT JOIN
+                (SELECT c, list(m ORDER BY pos) AS gv FROM m2 GROUP BY c) g
+                USING (c)
+            ),
+            bucketed AS (
+              SELECT id, v, c FROM (
+                SELECT b.id, b.v, s.c,
+                  ROW_NUMBER() OVER (PARTITION BY b.id
+                    ORDER BY list_sum([(b.v[i] - s.v[i]) * (b.v[i] - s.v[i]) for i in range(1, len(b.v)+1)]), s.c) AS rn
+                FROM base b CROSS JOIN c2 s
+              ) WHERE rn = 1
+            ), dup AS (
+              SELECT b.id AS id, MIN(a.id) AS dup_of
+              FROM bucketed a JOIN bucketed b
+                ON a.c = b.c AND a.id < b.id
+              WHERE list_cosine_similarity(a.v, b.v) >= 0.43
+              GROUP BY b.id
+            )
+            SELECT bk.id AS vec_id, CAST(bk.c AS INT) AS cluster,
+                   dup.dup_of IS NULL AS kept, dup.dup_of
+            FROM bucketed bk LEFT JOIN dup ON bk.id = dup.id
         """,
         # Independent relational formulation of the span trim: covered
         # positions via a start-to-offset join, span count via

@@ -246,6 +246,12 @@ def main() -> None:
     def _sig(x: float, n: int = 2) -> float:
         return float(f"{x:.{n}g}")
 
+    # BENCH_DETAIL.json is the CANONICAL warm-suite number (README
+    # "Benchmarks"): headline claims cite its value + provenance, not
+    # the driver's 2-sig-fig stdout parse or any ad-hoc run.
+    import datetime
+    import platform
+
     detail = {
         "metric": "suite_seconds",
         "value": round(sum(timings.values()), 3),
@@ -256,6 +262,16 @@ def main() -> None:
         "sf": sf,
         "load_sec": load_sec,
         "cpus": cpus,
+        "provenance": {
+            "run_utc": datetime.datetime.now(
+                datetime.timezone.utc
+            ).strftime("%Y-%m-%dT%H:%M:%SZ"),
+            "host_kernel": platform.release(),
+            "machine": platform.machine(),
+            "python": platform.python_version(),
+            "invocation": "python bench.py (alone, no concurrent "
+            "Spark sessions)",
+        },
         # Standing ledger of isolated re-adjudications of suspected
         # regressions (single-query runs, 5 reps, bench session + GC
         # discipline) — kept here so it rides into BENCH_DETAIL.json

@@ -319,6 +319,66 @@ def embedding_dup_pairs(
     return out
 
 
+def semdedup(
+    df: DataFrame,
+    n_centroids: int = 8,
+    iters: int = 2,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient
+    learning at web-scale through semantic deduplication"): k-means
+    cluster the embedding space, then WITHIN each cluster drop every
+    vector with a near-twin (cosine >= threshold). Returns one row
+    per vector — (id, cluster, kept, dup_of) — where a dropped
+    vector's ``dup_of`` is its lowest-id in-cluster twin. The keep
+    rule here is deterministic min-id (the paper keeps the point with
+    lowest centroid similarity; any single-survivor rule gives the
+    paper's data-efficiency effect, and min-id is replayable by the
+    SQL oracle with no float ordering).
+
+    Scale shape — the clusters ARE the hot-bucket guard: the pair
+    join is an equi-join on the cluster id, so candidate volume is
+    sum(cluster_size²) instead of n². n_centroids scales with the
+    corpus (the paper uses 50k clusters for LAION); the kmeans cost
+    is iters map-only assignment passes plus a (cluster x dim)-sized
+    aggregate, and the assignment pass reuses the one persisted
+    (id, v, c) projection for both join sides so Catalyst reuses a
+    single shuffle exchange."""
+    cents = kmeans_centroids(
+        df, n_centroids, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    assigned = base.withColumn("c", _nearest(F.col("v"), cents)).persist()
+    a = assigned.select(
+        "c", F.col("id").alias("id_a"), F.col("v").alias("va")
+    )
+    b = assigned.select(
+        "c", F.col("id").alias("id_b"), F.col("v").alias("vb")
+    )
+    dup = (
+        a.join(b, "c")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(cosine(F.col("va"), F.col("vb")) >= threshold)
+        .groupBy("id_b")
+        .agg(F.min("id_a").alias("dup_of"))
+        .withColumnRenamed("id_b", "id")
+    )
+    out = assigned.join(dup, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.col("c").alias("cluster"),
+        F.col("dup_of").isNull().alias("kept"),
+        "dup_of",
+    )
+    from ._cache import track_persisted
+
+    return track_persisted(out, assigned)
+
+
 def lsh_topk(
     df: DataFrame,
     query_ids: list[int],

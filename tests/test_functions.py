@@ -1234,3 +1234,49 @@ def test_url_dedup_groups(spark):
     assert a["keeper_id"] == 10 and a["n_copies"] == 3
     assert a["n_variants"] == 3
     assert out["http://b.com/y"]["n_copies"] == 1
+
+
+def test_semdedup_planted_twins(spark):
+    """SemDeDup: vectors planted as in-cluster near-twins are dropped
+    (min-id survives, dup_of points at it); orthogonal vectors all
+    survive; every input row comes back exactly once."""
+    import math
+
+    from cayley_spark.functions.similarity import semdedup
+
+    def unit(i, dim=8):
+        v = [0.0] * dim
+        v[i % dim] = 1.0
+        return v
+
+    def near(base, eps=0.01):
+        v = list(base)
+        v[0] += eps
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    rows = [
+        (0, unit(0)),
+        (1, near(unit(0))),       # twin of 0
+        (2, near(unit(0), 0.02)), # twin of 0 and 1
+        (3, unit(1)),
+        (4, unit(2)),
+        (5, unit(3)),
+        (6, unit(4)),
+        (7, unit(5)),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["vec_id"]: r
+        for r in semdedup(
+            df, n_centroids=4, iters=2, threshold=0.9
+        ).collect()
+    }
+    assert len(out) == 8
+    assert out[0]["kept"] and out[0]["dup_of"] is None
+    assert not out[1]["kept"] and out[1]["dup_of"] == 0
+    assert not out[2]["kept"] and out[2]["dup_of"] == 0
+    for i in range(3, 8):
+        assert out[i]["kept"], f"orthogonal vector {i} dropped"
+    # twins share a cluster (they are the same direction)
+    assert out[0]["cluster"] == out[1]["cluster"] == out[2]["cluster"]

@@ -214,10 +214,15 @@ def quad_gen(draw):
 
 @st.composite
 def delta_scripts(draw):
-    """Initial graph + 1-3 delta rounds of adds and deletes. Deletes
-    are usually an index into the quads seen so far (high hit rate,
-    incl. re-add-after-delete chains) and sometimes a random quad
-    (miss / never-existed paths through orphan detection)."""
+    """Initial graph + 1-3 delta rounds of adds, deletes, and node
+    removals. Deletes are usually an index into the quads seen so far
+    (high hit rate, incl. re-add-after-delete chains) and sometimes a
+    random quad (miss / never-existed paths through orphan detection).
+    RemoveNode ops (reference writer/single.go:84-113: delete via
+    every incident direction) usually index a value seen in a quad so
+    far — subject, predicate, object, literal, or label positions all
+    reachable — and sometimes name a random value (absent-node
+    no-op path)."""
     base = draw(graphs())
     rounds = []
     for _ in range(draw(st.integers(min_value=1, max_value=3))):
@@ -230,7 +235,13 @@ def delta_scripts(draw):
             else ("quad", draw(quad_gen()))
             for _ in range(draw(st.integers(0, 3)))
         )
-        rounds.append((adds, dels))
+        removes = tuple(
+            ("idx", draw(st.integers(0, 255)))
+            if draw(st.booleans())
+            else ("val", draw(st.sampled_from(NODES + LITS + LABELS)))
+            for _ in range(draw(st.integers(0, 1)))
+        )
+        rounds.append((adds, dels, removes))
     qn = draw(st.sampled_from(NODES))
     qp = draw(st.sampled_from(PREDS))
     return base, tuple(rounds), qn, qp
@@ -260,15 +271,17 @@ def test_write_path_engines_and_model_agree(session, script):
     after every randomized add/delete round, BOTH engines must agree
     with each other AND with a pure-python model of the quad bag —
     duplicate adds kept (bag), a delete removes every copy of the
-    exact (s,p,o,l)-null-safe match, and orphaned nodes disappear
-    from AllNodes (refcount maintenance)."""
+    exact (s,p,o,l)-null-safe match, RemoveNode drops every quad
+    incident to the value in ANY direction (writer/single.go:84-113),
+    and orphaned nodes disappear from AllNodes (refcount
+    maintenance)."""
     from cayley_spark.values import coerce
 
     base, rounds, qn, qp = script
     cur = GraphStore.from_quad_values(session, list(base))
     bag = list(base)   # model: one entry per surviving quad copy
     seen = list(base)  # all quads ever added (delete-index pool)
-    for adds, dels in rounds:
+    for adds, dels, removes in rounds:
         del_quads = []
         for kind, v in dels:
             if kind == "idx":
@@ -282,6 +295,15 @@ def test_write_path_engines_and_model_agree(session, script):
         if del_quads:
             gone = {_key(q) for q in del_quads}
             bag = [q for q in bag if _key(q) not in gone]
+        for kind, v in removes:
+            if kind == "idx":
+                pool = [x for q in seen for x in q if x is not None]
+                if not pool:
+                    continue
+                v = pool[v % len(pool)]
+            cur = cur.remove_node(v)
+            vid = coerce(v).id
+            bag = [q for q in bag if vid not in _key(q)]
 
         dist = cur
         local = GraphStore(session, cur.nodes, cur.quads).enable_local()
