@@ -740,11 +740,9 @@ def try_local(store, shape):
     return table_to_df(store.spark, t)
 
 
-def try_local_values(store, shape):
-    """Single-pass twin of Path.values_df for local stores: evaluate,
-    render terms, drop internal columns — ONE DataFrame bridge instead
-    of two (the intermediate id-DataFrame costs ~25 ms of py4j the
-    rendered result never uses). Returns None to decline."""
+def _local_values_table(store, shape):
+    """Evaluate + render for the values surface: terms resolved,
+    internal columns dropped. Returns an LTable or None to decline."""
     idx = getattr(store, "_local_index", None)
     if idx is None:
         return None
@@ -770,6 +768,27 @@ def try_local_values(store, shape):
     types = {
         t.cols[j]: ("string" if j in rset else t.typ(t.cols[j])) for j in keep
     }
-    return table_to_df(
-        store.spark, LTable([t.cols[j] for j in keep], rows, types)
-    )
+    return LTable([t.cols[j] for j in keep], rows, types)
+
+
+def try_local_values(store, shape):
+    """Single-pass twin of Path.values_df for local stores: evaluate,
+    render terms, drop internal columns — ONE DataFrame bridge instead
+    of two (the intermediate id-DataFrame costs ~25 ms of py4j the
+    rendered result never uses). Returns None to decline."""
+    t = _local_values_table(store, shape)
+    if t is None:
+        return None
+    return table_to_df(store.spark, t)
+
+
+def try_local_rows(store, shape):
+    """Terminal-collect twin of Path.all()/all_values(): the rendered
+    result WITHOUT any DataFrame bridge. For a local-engine store the
+    rows are already driver-resident, so building a Spark DataFrame
+    only to collect it back costs a py4j Arrow conversion + a job
+    launch (~25-40 ms) that the caller's list comprehension never
+    needed — the memstore reference answers the same query in-process
+    in ~the same tens of milliseconds TOTAL. Returns an LTable or
+    None to decline (caller falls back to the DataFrame path)."""
+    return _local_values_table(store, shape)

@@ -558,10 +558,26 @@ class Path:
 
     def all(self) -> list[dict]:
         """Result as a list of {tag: term} dicts ('id' = result node) —
-        the shape the golden corpora compare (FIXTURES.md §5)."""
+        the shape the golden corpora compare (FIXTURES.md §5). On a
+        local-engine store the rows come straight off the driver-side
+        evaluation (plans/local.try_local_rows) — no DataFrame bridge,
+        no Spark job: point-query latency is the local eval itself."""
+        if getattr(self.store, "_local_index", None) is not None:
+            from ..plans.local import try_local_rows
+
+            t = try_local_rows(self.store, self.shape())
+            if t is not None:
+                return [dict(zip(t.cols, r)) for r in t.rows]
         return [r.asDict() for r in self.values_df().collect()]
 
     def all_values(self) -> list[str]:
+        if getattr(self.store, "_local_index", None) is not None:
+            from ..plans.local import try_local_rows
+
+            t = try_local_rows(self.store, self.shape())
+            if t is not None:
+                j = t.cols.index("id")
+                return [r[j] for r in t.rows]
         return [r["id"] for r in self.values_df().select("id").collect()]
 
 
