@@ -485,7 +485,13 @@ def trim_spans(
     O(n_tokens x n_starts). Token text never shuffles twice: the
     only wide ops are the shingle groupBy and the id-keyed joins."""
     toks = F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), 0)
-    base = df.select(F.col(id_col).alias("id"), toks.alias("toks"))
+    # persist the tokenized projection: it feeds the shingle explode
+    # (twice — dup counting and start collection) and the final
+    # reassembly join; without it each consumer re-reads the corpus
+    # and re-tokenizes (3 full scans at 100 TB)
+    base = df.select(
+        F.col(id_col).alias("id"), toks.alias("toks")
+    ).persist()
     n = F.size("toks")
     # positional shingles: (id, start_pos, lowercased k-gram)
     sh = base.select(
@@ -549,7 +555,9 @@ def trim_spans(
             ),
         ),
     ).otherwise(F.expr("CAST(array() AS array<int>)"))
-    return out.select(
+    from ._cache import track_persisted
+
+    return track_persisted(out.select(
         F.col("id").alias(id_col),
         F.concat_ws(
             " ",
@@ -560,7 +568,7 @@ def trim_spans(
         n.cast("int").alias("n_tokens"),
         (n - F.size(kept)).cast("int").alias("n_removed"),
         F.size("spans").cast("int").alias("n_spans"),
-    )
+    ), base)
 
 
 def simhash64(col: Column, k: int = 2) -> Column:
