@@ -374,9 +374,12 @@ def canonicalize_url(col: Column) -> Column:
     fragment stripping, so the operator is safe on dirty columns."""
     u = F.regexp_replace(col, r"#.*$", "")
     scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    hostport = F.lower(
-        F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
-    )
+    auth = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    # userinfo (user:pass@) is case-SENSITIVE — only the host part
+    # lowercases; host cannot contain '@', so the split is at the
+    # authority's last '@' (greedy .*)
+    userinfo = F.regexp_extract(auth, r"^(.*@)", 1)
+    hostport = F.lower(F.regexp_replace(auth, r"^.*@", ""))
     # rest = path[?query] after the authority
     rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
     # percent-encoding: uppercase the two hex digits after every '%'
@@ -424,6 +427,7 @@ def canonicalize_url(col: Column) -> Column:
     canon = F.concat(
         scheme,
         F.lit("://"),
+        _pct_upper(userinfo),
         hp,
         pnorm,
         F.when(qnorm != "", F.concat(F.lit("?"), qnorm)).otherwise(
