@@ -1309,22 +1309,13 @@ def d_trimspans(spark, sf):
     return trim_spans(docs, k=5, min_docs=2)
 
 
-def t_urlnorm(spark, sf):
-    """URL canonicalization + url-keyed crawl dedup (functions/text.
-    canonicalize_url / url_dedup): the first dedup key a crawl
-    pipeline applies, upstream of MinHash. The testdata has no URL
-    column, so the query synthesizes one per document from doc_id —
-    six deterministic messy spellings (case, :80/:443, trailing
-    slash, fragments, tracking params, %-hex case, param order) that
-    alias pairwise after canonicalization; the oracle builds the
-    identical strings and replays the identical normalization chain
-    (same regenerate-in-SQL pattern as m_audio)."""
-    from cayley_spark.functions.text import url_dedup
-
-    docs = _t_wide(spark, sf, "documents")
+def _synth_url():
+    """Deterministic messy URL per document (six aliasing spellings
+    keyed on doc_id % 6) — shared by t_urlnorm and t_domains; the
+    oracles rebuild the identical strings analytically."""
     h = F.col("doc_id") % 7
     v = F.col("doc_id") % 5
-    url = (
+    return (
         F.when(
             F.col("doc_id") % 6 == 0,
             F.concat(
@@ -1361,7 +1352,37 @@ def t_urlnorm(spark, sf):
             )
         )
     )
-    return url_dedup(docs.withColumn("url", url))
+
+
+def t_urlnorm(spark, sf):
+    """URL canonicalization + url-keyed crawl dedup (functions/text.
+    canonicalize_url / url_dedup): the first dedup key a crawl
+    pipeline applies, upstream of MinHash. The testdata has no URL
+    column, so the query synthesizes one per document from doc_id —
+    six deterministic messy spellings (case, :80/:443, trailing
+    slash, fragments, tracking params, %-hex case, param order) that
+    alias pairwise after canonicalization; the oracle builds the
+    identical strings and derives each case's expected canonical form
+    analytically (the m_audio regenerate-in-SQL pattern)."""
+    from cayley_spark.functions.text import url_dedup
+
+    docs = _t_wide(spark, sf, "documents")
+    return url_dedup(docs.withColumn("url", _synth_url()))
+
+
+def t_domains(spark, sf):
+    """Per-domain corpus statistics (functions/text.domain_stats —
+    the aggregation RefinedWeb-style pipelines build domain
+    blocklists from): host extraction + canonical-URL dedup counts +
+    per-domain character mass, over the same synthesized URL column
+    as t_urlnorm. One groupBy on the host; all counters map-side
+    combinable."""
+    from cayley_spark.functions.text import domain_stats
+
+    docs = _t_wide(spark, sf, "documents")
+    return domain_stats(
+        docs.withColumn("url", _synth_url()), chars_col="n_chars"
+    )
 
 
 def d_semdedup(spark, sf):
@@ -2066,12 +2087,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round), then the entries whose last green verdict is OLDEST;
     entries green in the immediately previous round go last (they
     retain pytest + tools/check_oracles.py coverage while they wait).
-    Round-7 window (50) = 3 round-7 additions + q12 + the 14
+    Round-7 window (50) = 4 round-7 additions + q12 + the 14
     r04-verified entries displaced past position 50 in rounds 5-6
-    (q_asof .. q_session_window) + 32 r05-verified entries, leading
+    (q_asof .. q_session_window) + 31 r05-verified entries, leading
     with the six whose code changed in round 6 without a fresh driver
     verdict (d_lsh d_against d_index d_neardup t_html t_mixture).
-    18 r05 entries overflow at positions 51-68 and lead the round-8
+    19 r05 entries overflow at positions 51-69 and lead the round-8
     window; the 48 r06-green entries sit at the tail.
     """
     return {
@@ -2079,6 +2100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_trimspans": d_trimspans,
         "t_urlnorm": t_urlnorm,
         "d_semdedup": d_semdedup,
+        "t_domains": t_domains,
         # --- red in r06 (hash-only; oracle SUM cast fixed this round) --
         "q12": q12,
         # --- last verified r04 (displaced past 50 in r5 and r6) --------
@@ -3554,6 +3576,35 @@ WITH per_cust AS (
             SELECT bk.id AS vec_id, CAST(bk.c AS INT) AS cluster,
                    dup.dup_of IS NULL AS kept, dup.dup_of
             FROM bucketed bk LEFT JOIN dup ON bk.id = dup.id
+        """,
+        # Per-domain stats: host and canonical URL derived analytically
+        # per synthesized case (t_urlnorm's CASE table), then one
+        # GROUP BY host. n_chars SUM cast to BIGINT (checklist rule).
+        "t_domains": r"""
+            WITH u AS (
+              SELECT doc_id, n_chars,
+                'example' || (doc_id % 7) || '.com' AS host,
+                CASE doc_id % 6
+                  WHEN 0 THEN 'http://example' || (doc_id % 7)
+                    || '.com/path/a?x=' || (doc_id % 5)
+                  WHEN 1 THEN 'http://example' || (doc_id % 7)
+                    || '.com/path/a?x=' || (doc_id % 5)
+                  WHEN 2 THEN 'https://example' || (doc_id % 7)
+                    || '.com/path/b'
+                  WHEN 3 THEN 'https://example' || (doc_id % 7)
+                    || '.com/path/b'
+                  WHEN 4 THEN 'http://example' || (doc_id % 7)
+                    || '.com/p%2Fq?a=' || (doc_id % 5) || '&b=2'
+                  ELSE 'http://example' || (doc_id % 7)
+                    || '.com/p%2Fq?a=' || (doc_id % 5) || '&b=2'
+                END AS canon
+              FROM documents
+            )
+            SELECT host,
+                   COUNT(*) AS n_docs,
+                   COUNT(DISTINCT canon) AS n_urls,
+                   CAST(SUM(n_chars) AS BIGINT) AS chars
+            FROM u GROUP BY host
         """,
         # Independent relational formulation of the span trim: covered
         # positions via a start-to-offset join, span count via

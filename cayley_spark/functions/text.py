@@ -468,6 +468,51 @@ def url_dedup(
     )
 
 
+def url_host(col: Column) -> Column:
+    """Lowercased host of a URL (userinfo and port stripped) — the
+    grouping key for domain-level corpus statistics. '' for non-URL
+    input. Same RE2-safe extraction chain as canonicalize_url."""
+    auth = F.regexp_extract(
+        col, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1
+    )
+    host = F.lower(F.regexp_replace(auth, r"^.*@", ""))
+    return F.regexp_replace(host, r":[0-9]+$", "")
+
+
+def domain_stats(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    chars_col: str | None = None,
+) -> DataFrame:
+    """Per-domain corpus statistics — the aggregation a RefinedWeb-
+    style pipeline builds its domain blocklists/allowlists from
+    (Penedo et al. 2023 §3.1 URL filtering is per-domain): group by
+    :func:`url_host`, count documents and DISTINCT canonical URLs;
+    with ``chars_col``, also the domain's total character mass.
+    Returns (host, n_docs, n_urls[, chars]).
+
+    Scale shape: canonicalization and host extraction are scan-speed
+    column exprs; ONE groupBy on the host (domains are zipf-skewed,
+    but the aggregate is all map-side-combinable counters, so a hot
+    domain costs one reducer counter, never a row explosion)."""
+    cols = [
+        F.col(id_col).alias("id"),
+        url_host(F.col(url_col)).alias("host"),
+        canonicalize_url(F.col(url_col)).alias("canon"),
+    ]
+    if chars_col is not None:
+        cols.append(F.col(chars_col).alias("chars"))
+    base = df.select(*cols)
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("canon").alias("n_urls"),
+    ]
+    if chars_col is not None:
+        aggs.append(F.sum("chars").alias("chars"))
+    return base.groupBy("host").agg(*aggs)
+
+
 def inverted_index(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -1283,3 +1283,26 @@ def test_semdedup_planted_twins(spark):
         assert out[i]["kept"], f"orthogonal vector {i} dropped"
     # twins share a cluster (they are the same direction)
     assert out[0]["cluster"] == out[1]["cluster"] == out[2]["cluster"]
+
+
+def test_domain_stats(spark):
+    """Per-domain aggregation: hosts group case/port-insensitively,
+    n_urls counts canonical (not raw) spellings, chars sums the
+    weight column; plan is join-free."""
+    from cayley_spark.functions.text import domain_stats
+
+    rows = [
+        Row(doc_id=1, url="http://A.com/x?utm_source=1", n=10),
+        Row(doc_id=2, url="HTTP://a.COM:80/x", n=20),
+        Row(doc_id=3, url="http://a.com/y", n=5),
+        Row(doc_id=4, url="https://user:PW@B.com:443/z", n=7),
+    ]
+    res = domain_stats(spark.createDataFrame(rows), chars_col="n")
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    out = {r["host"]: r for r in res.collect()}
+    a = out["a.com"]
+    # docs 1 and 2 alias to ONE canonical url; doc 3 is a second
+    assert a["n_docs"] == 3 and a["n_urls"] == 2 and a["chars"] == 35
+    b = out["b.com"]  # userinfo and port stripped from the host key
+    assert b["n_docs"] == 1 and b["chars"] == 7
