@@ -208,3 +208,70 @@ def test_dedup_against_matches_model(spark, new, old, thresh):
     assert got == _model_against(new, old, thresh, cap=256), (
         f"diverges: new={new!r} old={old!r} @ {thresh}"
     )
+
+
+# ---------------- trim_spans model fuzz ----------------
+
+
+def _model_trim(rows, k=3, min_docs=2):
+    """Pure-python replica of functions/dedup.trim_spans: positional
+    k-shingles (lowercased keys), global >=min_docs-distinct-docs dup
+    set, merged covered ranges per doc, tokens outside every range
+    survive in original case/order."""
+    toks = {i: re.findall(r"\w+", t) for i, t in rows}
+    starts = {}
+    occ = {}
+    for i, tk in toks.items():
+        for p in range(len(tk) - k + 1):
+            g = " ".join(x.lower() for x in tk[p : p + k])
+            occ.setdefault(g, set()).add(i)
+            starts.setdefault(i, []).append((p, g))
+    dup = {g for g, ids in occ.items() if len(ids) >= min_docs}
+    out = {}
+    for i, tk in toks.items():
+        spans = []
+        for p, g in sorted(starts.get(i, [])):
+            if g not in dup:
+                continue
+            if spans and p <= spans[-1][1] + 1:
+                spans[-1][1] = p + k - 1
+            else:
+                spans.append([p, p + k - 1])
+        covered = {
+            j for s, e in spans for j in range(s, e + 1)
+        }
+        kept = [x for j, x in enumerate(tk) if j not in covered]
+        out[i] = (
+            " ".join(kept),
+            len(tk),
+            len(tk) - len(kept),
+            len(spans),
+        )
+    return out
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=corpora(), k=st.sampled_from([2, 3, 5]))
+def test_trim_spans_matches_model(spark, rows, k):
+    """trim_spans vs a pure-python replica on random corpora with
+    planted near-duplicates: clean_text, token counts, removed
+    counts, and MERGED span counts must all match exactly."""
+    from cayley_spark.functions.dedup import trim_spans
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["clean_text"],
+            r["n_tokens"],
+            r["n_removed"],
+            r["n_spans"],
+        )
+        for r in trim_spans(df, k=k, min_docs=2).collect()
+    }
+    want = _model_trim(rows, k=k, min_docs=2)
+    assert got == want, f"diverges on {rows!r} @ k={k}"
