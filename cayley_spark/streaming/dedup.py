@@ -47,3 +47,35 @@ def dedup_stream(
     else:
         out = keyed.dropDuplicates(["__h"])
     return out.drop("__h")
+
+
+def url_dedup_stream(
+    docs: DataFrame,
+    watermark: str = "1 hour",
+    url_col: str = "url",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Crawl-frontier URL dedup at ingest: drop rows whose CANONICAL
+    URL (functions/text.canonicalize_url — case/port/tracking-param/
+    %-hex/param-order aliasing collapsed) was already seen within the
+    watermark horizon. The streaming twin of functions/text.url_dedup,
+    and the cheapest admission gate a crawl pipeline has — it runs
+    before any text is fetched into state.
+
+    Same engine-native shape as :func:`dedup_stream`: canonicalize at
+    scan speed, then ``dropDuplicatesWithinWatermark`` keyed on
+    ``md5(canon)`` (fixed 32-byte state entries regardless of URL
+    length). Batch inputs take plain dropDuplicates on the same key.
+    The horizon guarantee is the engine's own (see dedup_stream)."""
+    from ..functions.text import canonicalize_url
+
+    keyed = docs.withColumn(
+        "__h", F.md5(canonicalize_url(F.col(url_col)))
+    )
+    if docs.isStreaming:
+        out = keyed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            ["__h"]
+        )
+    else:
+        out = keyed.dropDuplicates(["__h"])
+    return out.drop("__h")

@@ -1110,3 +1110,57 @@ def test_cli_pipeline_compact(spark, tmp_path, capsys):
                  "--target-mb", "512"]) == 0
     assert len(glob.glob(out + "/*.parquet")) == 1
     assert spark.read.parquet(out).count() == 200
+
+
+def test_url_dedup_stream_canonical_aliases(spark, tmp_path):
+    """Streaming URL dedup keys on the CANONICAL form: aliased
+    spellings (case, :80, tracking params, param order) arriving in
+    later micro-batches are dropped; distinct resources survive;
+    batch mode degrades to one row per canonical URL."""
+    import json as _json
+    import os as _os
+
+    from cayley_spark.streaming.dedup import url_dedup_stream
+
+    batches = [
+        [(1, "2024-01-01 00:00:00", "http://a.com/x?b=2&a=1")],
+        # same resource, three aliased spellings -> all dropped
+        [(2, "2024-01-01 00:05:00", "HTTP://A.com:80/x?a=1&b=2"),
+         (3, "2024-01-01 00:06:00", "http://a.com/x?utm_source=f&b=2&a=1")],
+        # a genuinely different resource -> admitted
+        [(4, "2024-01-01 00:10:00", "http://a.com/x?a=1&b=3")],
+    ]
+    src = tmp_path / "ud_in"
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        with open(src / f"b{i}.json", "w") as f:
+            for did, ts, url in rows:
+                f.write(_json.dumps(
+                    {"doc_id": did, "ts": ts, "url": url}) + "\n")
+        _os.utime(src / f"b{i}.json", (1_700_000_000 + i * 60,) * 2)
+
+    schema = "doc_id long, ts timestamp, url string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        url_dedup_stream(stream, watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("ud_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ud_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    kept = {r["doc_id"] for r in spark.sql("SELECT * FROM ud_out").collect()}
+    assert kept == {1, 4}, kept
+    # batch twin: one row per canonical key
+    batch = spark.createDataFrame(
+        [(1, "http://b.com/"), (2, "HTTP://B.com:80"), (3, "http://c.com/")],
+        "doc_id long, url string",
+    ).withColumn("ts", __import__("pyspark").sql.functions.current_timestamp())
+    out = url_dedup_stream(batch).collect()
+    assert len(out) == 2
