@@ -1979,6 +1979,30 @@ def g_pagerank(spark, sf):
     return ranks.select(id_str.alias("id"), "rank")
 
 
+def g_hits(spark, sf):
+    """Fixed-point HITS hubs & authorities (graphs/algorithms.hits,
+    Kleinberg 1999) over the order→part bipartite graph. Integer
+    scores with truncating max-normalization per half-step make every
+    iteration bit-identical across engines (the g_pagerank
+    determinism discipline); same packed-long internal ids, string
+    render only in the final projection."""
+    from cayley_spark.graphs.algorithms import hits
+
+    li = _t(spark, sf, "lineitem")
+    edges = li.select(
+        (F.col("l_orderkey") * 2).alias("src"),
+        (F.col("l_partkey") * 2 + 1).alias("dst"),
+    ).dropDuplicates(["src", "dst"])
+    hs = hits(edges, iters=2)
+    id_str = F.when(
+        F.col("id") % 2 == 0,
+        F.concat(F.lit("o:"), (F.col("id") / 2).cast("long")),
+    ).otherwise(
+        F.concat(F.lit("p:"), ((F.col("id") - 1) / 2).cast("long"))
+    )
+    return hs.select(id_str.alias("id"), "hub", "authority")
+
+
 def q_rollup(spark, sf):
     """OLAP rollup: (day, event_type) with per-day and grand
     subtotals — Spark's rollup() mirrors ANSI GROUP BY ROLLUP."""
@@ -2087,12 +2111,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round), then the entries whose last green verdict is OLDEST;
     entries green in the immediately previous round go last (they
     retain pytest + tools/check_oracles.py coverage while they wait).
-    Round-7 window (50) = 4 round-7 additions + q12 + the 14
+    Round-7 window (50) = 5 round-7 additions + q12 + the 14
     r04-verified entries displaced past position 50 in rounds 5-6
-    (q_asof .. q_session_window) + 31 r05-verified entries, leading
+    (q_asof .. q_session_window) + 30 r05-verified entries, leading
     with the six whose code changed in round 6 without a fresh driver
     verdict (d_lsh d_against d_index d_neardup t_html t_mixture).
-    19 r05 entries overflow at positions 51-69 and lead the round-8
+    20 r05 entries overflow at positions 51-70 and lead the round-8
     window; the 48 r06-green entries sit at the tail.
     """
     return {
@@ -2101,6 +2125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_urlnorm": t_urlnorm,
         "d_semdedup": d_semdedup,
         "t_domains": t_domains,
+        "g_hits": g_hits,
         # --- red in r06 (hash-only; oracle SUM cast fixed this round) --
         "q12": q12,
         # --- last verified r04 (displaced past 50 in r5 and r6) --------
@@ -3503,6 +3528,58 @@ WITH per_cust AS (
             SELECT id AS doc_id, COUNT(*) AS n_dup_spans
             FROM g WHERE g IN (SELECT g FROM dup)
             GROUP BY id
+        """,
+        # HITS: 2 unrolled iterations; each half-step = edge join +
+        # SUM, then floor-div max-normalization via a scalar subquery
+        # (the g_pagerank unrolled-rounds pattern).
+        "g_hits": r"""
+            WITH e AS (
+              SELECT DISTINCT 'o:' || l_orderkey AS src,
+                              'p:' || l_partkey AS dst
+              FROM lineitem
+            ), nodes AS (
+              SELECT src AS id FROM e UNION SELECT dst FROM e
+            ), h0 AS (
+              SELECT id, CAST(1000000 AS BIGINT) AS h FROM nodes
+            ), a1r AS (
+              SELECT e.dst AS id, CAST(SUM(h.h) AS BIGINT) AS v
+              FROM e JOIN h0 h ON h.id = e.src GROUP BY e.dst
+            ), a1 AS (
+              SELECT n.id,
+                CAST((COALESCE(r.v, 0) * 1000000)
+                     // greatest((SELECT MAX(v) FROM a1r), 1)
+                     AS BIGINT) AS a
+              FROM nodes n LEFT JOIN a1r r ON n.id = r.id
+            ), h1r AS (
+              SELECT e.src AS id, CAST(SUM(a.a) AS BIGINT) AS v
+              FROM e JOIN a1 a ON a.id = e.dst GROUP BY e.src
+            ), h1 AS (
+              SELECT n.id,
+                CAST((COALESCE(r.v, 0) * 1000000)
+                     // greatest((SELECT MAX(v) FROM h1r), 1)
+                     AS BIGINT) AS h
+              FROM nodes n LEFT JOIN h1r r ON n.id = r.id
+            ), a2r AS (
+              SELECT e.dst AS id, CAST(SUM(h.h) AS BIGINT) AS v
+              FROM e JOIN h1 h ON h.id = e.src GROUP BY e.dst
+            ), a2 AS (
+              SELECT n.id,
+                CAST((COALESCE(r.v, 0) * 1000000)
+                     // greatest((SELECT MAX(v) FROM a2r), 1)
+                     AS BIGINT) AS a
+              FROM nodes n LEFT JOIN a2r r ON n.id = r.id
+            ), h2r AS (
+              SELECT e.src AS id, CAST(SUM(a.a) AS BIGINT) AS v
+              FROM e JOIN a2 a ON a.id = e.dst GROUP BY e.src
+            ), h2 AS (
+              SELECT n.id,
+                CAST((COALESCE(r.v, 0) * 1000000)
+                     // greatest((SELECT MAX(v) FROM h2r), 1)
+                     AS BIGINT) AS h
+              FROM nodes n LEFT JOIN h2r r ON n.id = r.id
+            )
+            SELECT n.id, h2.h AS hub, a2.a AS authority
+            FROM nodes n JOIN h2 ON n.id = h2.id JOIN a2 ON n.id = a2.id
         """,
         # SemDeDup: replay the deterministic kmeans (seeds = first 8
         # ids, 2 decimal-exact Lloyd rounds — the s_knn_ivf oracle

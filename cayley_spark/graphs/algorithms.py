@@ -100,6 +100,85 @@ def pagerank(
     return ranks.select("id", F.col("r").alias("rank"))
 
 
+HITS_SCALE = 1_000_000
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 2,
+    scale: int = HITS_SCALE,
+) -> DataFrame:
+    """Fixed-point HITS (Kleinberg 1999 hubs & authorities). Returns
+    (id, hub, authority) as scaled integers: each half-step sums the
+    counterpart score over the edge set, then max-normalizes with
+    TRUNCATING division (best node = ``scale``), so every iteration
+    is bit-identical across engines and summation orders — the same
+    determinism discipline as :func:`pagerank` (float HITS can never
+    hash-match a single-threaded oracle).
+
+    Scale shape: one (join + groupBy) per half-step on 8-byte node
+    ids; the max for normalization is a 1-row broadcast cross join
+    (the verdict-audited scalar pattern). Edges/nodes localCheckpoint
+    once and are reread every iteration. Overflow-safe by
+    construction: score <= scale, so a summed half-step is bounded by
+    max_degree * scale and the scaled numerator by
+    max_degree * scale² (needs max_degree < 9.2e18/scale² = 9.2e6
+    at the default scale — far above any real in-degree after
+    dedup)."""
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint(eager=False)
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionAll(e.select(F.col("dst").alias("id")))
+        .dropDuplicates(["id"])
+        .localCheckpoint(eager=False)
+    )
+
+    def _norm(raw: DataFrame, col: str) -> DataFrame:
+        # raw: (id, v) partial — absent nodes score 0; normalize so
+        # the max node holds exactly `scale` (floor division)
+        mx = raw.agg(
+            F.greatest(F.max("v"), F.lit(1)).cast("long").alias("mx")
+        )
+        return (
+            nodes.join(raw, "id", "left")
+            .crossJoin(F.broadcast(mx))
+            .select(
+                "id",
+                F.expr(f"(coalesce(v, 0L) * {scale}) div mx")
+                .cast("long")
+                .alias(col),
+            )
+            .localCheckpoint(eager=False)
+        )
+
+    h = nodes.withColumn("h", F.lit(scale).cast("long"))
+    a = None
+    for _ in range(iters):
+        a_raw = (
+            e.join(h.withColumnRenamed("id", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum("h").alias("v"))
+            .withColumnRenamed("dst", "id")
+        )
+        a = _norm(a_raw, "a")
+        h_raw = (
+            e.join(a.withColumnRenamed("id", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.sum("a").alias("v"))
+            .withColumnRenamed("src", "id")
+        )
+        h = _norm(h_raw, "h")
+    return (
+        nodes.join(h, "id")
+        .join(a, "id")
+        .select("id", F.col("h").alias("hub"), F.col("a").alias("authority"))
+    )
+
+
 def connected_components(
     edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 50
 ) -> DataFrame:

@@ -254,3 +254,33 @@ def test_store_random_walks_facade(spark):
     assert rows[("<a>", 1)] == "<b>" and rows[("<a>", 2)] == "<c>"
     assert rows[("<b>", 1)] == "<c>" and rows[("<c>", 1)] == "<a>"
     assert len(out) == 9  # 3 walks x steps 0..2, no NULL hops
+
+
+def test_hits_hub_authority_structure(spark):
+    """HITS on a known bipartite-ish graph: the node pointed at by
+    every hub gets the max authority (= scale); the node pointing at
+    the most authorities gets the max hub score; disconnected-ish
+    weak nodes score strictly less; deterministic across reruns."""
+    from pyspark.sql import Row
+
+    from cayley_spark.graphs.algorithms import HITS_SCALE, hits
+
+    # hubs 1,2,3 all cite 10; 1 also cites 11 and 12 (best hub);
+    # 4 cites only 12
+    edges = spark.createDataFrame(
+        [Row(src=s, dst=d) for s, d in [
+            (1, 10), (2, 10), (3, 10),
+            (1, 11), (1, 12), (4, 12),
+        ]]
+    )
+    out = {r["id"]: r for r in hits(edges, iters=2).collect()}
+    assert out[10]["authority"] == HITS_SCALE  # cited by all hubs
+    assert out[1]["hub"] == HITS_SCALE        # cites the most/best
+    assert 0 < out[12]["authority"] < out[10]["authority"]
+    assert 0 < out[4]["hub"] < out[1]["hub"]
+    # pure authorities have zero hub score; pure hubs zero authority
+    assert out[10]["hub"] == 0 and out[1]["authority"] == 0
+    # bit-identical on rerun (integer fixed point)
+    again = {r["id"]: r for r in hits(edges, iters=2).collect()}
+    assert {k: (v["hub"], v["authority"]) for k, v in out.items()} == \
+        {k: (v["hub"], v["authority"]) for k, v in again.items()}
