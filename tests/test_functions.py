@@ -1306,3 +1306,34 @@ def test_domain_stats(spark):
     assert a["n_docs"] == 3 and a["n_urls"] == 2 and a["chars"] == 35
     b = out["b.com"]  # userinfo and port stripped from the host key
     assert b["n_docs"] == 1 and b["chars"] == 7
+
+
+def test_canonicalize_url_idempotent(spark):
+    """canonicalize(canonicalize(x)) == canonicalize(x) over a grid of
+    messy URLs — the property that makes the canonical form a stable
+    dedup key (a second normalization pass, e.g. in a re-crawl, maps
+    every already-clean URL to itself)."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from cayley_spark.functions.text import canonicalize_url
+
+    schemes = ["http://", "HTTPS://", "http://"]
+    hosts = ["Example.COM", "a.b.example.com:80", "example.com:8443",
+             "User:PW@Example.com"]
+    paths = ["", "/", "/A/b/", "/p%2fq", "/a//b/"]
+    queries = ["", "?b=2&a=1", "?utm_source=x", "?a=%2f&ref=r&z=1"]
+    frags = ["", "#frag"]
+    urls = [
+        "".join(parts)
+        for parts in itertools.product(schemes, hosts, paths, queries, frags)
+    ]
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)], ["i", "u"])
+    out = df.select(
+        "i",
+        canonicalize_url(F.col("u")).alias("c1"),
+        canonicalize_url(canonicalize_url(F.col("u"))).alias("c2"),
+    ).collect()
+    bad = [(urls[r["i"]], r["c1"], r["c2"]) for r in out if r["c1"] != r["c2"]]
+    assert not bad, bad[:5]
