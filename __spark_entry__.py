@@ -2003,6 +2003,19 @@ def g_hits(spark, sf):
     return hs.select(id_str.alias("id"), "hub", "authority")
 
 
+def s_kcenter(spark, sf):
+    """Greedy k-center coreset selection (functions/similarity.
+    kcenter_sample — Sener & Savarese 2018 farthest-point sampling)
+    over the embeddings: 6 diverse representatives, deterministic
+    (min-id seed, id tie-break, sequential-fold distances). The
+    oracle unrolls the 5 greedy rounds with correlated MIN-distance
+    subqueries over the growing selected set."""
+    from cayley_spark.functions.similarity import kcenter_sample
+
+    emb = _t_wide(spark, sf, "embeddings")
+    return kcenter_sample(emb, k=6)
+
+
 def q_rollup(spark, sf):
     """OLAP rollup: (day, event_type) with per-day and grand
     subtotals — Spark's rollup() mirrors ANSI GROUP BY ROLLUP."""
@@ -2111,12 +2124,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round), then the entries whose last green verdict is OLDEST;
     entries green in the immediately previous round go last (they
     retain pytest + tools/check_oracles.py coverage while they wait).
-    Round-7 window (50) = 5 round-7 additions + q12 + the 14
+    Round-7 window (50) = 6 round-7 additions + q12 + the 14
     r04-verified entries displaced past position 50 in rounds 5-6
-    (q_asof .. q_session_window) + 30 r05-verified entries, leading
+    (q_asof .. q_session_window) + 29 r05-verified entries, leading
     with the six whose code changed in round 6 without a fresh driver
     verdict (d_lsh d_against d_index d_neardup t_html t_mixture).
-    20 r05 entries overflow at positions 51-70 and lead the round-8
+    21 r05 entries overflow at positions 51-71 and lead the round-8
     window; the 48 r06-green entries sit at the tail.
     """
     return {
@@ -2126,6 +2139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_semdedup": d_semdedup,
         "t_domains": t_domains,
         "g_hits": g_hits,
+        "s_kcenter": s_kcenter,
         # --- red in r06 (hash-only; oracle SUM cast fixed this round) --
         "q12": q12,
         # --- last verified r04 (displaced past 50 in r5 and r6) --------
@@ -2454,6 +2468,40 @@ def _lsh_oracle(n_planes: int = 8, k: int = 5) -> str:
               FROM scored
             ) WHERE rn <= {k}
     """
+
+
+
+
+def _kcenter_oracle(k: int = 6) -> str:
+    """Unrolled greedy k-center SQL: round r picks the id-tie-broken
+    argmax of MIN squared-L2 distance to the selected set (a
+    correlated scalar subquery over the tiny s{r-1} CTE)."""
+    dist = (
+        "list_sum([(b.v[i]-s.v[i])*(b.v[i]-s.v[i]) "
+        "for i in range(1, len(b.v)+1)])"
+    )
+    parts = [
+        "WITH base AS (SELECT vec_id AS id, "
+        "CAST(embedding AS DOUBLE[]) AS v FROM embeddings),\n"
+        's0 AS (SELECT id, v, 0 AS "rank" FROM base ORDER BY id LIMIT 1)'
+    ]
+    for r in range(1, k):
+        p = f"s{r-1}"
+        parts.append(
+            f""",\nn{r} AS (
+  SELECT b.id, b.v FROM base b
+  WHERE b.id NOT IN (SELECT id FROM {p})
+  ORDER BY (SELECT MIN({dist}) FROM {p} s) DESC, b.id
+  LIMIT 1
+),\ns{r} AS (
+  SELECT id, v, "rank" FROM {p}
+  UNION ALL SELECT id, v, {r} FROM n{r}
+)"""
+        )
+    parts.append(
+        f'\nSELECT id AS vec_id, CAST("rank" AS INT) AS rank FROM s{k-1}'
+    )
+    return "".join(parts)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3581,6 +3629,7 @@ WITH per_cust AS (
             SELECT n.id, h2.h AS hub, a2.a AS authority
             FROM nodes n JOIN h2 ON n.id = h2.id JOIN a2 ON n.id = a2.id
         """,
+        "s_kcenter": _kcenter_oracle(6),
         # SemDeDup: replay the deterministic kmeans (seeds = first 8
         # ids, 2 decimal-exact Lloyd rounds — the s_knn_ivf oracle
         # pattern with LIMIT 8), then the in-cluster pair rule.

@@ -379,6 +379,73 @@ def semdedup(
     return track_persisted(out, assigned)
 
 
+def kcenter_sample(
+    df: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy k-center coreset selection (farthest-point sampling —
+    Sener & Savarese 2018, "Active Learning for CNNs: A Core-Set
+    Approach"): seed with the minimum-id vector, then repeatedly add
+    the point FARTHEST (squared L2) from the selected set. The
+    diversity-selection counterpart of the dedup stack: dedup removes
+    redundancy, the coreset picks a spread-out training subset.
+    Returns the k selected rows as (id, rank) with rank = selection
+    order (0 = seed). Deterministic: ties in the argmax break toward
+    the smaller id, and the distance fold is the same sequential
+    array-order sum the green s_knn_ivf oracle already replays.
+
+    Scale shape: the selected set is k x dim floats — broadcast as
+    literals into a map-only distance pass (the kmeans `_nearest`
+    discipline), so each round is one scan + one top-1 reduction
+    (orderBy().limit(1) = TakeOrdered, no global sort); k rounds
+    total. The corpus never shuffles. Cost is k full scans — the
+    standard greedy-coreset trade, bounded by keeping k modest per
+    partition-of-interest (shard first for larger k)."""
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).persist()
+    try:
+        seed = base.orderBy("id").limit(1).collect()[0]
+        selected = [(seed["id"], list(seed["v"]))]
+        for _ in range(k - 1):
+            cents = [v for _, v in selected]
+            cents_lit = F.array(
+                *[F.array(*[F.lit(x) for x in c]) for c in cents]
+            )
+            d2 = F.array_min(
+                F.transform(
+                    cents_lit,
+                    lambda c: F.aggregate(
+                        F.zip_with(
+                            F.col("v"), c, lambda a, b: (a - b) * (a - b)
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ),
+                )
+            )
+            ids = [i for i, _ in selected]
+            nxt = (
+                base.where(~F.col("id").isin(ids))
+                .select("id", "v", d2.alias("d2"))
+                .orderBy(F.col("d2").desc(), F.col("id"))
+                .limit(1)
+                .collect()
+            )
+            if not nxt:
+                break
+            selected.append((nxt[0]["id"], list(nxt[0]["v"])))
+        return df.sparkSession.createDataFrame(
+            [(i, r) for r, (i, _) in enumerate(selected)],
+            f"{id_col} long, rank int",
+        )
+    finally:
+        base.unpersist()
+
+
 def lsh_topk(
     df: DataFrame,
     query_ids: list[int],

@@ -1337,3 +1337,35 @@ def test_canonicalize_url_idempotent(spark):
     ).collect()
     bad = [(urls[r["i"]], r["c1"], r["c2"]) for r in out if r["c1"] != r["c2"]]
     assert not bad, bad[:5]
+
+
+def test_kcenter_sample_spread(spark):
+    """Farthest-point sampling: from three tight clusters + an
+    outlier, k=4 picks one point per cluster plus the outlier (never
+    two from the same tight cluster); seed is the min id; determinism
+    across reruns."""
+    from cayley_spark.functions.similarity import kcenter_sample
+
+    def pt(x, y):
+        return [float(x), float(y)] + [0.0] * 6
+
+    rows = [
+        # cluster A around (0,0): ids 0-2  (id 0 = seed)
+        (0, pt(0, 0)), (1, pt(0.1, 0)), (2, pt(0, 0.1)),
+        # cluster B around (10,0): ids 3-4
+        (3, pt(10, 0)), (4, pt(10.1, 0)),
+        # cluster C around (0,10): ids 5-6
+        (5, pt(0, 10)), (6, pt(0.1, 10)),
+        # far outlier
+        (7, pt(50, 50)),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = kcenter_sample(df, k=4).collect()
+    sel = {r["vec_id"]: r["rank"] for r in out}
+    assert sel[0] == 0                      # min-id seed
+    assert sel[7] == 1                      # outlier is farthest first
+    clusters = [{0, 1, 2}, {3, 4}, {5, 6}, {7}]
+    for c in clusters:
+        assert len(c & set(sel)) == 1, sel  # one rep per cluster
+    again = {r["vec_id"]: r["rank"] for r in kcenter_sample(df, k=4).collect()}
+    assert sel == again
