@@ -484,7 +484,12 @@ def trim_spans(
     token-coverage test costs O(n_tokens x n_merged_spans), not
     O(n_tokens x n_starts). Token text never shuffles twice: the
     only wide ops are the shingle groupBy and the id-keyed joins."""
-    toks = F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), 0)
+    # coalesce: NULL text must behave like an empty document (counts
+    # 0/0/0), not propagate size(NULL) into n_tokens/n_removed
+    toks = F.coalesce(
+        F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), 0),
+        F.array().cast("array<string>"),
+    )
     # persist the tokenized projection: it feeds the shingle explode
     # (twice — dup counting and start collection) and the final
     # reassembly join; without it each consumer re-reads the corpus

@@ -403,12 +403,20 @@ def kcenter_sample(
     total. The corpus never shuffles. Cost is k full scans — the
     standard greedy-coreset trade, bounded by keeping k modest per
     partition-of-interest (shard first for larger k)."""
+    # id dtype follows the input schema (string-id corpora work);
+    # the rank column is always int
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, rank int"
     base = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     ).persist()
     try:
-        seed = base.orderBy("id").limit(1).collect()[0]
+        seed_rows = base.orderBy("id").limit(1).collect()
+        if not seed_rows:
+            # empty corpus -> empty (typed) coreset, not IndexError
+            return df.sparkSession.createDataFrame([], out_schema)
+        seed = seed_rows[0]
         selected = [(seed["id"], list(seed["v"]))]
         for _ in range(k - 1):
             cents = [v for _, v in selected]
@@ -440,7 +448,7 @@ def kcenter_sample(
             selected.append((nxt[0]["id"], list(nxt[0]["v"])))
         return df.sparkSession.createDataFrame(
             [(i, r) for r, (i, _) in enumerate(selected)],
-            f"{id_col} long, rank int",
+            out_schema,
         )
     finally:
         base.unpersist()

@@ -347,9 +347,12 @@ def url_stats(
 
 # query parameters that identify a CLICK, not a resource — the strip
 # list every crawl canonicalizer applies before url-keyed dedup
-# (utm_* per Google Analytics docs; the rest are ad-click ids)
+# (utm_* per Google Analytics docs; the rest are ad-click ids).
+# (?i): param names are matched case-insensitively (UTM_SOURCE= and
+# FBCLID= spellings occur in real crawls); (?i) is in the Java∩RE2
+# subset, so the DuckDB oracle replays it verbatim.
 _TRACKING_PARAM_RE = (
-    r"^(utm_[a-z0-9_]+|gclid|fbclid|msclkid|mc_eid|igshid|ref|ref_src)="
+    r"(?i)^(utm_[a-z0-9_]+|gclid|fbclid|msclkid|mc_eid|igshid|ref|ref_src)="
 )
 
 

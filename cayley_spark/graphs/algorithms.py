@@ -127,6 +127,11 @@ def hits(
     max_degree * scale² (needs max_degree < 9.2e18/scale² = 9.2e6
     at the default scale — far above any real in-degree after
     dedup)."""
+    if iters < 1:
+        raise ValueError(
+            f"hits() needs iters >= 1 (got {iters}): the authority "
+            "frame is only defined after the first half-step"
+        )
     e = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst")
     ).localCheckpoint(eager=False)

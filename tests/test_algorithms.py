@@ -284,3 +284,15 @@ def test_hits_hub_authority_structure(spark):
     again = {r["id"]: r for r in hits(edges, iters=2).collect()}
     assert {k: (v["hub"], v["authority"]) for k, v in out.items()} == \
         {k: (v["hub"], v["authority"]) for k, v in again.items()}
+
+
+def test_hits_rejects_zero_iters(spark):
+    """iters=0 leaves the authority frame undefined — hits() raises a
+    clear ValueError instead of a join-on-None crash."""
+    import pytest
+
+    from cayley_spark.graphs.algorithms import hits
+
+    e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="iters >= 1"):
+        hits(e, iters=0)

@@ -1369,3 +1369,80 @@ def test_kcenter_sample_spread(spark):
         assert len(c & set(sel)) == 1, sel  # one rep per cluster
     again = {r["vec_id"]: r["rank"] for r in kcenter_sample(df, k=4).collect()}
     assert sel == again
+
+
+def test_canonicalize_url_uppercase_tracking_params(spark):
+    """Tracking-param stripping is case-insensitive: UTM_SOURCE= /
+    FBCLID= spellings (seen in real crawls) collapse to the same
+    canonical key as their lowercase forms."""
+    from pyspark.sql import functions as F
+
+    from cayley_spark.functions.text import canonicalize_url
+
+    cases = [
+        ("http://example.com/x?UTM_SOURCE=f&a=1", "http://example.com/x?a=1"),
+        ("http://example.com/x?FBCLID=z&a=1", "http://example.com/x?a=1"),
+        ("http://example.com/x?Utm_Campaign=z&a=1",
+         "http://example.com/x?a=1"),
+        # param VALUES keep their case; non-tracking keys survive
+        ("http://example.com/x?A=B&GCLID=q", "http://example.com/x?A=B"),
+    ]
+    df = spark.createDataFrame(
+        [(i, c[0]) for i, c in enumerate(cases)], ["i", "url"]
+    )
+    got = {
+        r["i"]: r["c"]
+        for r in df.select(
+            "i", canonicalize_url(F.col("url")).alias("c")
+        ).collect()
+    }
+    for i, (raw, want) in enumerate(cases):
+        assert got[i] == want, f"{raw!r}: {got[i]!r} != {want!r}"
+
+
+def test_trim_spans_null_text(spark):
+    """NULL text behaves like an empty document: the row comes back
+    with clean_text '' and 0/0/0 counts (not NULL / -1 from
+    size(NULL))."""
+    from cayley_spark.functions.dedup import trim_spans
+
+    rows = [
+        Row(doc_id=1, text=None),
+        Row(doc_id=2, text="a b c d e f g"),
+        Row(doc_id=3, text="a b c d e f g"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in trim_spans(df, k=5).collect()}
+    nul = out[1]
+    assert nul["clean_text"] == ""
+    assert nul["n_tokens"] == 0
+    assert nul["n_removed"] == 0
+    assert nul["n_spans"] == 0
+    # the duplicated pair still trims
+    assert out[2]["n_removed"] == 7 and out[3]["n_removed"] == 7
+
+
+def test_kcenter_sample_string_ids_and_empty(spark):
+    """kcenter_sample follows the input id dtype (string-id corpora
+    work) and returns an empty typed frame on empty input instead of
+    raising."""
+    from cayley_spark.functions.similarity import kcenter_sample
+
+    def pt(x, y):
+        return [float(x), float(y)]
+
+    rows = [("a", pt(0, 0)), ("b", pt(10, 0)), ("c", pt(0.1, 0))]
+    df = spark.createDataFrame(
+        rows, "vec_id string, embedding array<double>"
+    )
+    out = {r["vec_id"]: r["rank"] for r in kcenter_sample(df, k=2).collect()}
+    assert out == {"a": 0, "b": 1}
+
+    empty = spark.createDataFrame(
+        [], "vec_id string, embedding array<double>"
+    )
+    res = kcenter_sample(empty, k=3)
+    assert res.count() == 0
+    assert [f.dataType.simpleString() for f in res.schema.fields] == [
+        "string", "int"
+    ]
