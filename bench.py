@@ -310,12 +310,22 @@ def main() -> None:
             "all_values gained the bridge-free local fast path. "
             "Isolated .all() reps: 2set [10,9,9,10,9]ms = 0.5x "
             "baseline, 3set 18-20ms, lookup 3ms, costars 14-16ms.",
-            "r7_t_scripts_d_lsh": "the only two >1.3x movers in the "
-            "r7 suite (t_scripts 0.50->0.85, d_lsh 2.24->3.72, "
-            "unchanged code) re-run isolated 5-rep: t_scripts "
+            "r7_t_scripts_d_lsh": "r7 suite movers t_scripts "
+            "0.50->0.85 and d_lsh 2.24->3.72 (unchanged code) "
+            "re-run isolated 5-rep: t_scripts "
             "[4.53, 0.54, 0.42, 0.44, 0.36] min 0.36s, d_lsh "
             "[8.86, 2.45, 2.34, 2.33, 2.62] min 2.33s — both at/"
-            "below r6 level; transient, no fix needed.",
+            "below r6 level; transient, no fix needed. (An earlier "
+            "edition of this note claimed these were the ONLY two "
+            ">1.3x movers — wrong: d_jaccard also moved and was "
+            "adjudicated separately in r8, see r8_d_jaccard.)",
+            "r8_d_jaccard": "r7 warm 6.84s vs r6 4.26s on unchanged "
+            "code (only r7 diff in dedup.py is the unrelated "
+            "trim_spans addition) — the mover the r7 note missed. "
+            "Isolated 5-rep re-run (bench session + GC discipline): "
+            "[13.73, 4.64, 3.69, 4.69, 3.74] min 3.69s — BELOW the "
+            "r6 level; suite contention / host noise, no plan "
+            "change, no fix needed.",
         },
     }
     detail_path = os.path.join(
