@@ -103,7 +103,9 @@ def _write_any(store, path: str) -> int:
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="cayley_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
-    for name in ("init", "load", "dump", "repl", "http", "query", "dedup"):
+    for name in (
+        "init", "load", "dump", "repl", "http", "query", "dedup", "compact",
+    ):
         s = sub.add_parser(name)
         s.add_argument("--db", required=True, help="parquet store dir")
         if name == "init":
@@ -236,6 +238,15 @@ def main(argv: list[str] | None = None) -> int:
         st = _read_any(spark, args.quads)
         st.save(args.db)
         print(f"loaded {st.stats()['quads']} quads into {args.db}")
+    elif args.cmd == "compact":
+        # fold the save_deltas append-only log into the base parquet
+        # layout (store-level maintenance; `pipeline compact` is the
+        # generic small-files rewrite for arbitrary parquet)
+        st = GraphStore.compact(spark, args.db)
+        s = st.stats()
+        print(
+            f"compacted {args.db}: {s['quads']} quads, {s['nodes']} nodes"
+        )
     elif args.cmd == "dedup":
         from .values import IRI
 

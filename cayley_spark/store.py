@@ -206,7 +206,13 @@ class GraphStore:
                 ],
                 F.sum("refs").cast("int").alias("refs"),
             )
-        return cls(spark, nodes, spark.read.parquet(f"{path}/quads"))
+        quads = spark.read.parquet(f"{path}/quads")
+        adds = _try_parquet(spark, f"{path}/delta/adds")
+        dels = _try_parquet(spark, f"{path}/delta/dels")
+        dnodes = _try_parquet(spark, f"{path}/delta/nodes")
+        if adds is not None or dels is not None or dnodes is not None:
+            nodes, quads = _merge_delta_log(spark, nodes, quads, adds, dels, dnodes)
+        return cls(spark, nodes, quads)
 
     # ---------------- persistence ----------------
 
@@ -218,6 +224,113 @@ class GraphStore:
             f"{path}/quads"
         )
         self.nodes.repartition("id").write.mode(mode).parquet(f"{path}/nodes")
+        if mode == "overwrite":
+            # a stale delta log under an overwritten base would be
+            # re-applied by the next load() — remove it (no-op when
+            # the path never had one)
+            _fs_delete(self.spark, f"{path}/delta")
+
+    @classmethod
+    def save_deltas(
+        cls,
+        spark: SparkSession,
+        path: str,
+        add: list[tuple] = (),
+        delete: list[tuple] = (),
+    ) -> int:
+        """Persist one add/delete batch to a saved store as an
+        APPEND-ONLY delta log — the incremental counterpart of
+        :meth:`save`, mirroring the reference's incremental backend
+        writes (kv batch write path graph/kv/indexing.go:409-480; SQL
+        upserts graph/sql/database.go) and SURVEY §1.5's
+        partition-overwrite parquet mapping, realized LSM-style:
+
+        - ``{path}/delta/adds``  — added quad rows ``(s,p,o,l,__batch)``
+        - ``{path}/delta/dels``  — tombstones     ``(s,p,o,l,__batch)``
+        - ``{path}/delta/nodes`` — node-dictionary rows for the added
+          values, ``refs`` = occurrences in this batch (merged by
+          ``sum`` at load, so existing ids become increments and fresh
+          ids become inserts — no existence check, no read)
+
+        The write NEVER reads or rewrites base data: every existing
+        file under ``{path}/quads`` / ``{path}/nodes`` is left
+        byte-identical (test-pinned), and the write cost is O(delta) —
+        a daily delta against a 100 TB store costs the delta, not the
+        store. ``load()`` folds the log into the returned DataFrames
+        lazily; :meth:`compact` folds it into the base files.
+
+        ``__batch`` is a monotone sequence number (base = 0) giving the
+        log ApplyDeltas ordering: a tombstone in batch *i* deletes
+        every matching copy with batch <= *i* (adds in the same call
+        are deleted too, exactly like ``apply_deltas(add, delete)``),
+        while a re-add in a later batch survives. Returns the batch id.
+
+        Single-writer, like the reference's embedded backends; the two
+        appends are not atomic together (a crash between them leaves a
+        batch with adds but no tombstones — re-apply the batch)."""
+        batch = 1
+        for sub in ("adds", "dels"):
+            prev = _try_parquet(spark, f"{path}/delta/{sub}")
+            if prev is not None:
+                mx = prev.agg(F.max("__batch")).collect()[0][0]
+                batch = max(batch, int(mx or 0) + 1)
+        if add:
+            st = cls.from_quad_values(spark, list(add))
+            st.quads.withColumn(
+                "__batch", F.lit(batch).cast("int")
+            ).write.mode("append").parquet(f"{path}/delta/adds")
+            # node rows with per-batch occurrence refs (the same occ
+            # accounting as apply_deltas)
+            occ: dict[int, int] = {}
+            vals: dict[int, Value] = {}
+            for dq in add:
+                for x in dq:
+                    if x is not None:
+                        v = coerce(x)
+                        vals[v.id] = v
+                        occ[v.id] = occ.get(v.id, 0) + 1
+            rows = [
+                _node_row(vals[i])[:-1] + (occ[i],) for i in sorted(vals)
+            ]
+            spark.createDataFrame(rows, NODE_SCHEMA).write.mode(
+                "append"
+            ).parquet(f"{path}/delta/nodes")
+        if delete:
+            dst = cls.from_quad_values(spark, list(delete))
+            dst.quads.dropDuplicates(["s", "p", "o", "l"]).withColumn(
+                "__batch", F.lit(batch).cast("int")
+            ).write.mode("append").parquet(f"{path}/delta/dels")
+        return batch
+
+    @classmethod
+    def compact(
+        cls, spark: SparkSession, path: str, dedup_nodes: bool = False
+    ) -> "GraphStore":
+        """Fold the delta log into the base files: rewrite
+        ``{path}/quads`` / ``{path}/nodes`` from the merged view (same
+        (p,s) range / id layout as :meth:`save`) and drop the log.
+        The reference's backend compaction analog (its kv backends
+        inherit LSM compaction from the underlying store).
+
+        Writes to ``*.compact.tmp`` siblings first, then swaps via
+        Hadoop FileSystem rename (works on local/HDFS/S3A alike), so
+        the source files are never read-while-overwritten; a crash
+        between rename steps leaves recoverable ``.tmp`` dirs, the
+        same guarantee class as Hive's staged INSERT OVERWRITE."""
+        st = cls.load(spark, path, dedup_nodes=dedup_nodes)
+        st.quads.repartitionByRange("p", "s").write.mode(
+            "overwrite"
+        ).parquet(f"{path}/quads.compact.tmp")
+        st.nodes.repartition("id").write.mode("overwrite").parquet(
+            f"{path}/nodes.compact.tmp"
+        )
+        fs, jvm = _hadoop_fs(spark, path)
+        hp = jvm.org.apache.hadoop.fs.Path
+        for sub in ("quads", "nodes"):
+            fs.delete(hp(f"{path}/{sub}"), True)
+            fs.rename(hp(f"{path}/{sub}.compact.tmp"), hp(f"{path}/{sub}"))
+        fs.delete(hp(f"{path}/delta"), True)
+        return cls.load(spark, path)
 
     def persist(self) -> "GraphStore":
         return GraphStore(self.spark, self.nodes.persist(), self.quads.persist())
@@ -797,3 +910,225 @@ def _decompose_terms(terms: DataFrame) -> DataFrame:
         F.when(kind == "time", body.cast("timestamp")).alias("ts"),
         F.lit(1).alias("refs"),
     )
+
+
+# ---------------- delta-log persistence helpers ----------------
+
+
+def _try_parquet(spark: SparkSession, path: str) -> DataFrame | None:
+    """Read a parquet dir, or None if it does not exist (any Hadoop
+    filesystem — the probe is the read itself, not an os.path check)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as e:
+        msg = str(e)
+        if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+            return None
+        raise
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, jvm) for ``path`` via the JVM gateway — the
+    FS-portable way to delete/rename store directories (local, HDFS,
+    S3A) without shelling out or assuming a local filesystem."""
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    return fs, jvm
+
+
+def _fs_delete(spark: SparkSession, path: str) -> None:
+    fs, jvm = _hadoop_fs(spark, path)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(path), True)
+
+
+def _merge_delta_log(
+    spark: SparkSession,
+    base_nodes: DataFrame,
+    base_quads: DataFrame,
+    adds: DataFrame | None,
+    dels: DataFrame | None,
+    dnodes: DataFrame | None,
+) -> tuple[DataFrame, DataFrame]:
+    """Fold a ``save_deltas`` log into (nodes, quads) DataFrames —
+    the read side of the LSM split. Semantics are exactly
+    ``apply_deltas`` replayed in batch order (differential-tested):
+
+    - quads: base (batch 0) ∪ adds, minus every copy matched by a
+      tombstone of an equal-or-later batch (null-safe on the label,
+      bag semantics — all duplicate copies of a matched quad go);
+    - nodes: touched dictionary rows merge by id (first non-null
+      attribute, summed refs — an existing id becomes an increment, a
+      fresh id an insert), tombstone-named refs decrement by removed
+      occurrences, and a tombstone-named id whose value no longer
+      appears in any surviving quad is dropped (the delta-sized
+      orphan rule). refs divergence, documented: apply_deltas clamps
+      refs at 1 per BATCH while this merge sums the whole log and
+      clamps ONCE, so a delete-then-readd sequence can land a lower
+      (never <1) refs value. refs is a loose refcount either way
+      (base rows all write 1) and nothing outside store bookkeeping
+      reads it — dictionary MEMBERSHIP, which queries do see, is
+      exactly apply_deltas'.
+
+    Scale shape: the merge tax is bounded by the log, not the store.
+    Tombstones/decrements/orphan candidates are log-sized and
+    broadcast; surviving-quad usage probes carry literal `isin`
+    predicates so Parquet footer stats prune the (p,s)-ranged base
+    files. The nodes merge splits on a collected touched-id set
+    (conf ``spark.cayley.delta.touchedIdsBudget``, default 100k): the
+    untouched 100-TB remainder passes through as a NARROW filter (no
+    shuffle); only the touched sliver shuffles. Past the budget it
+    declines to one full groupBy(id) — loudly the compaction signal."""
+    q_all = base_quads.withColumn("__batch", F.lit(0).cast("int"))
+    if adds is not None:
+        q_all = q_all.unionByName(adds.select(*q_all.columns))
+
+    removed = None
+    if dels is not None:
+        d = dels.select(
+            F.col("s").alias("__ds"),
+            F.col("p").alias("__dp"),
+            F.col("o").alias("__do"),
+            F.col("l").alias("__dl"),
+            F.col("__batch").alias("__db"),
+        )
+        cond = (
+            (F.col("s") == F.col("__ds"))
+            & (F.col("p") == F.col("__dp"))
+            & (F.col("o") == F.col("__do"))
+            & F.col("l").eqNullSafe(F.col("__dl"))
+            & (F.col("__db") >= F.col("__batch"))
+        )
+        db = F.broadcast(d)
+        removed = q_all.join(db, cond, "left_semi")
+        q_surv = q_all.join(db, cond, "left_anti")
+    else:
+        q_surv = q_all
+    quads_out = q_surv.drop("__batch")
+
+    attr_cols = [
+        c for c in NODE_SCHEMA.fieldNames() if c not in ("id", "refs")
+    ]
+
+    def _merge_rows(df: DataFrame) -> DataFrame:
+        return df.groupBy("id").agg(
+            *[F.first(c, ignorenulls=True).alias(c) for c in attr_cols],
+            F.sum("refs").cast("int").alias("refs"),
+        )
+
+    # ids whose dictionary row can change: added values + tombstone-
+    # named values. The log is small by design; probe with an
+    # early-stopping limit so the decline path never collects.
+    budget = int(
+        spark.conf.get("spark.cayley.delta.touchedIdsBudget", "100000")
+    )
+    pieces = []
+    if dnodes is not None:
+        pieces.append(dnodes.select("id"))
+    cand_df = None
+    if dels is not None:
+        cand_df = (
+            dels.select(
+                F.explode(F.array(*[F.col(c) for c in DIRS])).alias("id")
+            )
+            .where(F.col("id").isNotNull())
+            .distinct()
+        )
+        pieces.append(cand_df)
+    if not pieces:
+        return base_nodes, quads_out
+    touched_df = pieces[0]
+    for p in pieces[1:]:
+        touched_df = touched_df.unionByName(p)
+    touched_df = touched_df.distinct()
+    touched_ids: list[int] | None = None
+    if touched_df.limit(budget + 1).count() <= budget:
+        touched_ids = sorted(r["id"] for r in touched_df.collect())
+    if touched_ids == []:
+        return base_nodes, quads_out
+
+    # refs decrements: occurrences in the removed copies (delta-sized
+    # — bounded by copies of tombstoned quads)
+    dec = None
+    if removed is not None:
+        dec = (
+            removed.select(
+                F.explode(F.array(*[F.col(c) for c in DIRS])).alias("id")
+            )
+            .where(F.col("id").isNotNull())
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).cast("int").alias("__dec"))
+        )
+
+    if touched_ids is not None:
+        untouched = base_nodes.where(~F.col("id").isin(touched_ids))
+        tb = base_nodes.where(F.col("id").isin(touched_ids))
+        merged = _merge_rows(
+            tb.unionByName(dnodes) if dnodes is not None else tb
+        )
+    else:
+        untouched = None
+        merged = _merge_rows(
+            base_nodes.unionByName(dnodes)
+            if dnodes is not None
+            else base_nodes
+        )
+    if dec is not None:
+        dec_b = F.broadcast(dec) if touched_ids is not None else dec
+        merged = (
+            merged.join(dec_b, "id", "left")
+            .withColumn(
+                "refs",
+                F.greatest(
+                    (
+                        F.col("refs") - F.coalesce(F.col("__dec"), F.lit(0))
+                    ).cast("int"),
+                    F.lit(1),
+                ),
+            )
+            .drop("__dec")
+        )
+    if cand_df is not None:
+        # orphan rule: tombstone-named ids unused by surviving quads
+        # go. The usage probe carries a literal isin when the touched
+        # set collected (file pruning on the ranged base); otherwise a
+        # distributed semi-join.
+        if touched_ids is not None:
+            cand_ids = sorted(
+                r["id"] for r in cand_df.collect()
+            )
+            ucond = None
+            for dr in DIRS:
+                c = F.col(dr).isin(cand_ids)
+                ucond = c if ucond is None else (ucond | c)
+            used = (
+                q_surv.where(ucond)
+                .select(
+                    F.explode(
+                        F.array(*[F.col(c) for c in DIRS])
+                    ).alias("id")
+                )
+                .where(F.col("id").isin(cand_ids))
+                .distinct()
+            )
+        else:
+            used = (
+                q_surv.select(
+                    F.explode(
+                        F.array(*[F.col(c) for c in DIRS])
+                    ).alias("id")
+                )
+                .where(F.col("id").isNotNull())
+                .join(cand_df, "id", "left_semi")
+                .distinct()
+            )
+        drop_df = cand_df.join(used, "id", "left_anti")
+        drop_b = F.broadcast(drop_df) if touched_ids is not None else drop_df
+        merged = merged.join(drop_b, "id", "left_anti")
+    nodes_out = (
+        untouched.unionByName(merged) if untouched is not None else merged
+    )
+    return nodes_out, quads_out
