@@ -319,6 +319,9 @@ def embedding_dup_pairs(
     return out
 
 
+SEMDEDUP_SIM_SCALE = 1_000_000_000
+
+
 def semdedup(
     df: DataFrame,
     n_centroids: int = 8,
@@ -326,17 +329,29 @@ def semdedup(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep: str = "min_id",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient
     learning at web-scale through semantic deduplication"): k-means
     cluster the embedding space, then WITHIN each cluster drop every
     vector with a near-twin (cosine >= threshold). Returns one row
     per vector — (id, cluster, kept, dup_of) — where a dropped
-    vector's ``dup_of`` is its lowest-id in-cluster twin. The keep
-    rule here is deterministic min-id (the paper keeps the point with
-    lowest centroid similarity; any single-survivor rule gives the
-    paper's data-efficiency effect, and min-id is replayable by the
-    SQL oracle with no float ordering).
+    vector's ``dup_of`` is its first-in-keep-order in-cluster twin.
+
+    ``keep`` selects the single-survivor rule:
+
+    - ``"min_id"`` (default): keep the lowest id among twins —
+      deterministic and replayable by the SQL oracle with no float
+      ordering.
+    - ``"far_from_centroid"``: the paper-faithful rule (Abbas et al.
+      2023 §3 keeps the point with LOWEST similarity to its cluster
+      centroid — the least prototypical example, which measurably
+      improves downstream data quality). Ordering is the integer-
+      scaled centroid cosine ``floor(cos * 1e9)`` with id tiebreak,
+      so the precedence relation is total and bit-deterministic
+      across engines and summation orders (the fold over dimensions
+      is the same sequential array-order sum the s_knn oracle
+      replays).
 
     Scale shape — the clusters ARE the hot-bucket guard: the pair
     join is an equi-join on the cluster id, so candidate volume is
@@ -344,8 +359,14 @@ def semdedup(
     corpus (the paper uses 50k clusters for LAION); the kmeans cost
     is iters map-only assignment passes plus a (cluster x dim)-sized
     aggregate, and the assignment pass reuses the one persisted
-    (id, v, c) projection for both join sides so Catalyst reuses a
-    single shuffle exchange."""
+    (id, v, c, k) projection for both join sides so Catalyst reuses a
+    single shuffle exchange. The centroid-similarity key is a
+    map-only literal-array lookup riding the same pass — no extra
+    shuffle for the paper rule."""
+    if keep not in ("min_id", "far_from_centroid"):
+        raise ValueError(
+            f"keep must be 'min_id' or 'far_from_centroid', got {keep!r}"
+        )
     cents = kmeans_centroids(
         df, n_centroids, iters=iters, id_col=id_col, vec_col=vec_col
     )
@@ -353,19 +374,43 @@ def semdedup(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     )
-    assigned = base.withColumn("c", _nearest(F.col("v"), cents)).persist()
+    assigned = base.withColumn("c", _nearest(F.col("v"), cents))
+    if keep == "far_from_centroid":
+        cents_lit = F.array(
+            *[F.array(*[F.lit(x) for x in c]) for c in cents]
+        )
+        csim = cosine(
+            F.col("v"), F.element_at(cents_lit, F.col("c") + 1)
+        )
+        key = F.floor(csim * F.lit(float(SEMDEDUP_SIM_SCALE))).cast("long")
+    else:
+        key = F.col("id")
+    assigned = assigned.withColumn("k", key).persist()
     a = assigned.select(
-        "c", F.col("id").alias("id_a"), F.col("v").alias("va")
+        "c",
+        F.col("id").alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("k").alias("ka"),
     )
     b = assigned.select(
-        "c", F.col("id").alias("id_b"), F.col("v").alias("vb")
+        "c",
+        F.col("id").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("k").alias("kb"),
+    )
+    precedes = (F.col("ka") < F.col("kb")) | (
+        (F.col("ka") == F.col("kb")) & (F.col("id_a") < F.col("id_b"))
     )
     dup = (
         a.join(b, "c")
-        .where(F.col("id_a") < F.col("id_b"))
+        .where(precedes)
         .where(cosine(F.col("va"), F.col("vb")) >= threshold)
         .groupBy("id_b")
-        .agg(F.min("id_a").alias("dup_of"))
+        .agg(
+            F.min_by(
+                "id_a", F.struct(F.col("ka"), F.col("id_a"))
+            ).alias("dup_of")
+        )
         .withColumnRenamed("id_b", "id")
     )
     out = assigned.join(dup, "id", "left").select(

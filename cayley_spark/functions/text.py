@@ -356,7 +356,19 @@ _TRACKING_PARAM_RE = (
 )
 
 
-def canonicalize_url(col: Column) -> Column:
+def _fold_host_aliases(hostport: Column) -> Column:
+    """Strip one leading ``www.`` / ``m.`` / ``mobile.`` label from an
+    already-lowercased host[:port], only when at least two labels
+    remain (so registrable domains like ``m.com`` are preserved).
+    Expressed as a capture-group rewrite — the Java∩RE2 subset has no
+    lookahead, so the 'remainder has another dot' condition is encoded
+    in the captured tail itself."""
+    return F.regexp_replace(
+        hostport, r"^(www|m|mobile)\.([^.]+\..+)$", "$2"
+    )
+
+
+def canonicalize_url(col: Column, fold_host_aliases: bool = False) -> Column:
     """Canonical URL form — the FIRST dedup key a crawl pipeline
     applies, upstream of any content hash (two fetches of the same
     resource must collide BEFORE the corpus pays to compare texts):
@@ -371,6 +383,12 @@ def canonicalize_url(col: Column) -> Column:
       stripped (the common aliasing pair; real path '//' runs are
       preserved — they are distinct resources per RFC).
 
+    With ``fold_host_aliases=True``, one leading ``www.`` / ``m.`` /
+    ``mobile.`` host label is also folded away (crawl pipelines
+    routinely alias these before URL dedup — RefinedWeb-style
+    practice, NOT RFC equivalence, hence opt-in); a label is only
+    stripped when at least two labels remain, so ``m.com`` survives.
+
     Pure column expressions in the Java∩RE2 regex subset, so the
     DuckDB oracle replays the identical chain; no UDFs, scan speed.
     Non-URL input (no scheme://host) passes through unchanged except
@@ -383,6 +401,8 @@ def canonicalize_url(col: Column) -> Column:
     # authority's last '@' (greedy .*)
     userinfo = F.regexp_extract(auth, r"^(.*@)", 1)
     hostport = F.lower(F.regexp_replace(auth, r"^.*@", ""))
+    if fold_host_aliases:
+        hostport = _fold_host_aliases(hostport)
     # rest = path[?query] after the authority
     rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
     # percent-encoding: uppercase the two hex digits after every '%'
@@ -443,7 +463,10 @@ def canonicalize_url(col: Column) -> Column:
 
 
 def url_dedup(
-    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    fold_host_aliases: bool = False,
 ) -> DataFrame:
     """URL-keyed crawl dedup: group documents by
     :func:`canonicalize_url`, keep the lowest id per canonical URL.
@@ -460,7 +483,9 @@ def url_dedup(
         df.select(
             F.col(id_col).alias("id"),
             F.col(url_col).alias("raw"),
-            canonicalize_url(F.col(url_col)).alias("canon_url"),
+            canonicalize_url(
+                F.col(url_col), fold_host_aliases=fold_host_aliases
+            ).alias("canon_url"),
         )
         .groupBy("canon_url")
         .agg(
@@ -471,15 +496,20 @@ def url_dedup(
     )
 
 
-def url_host(col: Column) -> Column:
+def url_host(col: Column, fold_host_aliases: bool = False) -> Column:
     """Lowercased host of a URL (userinfo and port stripped) — the
     grouping key for domain-level corpus statistics. '' for non-URL
-    input. Same RE2-safe extraction chain as canonicalize_url."""
+    input. Same RE2-safe extraction chain as canonicalize_url;
+    ``fold_host_aliases`` folds one leading www./m./mobile. label as
+    there (so www.x.com and x.com aggregate as one domain)."""
     auth = F.regexp_extract(
         col, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1
     )
     host = F.lower(F.regexp_replace(auth, r"^.*@", ""))
-    return F.regexp_replace(host, r":[0-9]+$", "")
+    host = F.regexp_replace(host, r":[0-9]+$", "")
+    if fold_host_aliases:
+        host = _fold_host_aliases(host)
+    return host
 
 
 def domain_stats(

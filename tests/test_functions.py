@@ -1446,3 +1446,136 @@ def test_kcenter_sample_string_ids_and_empty(spark):
     assert [f.dataType.simpleString() for f in res.schema.fields] == [
         "string", "int"
     ]
+
+
+def test_semdedup_far_from_centroid_keep_rule(spark):
+    """keep='far_from_centroid' (paper-faithful, Abbas et al. 2023 §3)
+    keeps the twin with LOWEST centroid similarity — a different
+    survivor than min-id on the same data; min_id stays the default."""
+    import math
+
+    import pytest as _pytest
+
+    from cayley_spark.functions.similarity import semdedup
+
+    def unit(i, dim=8):
+        v = [0.0] * dim
+        v[i % dim] = 1.0
+        return v
+
+    def tilt(base, j, eps):
+        v = list(base)
+        v[j] += eps
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    # one cluster (n_centroids=1) makes the centroid geometry exact:
+    # the centroid is the global mean, the three twins' similarities
+    # to it are distinct (a 2-point cluster would tie — the mean
+    # bisects the pair), and the orthogonal points are non-twins
+    rows = [
+        (0, unit(0)),                 # most prototypical twin
+        (1, tilt(unit(0), 1, 0.1)),   # slightly tilted twin
+        (2, tilt(unit(0), 1, 0.3)),   # farthest-from-centroid twin
+        (3, unit(2)),
+        (4, unit(3)),
+        (5, unit(4)),
+        (6, unit(5)),
+        (7, unit(6)),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    far = {
+        r["vec_id"]: r
+        for r in semdedup(
+            df, n_centroids=1, iters=1, threshold=0.9,
+            keep="far_from_centroid",
+        ).collect()
+    }
+    assert far[2]["kept"] and far[2]["dup_of"] is None
+    assert not far[0]["kept"] and far[0]["dup_of"] == 2
+    assert not far[1]["kept"] and far[1]["dup_of"] == 2
+    for i in range(3, 8):
+        assert far[i]["kept"]
+    # default rule on the same data keeps min-id instead
+    min_id = {
+        r["vec_id"]: r
+        for r in semdedup(
+            df, n_centroids=1, iters=1, threshold=0.9
+        ).collect()
+    }
+    assert min_id[0]["kept"] and not min_id[2]["kept"]
+    assert min_id[2]["dup_of"] == 0
+    with _pytest.raises(ValueError, match="keep"):
+        semdedup(df, keep="frobnicate")
+
+
+def test_canonicalize_url_fold_host_aliases(spark):
+    """Opt-in www./m./mobile. host-alias folding: aliases collapse to
+    one canonical key; registrable domains like m.com survive; the
+    default (RFC-faithful) canon preserves the labels."""
+    from pyspark.sql import functions as F
+
+    from cayley_spark.functions.text import canonicalize_url, url_dedup
+
+    cases = [
+        ("http://www.example.com/x", "http://example.com/x"),
+        ("http://M.Example.com/x", "http://example.com/x"),
+        ("http://mobile.example.com/x?a=1", "http://example.com/x?a=1"),
+        # registrable two-label domains are NOT folded
+        ("http://m.com/x", "http://m.com/x"),
+        ("http://www.co/x", "http://www.co/x"),
+        # port survives folding
+        ("http://www.example.com:8080/x", "http://example.com:8080/x"),
+        # userinfo untouched (host-only fold)
+        ("http://www@www.example.com/x", "http://www@example.com/x"),
+    ]
+    df = spark.createDataFrame(
+        [(i, c[0]) for i, c in enumerate(cases)], ["i", "url"]
+    )
+    got = {
+        r["i"]: r["c"]
+        for r in df.select(
+            "i",
+            canonicalize_url(
+                F.col("url"), fold_host_aliases=True
+            ).alias("c"),
+        ).collect()
+    }
+    for i, (raw, want) in enumerate(cases):
+        assert got[i] == want, f"{raw!r}: {got[i]!r} != {want!r}"
+    # default stays RFC-faithful
+    keep = df.select(
+        canonicalize_url(F.col("url")).alias("c")
+    ).collect()[0]["c"]
+    assert keep == "http://www.example.com/x"
+    # url_dedup passthrough: the aliases group under one key
+    rows = [
+        Row(doc_id=1, url="http://www.example.com/x"),
+        Row(doc_id=2, url="http://example.com/x"),
+        Row(doc_id=3, url="http://m.example.com/x"),
+    ]
+    res = url_dedup(
+        spark.createDataFrame(rows), fold_host_aliases=True
+    ).collect()
+    assert len(res) == 1 and res[0]["n_copies"] == 3
+
+
+def test_domain_stats_fold_host_aliases(spark):
+    """url_host folding makes www.x.com / x.com aggregate as one
+    domain in per-domain stats."""
+    from pyspark.sql import functions as F
+
+    from cayley_spark.functions.text import url_host
+
+    df = spark.createDataFrame(
+        [(1, "http://www.a.com/1"), (2, "http://a.com/2"),
+         (3, "http://m.com/3")],
+        ["doc_id", "url"],
+    )
+    got = sorted(
+        (r["h"], r["n"])
+        for r in df.groupBy(
+            url_host(F.col("url"), fold_host_aliases=True).alias("h")
+        ).agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    assert got == [("a.com", 2), ("m.com", 1)]
