@@ -1467,6 +1467,30 @@ def d_against(spark, sf):
     ).select("doc_id", "source")
 
 
+def d_bloom(spark, sf):
+    """Bloom-filter cross-corpus membership (functions/bloom.py —
+    Bloom 1970; the RefinedWeb-style "seen before?" primitive): a
+    2^17-bit / 5-hash bloom is built over md5(text) of the English
+    subset (one explode + one map-side-combinable groupBy, output
+    bounded by n_bits/64 rows), packed into a single broadcast row,
+    and EVERY document probes it with pure column expressions — the
+    probe side never shuffles, which is the whole point at 100 TB.
+    The oracle replays membership exactly via the position-set
+    equivalence (all k seeded-md5 positions present in the set the
+    build side populated — the bit array is just the O(1) packing of
+    that set), so false positives reproduce bit-for-bit too."""
+    from cayley_spark.functions.bloom import bloom_build, bloom_probe
+
+    docs = _t_wide(spark, sf, "documents")
+    key = F.md5(F.coalesce(F.col("text"), F.lit("")))
+    built = bloom_build(
+        docs.where(F.col("lang") == "en"), key, n_bits=1 << 17, k=5
+    )
+    return bloom_probe(docs, built, key, n_bits=1 << 17, k=5).select(
+        "doc_id", "maybe_member"
+    )
+
+
 def d_index(spark, sf):
     """Persisted cross-corpus dedup index (functions/dedup_index.
     LSHDedupIndex): the src0-9 historical corpus is indexed ONCE to
@@ -2120,78 +2144,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     The driver verifies the FIRST 50 entries in dict order, so ordering
     is evidence policy (a CONTINUOUS ROTATION, documented in
     COVERAGE.md): entries with no driver verdict yet go first, then the
-    one red row (q12, hash-only fail in r06 — oracle cast fixed this
-    round), then the entries whose last green verdict is OLDEST;
-    entries green in the immediately previous round go last (they
-    retain pytest + tools/check_oracles.py coverage while they wait).
-    Round-7 window (50) = 6 round-7 additions + q12 + the 14
-    r04-verified entries displaced past position 50 in rounds 5-6
-    (q_asof .. q_session_window) + 29 r05-verified entries, leading
-    with the six whose code changed in round 6 without a fresh driver
-    verdict (d_lsh d_against d_index d_neardup t_html t_mixture).
-    21 r05 entries overflow at positions 51-71 and lead the round-8
-    window; the 48 r06-green entries sit at the tail.
+    entries whose last green verdict is OLDEST; entries green in the
+    immediately previous round go last (they retain pytest +
+    tools/check_oracles.py coverage while they wait).
+    Round-8 window (50) = the round-8 additions (never checked) + the
+    21 r05-verified entries that overflowed the round-7 window at
+    positions 51-71 (t_redact .. q11 — exactly 2 rounds stale, the
+    oldest verdicts on the board) + the leading r06-verified entries
+    up to the boundary.  The remaining r06 entries overflow past 50
+    and lead the round-9 window; the 50 r07-green entries sit at the
+    tail.
     """
     return {
-        # --- round-7 additions (never driver-checked) ------------------
-        "d_trimspans": d_trimspans,
-        "t_urlnorm": t_urlnorm,
-        "d_semdedup": d_semdedup,
-        "t_domains": t_domains,
-        "g_hits": g_hits,
-        "s_kcenter": s_kcenter,
-        # --- red in r06 (hash-only; oracle SUM cast fixed this round) --
-        "q12": q12,
-        # --- last verified r04 (displaced past 50 in r5 and r6) --------
-        "q_asof": q_asof,
-        "q_range": q_range,
-        "q_rollup": q_rollup,
-        "q_pivot": q_pivot,
-        "q_median": q_median,
-        "m_image": m_image,
-        "m_audio": m_audio,
-        "q_json": q_json,
-        "q_antijoin": q_antijoin,
-        "q_cube": q_cube,
-        "q_wau": q_wau,
-        "q_rolling": q_rolling,
-        "q_sliding": q_sliding,
-        "q_session_window": q_session_window,
-        # --- r05-verified whose code changed in r6 (replica-only since) -
-        "d_lsh": d_lsh,
-        "d_against": d_against,
-        "d_index": d_index,
-        "d_neardup": d_neardup,
-        "t_html": t_html,
-        "t_mixture": t_mixture,
-        # --- r05-verified, unchanged: oldest-first rotation ------------
-        "g_triangles": g_triangles,
-        "g_pagerank": g_pagerank,
-        "g_degrees": g_degrees,
-        "g_predstats": g_predstats,
-        "m_dhash": m_dhash,
-        "m_audio_segments": m_audio_segments,
-        "q_retention": q_retention,
-        "q_funnel": q_funnel,
-        "q_stratified": q_stratified,
-        "d_exact": d_exact,
-        "d_editdist": d_editdist,
-        "d_jaccard": d_jaccard,
-        "d_simhash": d_simhash,
-        "d_cluster": d_cluster,
-        "d_dedup_corpus": d_dedup_corpus,
-        "d_embed": d_embed,
-        "s_knn": s_knn,
-        "s_knn_lsh": s_knn_lsh,
-        "s_knn_ivf": s_knn_ivf,
-        "t_tokens": t_tokens,
-        "t_quality": t_quality,
-        "t_fingerprint": t_fingerprint,
-        "t_langid": t_langid,
+        # --- round-8 additions (never driver-checked) ------------------
+        "d_bloom": d_bloom,
+        # --- last verified r05 (overflowed the r7 window at 51-71) -----
         "t_redact": t_redact,
         "t_repetition": t_repetition,
         "t_contaminate": t_contaminate,
-        # --- positions 51+: r05 remainder; leads the round-8 window ----
         "t_split": t_split,
         "t_postings": t_postings,
         "t_clean": t_clean,
@@ -2210,7 +2180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q9": q9,
         "q10": q10,
         "q11": q11,
-        # --- tail: green in CORRECTNESS_r06 (pytest-held this round) ---
+        # --- last verified r06 (oldest-first within the round) ---------
         "q13": q13,
         "q15": q15,
         "q16": q16,
@@ -2239,6 +2209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_order_limit": g_order_limit,
         "g_skip": g_skip,
         "g_optional": g_optional,
+        # --- positions 51+: r06 remainder; leads the round-9 window ----
         "g_both": g_both,
         "g_follow": g_follow,
         "g_followr": g_followr,
@@ -2260,6 +2231,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_windowed": q_events_windowed,
         "q_sessions": q_sessions,
         "q_events_topuser": q_events_topuser,
+        # --- tail: green in CORRECTNESS_r07 (pytest-held this round) ---
+        "d_trimspans": d_trimspans,
+        "t_urlnorm": t_urlnorm,
+        "d_semdedup": d_semdedup,
+        "t_domains": t_domains,
+        "g_hits": g_hits,
+        "s_kcenter": s_kcenter,
+        "q12": q12,
+        "q_asof": q_asof,
+        "q_range": q_range,
+        "q_rollup": q_rollup,
+        "q_pivot": q_pivot,
+        "q_median": q_median,
+        "m_image": m_image,
+        "m_audio": m_audio,
+        "q_json": q_json,
+        "q_antijoin": q_antijoin,
+        "q_cube": q_cube,
+        "q_wau": q_wau,
+        "q_rolling": q_rolling,
+        "q_sliding": q_sliding,
+        "q_session_window": q_session_window,
+        "d_lsh": d_lsh,
+        "d_against": d_against,
+        "d_index": d_index,
+        "d_neardup": d_neardup,
+        "t_html": t_html,
+        "t_mixture": t_mixture,
+        "g_triangles": g_triangles,
+        "g_pagerank": g_pagerank,
+        "g_degrees": g_degrees,
+        "g_predstats": g_predstats,
+        "m_dhash": m_dhash,
+        "m_audio_segments": m_audio_segments,
+        "q_retention": q_retention,
+        "q_funnel": q_funnel,
+        "q_stratified": q_stratified,
+        "d_exact": d_exact,
+        "d_editdist": d_editdist,
+        "d_jaccard": d_jaccard,
+        "d_simhash": d_simhash,
+        "d_cluster": d_cluster,
+        "d_dedup_corpus": d_dedup_corpus,
+        "d_embed": d_embed,
+        "s_knn": s_knn,
+        "s_knn_lsh": s_knn_lsh,
+        "s_knn_ivf": s_knn_ivf,
+        "t_tokens": t_tokens,
+        "t_quality": t_quality,
+        "t_fingerprint": t_fingerprint,
+        "t_langid": t_langid,
     }
 
 
@@ -4000,6 +4022,29 @@ WITH per_cust AS (
                   ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
               FROM events
             ) WHERE rn <= 20
+        """,
+        # Position-set equivalence of the packed-bit-array probe (see
+        # functions/bloom.py): a key is maybe-member iff ALL 5 of its
+        # seeded-md5 positions were set by the build side.
+        "d_bloom": """
+            WITH keys AS (
+              SELECT doc_id, lang, md5(COALESCE(text, '')) AS kk
+              FROM documents
+            ), j AS (SELECT unnest([0, 1, 2, 3, 4]) AS j),
+            built AS (
+              SELECT DISTINCT
+                CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || kk),
+                      1, 15))::BIGINT % 131072 AS BIGINT) AS pos
+              FROM keys, j WHERE lang = 'en'
+            ), probe AS (
+              SELECT doc_id,
+                CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || kk),
+                      1, 15))::BIGINT % 131072 AS BIGINT) AS pos
+              FROM keys, j
+            )
+            SELECT p.doc_id, (COUNT(b.pos) = 5) AS maybe_member
+            FROM probe p LEFT JOIN built b USING (pos)
+            GROUP BY p.doc_id
         """,
         "d_exact": """
             WITH g AS (

@@ -1,0 +1,133 @@
+"""Bloom-filter membership (functions/bloom.py).
+
+The load-bearing property is the PATH EQUIVALENCE: the packed
+bit-array broadcast probe and the relational position-set probe (the
+form the DuckDB oracle replays) must agree on every key, including
+false positives. Plus the bloom invariants: zero false negatives
+always; false positives appear when the array saturates and are
+deterministic.
+"""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from cayley_spark.functions.bloom import (
+    bloom_build,
+    bloom_positions,
+    bloom_probe,
+    bloom_probe_keys,
+)
+
+
+def _docs(spark, n=60):
+    rows = [(i, f"text-{i}", "en" if i % 3 == 0 else "de") for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def _py_positions(key: str, n_bits: int, k: int):
+    """Independent pure-python replica of the seeded-md5 positions."""
+    return [
+        int(hashlib.md5(f"{i}:{key}".encode()).hexdigest()[:15], 16) % n_bits
+        for i in range(k)
+    ]
+
+
+def test_positions_match_python_replica(spark):
+    df = spark.range(1).select(F.lit("hello world").alias("s"))
+    got = df.select(
+        F.array(*bloom_positions(F.col("s"), 1 << 12, 4)).alias("p")
+    ).head()["p"]
+    assert got == _py_positions("hello world", 1 << 12, 4)
+
+
+def test_no_false_negatives_and_path_equivalence(spark):
+    docs = _docs(spark)
+    key = F.col("text")
+    members = docs.where(F.col("lang") == "en")
+    built = bloom_build(members, key, n_bits=1 << 10, k=3)
+    out = {
+        r["doc_id"]: r["maybe_member"]
+        for r in bloom_probe(docs, built, key, n_bits=1 << 10, k=3)
+        .select("doc_id", "maybe_member")
+        .collect()
+    }
+    # bloom invariant: every build-side key reports member
+    for r in members.collect():
+        assert out[r["doc_id"]] is True
+    # oracle-form replica agrees bit-for-bit (false positives included)
+    rel = {
+        r["doc_id"]: r["maybe_member"]
+        for r in bloom_probe_keys(
+            docs, members, key, key, "doc_id", n_bits=1 << 10, k=3
+        ).collect()
+    }
+    assert out == rel
+
+
+def test_false_positives_on_saturated_array(spark):
+    # 60 keys x 2 hashes into 64 bits saturates the array: non-members
+    # must start reporting true, and exactly per the position-set rule.
+    docs = _docs(spark)
+    key = F.col("text")
+    members = docs.where(F.col("lang") == "en")
+    built = bloom_build(members, key, n_bits=64, k=2)
+    set_bits = set()
+    for r in members.collect():
+        set_bits.update(_py_positions(r["text"], 64, 2))
+    out = {
+        r["doc_id"]: r["maybe_member"]
+        for r in bloom_probe(docs, built, key, n_bits=64, k=2)
+        .select("doc_id", "maybe_member")
+        .collect()
+    }
+    fps = 0
+    for r in docs.collect():
+        expect = all(p in set_bits for p in _py_positions(r["text"], 64, 2))
+        assert out[r["doc_id"]] == expect
+        if expect and r["lang"] != "en":
+            fps += 1
+    assert fps > 0  # the regime the test exists for
+
+
+def test_null_key_has_defined_membership(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, "")], "doc_id long, text string"
+    )
+    built = bloom_build(
+        df.where(F.col("doc_id") == 2), F.col("text"), n_bits=256, k=2
+    )
+    out = bloom_probe(df, built, F.col("text"), n_bits=256, k=2)
+    got = {r["doc_id"]: r["maybe_member"] for r in out.collect()}
+    # NULL hashes as '' (hash_bucket convention) -> same key as doc 2
+    assert got == {1: True, 2: True}
+
+
+def test_parameter_validation(spark):
+    df = _docs(spark, n=4)
+    with pytest.raises(ValueError):
+        bloom_build(df, F.col("text"), n_bits=100, k=2)  # not mult of 64
+    with pytest.raises(ValueError):
+        bloom_build(df, F.col("text"), n_bits=1 << 10, k=0)
+    with pytest.raises(ValueError):
+        built = bloom_build(df, F.col("text"), n_bits=1 << 10, k=2)
+        bloom_probe(df, built, F.col("text"), n_bits=1 << 30, k=2)
+
+
+def test_probe_plan_is_broadcast_no_shuffle(spark):
+    # The probe side must not shuffle: the packed words arrive via a
+    # 1-row broadcast and the membership tests are pure expressions.
+    docs = _docs(spark)
+    built = bloom_build(docs, F.col("text"), n_bits=1 << 10, k=3)
+    plan = (
+        bloom_probe(docs, built, F.col("text"), n_bits=1 << 10, k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # the only Exchange allowed on the probe branch is the broadcast
+    # of the packed words; the build side's own groupBy shuffle sits
+    # beneath the broadcast and never moves probe rows
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
