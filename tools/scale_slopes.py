@@ -1,0 +1,190 @@
+"""Scale-slope certification for the dedup stack.
+
+The per-round bench only measures sf0.1 (5k docs / 2k vectors). The
+100-TB claims for the dedup operators are plan-audited bounds
+(candidate volume <= cap^2 per LSH bucket, sum(df^2)-priced AllPairs,
+sum(cluster_size^2) per kmeans cluster, no-pair-join span trimming).
+This one-off experiment certifies them EMPIRICALLY: synthesize m-fold
+corpora whose duplicate structure is controlled, time each operator at
+m in (1, 3, 10), and record the wall-time slope — linear-ish in corpus
+size at fixed dup rate, or the bound is wrong.
+
+Corpus construction (deterministic, no RNG):
+
+- documents: replica k suffixes every token with ``z<k>`` (one
+  regexp_replace), so replica shingle spaces are DISJOINT — every
+  within-replica duplicate relation is replicated exactly, no
+  cross-replica pairs exist, and the dup RATE is fixed while the
+  corpus grows m-fold.
+- embeddings: replica 0 is the real table; replicas k>0 are fresh
+  deterministic pseudo-random vectors (xxhash64-seeded components),
+  near-orthogonal in 64-dim space — the twin MASS stays constant
+  while the corpus grows, which is exactly the regime where the
+  sum(cluster_size^2) bound must hold. n_centroids scales with m (the
+  operator's own contract: the paper uses 50k clusters for LAION).
+
+Usage: python tools/scale_slopes.py [mults] [out_json]
+  mults defaults to "1,3,10". Writes one JSON line per (op, m) and a
+  summary; transcribe the summary into SCALE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+OFFSET = 10_000_000
+
+
+def build_corpus(spark, m: int, out: str) -> None:
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(os.path.join(BASE_SF, "documents.parquet"))
+    emb = spark.read.parquet(os.path.join(BASE_SF, "embeddings.parquet"))
+    reps = []
+    for k in range(m):
+        reps.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(k * OFFSET)).alias("doc_id"),
+                F.regexp_replace(
+                    "text", r"([A-Za-z0-9]+)", f"$1z{k}"
+                ).alias("text"),
+                "lang",
+                "source",
+                F.length(
+                    F.regexp_replace("text", r"([A-Za-z0-9]+)", f"$1z{k}")
+                ).cast("int").alias("n_chars"),
+            )
+        )
+    d = reps[0]
+    for r in reps[1:]:
+        d = d.unionByName(r)
+    d.write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
+
+    dim = len(emb.select("embedding").head()["embedding"])
+    ereps = [emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))]
+    for k in range(1, m):
+        ereps.append(
+            emb.select(
+                (F.col("vec_id") + F.lit(k * OFFSET)).alias("vec_id"),
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(dim - 1)),
+                    lambda i: (
+                        F.pmod(
+                            F.xxhash64(
+                                F.col("vec_id") + F.lit(k * OFFSET), i
+                            ),
+                            F.lit(2000),
+                        ).cast("double")
+                        / 1000.0
+                        - 1.0
+                    ),
+                ).alias("embedding"),
+            )
+        )
+    e = ereps[0]
+    for r in ereps[1:]:
+        e = e.unionByName(r)
+    e.write.mode("overwrite").parquet(os.path.join(out, "embeddings.parquet"))
+
+
+def run_ops(spark, sf_dir: str, m: int) -> dict[str, float]:
+    from pyspark.sql import functions as F
+
+    from cayley_spark.functions.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        trim_spans,
+    )
+    from cayley_spark.functions.similarity import semdedup
+    from cayley_spark.streaming.neardup import neardup_pairs_batch
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    ops = {
+        "d_lsh": lambda: minhash_lsh_pairs(
+            docs, k=3, num_hashes=16, bands=4, jaccard_threshold=0.2
+        ),
+        "d_jaccard": lambda: ngram_jaccard_pairs(
+            docs, "lang", k=2, threshold=0.35
+        ),
+        "d_neardup": lambda: neardup_pairs_batch(
+            docs.withColumn(
+                "ts", F.lit("2024-01-01 00:00:00").cast("timestamp")
+            ),
+            threshold=0.5,
+        ),
+        "trim_spans": lambda: trim_spans(docs, k=5, min_docs=2),
+        # n_centroids scales with the corpus per the operator contract
+        "d_semdedup": lambda: semdedup(
+            emb, n_centroids=8 * m, iters=2, threshold=0.43
+        ),
+    }
+
+    def persistent_ids():
+        mm = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(k) for k in mm.keySet().toArray()}
+
+    base = persistent_ids()
+    jvm_gc = spark.sparkContext._jvm.System.gc
+    out = {}
+    for name, fn in ops.items():
+        runs = []
+        for _ in range(2):  # min-of-2: bench steady-state methodology
+            t0 = time.time()
+            fn().write.mode("overwrite").format("noop").save()
+            runs.append(time.time() - t0)
+            mm = spark.sparkContext._jsc.getPersistentRDDs()
+            for kk in mm.keySet().toArray():
+                if int(kk) not in base:
+                    mm.get(kk).unpersist(False)
+            jvm_gc()
+        out[name] = round(min(runs), 3)
+        print(json.dumps({"op": name, "m": m, "sec": out[name]}), flush=True)
+    return out
+
+
+def main() -> None:
+    mults = [int(x) for x in (sys.argv[1] if len(sys.argv) > 1 else "1,3,10").split(",")]
+    out_json = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale_slopes.json"
+    from pyspark.sql import SparkSession
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("scale-slopes")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    results: dict[int, dict[str, float]] = {}
+    for m in mults:
+        d = f"/tmp/scale_corpus_m{m}"
+        build_corpus(spark, m, d)
+        results[m] = run_ops(spark, d, m)
+    lo, hi = min(mults), max(mults)
+    summary = {
+        "mults": mults,
+        "base_sf": BASE_SF,
+        "results": results,
+        "slopes": {
+            op: round(results[hi][op] / max(results[lo][op], 1e-9), 2)
+            for op in results[lo]
+        },
+        "corpus_growth": round(hi / lo, 2),
+    }
+    with open(out_json, "w") as f:
+        json.dump(summary, f, indent=1)
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()
