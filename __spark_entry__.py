@@ -1491,6 +1491,42 @@ def d_bloom(spark, sf):
     )
 
 
+def t_bpe_train(spark, sf):
+    """Distributed BPE merge LEARNING (functions/text.bpe_train —
+    Sennrich et al. 2016, GPT-2 pretokens): 6 merge rounds over the
+    word-type frequency table; each round is one pair-count groupBy
+    (bounded by the vocabulary, never corpus text) + a 1-row
+    TakeOrdered collect + one plain-string replace. Ties break
+    lexicographically, so the oracle's 6 unrolled SQL iterations
+    reproduce the exact merge sequence and counts."""
+    from cayley_spark.functions.text import bpe_train
+
+    docs = _t_wide(spark, sf, "documents")
+    return bpe_train(docs, n_merges=6)
+
+
+def t_dsir(spark, sf):
+    """DSIR importance weights (functions/sampling.dsir_weights —
+    Xie et al., NeurIPS 2023): hashed unigram+bigram bag features
+    (4096 md5 buckets), categorical models over the English target
+    and the full raw corpus, per-document model-count aggregation.
+    The registry output is the INTEGER-EXACT core (n_grams and the
+    per-doc target/raw model count sums) — the float log-weight and
+    Gumbel resampling on top are pytest-verified (a float sum's
+    accumulation order is engine-specific, so it cannot be
+    hash-gated; the integer sums fully pin the feature pipeline and
+    both models). Models are bounded by `buckets` rows regardless of
+    corpus size, so both joins broadcast; no document ever pairs
+    with another."""
+    from cayley_spark.functions.sampling import dsir_weights
+
+    docs = _t_wide(spark, sf, "documents")
+    target = docs.where(F.col("lang") == "en")
+    return dsir_weights(docs, target, buckets=4096).select(
+        "doc_id", "n_grams", "target_freq_sum", "raw_freq_sum"
+    )
+
+
 def d_index(spark, sf):
     """Persisted cross-corpus dedup index (functions/dedup_index.
     LSHDedupIndex): the src0-9 historical corpus is indexed ONCE to
@@ -2158,6 +2194,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-8 additions (never driver-checked) ------------------
         "d_bloom": d_bloom,
+        "t_dsir": t_dsir,
+        "t_bpe_train": t_bpe_train,
+        # --- r07-verified but code changed in r8 (AllPairs length
+        # filter + budget reprice from the scale-slope experiment) ----
+        "d_jaccard": d_jaccard,
         # --- last verified r05 (overflowed the r7 window at 51-71) -----
         "t_redact": t_redact,
         "t_repetition": t_repetition,
@@ -2206,10 +2247,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_labeled": g_labeled,
         "g_compare": g_compare,
         "g_regex": g_regex,
+        # --- positions 51+: r06 remainder; leads the round-9 window ----
         "g_order_limit": g_order_limit,
         "g_skip": g_skip,
         "g_optional": g_optional,
-        # --- positions 51+: r06 remainder; leads the round-9 window ----
         "g_both": g_both,
         "g_follow": g_follow,
         "g_followr": g_followr,
@@ -2270,7 +2311,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stratified": q_stratified,
         "d_exact": d_exact,
         "d_editdist": d_editdist,
-        "d_jaccard": d_jaccard,
         "d_simhash": d_simhash,
         "d_cluster": d_cluster,
         "d_dedup_corpus": d_dedup_corpus,
@@ -2344,6 +2384,66 @@ def _lsh_planes_values() -> str:
             arr = ", ".join(repr(x) for x in _plane(64, p, t))
             rows.append(f"({t}, {p}, [{arr}])")
     return ",\n              ".join(rows)
+
+
+def _bpe_train_oracle(n_merges: int) -> str:
+    """Unrolled DuckDB replay of bpe_train's driver loop: per round,
+    adjacent-pair counts over the double-separator symbol encoding,
+    lexicographic-tie-broken argmax, plain-string replace (identical
+    left-to-right non-overlapping semantics in both engines)."""
+    its = []
+    prev = "s0"
+    for i in range(1, n_merges + 1):
+        # MATERIALIZED + 1-row cross join: scalar subqueries would
+        # re-execute the whole upstream CTE chain once per reference,
+        # compounding across rounds (measured 96 s -> ~1 s at sf0.01)
+        its.append(
+            f"""top{i} AS MATERIALIZED (
+              SELECT a, b, CAST(SUM(freq) AS BIGINT) AS pair_count
+              FROM (
+                SELECT freq,
+                  unnest([{{'a': l[j], 'b': l[j+1]}}
+                          for j in range(1, len(l))],
+                         recursive := true)
+                FROM (SELECT freq,
+                        [replace(x, chr(31), '')
+                         for x in string_split(sym, chr(31) || chr(31))]
+                          AS l
+                      FROM {prev})
+              ) GROUP BY a, b
+              ORDER BY pair_count DESC, a, b LIMIT 1
+            ), s{i} AS MATERIALIZED (
+              SELECT freq, replace(sym,
+                chr(31) || t.a || chr(31) || chr(31) || t.b || chr(31),
+                chr(31) || t.a || t.b || chr(31)) AS sym
+              FROM {prev}, top{i} t
+            )"""
+        )
+        prev = f"s{i}"
+    finals = "\n            UNION ALL ".join(
+        f"SELECT CAST({i - 1} AS INT) AS merge_rank, a AS left_sym, "
+        f"b AS right_sym, pair_count FROM top{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return f"""
+        WITH pre AS (
+          SELECT unnest(regexp_extract_all(text,
+            '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+'
+          )) AS w
+          FROM documents
+        ), w AS (
+          SELECT w, COUNT(*) AS freq FROM pre
+          WHERE trim(w) <> '' AND w NOT LIKE '%' || chr(31) || '%'
+          GROUP BY w
+        ), s0 AS MATERIALIZED (
+          SELECT freq,
+            chr(31) || array_to_string(
+              [substr(w, i, 1) for i in range(1, len(w) + 1)],
+              chr(31) || chr(31)) || chr(31) AS sym
+          FROM w
+        ), {', '.join(its)}
+        {finals}
+    """
 
 
 def _sqdist(a: str, b: str) -> str:
@@ -4022,6 +4122,45 @@ WITH per_cust AS (
                   ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
               FROM events
             ) WHERE rn <= 20
+        """,
+        # 6 unrolled BPE training rounds (see _bpe_train_oracle): the
+        # replace() merge-application semantics are identical in both
+        # engines, so the whole merge SEQUENCE is hash-gated.
+        "t_bpe_train": _bpe_train_oracle(6),
+        # Integer-exact DSIR core: hashed unigram+bigram buckets, per-doc
+        # count sums against the target (lang='en') and raw (all docs)
+        # models. The float log-weight is NOT oracled (accumulation
+        # order) — see t_dsir docstring.
+        "t_dsir": r"""
+            WITH toks AS (
+              SELECT doc_id, lang,
+                     regexp_extract_all(lower(text), '\w+') AS t
+              FROM documents
+            ), grams AS (
+              SELECT doc_id, lang, unnest(t) AS g FROM toks
+              UNION ALL
+              SELECT doc_id, lang,
+                     unnest([t[i] || ' ' || t[i+1]
+                             for i in range(1, len(t))]) AS g
+              FROM toks
+            ), b AS (
+              SELECT doc_id, lang,
+                CAST(('0x' || substr(md5(g), 1, 8))::BIGINT % 4096
+                     AS BIGINT) AS bucket
+              FROM grams
+            ), tgt AS (
+              SELECT bucket, COUNT(*) AS tc FROM b
+              WHERE lang = 'en' GROUP BY 1
+            ), rawm AS (
+              SELECT bucket, COUNT(*) AS rc FROM b GROUP BY 1
+            )
+            SELECT b.doc_id, COUNT(*) AS n_grams,
+                   CAST(SUM(COALESCE(t.tc, 0)) AS BIGINT)
+                     AS target_freq_sum,
+                   CAST(SUM(r.rc) AS BIGINT) AS raw_freq_sum
+            FROM b LEFT JOIN tgt t USING (bucket)
+                   JOIN rawm r USING (bucket)
+            GROUP BY b.doc_id
         """,
         # Position-set equivalence of the packed-bit-array probe (see
         # functions/bloom.py): a key is maybe-member iff ALL 5 of its

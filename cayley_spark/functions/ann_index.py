@@ -59,6 +59,51 @@ class IVFIndex:
         bucketed = base.withColumn("c", _nearest(F.col("v"), cents))
         return cls(df.sparkSession, cents, bucketed)
 
+    def add(
+        self,
+        df: DataFrame,
+        path: str | None = None,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> "IVFIndex":
+        """Incremental insert: assign new vectors to the FROZEN
+        centroid set and append them to their inverted lists.  With
+        ``path``, the delta is written ``mode("append")`` into the
+        saved ``buckets`` layout — append-only and partition-targeted,
+        so every pre-existing bucket file stays byte-identical and
+        only the buckets that actually receive vectors gain new files
+        (a daily embedding batch against a 100-TB index writes
+        delta-sized output, never a rebuild; the same discipline as
+        GraphStore.save_deltas).  Standard IVF caveats apply and are
+        the caller's contract: centroids are not retrained (rebuild
+        when drift/imbalance grows — monitor via bucket_counts), and
+        id uniqueness across batches is the caller's responsibility.
+
+        Reference parity: the reference's kv backends apply writes as
+        incremental batch mutations (graph/kv/indexing.go:409-480)
+        rather than store rewrites; this is that discipline applied
+        to the ANN sidecar index."""
+        delta = df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        ).withColumn("c", _nearest(F.col("v"), self.centroids))
+        if path is not None:
+            delta.write.mode("append").partitionBy("c").parquet(
+                os.path.join(path, "buckets")
+            )
+            # re-read so the in-memory view shares lineage with the
+            # files (and stays partition-prunable on c)
+            self.bucketed = self.spark.read.parquet(
+                os.path.join(path, "buckets")
+            )
+        else:
+            self.bucketed = self.bucketed.unionByName(delta)
+        return self
+
+    def bucket_counts(self) -> DataFrame:
+        """(c, n) inverted-list sizes — the rebuild trigger metric."""
+        return self.bucketed.groupBy("c").agg(F.count(F.lit(1)).alias("n"))
+
     def save(self, path: str) -> "IVFIndex":
         self.bucketed.write.mode("overwrite").partitionBy("c").parquet(
             os.path.join(path, "buckets")

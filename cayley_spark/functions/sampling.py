@@ -172,3 +172,156 @@ def stratified_sample(
         .where(F.col("__rn") <= n_per_stratum)
         .drop("__rn")
     )
+
+
+# --------------------------------------------------------------------------
+# DSIR: Data Selection with Importance Resampling (Xie et al., NeurIPS
+# 2023).  Select raw-corpus documents whose hashed-n-gram profile looks
+# like a small TARGET corpus: fit two bag-of-hashed-n-grams categorical
+# models (target and raw), score each raw document with the importance
+# log-weight sum_b c_b * (log p_target(b) - log p_raw(b)), and resample
+# via deterministic Gumbel top-k.  The feature pipeline is the paper's
+# (unigrams + bigrams hashed into `buckets` buckets); the hash is the
+# repo's portable seeded-md5 family so a SQL oracle replays the
+# integer-exact parts (per-doc gram counts against both models)
+# bit-for-bit, while the float log-weight itself is pytest-verified.
+#
+# 100-TB plan: gram explosion is scan-side; the two models are
+# groupBy(bucket) counts BOUNDED BY `buckets` rows (default 8192) no
+# matter the corpus size, so both model joins broadcast; per-doc
+# re-aggregation is one shuffle on doc_id.  Nothing pairs documents
+# with each other, so cost is linear in corpus tokens.
+# --------------------------------------------------------------------------
+
+
+def hashed_ngram_buckets(text: Column, buckets: int = 8192) -> Column:
+    """array<bigint> of hashed unigram+bigram bucket ids of the
+    lowercased \\w+ tokenization (DSIR's feature map). Uses the same
+    md5-prefix bucketing as hash_bucket; short/NULL texts yield an
+    empty array (the document simply has no mass)."""
+    from cayley_spark.functions.text import tokens
+
+    toks = F.coalesce(tokens(text), F.array().cast("array<string>"))
+    bi = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat(
+                F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = F.concat(toks, bi)
+    return F.transform(
+        grams,
+        lambda g: F.pmod(
+            F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long"),
+            F.lit(buckets),
+        ),
+    )
+
+
+def _gram_rows(df: DataFrame, id_col: str, text_col: str, buckets: int):
+    return df.select(
+        F.col(id_col),
+        F.explode(hashed_ngram_buckets(F.col(text_col), buckets)).alias(
+            "bucket"
+        ),
+    )
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 8192,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Per-raw-document DSIR importance weights against ``target``.
+
+    Returns (id, n_grams, target_freq_sum, raw_freq_sum, logw):
+    the integer model-count sums (exact, oracle-replayable) and the
+    float log importance weight
+        logw = sum_b c_b * ln((t_b + a)/(r_b + a))
+               + n_grams * ln((R + aB)/(T + aB))
+    with add-a smoothing over B buckets; T/R are total gram counts of
+    the target/raw models. Documents with zero grams drop out (no
+    evidence either way), matching the oracle's explode semantics."""
+    doc = (
+        _gram_rows(raw, id_col, text_col, buckets)
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tgt = (
+        _gram_rows(target, id_col, text_col, buckets)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("tc"))
+    )
+    # the raw model folds out of the per-doc counts — one corpus scan,
+    # not two; the re-aggregation input is already bucket-keyed and
+    # bounded by |docs|·min(grams, buckets)
+    rawm = doc.groupBy("bucket").agg(F.sum("c").alias("rc"))
+    totals = tgt.agg(F.sum("tc").alias("__T")).crossJoin(
+        rawm.agg(F.sum("rc").alias("__R"))
+    )
+    j = (
+        doc.join(F.broadcast(tgt), "bucket", "left")
+        .join(F.broadcast(rawm), "bucket")
+        .crossJoin(F.broadcast(totals))
+        .withColumn("tc", F.coalesce(F.col("tc"), F.lit(0)))
+    )
+    a = F.lit(float(alpha))
+    b = F.lit(float(buckets))
+    per_gram = F.col("c") * (
+        F.log((F.col("tc") + a) / (F.col("rc") + a))
+    )
+    shift = F.log(
+        (F.col("__R").cast("double") + a * b)
+        / (F.col("__T").cast("double") + a * b)
+    )
+    return j.groupBy(id_col).agg(
+        F.sum("c").alias("n_grams"),
+        F.sum(F.col("c") * F.col("tc")).alias("target_freq_sum"),
+        F.sum(F.col("c") * F.col("rc")).alias("raw_freq_sum"),
+        (F.sum(per_gram) + F.sum("c") * F.first(shift)).alias("logw"),
+    )
+
+
+def dsir_sample(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 8192,
+    alpha: float = 1.0,
+    seed: str = "dsir",
+) -> DataFrame:
+    """Gumbel top-k importance RESAMPLING (the paper's §3 step 3):
+    keep the k documents with the largest logw + Gumbel(id) where the
+    Gumbel noise is derived from md5(seed:id) — deterministic across
+    runs, engines, and partitionings.  One TakeOrderedAndProject, no
+    global sort."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    w = dsir_weights(raw, target, id_col, text_col, buckets, alpha)
+    # u in (0,1): 60 md5 bits scaled; never exactly 0 or 1
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float((1 << 60) + 2))
+    gumbel = -F.log(-F.log(u))
+    return (
+        w.withColumn("gumbel_key", F.col("logw") + gumbel)
+        .orderBy(F.col("gumbel_key").desc(), F.col(id_col))
+        .limit(k)
+    )

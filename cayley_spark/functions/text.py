@@ -942,3 +942,150 @@ def bpe_token_count(col: Column) -> Column:
     return F.size(
         F.filter(bpe_pretokens(col), lambda t: F.trim(t) != "")
     )
+
+
+# --------------------------------------------------------------------------
+# BPE merge training (Sennrich et al. 2016, the GPT-2 variant: no
+# end-of-word marker — pre-tokens carry their leading space instead).
+# bpe_pretokens/bpe_token_count above give the pre-tokenization and
+# budget proxy; this is the actual merge LEARNER, distributed.
+# --------------------------------------------------------------------------
+
+# Symbol strings: each word is "\x1f" + symbols joined by "\x1f\x1f" +
+# "\x1f" — every symbol carries its OWN flanking separators, so one
+# merge rule is a single plain-string
+#   replace("\x1fa\x1f\x1fb\x1f" -> "\x1fab\x1f")
+# whose left-to-right non-overlapping scan merges every occurrence,
+# including back-to-back ones ("abab": each match consumes only its
+# own wrapping, never the neighbor's — a SINGLE-separator joint gets
+# consumed by the first match and silently skips the second pair).
+# No array churn, whole-stage codegen, and the DuckDB oracle replays
+# it with the identical replace() semantics.
+_BPE_SEP = "\x1f"
+
+
+def _bpe_symbols(sym: Column) -> Column:
+    """Back from the separator encoding to array<string> of symbols."""
+    return F.transform(
+        F.split(sym, _BPE_SEP + _BPE_SEP),
+        lambda x: F.translate(x, _BPE_SEP, ""),
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int = 32,
+    text_col: str = "text",
+    min_word_freq: int = 1,
+    checkpoint_every: int = 16,
+) -> DataFrame:
+    """Learn BPE merges from a corpus → (merge_rank, left_sym,
+    right_sym, pair_count), one row per learned merge in rank order.
+
+    The corpus is scanned ONCE into a word-type frequency table
+    (explode(bpe_pretokens) + groupBy — the loop state is bounded by
+    the VOCABULARY, never corpus text, so at 100 TB each round works
+    a ~10-100M-row word-type table). Each of the n_merges rounds is:
+    adjacent-pair counts weighted by word freq (Sennrich get_stats
+    semantics — overlapping occurrences count), ONE TakeOrdered 1-row
+    collect picks the max pair (ties broken lexicographically so
+    every engine, run, and partitioning agrees), and one plain-string
+    replace applies the merge to every word. Lineage is
+    localCheckpoint-truncated every ``checkpoint_every`` rounds so
+    long trainings keep bounded plans.
+
+    Words containing the internal \\x1f separator are excluded (real
+    corpora strip control chars first — clean_text does)."""
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    sep = _BPE_SEP
+    words = (
+        df.select(F.explode(bpe_pretokens(F.col(text_col))).alias("w"))
+        .where((F.trim("w") != "") & (~F.col("w").contains(sep)))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .where(F.col("freq") >= min_word_freq)
+    )
+    syms = words.select(
+        "freq",
+        F.concat(
+            F.lit(sep), F.array_join(F.split("w", ""), sep + sep), F.lit(sep)
+        ).alias("sym"),
+    ).localCheckpoint()
+    merges = []
+    for rank in range(n_merges):
+        s = _bpe_symbols(F.col("sym"))
+        pairs = syms.where(F.size(s) >= 2).select(
+            "freq",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(s) - 1),
+                    lambda i: F.struct(
+                        F.element_at(s, i).alias("a"),
+                        F.element_at(s, i + 1).alias("b"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("pair_count"))
+            .orderBy(F.desc("pair_count"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break  # vocabulary fully merged / empty corpus
+        a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["pair_count"])
+        merges.append((rank, a, b, cnt))
+        syms = syms.withColumn(
+            "sym",
+            F.replace(
+                F.col("sym"),
+                F.lit(f"{sep}{a}{sep}{sep}{b}{sep}"),
+                F.lit(f"{sep}{a}{b}{sep}"),
+            ),
+        )
+        if (rank + 1) % checkpoint_every == 0:
+            syms = syms.localCheckpoint()
+    return df.sparkSession.createDataFrame(
+        merges,
+        "merge_rank int, left_sym string, right_sym string, "
+        "pair_count bigint",
+    )
+
+
+def bpe_segment(col: Column, merges: list[tuple[str, str]]) -> Column:
+    """Tokenize text with LEARNED merges → array<string> of subword
+    tokens: pretokenize, then apply each merge in rank order, one
+    left-to-right pass per rank over the separator encoding (the
+    subword-nmt fast path — rank-ordered application; since merges
+    only concatenate, a later occurrence of a rank's pair can never
+    be created by that same rank's own merges). Expression depth
+    grows with len(merges) — capped so codegen stays sane; train a
+    larger vocabulary in ranked batches if you need more."""
+    if len(merges) > 256:
+        raise ValueError(
+            f"bpe_segment caps merges at 256 (got {len(merges)}); "
+            "apply in ranked batches"
+        )
+    sep = _BPE_SEP
+
+    def seg(t: Column) -> Column:
+        e = F.concat(
+            F.lit(sep), F.array_join(F.split(t, ""), sep + sep), F.lit(sep)
+        )
+        for a, b in merges:
+            e = F.replace(
+                e,
+                F.lit(f"{sep}{a}{sep}{sep}{b}{sep}"),
+                F.lit(f"{sep}{a}{b}{sep}"),
+            )
+        return _bpe_symbols(e)
+
+    pre = F.filter(
+        # NULL text segments to [] (no tokens), not NULL
+        F.coalesce(bpe_pretokens(col), F.array().cast("array<string>")),
+        lambda t: (F.trim(t) != "") & (~t.contains(sep)),
+    )
+    return F.flatten(F.transform(pre, seg))

@@ -1579,3 +1579,64 @@ def test_domain_stats_fold_host_aliases(spark):
         ).agg(F.count(F.lit(1)).alias("n")).collect()
     )
     assert got == [("a.com", 2), ("m.com", 1)]
+
+
+def test_ivf_index_incremental_add(spark, tmp_path):
+    """IVFIndex.add appends new vectors to the saved c-partitioned
+    layout WITHOUT touching existing files (byte-identical check —
+    the same partition-targeted-delta discipline as
+    GraphStore.save_deltas), and the loaded index serves the new
+    vectors."""
+    import hashlib
+    import os
+
+    from cayley_spark.functions.ann_index import IVFIndex
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = df.where(df.vec_id < 150)
+    newer = df.where((df.vec_id >= 150) & (df.vec_id < 170))
+    path = str(tmp_path / "ivf_inc")
+    idx = IVFIndex.build(base, n_centroids=8).save(path)
+
+    def file_digests(root):
+        out = {}
+        for dirpath, _dirs, files in os.walk(os.path.join(root, "buckets")):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(dirpath, f)
+                    out[os.path.relpath(p, root)] = hashlib.md5(
+                        open(p, "rb").read()
+                    ).hexdigest()
+        return out
+
+    before = file_digests(path)
+    idx.add(newer, path=path)
+    after = file_digests(path)
+    # append-only: every pre-existing file survives byte-identical
+    for rel, digest in before.items():
+        assert after[rel] == digest, f"pre-existing file rewritten: {rel}"
+    assert len(after) > len(before)  # delta landed as new files
+    # new files appear ONLY in buckets the delta actually hit
+    assigned = {
+        r["c"]
+        for r in idx.bucketed.join(
+            newer.select(newer.vec_id.alias("id")), "id", "semi"
+        )
+        .select("c")
+        .distinct()
+        .collect()
+    }
+    touched = {
+        rel.split("c=")[1].split("/")[0]
+        for rel in set(after) - set(before)
+    }
+    assert touched == {str(c) for c in sorted(assigned)}
+    # the loaded index sees old + new rows and serves a new vector
+    loaded = IVFIndex.load(spark, path)
+    assert loaded.bucketed.count() == 170
+    qv = {
+        r["vec_id"]: list(r["embedding"])
+        for r in df.where(df.vec_id == 160).collect()
+    }
+    res = loaded.query(qv, k=3, nprobe=8).collect()
+    assert len(res) == 3 and all(r["query_id"] == 160 for r in res)
