@@ -301,7 +301,7 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.5,
     grid: int = 8,
-    direct_join_budget: int = 50_000_000,
+    direct_join_budget: int = 500_000_000,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs within a blocking key (e.g. language
     or source). Returns (id_a, id_b, jaccard >= threshold).
@@ -321,9 +321,20 @@ def ngram_jaccard_pairs(
       hit the first n - ceil(t*n) + 1 shingles in any global order.
       Candidates come from the PREFIX postings self-join only — the
       ubiquitous shingles that make the direct join quadratic sort
-      LAST and rarely enter a prefix — then the full intersection is
-      counted just for candidates. This is the 100 TB path: no term's
-      df² ever materializes.
+      LAST and rarely enter a prefix — then a LENGTH filter
+      (J >= t forces t*na <= nb <= na/t) prunes candidates before the
+      full intersection is counted for the survivors. This is the
+      100 TB path: no term's df² ever materializes.
+
+    The budget default (5e8) is set from measurement, not caution: the
+    round-8 scale-slope experiment (SCALE.md) put the direct join at
+    ~4 s for sum(df^2)=19M while AllPairs took 77 s at 57M with
+    t=0.35 (a low threshold keeps ~(1-t) of every posting list in the
+    prefix, so its pruning is weakest exactly where it is priciest).
+    A 5e8-row equi-join on uniform keys is well inside one cluster
+    slice; what the budget must prevent is the df² catastrophe — one
+    df=1e6 boilerplate shingle alone is 1e12 join rows — and 5e8
+    still catches any such term long before it materializes.
 
     Both plans stay inside whole-stage codegen — no per-pair
     ``array_intersect``, whose interpreted fallback allocates a hash
@@ -374,15 +385,29 @@ def ngram_jaccard_pairs(
                 F.col("rank")
                 <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
             )
-            .select("blk", "id", "s")
+            .select("blk", "id", "s", "n")
+        )
+        # length filter (PPJoin's size bound) INSIDE the candidate
+        # join: J >= t forces t*na <= nb <= na/t, and n rides along
+        # the prefix rows for free (the window above computed it), so
+        # out-of-range pairs die in the join condition — never
+        # reaching dropDuplicates or the verification re-join, and no
+        # extra join is spent applying the bound (a post-hoc size
+        # lookup would re-join every candidate twice).
+        t = F.lit(float(threshold))
+        pref_a = prefix.select(
+            "blk", F.col("id").alias("id_a"), F.col("n").alias("na"), "s"
+        )
+        pref_b = prefix.select(
+            "blk", F.col("id").alias("id_b"), F.col("n").alias("nb"), "s"
         )
         cand = (
-            prefix.select("blk", F.col("id").alias("id_a"), "s")
-            .join(
-                prefix.select("blk", F.col("id").alias("id_b"), "s"),
-                ["blk", "s"],
+            pref_a.join(pref_b, ["blk", "s"])
+            .where(
+                (F.col("id_a") < F.col("id_b"))
+                & (F.col("nb") * t <= F.col("na"))
+                & (F.col("na") * t <= F.col("nb"))
             )
-            .where(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b")
             .dropDuplicates(["id_a", "id_b"])
         )

@@ -104,8 +104,17 @@ def run_ops(spark, sf_dir: str, m: int) -> dict[str, float]:
     from cayley_spark.functions.similarity import semdedup
     from cayley_spark.streaming.neardup import neardup_pairs_batch
 
+    # Mirror __spark_entry__._t_wide: the synthesized files have few
+    # row groups, so an unrepartitioned read would run m=1 on 1 core
+    # and m=10 on ~10 — skewing every slope sublinear. Equalize
+    # parallelism across m so the slope measures WORK, not layout.
+    par = spark.sparkContext.defaultParallelism
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    if emb.rdd.getNumPartitions() < par:
+        emb = emb.repartition(par)
     ops = {
         "d_lsh": lambda: minhash_lsh_pairs(
             docs, k=3, num_hashes=16, bands=4, jaccard_threshold=0.2
