@@ -2183,13 +2183,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     entries whose last green verdict is OLDEST; entries green in the
     immediately previous round go last (they retain pytest +
     tools/check_oracles.py coverage while they wait).
-    Round-8 window (50) = the round-8 additions (never checked) + the
-    21 r05-verified entries that overflowed the round-7 window at
-    positions 51-71 (t_redact .. q11 — exactly 2 rounds stale, the
-    oldest verdicts on the board) + the leading r06-verified entries
-    up to the boundary.  The remaining r06 entries overflow past 50
-    and lead the round-9 window; the 50 r07-green entries sit at the
-    tail.
+    Round-8 window (50) = 3 round-8 additions (never checked) +
+    d_jaccard (r07-green but code changed in r8: AllPairs length
+    filter + budget reprice — changed code outranks unchanged per
+    rule 3) + the 21 r05-verified entries that overflowed the round-7
+    window at positions 51-71 (t_redact .. q11 — exactly 2 rounds
+    stale, the oldest verdicts on the board) + the first 25
+    r06-verified entries.  The remaining r06 entries overflow past 50
+    and lead the round-9 window; the 49 other r07-green entries sit
+    at the tail.
     """
     return {
         # --- round-8 additions (never driver-checked) ------------------

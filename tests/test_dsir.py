@@ -132,3 +132,17 @@ def test_dsir_sample_deterministic_topk(spark):
     assert len(c) == 3
     with pytest.raises(ValueError):
         dsir_sample(raw, target, k=0, buckets=B)
+
+
+def test_dsir_plan_models_broadcast_no_pairing(spark):
+    # both model joins must broadcast (models bounded by `buckets`)
+    # and nothing may pair documents with each other
+    raw, target = _frames(spark)
+    plan = (
+        dsir_weights(raw, target, buckets=B)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
