@@ -137,3 +137,44 @@ def test_bpe_segment_matches_python_replica(spark, docs):
         assert got[i] == _py_segment(t, merges), f"doc {i}"
     with pytest.raises(ValueError):
         bpe_segment(F.col("text"), [("a", "b")] * 257)
+
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+_FUZZ_VOCAB = ["ab", "aba", "bab", "low", "lower", "abab", "a", "x y"]
+
+
+@st.composite
+def _corpora(draw):
+    n = draw(st.integers(min_value=1, max_value=5))
+    texts = []
+    for _ in range(n):
+        words = draw(
+            st.lists(st.sampled_from(_FUZZ_VOCAB), min_size=0, max_size=10)
+        )
+        texts.append(" ".join(words))
+    return texts
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=_corpora(), n=st.sampled_from([3, 6]))
+def test_bpe_train_fuzz_matches_model(spark, texts, n):
+    """Random corpora heavy in overlapping/self-similar words (ab,
+    aba, abab — the regime where greedy-merge edge cases live) must
+    reproduce the pure-python trainer exactly, including early
+    exhaustion."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = [
+        (r["merge_rank"], r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in bpe_train(df, n_merges=n, checkpoint_every=2)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert got == _py_train(texts, n), f"diverges on {texts!r} n={n}"
