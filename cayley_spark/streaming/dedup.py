@@ -79,3 +79,38 @@ def url_dedup_stream(
     else:
         out = keyed.dropDuplicates(["__h"])
     return out.drop("__h")
+
+
+def bloom_admission_stream(
+    docs: DataFrame,
+    bloom: DataFrame,
+    key=None,
+    n_bits: int = 1 << 20,
+    k: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-corpus admission gate at ingest: drop rows whose key is
+    maybe-member of a PRE-BUILT bloom over the historical corpus
+    (functions/bloom.bloom_build, run as a batch job over the 100-TB
+    store once; incrementally extendable by re-building daily).
+
+    STATELESS, unlike the within-stream dedup above: the packed words
+    arrive as a one-row broadcast and every micro-batch row evaluates
+    pure column expressions — no state store, no watermark, no
+    eviction contract. The trade is the bloom's: a maybe-member is
+    dropped even if it is a false positive (rate bounded by n_bits/k
+    sizing, chosen by the caller), and a true member is ALWAYS
+    dropped — no false negatives, ever. Works identically on batch
+    inputs (same expressions), which is what the batch-twin test
+    exploits.
+
+    ``key`` defaults to ``md5(coalesce(text, ''))`` — the exact-dup
+    content key. Pass any Column for URL- or fingerprint-keyed gates.
+    """
+    from ..functions.bloom import bloom_probe
+
+    if key is None:
+        key = F.md5(F.coalesce(F.col(text_col), F.lit("")))
+    probed = bloom_probe(docs, bloom, key, n_bits=n_bits, k=k,
+                         out_col="__maybe")
+    return probed.where(~F.col("__maybe")).drop("__maybe")

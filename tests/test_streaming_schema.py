@@ -1164,3 +1164,74 @@ def test_url_dedup_stream_canonical_aliases(spark, tmp_path):
     ).withColumn("ts", __import__("pyspark").sql.functions.current_timestamp())
     out = url_dedup_stream(batch).collect()
     assert len(out) == 2
+
+
+def test_bloom_admission_stream_matches_batch_twin(spark, tmp_path):
+    """Stateless bloom admission: rows whose content is in the
+    historical bloom are dropped across micro-batches; genuinely new
+    rows pass; the streaming output equals the batch twin on the
+    same input (same pure expressions, no state)."""
+    import json as _json
+    import os as _os
+
+    from cayley_spark.functions.bloom import bloom_build
+    from cayley_spark.streaming.dedup import bloom_admission_stream
+    from pyspark.sql import functions as F
+
+    hist = spark.createDataFrame(
+        [(i, f"known-doc-{i}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    key = F.md5(F.coalesce(F.col("text"), F.lit("")))
+    bloom = bloom_build(hist, key, n_bits=1 << 12, k=4)
+
+    batches = [
+        [(100, "2024-01-01 00:00:00", "known-doc-3"),
+         (101, "2024-01-01 00:01:00", "fresh doc one")],
+        [(102, "2024-01-01 00:05:00", "known-doc-17"),
+         (103, "2024-01-01 00:06:00", "fresh doc two"),
+         (104, "2024-01-01 00:07:00", None)],
+    ]
+    src = tmp_path / "ba_in"
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        with open(src / f"b{i}.json", "w") as f:
+            for did, ts, text in rows:
+                f.write(_json.dumps(
+                    {"doc_id": did, "ts": ts, "text": text}) + "\n")
+        _os.utime(src / f"b{i}.json", (1_700_000_000 + i * 60,) * 2)
+
+    schema = "doc_id long, ts timestamp, text string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        bloom_admission_stream(stream, bloom, n_bits=1 << 12, k=4)
+        .writeStream.format("memory")
+        .queryName("ba_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ba_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"] for r in spark.sql("SELECT doc_id FROM ba_out").collect()
+    }
+    # known docs dropped (no false negatives); fresh + NULL admitted
+    # (NULL keys as '' which is not in the historical corpus)
+    assert got == {101, 103, 104}
+    # batch twin over the union of all batches produces the same rows
+    flat = spark.createDataFrame(
+        [(d, t, x) for b in batches for d, t, x in b],
+        "doc_id long, ts string, text string",
+    )
+    batch_got = {
+        r["doc_id"]
+        for r in bloom_admission_stream(
+            flat, bloom, n_bits=1 << 12, k=4
+        ).collect()
+    }
+    assert batch_got == got
