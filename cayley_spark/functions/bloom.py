@@ -37,7 +37,15 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["bloom_positions", "bloom_build", "bloom_probe", "bloom_probe_keys"]
+__all__ = [
+    "bloom_positions",
+    "bloom_build",
+    "bloom_probe",
+    "bloom_probe_keys",
+    "bloom_save",
+    "bloom_load",
+    "bloom_merge",
+]
 
 # Hard cap on the packed-array size the broadcast path will build:
 # 2^27 bits = 16 MB on this single-JVM test rig.  Real clusters raise
@@ -174,4 +182,34 @@ def bloom_probe_keys(
         probe.join(built, "pos", "left")
         .groupBy(id_col)
         .agg((F.count("__set") == F.lit(k)).alias(out_col))
+    )
+
+
+def bloom_save(bloom: DataFrame, path: str) -> None:
+    """Persist the sparse (word_idx, bits) words as Parquet — the
+    build-once artifact a 100-TB corpus produces in one batch job and
+    every later ingest/probe job loads in milliseconds (≤ n_bits/64
+    rows). Written through Spark's writer so any Hadoop FS works."""
+    bloom.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def bloom_load(spark, path: str) -> DataFrame:
+    """Load a bloom persisted by bloom_save."""
+    return spark.read.parquet(path)
+
+
+def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """OR two blooms built with the SAME (n_bits, k): bit arrays
+    compose, so the merged filter answers membership over the union
+    of both build corpora exactly as if built in one pass — the
+    incremental-maintenance property (yesterday's corpus bloom +
+    today's delta bloom = today's corpus bloom, no re-read of the
+    base). One tiny groupBy over ≤ 2·n_bits/64 rows.
+
+    The caller owns the (n_bits, k) agreement — mixing geometries
+    produces garbage, same as any bloom implementation."""
+    return (
+        a.unionByName(b)
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(bits)").alias("bits"))
     )

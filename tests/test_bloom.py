@@ -131,3 +131,49 @@ def test_probe_plan_is_broadcast_no_shuffle(spark):
     # of the packed words; the build side's own groupBy shuffle sits
     # beneath the broadcast and never moves probe rows
     assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_bloom_save_load_merge(spark, tmp_path):
+    """Persistence roundtrip probes identically, and merging the
+    bloom of corpus A with the bloom of corpus B equals the bloom
+    built over A ∪ B in one pass (bit arrays compose) — the
+    incremental-maintenance property."""
+    from cayley_spark.functions.bloom import (
+        bloom_load,
+        bloom_merge,
+        bloom_save,
+    )
+
+    docs = _docs(spark, 80)
+    key = F.col("text")
+    a = docs.where(F.col("doc_id") < 40)
+    b = docs.where(F.col("doc_id") >= 40)
+    ba = bloom_build(a, key, n_bits=1 << 10, k=3)
+    bb = bloom_build(b, key, n_bits=1 << 10, k=3)
+
+    path = str(tmp_path / "bloom_a")
+    bloom_save(ba, path)
+    loaded = bloom_load(spark, path)
+    orig = {
+        r["doc_id"]: r["maybe_member"]
+        for r in bloom_probe(docs, ba, key, n_bits=1 << 10, k=3)
+        .select("doc_id", "maybe_member")
+        .collect()
+    }
+    rt = {
+        r["doc_id"]: r["maybe_member"]
+        for r in bloom_probe(docs, loaded, key, n_bits=1 << 10, k=3)
+        .select("doc_id", "maybe_member")
+        .collect()
+    }
+    assert rt == orig
+
+    merged = {
+        (r["word_idx"], r["bits"])
+        for r in bloom_merge(ba, bb).collect()
+    }
+    union = {
+        (r["word_idx"], r["bits"])
+        for r in bloom_build(docs, key, n_bits=1 << 10, k=3).collect()
+    }
+    assert merged == union
