@@ -88,6 +88,27 @@ class IVFIndex:
             F.col(vec_col).cast("array<double>").alias("v"),
         ).withColumn("c", _nearest(F.col("v"), self.centroids))
         if path is not None:
+            # guard: the path must hold THIS index's saved layout —
+            # appending to an unrelated/empty dir and then re-reading
+            # it would silently replace the in-memory view with only
+            # the delta, dropping every unsaved base vector
+            try:
+                crow = self.spark.read.parquet(
+                    os.path.join(path, "centroids")
+                ).head()
+            except Exception as e:
+                raise ValueError(
+                    f"add(path={path!r}): no saved index at path "
+                    f"(call save() first) — appending there would "
+                    f"orphan the in-memory base vectors"
+                ) from e
+            if [list(c) for c in crow["centroids"]] != [
+                list(c) for c in self.centroids
+            ]:
+                raise ValueError(
+                    f"add(path={path!r}): saved centroids differ from "
+                    f"this index's — wrong path or stale index object"
+                )
             delta.write.mode("append").partitionBy("c").parquet(
                 os.path.join(path, "buckets")
             )

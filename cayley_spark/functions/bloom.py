@@ -35,6 +35,8 @@ relational form the oracle itself uses.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 __all__ = [
@@ -123,7 +125,15 @@ def bloom_probe(
         )
     dense = [0] * n_words
     for row in bloom.collect():  # bounded: <= n_bits/64 rows by construction
-        dense[int(row["word_idx"])] = int(row["bits"])
+        w = int(row["word_idx"])
+        if w >= n_words:
+            raise ValueError(
+                f"bloom word_idx {w} >= n_bits/64={n_words}: the bloom "
+                f"was built with a larger n_bits than this probe — "
+                f"geometry mismatch would yield silent false negatives "
+                f"(use the (n_bits, k) returned by bloom_load)"
+            )
+        dense[w] = int(row["bits"])
     spark = df.sparkSession
     packed = spark.createDataFrame(
         [(dense,)], schema="__bloom_bits array<bigint>"
@@ -181,21 +191,44 @@ def bloom_probe_keys(
     return (
         probe.join(built, "pos", "left")
         .groupBy(id_col)
-        .agg((F.count("__set") == F.lit(k)).alias(out_col))
+        # count(1) (total position rows), not lit(k): duplicate ids
+        # contribute k rows EACH, and lit(k) would report a true
+        # member false. Duplicate ids with DIFFERENT keys AND their
+        # memberships together (documented; bloom_probe keeps rows
+        # separate — dedupe ids first if you need per-row verdicts).
+        .agg((F.count("__set") == F.count(F.lit(1))).alias(out_col))
     )
 
 
-def bloom_save(bloom: DataFrame, path: str) -> None:
+def bloom_save(bloom: DataFrame, path: str, n_bits: int, k: int) -> None:
     """Persist the sparse (word_idx, bits) words as Parquet — the
     build-once artifact a 100-TB corpus produces in one batch job and
     every later ingest/probe job loads in milliseconds (≤ n_bits/64
-    rows). Written through Spark's writer so any Hadoop FS works."""
-    bloom.coalesce(1).write.mode("overwrite").parquet(path)
+    rows). The (n_bits, k) GEOMETRY rides along as a 1-row sidecar
+    table: a probe with mismatched geometry computes different
+    positions and silently reports false negatives — the one failure
+    mode a bloom must never have — and the cross-job save/load
+    workflow is exactly where constructor-time agreement gets lost.
+    Written through Spark's writer so any Hadoop FS works."""
+    _check(n_bits, k)
+    spark = bloom.sparkSession
+    bloom.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "words")
+    )
+    spark.createDataFrame(
+        [(int(n_bits), int(k))], "n_bits long, k int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "meta")
+    )
 
 
-def bloom_load(spark, path: str) -> DataFrame:
-    """Load a bloom persisted by bloom_save."""
-    return spark.read.parquet(path)
+def bloom_load(spark, path: str) -> tuple[DataFrame, int, int]:
+    """Load a bloom persisted by bloom_save → (words, n_bits, k).
+    Returning the geometry WITH the words forces the caller to probe
+    with the build-time parameters instead of re-guessing defaults."""
+    meta = spark.read.parquet(os.path.join(path, "meta")).head()
+    words = spark.read.parquet(os.path.join(path, "words"))
+    return words, int(meta["n_bits"]), int(meta["k"])
 
 
 def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:

@@ -382,8 +382,14 @@ def ngram_jaccard_pairs(
                 "n", F.count(F.lit(1)).over(Window.partitionBy("blk", "id"))
             )
             .where(
+                # +2, not the theorem's +1: double(threshold) can
+                # round UP, and when t*n is an exact integer
+                # (t=0.28, n=25 -> 7) the float ceil yields n*t + 1,
+                # shortening the prefix below what a true boundary
+                # pair needs. One extra posting per doc buys float
+                # immunity; candidates are exactness-verified anyway.
                 F.col("rank")
-                <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+                <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 2
             )
             .select("blk", "id", "s", "n")
         )
@@ -394,7 +400,18 @@ def ngram_jaccard_pairs(
         # reaching dropDuplicates or the verification re-join, and no
         # extra join is spent applying the bound (a post-hoc size
         # lookup would re-join every candidate twice).
+        #
+        # The bound is slacked by ONE: double(threshold) can round UP
+        # (t=0.28 -> 0.28000...01), and the tight form `nb*t <= na`
+        # then kills a true boundary pair (J exactly t) that the
+        # final jaccard >= threshold check would accept — the two
+        # "exact" plans would disagree. Since every candidate is
+        # exactness-verified downstream, the filter is purely an
+        # optimization: +1 of integer slack makes float rounding
+        # irrelevant (|na*t - round| < 0.5 for any realistic na) at
+        # the cost of a vanishing sliver of extra candidates.
         t = F.lit(float(threshold))
+        one = F.lit(1)
         pref_a = prefix.select(
             "blk", F.col("id").alias("id_a"), F.col("n").alias("na"), "s"
         )
@@ -405,8 +422,8 @@ def ngram_jaccard_pairs(
             pref_a.join(pref_b, ["blk", "s"])
             .where(
                 (F.col("id_a") < F.col("id_b"))
-                & (F.col("nb") * t <= F.col("na"))
-                & (F.col("na") * t <= F.col("nb"))
+                & (F.col("nb") * t <= F.col("na") + one)
+                & (F.col("na") * t <= F.col("nb") + one)
             )
             .select("id_a", "id_b")
             .dropDuplicates(["id_a", "id_b"])

@@ -262,9 +262,12 @@ def dsir_weights(
     # not two; the re-aggregation input is already bucket-keyed and
     # bounded by |docs|·min(grams, buckets)
     rawm = doc.groupBy("bucket").agg(F.sum("c").alias("rc"))
-    totals = tgt.agg(F.sum("tc").alias("__T")).crossJoin(
-        rawm.agg(F.sum("rc").alias("__R"))
-    )
+    # coalesce: SUM over zero rows is NULL, and a NULL total would
+    # poison every logw (an empty target is mathematically fine —
+    # smoothing carries it: shift = ln((R+aB)/aB))
+    totals = tgt.agg(
+        F.coalesce(F.sum("tc"), F.lit(0)).alias("__T")
+    ).crossJoin(rawm.agg(F.coalesce(F.sum("rc"), F.lit(0)).alias("__R")))
     j = (
         doc.join(F.broadcast(tgt), "bucket", "left")
         .join(F.broadcast(rawm), "bucket")
@@ -306,19 +309,30 @@ def dsir_sample(
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     w = dsir_weights(raw, target, id_col, text_col, buckets, alpha)
-    # u in (0,1): 60 md5 bits scaled; never exactly 0 or 1
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("double")
-        + F.lit(1.0)
-    ) / F.lit(float((1 << 60) + 2))
+    # u in (0,1): 60 md5 bits scaled, clamped BELOW 1.0 — (h+1)/2^60
+    # can round to exactly 1.0 for h near 2^60 (doubles there are
+    # spaced 256 apart), and -ln(-ln(1.0)) = +Inf would win a top-k
+    # slot unconditionally. The clamp value is the largest double < 1.
+    u = F.least(
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(f"{seed}:"), F.col(id_col).cast("string")
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("double")
+            + F.lit(1.0)
+        )
+        / F.lit(float(1 << 60)),
+        F.lit(1.0 - 2.0**-53),
+    )
     gumbel = -F.log(-F.log(u))
     return (
         w.withColumn("gumbel_key", F.col("logw") + gumbel)

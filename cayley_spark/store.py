@@ -210,6 +210,25 @@ class GraphStore:
         adds = _try_parquet(spark, f"{path}/delta/adds")
         dels = _try_parquet(spark, f"{path}/delta/dels")
         dnodes = _try_parquet(spark, f"{path}/delta/nodes")
+        # drop log batches the compaction watermark says are already
+        # folded into the base (the crash-between-swap-and-log-delete
+        # window; see _FOLDED_MARKER) — re-applying them would
+        # duplicate adds and mis-match tombstones against folded rows
+        folded = _read_folded_through(spark, path)
+        if folded > 0:
+
+            def _past(df):
+                if df is None or "__batch" not in df.columns:
+                    # pre-watermark dnodes rows have no batch stamp;
+                    # keep them (conservative — they predate any
+                    # watermark-writing compaction)
+                    return df
+                out = df.where(
+                    F.coalesce(F.col("__batch"), F.lit(1 << 30)) > folded
+                )
+                return out if out.limit(1).count() > 0 else None
+
+            adds, dels, dnodes = _past(adds), _past(dels), _past(dnodes)
         if adds is not None or dels is not None or dnodes is not None:
             nodes, quads = _merge_delta_log(spark, nodes, quads, adds, dels, dnodes)
         return cls(spark, nodes, quads)
@@ -226,8 +245,15 @@ class GraphStore:
         self.nodes.repartition("id").write.mode(mode).parquet(f"{path}/nodes")
         if mode == "overwrite":
             # a stale delta log under an overwritten base would be
-            # re-applied by the next load() — remove it (no-op when
-            # the path never had one)
+            # re-applied by the next load() — write the watermark
+            # FIRST (covers a crash before the delete: load() then
+            # ignores the stale batches), then remove the log
+            stale = max(
+                _read_folded_through(self.spark, path),
+                _log_max_batch(self.spark, path),
+            )
+            if stale > 0:
+                _write_folded_through(self.spark, f"{path}/quads", stale)
             _fs_delete(self.spark, f"{path}/delta")
 
     @classmethod
@@ -268,12 +294,14 @@ class GraphStore:
         Single-writer, like the reference's embedded backends; the two
         appends are not atomic together (a crash between them leaves a
         batch with adds but no tombstones — re-apply the batch)."""
-        batch = 1
-        for sub in ("adds", "dels"):
-            prev = _try_parquet(spark, f"{path}/delta/{sub}")
-            if prev is not None:
-                mx = prev.agg(F.max("__batch")).collect()[0][0]
-                batch = max(batch, int(mx or 0) + 1)
+        # monotone across compactions: the folded-through watermark
+        # survives a compact's log delete, so new batches can never
+        # reuse an id the watermark already covers
+        batch = max(
+            1,
+            _log_max_batch(spark, path) + 1,
+            _read_folded_through(spark, path) + 1,
+        )
         if add:
             st = cls.from_quad_values(spark, list(add))
             st.quads.withColumn(
@@ -292,9 +320,9 @@ class GraphStore:
             rows = [
                 _node_row(vals[i])[:-1] + (occ[i],) for i in sorted(vals)
             ]
-            spark.createDataFrame(rows, NODE_SCHEMA).write.mode(
-                "append"
-            ).parquet(f"{path}/delta/nodes")
+            spark.createDataFrame(rows, NODE_SCHEMA).withColumn(
+                "__batch", F.lit(batch).cast("int")
+            ).write.mode("append").parquet(f"{path}/delta/nodes")
         if delete:
             dst = cls.from_quad_values(spark, list(delete))
             dst.quads.dropDuplicates(["s", "p", "o", "l"]).withColumn(
@@ -314,9 +342,18 @@ class GraphStore:
 
         Writes to ``*.compact.tmp`` siblings first, then swaps via
         Hadoop FileSystem rename (works on local/HDFS/S3A alike), so
-        the source files are never read-while-overwritten; a crash
-        between rename steps leaves recoverable ``.tmp`` dirs, the
-        same guarantee class as Hive's staged INSERT OVERWRITE."""
+        the source files are never read-while-overwritten. Every
+        delete/rename return value is CHECKED (Hadoop FileSystem
+        reports failure by returning false, not raising), and the
+        folded-through watermark is written INSIDE the quads tmp dir
+        so it swaps in atomically with the new base: a crash between
+        the swap and the log delete leaves a log that load() ignores
+        via the watermark instead of silently re-applying — the
+        corruption class a bare staged-rename would have (duplicate
+        folded adds, tombstones matching folded re-adds)."""
+        folded = max(
+            _read_folded_through(spark, path), _log_max_batch(spark, path)
+        )
         st = cls.load(spark, path, dedup_nodes=dedup_nodes)
         st.quads.repartitionByRange("p", "s").write.mode(
             "overwrite"
@@ -324,12 +361,40 @@ class GraphStore:
         st.nodes.repartition("id").write.mode("overwrite").parquet(
             f"{path}/nodes.compact.tmp"
         )
+        if folded > 0:
+            _write_folded_through(
+                spark, f"{path}/quads.compact.tmp", folded
+            )
         fs, jvm = _hadoop_fs(spark, path)
         hp = jvm.org.apache.hadoop.fs.Path
-        for sub in ("quads", "nodes"):
-            fs.delete(hp(f"{path}/{sub}"), True)
-            fs.rename(hp(f"{path}/{sub}.compact.tmp"), hp(f"{path}/{sub}"))
-        fs.delete(hp(f"{path}/delta"), True)
+        # nodes FIRST, quads (carrying the watermark) LAST: a crash
+        # between the two renames then leaves new-nodes + old-quads +
+        # live log — load() re-folds the log over the old quads
+        # (correct membership; at worst re-summed refs, the documented
+        # loose counter) and a compact retry heals fully. The reverse
+        # order would leave folded quads with a watermark-silenced
+        # log and PRE-fold nodes: dictionary entries for the folded
+        # adds would be unrecoverable.
+        for sub in ("nodes", "quads"):
+            tgt = hp(f"{path}/{sub}")
+            if fs.exists(tgt) and not fs.delete(tgt, True):
+                raise RuntimeError(
+                    f"compact: could not delete {path}/{sub}; store left "
+                    f"on the pre-compaction base + delta log (recover: "
+                    f"remove *.compact.tmp and retry)"
+                )
+            if not fs.rename(hp(f"{path}/{sub}.compact.tmp"), tgt):
+                raise RuntimeError(
+                    f"compact: rename of {path}/{sub}.compact.tmp failed; "
+                    f"the watermark keeps any surviving delta log "
+                    f"unreplayed — recover by retrying the swap"
+                )
+        dl = hp(f"{path}/delta")
+        if fs.exists(dl) and not fs.delete(dl, True):
+            raise RuntimeError(
+                f"compact: could not delete {path}/delta; SAFE to retry "
+                f"— load() ignores the folded batches via the watermark"
+            )
         return cls.load(spark, path)
 
     def persist(self) -> "GraphStore":
@@ -917,16 +982,71 @@ def _decompose_terms(terms: DataFrame) -> DataFrame:
 
 def _try_parquet(spark: SparkSession, path: str) -> DataFrame | None:
     """Read a parquet dir, or None if it does not exist (any Hadoop
-    filesystem — the probe is the read itself, not an os.path check)."""
+    filesystem — the probe is the read itself, not an os.path check).
+    mergeSchema: delta/nodes dirs can mix pre- and post-__batch
+    schemas across appends; the union schema must surface the column
+    with nulls for old files, not drop it footer-lottery style."""
     from pyspark.errors import AnalysisException
 
     try:
-        return spark.read.parquet(path)
+        return spark.read.option("mergeSchema", "true").parquet(path)
     except AnalysisException as e:
         msg = str(e)
         if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
             return None
         raise
+
+
+# Compaction watermark: a tiny ``_folded_through`` file inside
+# ``{path}/quads`` (underscore-prefixed, so parquet readers ignore it)
+# recording the highest delta-log batch id folded into the base.
+# It rides the compact swap INSIDE the quads rename — so a crash
+# between the swap and the log delete leaves a log whose folded
+# batches are ignored by load() instead of silently re-applied
+# (duplicate adds under bag semantics, tombstones matching folded
+# re-adds). Batch numbering stays monotone across compactions because
+# save_deltas seeds from the watermark too.
+_FOLDED_MARKER = "_folded_through"
+
+
+def _read_folded_through(spark: SparkSession, path: str) -> int:
+    fs, jvm = _hadoop_fs(spark, path)
+    hp = jvm.org.apache.hadoop.fs.Path(f"{path}/quads/{_FOLDED_MARKER}")
+    if not fs.exists(hp):
+        return 0
+    stream = fs.open(hp)
+    try:
+        line = jvm.java.io.BufferedReader(
+            jvm.java.io.InputStreamReader(stream, "UTF-8")
+        ).readLine()
+    finally:
+        stream.close()
+    try:
+        return int((line or "0").strip())
+    except ValueError:
+        return 0
+
+
+def _write_folded_through(
+    spark: SparkSession, quads_dir: str, value: int
+) -> None:
+    fs, jvm = _hadoop_fs(spark, quads_dir)
+    hp = jvm.org.apache.hadoop.fs.Path(f"{quads_dir}/{_FOLDED_MARKER}")
+    out = fs.create(hp, True)
+    try:
+        out.write(bytearray(str(int(value)).encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _log_max_batch(spark: SparkSession, path: str) -> int:
+    mx = 0
+    for sub in ("adds", "dels"):
+        df = _try_parquet(spark, f"{path}/delta/{sub}")
+        if df is not None and "__batch" in df.columns:
+            v = df.agg(F.max("__batch")).collect()[0][0]
+            mx = max(mx, int(v or 0))
+    return mx
 
 
 def _hadoop_fs(spark: SparkSession, path: str):
@@ -982,6 +1102,10 @@ def _merge_delta_log(
     untouched 100-TB remainder passes through as a NARROW filter (no
     shuffle); only the touched sliver shuffles. Past the budget it
     declines to one full groupBy(id) — loudly the compaction signal."""
+    if dnodes is not None and "__batch" in dnodes.columns:
+        # batch stamp is the load()-side watermark filter's business;
+        # the merge itself is batch-agnostic for node rows
+        dnodes = dnodes.drop("__batch")
     q_all = base_quads.withColumn("__batch", F.lit(0).cast("int"))
     if adds is not None:
         q_all = q_all.unionByName(adds.select(*q_all.columns))

@@ -152,8 +152,9 @@ def test_bloom_save_load_merge(spark, tmp_path):
     bb = bloom_build(b, key, n_bits=1 << 10, k=3)
 
     path = str(tmp_path / "bloom_a")
-    bloom_save(ba, path)
-    loaded = bloom_load(spark, path)
+    bloom_save(ba, path, n_bits=1 << 10, k=3)
+    loaded, n_bits, k = bloom_load(spark, path)
+    assert (n_bits, k) == (1 << 10, 3)  # geometry rides the artifact
     orig = {
         r["doc_id"]: r["maybe_member"]
         for r in bloom_probe(docs, ba, key, n_bits=1 << 10, k=3)
@@ -177,3 +178,35 @@ def test_bloom_save_load_merge(spark, tmp_path):
         for r in bloom_build(docs, key, n_bits=1 << 10, k=3).collect()
     }
     assert merged == union
+
+
+def test_probe_geometry_mismatch_raises(spark):
+    # a bloom built with LARGER n_bits than probed must fail loudly,
+    # not silently report false negatives
+    docs = _docs(spark, 20)
+    built = bloom_build(docs, F.col("text"), n_bits=1 << 12, k=3)
+    with pytest.raises(ValueError, match="geometry"):
+        bloom_probe(
+            docs, built, F.col("text"), n_bits=256, k=3
+        ).collect()
+
+
+def test_probe_keys_duplicate_ids_no_false_negative(spark):
+    # two rows sharing an id, both member keys: 2k position rows all
+    # match — must still report member (count==lit(k) would not)
+    members = spark.createDataFrame(
+        [(1, "m1"), (2, "m2")], "doc_id long, text string"
+    )
+    built_src = members
+    probe = spark.createDataFrame(
+        [(7, "m1"), (7, "m1"), (8, "m1"), (9, "nope")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["maybe_member"]
+        for r in bloom_probe_keys(
+            probe, built_src, F.col("text"), F.col("text"), "doc_id",
+            n_bits=1 << 10, k=3,
+        ).collect()
+    }
+    assert got == {7: True, 8: True, 9: False}

@@ -146,3 +146,34 @@ def test_dsir_plan_models_broadcast_no_pairing(spark):
     )
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_dsir_empty_target_is_finite(spark):
+    # an empty target is mathematically fine under smoothing: every
+    # logw must be finite and computed with T=0, never NULL-poisoned
+    raw, _ = _frames(spark)
+    empty_target = raw.where(F.col("src") == "nope")
+    out = {
+        r["doc_id"]: r["logw"]
+        for r in dsir_weights(raw, empty_target, buckets=B).collect()
+    }
+    assert out, "no rows returned"
+    raw_counts = {}
+    for _id, text, _src in RAW:
+        for b in _py_buckets(text or ""):
+            raw_counts[b] = raw_counts.get(b, 0) + 1
+    R = sum(raw_counts.values())
+    for doc_id, text, _src in RAW:
+        bs = _py_buckets(text or "")
+        if not bs:
+            continue
+        expect = sum(
+            math.log(1.0 / (raw_counts[b] + 1.0)) for b in bs
+        ) + len(bs) * math.log((R + B) / B)
+        assert out[doc_id] == pytest.approx(expect, rel=1e-9)
+    # and sampling on it stays deterministic, not NULL-ordered
+    picked = [
+        r["doc_id"]
+        for r in dsir_sample(raw, empty_target, k=2, buckets=B).collect()
+    ]
+    assert len(picked) == 2

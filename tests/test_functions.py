@@ -1640,3 +1640,25 @@ def test_ivf_index_incremental_add(spark, tmp_path):
     }
     res = loaded.query(qv, k=3, nprobe=8).collect()
     assert len(res) == 3 and all(r["query_id"] == 160 for r in res)
+
+
+def test_ivf_index_add_path_guard(spark, tmp_path):
+    """add(path=...) must refuse a path that does not hold THIS
+    index's saved layout — appending there and re-reading would
+    silently drop every unsaved base vector."""
+    import pytest as _pytest
+
+    from cayley_spark.functions.ann_index import IVFIndex
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = IVFIndex.build(df.where(df.vec_id < 100), n_centroids=4)
+    with _pytest.raises(ValueError, match="no saved index"):
+        idx.add(
+            df.where(df.vec_id >= 100), path=str(tmp_path / "nowhere")
+        )
+    other = IVFIndex.build(
+        df.where(df.vec_id < 50), n_centroids=5
+    ).save(str(tmp_path / "other"))
+    del other
+    with _pytest.raises(ValueError, match="centroids differ"):
+        idx.add(df.where(df.vec_id >= 100), path=str(tmp_path / "other"))

@@ -81,7 +81,7 @@ def corpora(draw):
 )
 @given(
     rows=corpora(),
-    thresh=st.sampled_from([0.3, 0.6]),
+    thresh=st.sampled_from([0.28, 0.3, 0.6]),
     budget=st.sampled_from([10**18, 0]),  # direct / forced AllPairs
 )
 def test_ngram_jaccard_both_plans_match_model(spark, rows, thresh, budget):
@@ -96,3 +96,26 @@ def test_ngram_jaccard_both_plans_match_model(spark, rows, thresh, budget):
     }
     want = _model_pairs(rows, thresh)
     assert got == want, f"{'allpairs' if budget == 0 else 'direct'} diverges"
+
+
+def test_length_filter_float_boundary_regression(spark):
+    """double(0.28) rounds UP, so a tight nb*t <= na bound kills the
+    true boundary pair J = 7/25 = 0.28 that verification accepts —
+    the AllPairs and direct 'exact' plans then disagree (review
+    finding, round 8). The slacked bound must keep both plans equal."""
+    from cayley_spark.functions.dedup import ngram_jaccard_pairs
+
+    w = [f"w{i}" for i in range(26)]
+    rows = [
+        (1, " ".join(w[:8]), "en"),   # 7 shingles, all inside doc 2's
+        (2, " ".join(w), "en"),       # 25 shingles
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, blk string")
+    for budget in (10**18, 0):
+        got = {
+            (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+            for r in ngram_jaccard_pairs(
+                df, "blk", k=K, threshold=0.28, direct_join_budget=budget
+            ).collect()
+        }
+        assert got == {(1, 2): round(7 / 25, 9)}, budget

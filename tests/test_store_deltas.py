@@ -171,10 +171,13 @@ def test_compact_folds_log_and_clears_it(spark, tmp_path):
     _assert_equivalent(compacted, want)
     # a reload sees the folded base with no merge applied
     _assert_equivalent(GraphStore.load(spark, path), want)
-    # and the next delta batch numbers from 1 again (fresh log)
+    # batch numbering is MONOTONE across compactions (the folded-
+    # through watermark survives the log delete): the next batch
+    # numbers past the folded one, never reusing an id the watermark
+    # covers — that is what makes a crash-resurrected log safe
     assert GraphStore.save_deltas(
         spark, path, add=[(_i("zoe"), _i("follows"), _i("harry"))]
-    ) == 1
+    ) == 2
 
 
 def test_save_overwrite_clears_stale_delta_log(spark, tmp_path):
@@ -254,3 +257,47 @@ def test_delta_then_query_path(spark, tmp_path):
     st = GraphStore.load(spark, path)
     got = sorted(Path.start(st, _i("bob")).in_(_i("follows")).all_values())
     assert got == ["<alice>", "<charlie>", "<harry>"]
+
+
+def test_compact_crash_window_stale_log_ignored(spark, tmp_path):
+    """The compaction watermark (_folded_through, riding the quads
+    swap) makes the crash-between-swap-and-log-delete window safe:
+    a resurrected (already-folded) log must be IGNORED by load()
+    instead of re-applied (duplicate adds, tombstones matching folded
+    re-adds), and a post-crash save_deltas must take a batch id above
+    the watermark and apply normally."""
+    import shutil
+
+    path = str(tmp_path / "store")
+    GraphStore.from_quad_values(spark, SIMPLE_SOCIAL).save(path)
+    GraphStore.save_deltas(
+        spark,
+        path,
+        add=[(_i("harry"), _i("follows"), _i("alice"))],
+        delete=[(_i("emily"), _i("follows"), _i("fred"))],
+    )
+    stale = str(tmp_path / "stale_log")
+    shutil.copytree(os.path.join(path, "delta"), stale)
+    clean = GraphStore.compact(spark, path)
+    want_quads = _quad_terms(clean)
+    want_nodes = set(_node_state(clean))
+    assert os.path.exists(
+        os.path.join(path, "quads", "_folded_through")
+    )
+    # simulate the crash: the folded log survives the swap
+    shutil.copytree(stale, os.path.join(path, "delta"))
+    got = GraphStore.load(spark, path)
+    assert _quad_terms(got) == want_quads  # no duplicate harry-add
+    assert set(_node_state(got)) == want_nodes  # emily still orphaned
+    # a new delta on top of the stale log numbers PAST the watermark
+    b = GraphStore.save_deltas(
+        spark, path, add=[(_i("harry"), _i("follows"), _i("bob"))]
+    )
+    assert b == 2
+    after_terms = _quad_terms(GraphStore.load(spark, path))
+    assert (
+        after_terms.count(("<harry>", "<follows>", "<bob>", None)) == 1
+    )
+    # and a second compact folds ONLY the live batch, idempotently
+    final = GraphStore.compact(spark, path)
+    assert _quad_terms(final) == after_terms
