@@ -1505,6 +1505,24 @@ def t_bpe_train(spark, sf):
     return bpe_train(docs, n_merges=6)
 
 
+def t_countmin(spark, sf):
+    """Count-Min heavy hitters over the token stream
+    (functions/sketch.py — Cormode & Muthukrishnan 2005): the grid is
+    d·w cells REGARDLESS of key cardinality (the summary you ship
+    when the exact per-key groupBy is itself too big), estimates
+    never under-count, and the seeded-md5 hashing makes every cell
+    and estimate integer-exact under the DuckDB oracle — unlike
+    HLL/datasketches blobs, which are engine-specific encodings."""
+    from cayley_spark.functions.sketch import countmin_heavy_hitters
+    from cayley_spark.functions.text import tokens
+
+    docs = _t_wide(spark, sf, "documents")
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    return countmin_heavy_hitters(
+        toks, F.col("tok"), threshold=200, depth=4, width=2048
+    )
+
+
 def t_dsir(spark, sf):
     """DSIR importance weights (functions/sampling.dsir_weights —
     Xie et al., NeurIPS 2023): hashed unigram+bigram bag features
@@ -2183,12 +2201,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     entries whose last green verdict is OLDEST; entries green in the
     immediately previous round go last (they retain pytest +
     tools/check_oracles.py coverage while they wait).
-    Round-8 window (50) = 3 round-8 additions (never checked) +
+    Round-8 window (50) = 4 round-8 additions (never checked) +
     d_jaccard (r07-green but code changed in r8: AllPairs length
     filter + budget reprice — changed code outranks unchanged per
     rule 3) + the 21 r05-verified entries that overflowed the round-7
     window at positions 51-71 (t_redact .. q11 — exactly 2 rounds
-    stale, the oldest verdicts on the board) + the first 25
+    stale, the oldest verdicts on the board) + the first 24
     r06-verified entries.  The remaining r06 entries overflow past 50
     and lead the round-9 window; the 49 other r07-green entries sit
     at the tail.
@@ -2198,6 +2216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_bloom": d_bloom,
         "t_dsir": t_dsir,
         "t_bpe_train": t_bpe_train,
+        "t_countmin": t_countmin,
         # --- r07-verified but code changed in r8 (AllPairs length
         # filter + budget reprice from the scale-slope experiment) ----
         "d_jaccard": d_jaccard,
@@ -2248,8 +2267,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_allnodes": g_allnodes,
         "g_labeled": g_labeled,
         "g_compare": g_compare,
-        "g_regex": g_regex,
         # --- positions 51+: r06 remainder; leads the round-9 window ----
+        "g_regex": g_regex,
         "g_order_limit": g_order_limit,
         "g_skip": g_skip,
         "g_optional": g_optional,
@@ -4124,6 +4143,31 @@ WITH per_cust AS (
                   ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
               FROM events
             ) WHERE rn <= 20
+        """,
+        # CMS cells + min-over-rows estimates, integer-exact via the
+        # seeded-md5 cell hashing (see functions/sketch.py).
+        "t_countmin": r"""
+            WITH toks AS (
+              SELECT unnest(regexp_extract_all(lower(text), '\w+')) AS tok
+              FROM documents
+            ), rs AS (SELECT unnest([0, 1, 2, 3]) AS r),
+            cells AS (
+              SELECT r,
+                CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || tok),
+                      1, 15))::BIGINT % 2048 AS BIGINT) AS bucket,
+                COUNT(*) AS cnt
+              FROM toks, rs GROUP BY 1, 2
+            ), keys AS (SELECT DISTINCT tok AS key FROM toks),
+            probes AS (
+              SELECT k.key, rs.r,
+                CAST(('0x' || substr(md5(CAST(rs.r AS VARCHAR) || ':' || k.key),
+                      1, 15))::BIGINT % 2048 AS BIGINT) AS bucket
+              FROM keys k, rs
+            )
+            SELECT key, CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS est
+            FROM probes p LEFT JOIN cells c
+              ON c.r = p.r AND c.bucket = p.bucket
+            GROUP BY key HAVING MIN(COALESCE(c.cnt, 0)) >= 200
         """,
         # 6 unrolled BPE training rounds (see _bpe_train_oracle): the
         # replace() merge-application semantics are identical in both
