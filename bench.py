@@ -326,6 +326,16 @@ def main() -> None:
             "[13.73, 4.64, 3.69, 4.69, 3.74] min 3.69s — BELOW the "
             "r6 level; suite contention / host noise, no plan "
             "change, no fix needed.",
+            "r8_d_jaccard_reprice": "the r8 scale-slope experiment "
+            "(SCALE.md) caught the direct-vs-AllPairs budget flip at "
+            "a mispriced 5e7 boundary (direct ~7s vs AllPairs 77-102s "
+            "at sum(df^2)=57M, t=0.35); budget repriced to 5e8 plus "
+            "an in-join PPJoin length filter. Both AllPairs bounds "
+            "carry one unit of float slack (double(t) can round up "
+            "and drop a TRUE boundary pair — review-confirmed at "
+            "t=0.28, J=7/25; regression + fuzz pinned). Bench "
+            "d_jaccard runs the direct plan at sf0.1 either way: "
+            "6.84 -> 4.81s.",
         },
     }
     detail_path = os.path.join(
