@@ -309,18 +309,28 @@ def dsir_sample(
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     w = dsir_weights(raw, target, id_col, text_col, buckets, alpha)
-    # u in (0,1): 60 md5 bits scaled, clamped BELOW 1.0 — (h+1)/2^60
-    # can round to exactly 1.0 for h near 2^60 (doubles there are
-    # spaced 256 apart), and -ln(-ln(1.0)) = +Inf would win a top-k
-    # slot unconditionally. The clamp value is the largest double < 1.
+    return (
+        w.withColumn(
+            "gumbel_key", F.col("logw") + _gumbel(F.col(id_col), seed)
+        )
+        .orderBy(F.col("gumbel_key").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def _gumbel(id_col: Column, seed: str) -> Column:
+    """Deterministic standard-Gumbel noise from md5(seed:id).
+
+    u in (0,1): 60 md5 bits scaled, clamped BELOW 1.0 — (h+1)/2^60
+    can round to exactly 1.0 for h near 2^60 (doubles there are
+    spaced 256 apart), and -ln(-ln(1.0)) = +Inf would win a top-k
+    slot unconditionally. The clamp value is the largest double < 1."""
     u = F.least(
         (
             F.conv(
                 F.substring(
                     F.md5(
-                        F.concat(
-                            F.lit(f"{seed}:"), F.col(id_col).cast("string")
-                        )
+                        F.concat(F.lit(f"{seed}:"), id_col.cast("string"))
                     ),
                     1,
                     15,
@@ -333,9 +343,38 @@ def dsir_sample(
         / F.lit(float(1 << 60)),
         F.lit(1.0 - 2.0**-53),
     )
-    gumbel = -F.log(-F.log(u))
+    return -F.log(-F.log(u))
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    seed: str = "ws",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: keep the
+    k rows with the largest ln(weight) + Gumbel(md5(seed:id)) — the
+    Gumbel top-k trick, equivalent to Efraimidis & Spirakis 2006
+    reservoir keys u^(1/w) in log space, so inclusion probabilities
+    follow the weights while the draw is reproducible across runs,
+    engines, and partitionings (``orderBy(rand())`` is none of those).
+    The pipeline use is quality-weighted corpus subsampling: weight by
+    a quality score and the sample leans high-quality without a hard
+    cutoff.
+
+    Rows with NULL, zero, or negative weight are excluded (their
+    sampling probability is zero/undefined — excluding loudly beats a
+    NULL sort key silently winning). One TakeOrderedAndProject, no
+    global sort."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    w = F.col(weight_col).cast("double")
     return (
-        w.withColumn("gumbel_key", F.col("logw") + gumbel)
-        .orderBy(F.col("gumbel_key").desc(), F.col(id_col))
+        df.where(w.isNotNull() & (w > 0))
+        .withColumn(
+            "sample_key", F.log(w) + _gumbel(F.col(id_col), seed)
+        )
+        .orderBy(F.col("sample_key").desc(), F.col(id_col))
         .limit(k)
     )

@@ -177,3 +177,40 @@ def test_dsir_empty_target_is_finite(spark):
         for r in dsir_sample(raw, empty_target, k=2, buckets=B).collect()
     ]
     assert len(picked) == 2
+
+
+def test_weighted_sample_matches_replica_and_guards(spark):
+    import hashlib as _hashlib
+
+    from cayley_spark.functions.sampling import weighted_sample
+
+    rows = [
+        (1, 100.0), (2, 1.0), (3, 50.0), (4, 0.0), (5, None),
+        (6, -2.0), (7, 10.0), (8, 5.0),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, wt double")
+    got = [
+        r["doc_id"]
+        for r in weighted_sample(df, "wt", k=3, seed="t").collect()
+    ]
+    # python replica of the exact keys (same md5 -> u -> gumbel path)
+    def key(i, w):
+        h = int(
+            _hashlib.md5(f"t:{i}".encode()).hexdigest()[:15], 16
+        )
+        u = min((h + 1) / float(1 << 60), 1.0 - 2.0**-53)
+        return math.log(w) + -math.log(-math.log(u))
+
+    want = sorted(
+        [(i, w) for i, w in rows if w and w > 0],
+        key=lambda t: (-key(*t), t[0]),
+    )[:3]
+    assert got == [i for i, _w in want]
+    # zero/NULL/negative weights never sampled, determinism holds
+    assert not {4, 5, 6} & set(got)
+    assert got == [
+        r["doc_id"]
+        for r in weighted_sample(df, "wt", k=3, seed="t").collect()
+    ]
+    with pytest.raises(ValueError):
+        weighted_sample(df, "wt", k=0)
