@@ -1545,6 +1545,42 @@ def t_dsir(spark, sf):
     )
 
 
+def t_wsample(spark, sf):
+    """Weighted sampling WITHOUT replacement (functions/sampling.
+    weighted_sample — Gumbel top-k ≡ Efraimidis & Spirakis 2006 keys
+    in log space): quality-weighted corpus subsampling with weight =
+    n_chars + 1, k = 100. The Gumbel noise is seeded-md5, so the
+    DuckDB oracle replays the EXACT selection; the output pins the
+    selected id SET plus each id's 60-bit integer hash core (the
+    continuous float key ln(w) - ln(-ln(u)) decides the top-k cut on
+    both engines — a 1-ulp libm log difference cannot flip the
+    boundary unless two keys land within ~1e-15, and the integer
+    core pins the whole hash pipeline; same determinism contract as
+    t_dsir). One TakeOrderedAndProject, no global sort."""
+    from cayley_spark.functions.sampling import weighted_sample
+
+    docs = _t_wide(spark, sf, "documents").withColumn(
+        "w", (F.col("n_chars") + F.lit(1)).cast("double")
+    )
+    picked = weighted_sample(docs, "w", k=100, id_col="doc_id", seed="ws")
+    return picked.select(
+        "doc_id",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("ws:"), F.col("doc_id").cast("string"))
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("h"),
+    ).orderBy("doc_id")
+
+
 def d_index(spark, sf):
     """Persisted cross-corpus dedup index (functions/dedup_index.
     LSHDedupIndex): the src0-9 historical corpus is indexed ONCE to
@@ -2201,73 +2237,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     entries whose last green verdict is OLDEST; entries green in the
     immediately previous round go last (they retain pytest +
     tools/check_oracles.py coverage while they wait).
-    Round-8 window (50) = 4 round-8 additions (never checked) +
-    d_jaccard (r07-green but code changed in r8: AllPairs length
-    filter + budget reprice — changed code outranks unchanged per
-    rule 3) + the 21 r05-verified entries that overflowed the round-7
-    window at positions 51-71 (t_redact .. q11 — exactly 2 rounds
-    stale, the oldest verdicts on the board) + the first 24
-    r06-verified entries.  The remaining r06 entries overflow past 50
-    and lead the round-9 window; the 49 other r07-green entries sit
-    at the tail.
+    Round-9 window (50) = round-9 additions (never checked; t_wsample
+    first — the one r8 operator that shipped without a driver
+    verdict) + the 25 r06-verified entries that overflowed the
+    round-8 window (g_regex .. q_events_topuser — exactly 2 rounds
+    stale, the oldest verdicts on the board) + the oldest r07-green
+    entries up to position 50. The r07 remainder overflows past 50
+    and leads the round-10 window; the 50 r08-green entries sit at
+    the tail (freshest last, per rotation rule 4).
     """
     return {
-        # --- round-8 additions (never driver-checked) ------------------
-        "d_bloom": d_bloom,
-        "t_dsir": t_dsir,
-        "t_bpe_train": t_bpe_train,
-        "t_countmin": t_countmin,
-        # --- r07-verified but code changed in r8 (AllPairs length
-        # filter + budget reprice from the scale-slope experiment) ----
-        "d_jaccard": d_jaccard,
-        # --- last verified r05 (overflowed the r7 window at 51-71) -----
-        "t_redact": t_redact,
-        "t_repetition": t_repetition,
-        "t_contaminate": t_contaminate,
-        "t_split": t_split,
-        "t_postings": t_postings,
-        "t_clean": t_clean,
-        "t_urls": t_urls,
-        "t_tfidf": t_tfidf,
-        "t_vocab": t_vocab,
-        "t_trigram_lm": t_trigram_lm,
-        "t_chunks": t_chunks,
-        "t_pack": t_pack,
-        "t_bpe": t_bpe,
-        "t_shards": t_shards,
-        "s_knn_quant": s_knn_quant,
-        "q2": q2,
-        "q7": q7,
-        "q8": q8,
-        "q9": q9,
-        "q10": q10,
-        "q11": q11,
-        # --- last verified r06 (oldest-first within the round) ---------
-        "q13": q13,
-        "q15": q15,
-        "q16": q16,
-        "q19": q19,
-        "q20": q20,
-        "q21": q21,
-        "q22": q22,
-        "t_paradedup": t_paradedup,
-        "d_spans": d_spans,
-        "t_scripts": t_scripts,
-        "t_tiers": t_tiers,
-        "g_walks": g_walks,
-        "t_cooc": t_cooc,
-        "g_in": g_in,
-        "g_out2": g_out2,
-        "g_tags": g_tags,
-        "g_union": g_union,
-        "g_except": g_except,
-        "g_intersect": g_intersect,
-        "g_unique": g_unique,
-        "g_count": g_count,
-        "g_allnodes": g_allnodes,
-        "g_labeled": g_labeled,
-        "g_compare": g_compare,
-        # --- positions 51+: r06 remainder; leads the round-9 window ----
+        # --- round-9 additions (never driver-checked) ------------------
+        "t_wsample": t_wsample,
+        # --- last verified r06 (overflowed the r8 window at 51-75) -----
         "g_regex": g_regex,
         "g_order_limit": g_order_limit,
         "g_skip": g_skip,
@@ -2293,7 +2275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_windowed": q_events_windowed,
         "q_sessions": q_sessions,
         "q_events_topuser": q_events_topuser,
-        # --- tail: green in CORRECTNESS_r07 (pytest-held this round) ---
+        # --- last verified r07 (oldest cohort after the r06 tail) ------
         "d_trimspans": d_trimspans,
         "t_urlnorm": t_urlnorm,
         "d_semdedup": d_semdedup,
@@ -2318,6 +2300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_lsh": d_lsh,
         "d_against": d_against,
         "d_index": d_index,
+        # --- positions 51+: r07 remainder; leads the round-10 window ---
         "d_neardup": d_neardup,
         "t_html": t_html,
         "t_mixture": t_mixture,
@@ -2343,6 +2326,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_quality": t_quality,
         "t_fingerprint": t_fingerprint,
         "t_langid": t_langid,
+        # --- tail: green in CORRECTNESS_r08 (pytest-held this round) ---
+        "d_bloom": d_bloom,
+        "t_dsir": t_dsir,
+        "t_bpe_train": t_bpe_train,
+        "t_countmin": t_countmin,
+        "d_jaccard": d_jaccard,
+        "t_redact": t_redact,
+        "t_repetition": t_repetition,
+        "t_contaminate": t_contaminate,
+        "t_split": t_split,
+        "t_postings": t_postings,
+        "t_clean": t_clean,
+        "t_urls": t_urls,
+        "t_tfidf": t_tfidf,
+        "t_vocab": t_vocab,
+        "t_trigram_lm": t_trigram_lm,
+        "t_chunks": t_chunks,
+        "t_pack": t_pack,
+        "t_bpe": t_bpe,
+        "t_shards": t_shards,
+        "s_knn_quant": s_knn_quant,
+        "q2": q2,
+        "q7": q7,
+        "q8": q8,
+        "q9": q9,
+        "q10": q10,
+        "q11": q11,
+        "q13": q13,
+        "q15": q15,
+        "q16": q16,
+        "q19": q19,
+        "q20": q20,
+        "q21": q21,
+        "q22": q22,
+        "t_paradedup": t_paradedup,
+        "d_spans": d_spans,
+        "t_scripts": t_scripts,
+        "t_tiers": t_tiers,
+        "g_walks": g_walks,
+        "t_cooc": t_cooc,
+        "g_in": g_in,
+        "g_out2": g_out2,
+        "g_tags": g_tags,
+        "g_union": g_union,
+        "g_except": g_except,
+        "g_intersect": g_intersect,
+        "g_unique": g_unique,
+        "g_count": g_count,
+        "g_allnodes": g_allnodes,
+        "g_labeled": g_labeled,
+        "g_compare": g_compare,
     }
 
 
@@ -4207,6 +4241,31 @@ WITH per_cust AS (
             FROM b LEFT JOIN tgt t USING (bucket)
                    JOIN rawm r USING (bucket)
             GROUP BY b.doc_id
+        """,
+        # Exact replay of the seeded-md5 Gumbel top-k draw (see
+        # functions/sampling.weighted_sample): u = (h+1)/2^60 clamped
+        # below 1.0, key = ln(w) - ln(-ln(u)); output pins the
+        # selected id set + the 60-bit integer hash core.
+        "t_wsample": """
+            WITH k AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)),
+                                     1, 15))::BIGINT AS h,
+                     CAST(n_chars + 1 AS DOUBLE) AS w
+              FROM documents
+              WHERE n_chars + 1 > 0
+            ), g AS (
+              SELECT doc_id, h,
+                     ln(w) - ln(-ln(least(
+                         (CAST(h AS DOUBLE) + 1.0) / 1152921504606846976.0,
+                         1.0 - power(2.0, -53)))) AS skey
+              FROM k
+            ), top AS (
+              SELECT doc_id, h FROM g
+              ORDER BY skey DESC, doc_id LIMIT 100
+            )
+            SELECT doc_id, CAST(h AS BIGINT) AS h FROM top
+            ORDER BY doc_id
         """,
         # Position-set equivalence of the packed-bit-array probe (see
         # functions/bloom.py): a key is maybe-member iff ALL 5 of its
