@@ -34,11 +34,37 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from .similarity import _nearest, cosine, kmeans_centroids
 
 
+def _swap_dir(spark: SparkSession, path: str, sub: str) -> None:
+    """Swap ``{path}/{sub}.save.tmp`` into ``{path}/{sub}`` via Hadoop
+    FileSystem delete+rename (portable across local/HDFS/S3A). Return
+    values are CHECKED — Hadoop reports failure by returning false."""
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    hp = jvm.org.apache.hadoop.fs.Path
+    fs = hp(path).getFileSystem(sc._jsc.hadoopConfiguration())
+    tgt = hp(os.path.join(path, sub))
+    if fs.exists(tgt) and not fs.delete(tgt, True):
+        raise RuntimeError(
+            f"swap: could not delete {path}/{sub}; previous layout "
+            f"left intact (recover: remove *.save.tmp and retry)"
+        )
+    if not fs.rename(hp(os.path.join(path, f"{sub}.save.tmp")), tgt):
+        raise RuntimeError(
+            f"swap: rename of {path}/{sub}.save.tmp failed; retry"
+        )
+
+
 class IVFIndex:
     def __init__(self, spark: SparkSession, centroids: list[list[float]], bucketed: DataFrame):
         self.spark = spark
         self.centroids = centroids
         self.bucketed = bucketed  # (id long, v array<double>, c int)
+        # True while self.bucketed holds rows that exist ONLY in
+        # memory relative to a saved layout (add(path=None) after a
+        # save/load): add(path=...) re-reads the files, which would
+        # silently drop those rows — the centroid-equality guard
+        # cannot catch it because centroids match. save() clears it.
+        self._has_unsaved = False
 
     @classmethod
     def build(
@@ -88,6 +114,16 @@ class IVFIndex:
             F.col(vec_col).cast("array<double>").alias("v"),
         ).withColumn("c", _nearest(F.col("v"), self.centroids))
         if path is not None:
+            if self._has_unsaved:
+                # the re-read below would replace the in-memory view
+                # with the files, silently dropping every vector
+                # added via add(path=None) since the last save()
+                raise ValueError(
+                    f"add(path={path!r}): this index holds in-memory "
+                    f"vectors from earlier add(path=None) calls that "
+                    f"the saved layout does not — call save() first "
+                    f"or they would be silently dropped"
+                )
             # guard: the path must hold THIS index's saved layout —
             # appending to an unrelated/empty dir and then re-reading
             # it would silently replace the in-memory view with only
@@ -119,6 +155,7 @@ class IVFIndex:
             )
         else:
             self.bucketed = self.bucketed.unionByName(delta)
+            self._has_unsaved = True
         return self
 
     def bucket_counts(self) -> DataFrame:
@@ -126,9 +163,16 @@ class IVFIndex:
         return self.bucketed.groupBy("c").agg(F.count(F.lit(1)).alias("n"))
 
     def save(self, path: str) -> "IVFIndex":
+        # Staged write + rename swap (same discipline as
+        # GraphStore.save): self.bucketed may be LAZY over the very
+        # files being replaced (a loaded index, or one that took
+        # in-memory adds on top of a load) — a direct overwrite would
+        # read files mid-delete. The tmp indirection also closes the
+        # half-written-on-crash window.
         self.bucketed.write.mode("overwrite").partitionBy("c").parquet(
-            os.path.join(path, "buckets")
+            os.path.join(path, "buckets.save.tmp")
         )
+        _swap_dir(self.spark, path, "buckets")
         # The centroid matrix rides along as a 1-row Parquet table,
         # written through Spark's writer so save/load work on ANY
         # Hadoop filesystem (s3://, hdfs://, file://) — a builtin
@@ -138,6 +182,39 @@ class IVFIndex:
             [(self.centroids,)], "centroids array<array<double>>"
         ).coalesce(1).write.mode("overwrite").parquet(
             os.path.join(path, "centroids")
+        )
+        # reads go through the swapped files from here on
+        self.bucketed = self.spark.read.parquet(
+            os.path.join(path, "buckets")
+        )
+        self._has_unsaved = False
+        return self
+
+    def compact(self, path: str) -> "IVFIndex":
+        """Rewrite the bucket layout target-sized. Every ``add(path)``
+        appends one new file set into the touched bucket directories —
+        after a year of daily deltas an inverted list is thousands of
+        tiny files, the classic read-amplification trap (every probe
+        pays per-file open/footer cost). Compaction reads the current
+        layout, rewrites each bucket as one file run, and swaps via
+        rename — reads before and after return identical rows, only
+        the file count drops. Same staged-swap discipline as
+        GraphStore.compact (crash before the rename leaves the old
+        layout intact; retry heals)."""
+        if self._has_unsaved:
+            raise ValueError(
+                "compact: index holds unsaved in-memory vectors — "
+                "call save() first"
+            )
+        cur = self.spark.read.parquet(os.path.join(path, "buckets"))
+        # one file run per bucket: repartition on the partition column
+        # so each directory's rows land in a single task's writer
+        cur.repartition("c").write.mode("overwrite").partitionBy(
+            "c"
+        ).parquet(os.path.join(path, "buckets.save.tmp"))
+        _swap_dir(self.spark, path, "buckets")
+        self.bucketed = self.spark.read.parquet(
+            os.path.join(path, "buckets")
         )
         return self
 

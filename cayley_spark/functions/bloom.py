@@ -79,17 +79,84 @@ def bloom_positions(key: Column, n_bits: int, k: int) -> list[Column]:
     ]
 
 
+def _attach_geometry(words: DataFrame, n_bits: int, k: int) -> DataFrame:
+    """Ride the (n_bits, k) geometry along as constant columns — the
+    bloom's own positions are meaningless without them, and a probe
+    with the wrong modulus yields silent FALSE NEGATIVES (the one
+    failure mode a bloom must never have). Carrying them with the
+    DataFrame lets probe/merge validate instead of trusting
+    constructor-time agreement across jobs."""
+    return words.select(
+        "word_idx",
+        "bits",
+        F.lit(int(n_bits)).cast("long").alias("n_bits"),
+        F.lit(int(k)).cast("int").alias("k"),
+    )
+
+
+def _carried_geometry(bloom: DataFrame) -> tuple[int, int] | None:
+    """(n_bits, k) carried by the bloom, or None for geometry-less
+    DataFrames (pre-geometry saves, hand-built words). Costs one tiny
+    job: the distinct of two constant columns over a <= n_bits/64-row
+    table. Raises if the frame carries CONFLICTING geometries (e.g. a
+    unionByName of mismatched blooms)."""
+    if "n_bits" not in bloom.columns or "k" not in bloom.columns:
+        return None
+    geoms = bloom.select("n_bits", "k").distinct().collect()
+    if len(geoms) > 1:
+        raise ValueError(
+            f"bloom carries conflicting geometries {sorted((int(g[0]), int(g[1])) for g in geoms)}: "
+            f"mixing blooms built with different (n_bits, k) produces "
+            f"garbage membership"
+        )
+    if not geoms:  # empty build corpus: geometry folded away with the rows
+        return None
+    return int(geoms[0]["n_bits"]), int(geoms[0]["k"])
+
+
+def _resolve_geometry(
+    bloom: DataFrame, n_bits: int | None, k: int | None, where: str
+) -> tuple[int, int]:
+    """Reconcile caller-declared geometry with what the bloom carries:
+    carried wins when the caller passes nothing; an explicit mismatch
+    raises BOTH directions (larger-build/smaller-probe AND
+    smaller-build/larger-probe — the latter used to pass silently and
+    false-negative)."""
+    carried = _carried_geometry(bloom)
+    if carried is not None:
+        cn, ck = carried
+        if n_bits is not None and int(n_bits) != cn:
+            raise ValueError(
+                f"{where} geometry mismatch: declared n_bits={n_bits} != "
+                f"build n_bits={cn} — positions would be computed mod the "
+                f"wrong modulus (silent false negatives)"
+            )
+        if k is not None and int(k) != ck:
+            raise ValueError(
+                f"{where} geometry mismatch: declared k={k} != build k={ck}"
+            )
+        return cn, ck
+    # geometry-less bloom: fall back to declared / module defaults
+    return (
+        int(n_bits) if n_bits is not None else 1 << 20,
+        int(k) if k is not None else 4,
+    )
+
+
 def bloom_build(
     df: DataFrame, key: Column, n_bits: int = 1 << 20, k: int = 4
 ) -> DataFrame:
-    """Distributed bloom build → (word_idx BIGINT, bits BIGINT), only
-    the non-zero 64-bit words.  One explode + one map-side-combinable
-    groupBy; the result is bounded by n_bits/64 rows regardless of
-    corpus size, so it stays tiny even when the build corpus is not."""
+    """Distributed bloom build → (word_idx BIGINT, bits BIGINT,
+    n_bits BIGINT, k INT) — only the non-zero 64-bit words, with the
+    build geometry riding along as constant columns (validated by
+    probe/merge; see _attach_geometry). One explode + one
+    map-side-combinable groupBy; the result is bounded by n_bits/64
+    rows regardless of corpus size, so it stays tiny even when the
+    build corpus is not."""
     pos = df.select(
         F.explode(F.array(*bloom_positions(key, n_bits, k))).alias("pos")
     )
-    return (
+    words = (
         pos.select(
             F.shiftright("pos", 6).alias("word_idx"),
             F.expr(
@@ -99,14 +166,15 @@ def bloom_build(
         .groupBy("word_idx")
         .agg(F.expr("bit_or(mask)").alias("bits"))
     )
+    return _attach_geometry(words, n_bits, k)
 
 
 def bloom_probe(
     df: DataFrame,
     bloom: DataFrame,
     key: Column,
-    n_bits: int = 1 << 20,
-    k: int = 4,
+    n_bits: int | None = None,
+    k: int | None = None,
     out_col: str = "maybe_member",
 ) -> DataFrame:
     """Probe ``df`` against a built bloom, preserving every input row
@@ -115,7 +183,45 @@ def bloom_probe(
     negatives).  Broadcast path: the sparse words are packed into one
     dense array row, crossJoin-broadcast, and each probe row evaluates
     k element_at + shift tests as pure JVM expressions — the probe
-    side never shuffles."""
+    side never shuffles.
+
+    Geometry: a bloom built by bloom_build/bloom_load carries its
+    (n_bits, k); leave the parameters unset and the probe uses the
+    carried values, or declare them and a mismatch raises in BOTH
+    directions (probing a 2^17-bit bloom with the 2^20 default used
+    to pass silently and return false negatives). Geometry-less
+    blooms (pre-geometry saves) keep the caller-declared values and
+    the one-directional word_idx check."""
+    if n_bits is not None and int(n_bits) > MAX_BROADCAST_BITS:
+        # raise BEFORE collecting a beyond-budget word set
+        raise ValueError(
+            f"n_bits={n_bits} exceeds the broadcast cap "
+            f"{MAX_BROADCAST_BITS}; use bloom_probe_keys (join form)"
+        )
+    rows = bloom.collect()  # bounded: <= n_bits/64 rows by construction
+    carried: set[tuple[int, int]] = set()
+    if rows and "n_bits" in rows[0].__fields__ and "k" in rows[0].__fields__:
+        carried = {(int(r["n_bits"]), int(r["k"])) for r in rows}
+        if len(carried) > 1:
+            raise ValueError(
+                f"bloom carries conflicting geometries {sorted(carried)}"
+            )
+    if carried:
+        cn, ck = next(iter(carried))
+        if n_bits is not None and int(n_bits) != cn:
+            raise ValueError(
+                f"bloom_probe geometry mismatch: declared n_bits={n_bits} "
+                f"!= build n_bits={cn} — positions would be computed mod "
+                f"the wrong modulus (silent false negatives)"
+            )
+        if k is not None and int(k) != ck:
+            raise ValueError(
+                f"bloom_probe geometry mismatch: declared k={k} != build k={ck}"
+            )
+        n_bits, k = cn, ck
+    else:
+        n_bits = int(n_bits) if n_bits is not None else 1 << 20
+        k = int(k) if k is not None else 4
     _check(n_bits, k)
     n_words = n_bits // 64
     if n_bits > MAX_BROADCAST_BITS:
@@ -124,7 +230,7 @@ def bloom_probe(
             f"{MAX_BROADCAST_BITS}; use bloom_probe_keys (join form)"
         )
     dense = [0] * n_words
-    for row in bloom.collect():  # bounded: <= n_bits/64 rows by construction
+    for row in rows:
         w = int(row["word_idx"])
         if w >= n_words:
             raise ValueError(
@@ -200,7 +306,9 @@ def bloom_probe_keys(
     )
 
 
-def bloom_save(bloom: DataFrame, path: str, n_bits: int, k: int) -> None:
+def bloom_save(
+    bloom: DataFrame, path: str, n_bits: int | None = None, k: int | None = None
+) -> None:
     """Persist the sparse (word_idx, bits) words as Parquet — the
     build-once artifact a 100-TB corpus produces in one batch job and
     every later ingest/probe job loads in milliseconds (≤ n_bits/64
@@ -209,7 +317,10 @@ def bloom_save(bloom: DataFrame, path: str, n_bits: int, k: int) -> None:
     positions and silently reports false negatives — the one failure
     mode a bloom must never have — and the cross-job save/load
     workflow is exactly where constructor-time agreement gets lost.
+    Geometry parameters are optional when the bloom carries its own
+    (the bloom_build output does); declaring them cross-checks.
     Written through Spark's writer so any Hadoop FS works."""
+    n_bits, k = _resolve_geometry(bloom, n_bits, k, "bloom_save")
     _check(n_bits, k)
     spark = bloom.sparkSession
     bloom.coalesce(1).write.mode("overwrite").parquet(
@@ -228,7 +339,12 @@ def bloom_load(spark, path: str) -> tuple[DataFrame, int, int]:
     with the build-time parameters instead of re-guessing defaults."""
     meta = spark.read.parquet(os.path.join(path, "meta")).head()
     words = spark.read.parquet(os.path.join(path, "words"))
-    return words, int(meta["n_bits"]), int(meta["k"])
+    n_bits, k = int(meta["n_bits"]), int(meta["k"])
+    if "n_bits" not in words.columns or "k" not in words.columns:
+        # pre-geometry save: re-attach from the sidecar so probe/merge
+        # validate downstream
+        words = _attach_geometry(words, n_bits, k)
+    return words, n_bits, k
 
 
 def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
@@ -239,10 +355,23 @@ def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
     today's delta bloom = today's corpus bloom, no re-read of the
     base). One tiny groupBy over ≤ 2·n_bits/64 rows.
 
-    The caller owns the (n_bits, k) agreement — mixing geometries
-    produces garbage, same as any bloom implementation."""
-    return (
-        a.unionByName(b)
+    Blooms that carry their (n_bits, k) are VALIDATED here — a
+    geometry mismatch raises instead of producing garbage membership;
+    the merged bloom carries the common geometry forward. Only for
+    geometry-less inputs (pre-geometry saves) does the caller own
+    the agreement."""
+    ga, gb = _carried_geometry(a), _carried_geometry(b)
+    if ga is not None and gb is not None and ga != gb:
+        raise ValueError(
+            f"bloom_merge: geometry mismatch {ga} vs {gb} — bit arrays "
+            f"with different (n_bits, k) do not compose"
+        )
+    geom = ga if ga is not None else gb
+    cols = ["word_idx", "bits"]
+    merged = (
+        a.select(*cols)
+        .unionByName(b.select(*cols))
         .groupBy("word_idx")
         .agg(F.expr("bit_or(bits)").alias("bits"))
     )
+    return _attach_geometry(merged, *geom) if geom is not None else merged

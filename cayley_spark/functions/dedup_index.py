@@ -119,9 +119,15 @@ class LSHDedupIndex:
     # ---------------- persistence ----------------
 
     def save(self, path: str) -> "LSHDedupIndex":
+        # staged write + rename swap (GraphStore.save discipline):
+        # self.sigs may be lazy over the files being replaced (a
+        # loaded index re-saved to its own path)
+        from .ann_index import _swap_dir
+
         self.sigs.write.mode("overwrite").parquet(
-            os.path.join(path, "sigs")
+            os.path.join(path, "sigs.save.tmp")
         )
+        _swap_dir(self.spark, path, "sigs")
         id_type = self.sigs.schema["id"].dataType.simpleString()
         self.spark.createDataFrame(
             [(self.k, self.num_hashes, self.bands, id_type)], _META_SCHEMA
@@ -162,6 +168,32 @@ class LSHDedupIndex:
         _sig_frame(batch, id_col, text_col, self.k, self.num_hashes).write.mode(
             "append"
         ).parquet(os.path.join(self.path, "sigs"))
+        self.sigs = self.spark.read.parquet(os.path.join(self.path, "sigs"))
+        return self
+
+    def compact(self) -> "LSHDedupIndex":
+        """Rewrite the signature table target-sized. Every append()
+        adds one new file set — after a year of daily batches the
+        table is thousands of tiny files, the classic
+        read-amplification trap (every admission scan pays per-file
+        open/footer cost). Compaction rewrites the current rows into
+        as few files as the data needs (spark.sql.files.maxPartitionBytes
+        sizing) and swaps via rename — reads before and after return
+        identical rows, only the file count drops. Same staged-swap
+        discipline as GraphStore.compact."""
+        if self.path is None:
+            raise ValueError("compact requires a saved index; call save(path)")
+        from .ann_index import _swap_dir
+
+        cur = self.spark.read.parquet(os.path.join(self.path, "sigs"))
+        # coalesce to the natural post-scan partitioning: small index
+        # → few files; a 100-TB index keeps its scan parallelism
+        cur.coalesce(
+            max(1, cur.rdd.getNumPartitions() // 8)
+        ).write.mode("overwrite").parquet(
+            os.path.join(self.path, "sigs.save.tmp")
+        )
+        _swap_dir(self.spark, self.path, "sigs")
         self.sigs = self.spark.read.parquet(os.path.join(self.path, "sigs"))
         return self
 

@@ -239,22 +239,63 @@ class GraphStore:
         # Predicate-major layout: range partitioning by (p, s) gives the
         # Parquet footer min/max stats the role of the reference's
         # pos/pso indexes — a filter on p prunes whole files.
-        self.quads.repartitionByRange("p", "s").write.mode(mode).parquet(
-            f"{path}/quads"
-        )
-        self.nodes.repartition("id").write.mode(mode).parquet(f"{path}/nodes")
-        if mode == "overwrite":
-            # a stale delta log under an overwritten base would be
-            # re-applied by the next load() — write the watermark
-            # FIRST (covers a crash before the delete: load() then
-            # ignores the stale batches), then remove the log
-            stale = max(
-                _read_folded_through(self.spark, path),
-                _log_max_batch(self.spark, path),
+        fs, jvm = _hadoop_fs(self.spark, path)
+        hp = jvm.org.apache.hadoop.fs.Path
+        if mode != "overwrite" or not fs.exists(hp(f"{path}/quads")):
+            # append, or a fresh path with nothing to clobber:
+            # direct write, no swap machinery needed
+            self.quads.repartitionByRange("p", "s").write.mode(
+                mode
+            ).parquet(f"{path}/quads")
+            self.nodes.repartition("id").write.mode(mode).parquet(
+                f"{path}/nodes"
             )
-            if stale > 0:
-                _write_folded_through(self.spark, f"{path}/quads", stale)
-            _fs_delete(self.spark, f"{path}/delta")
+            return
+        # Overwriting an EXISTING store: same *.tmp + rename swap as
+        # compact(). A direct overwrite has two crash holes: (a) the
+        # quads overwrite destroys the old _folded_through marker
+        # before the new watermark lands, so a crash in between
+        # leaves a live delta log that the next load() re-applies
+        # onto a base that already contains it (duplicate adds under
+        # bag semantics, tombstones matching folded rows); (b) a
+        # store whose DataFrames are lazy over this same path would
+        # read files mid-overwrite. Writing to tmp siblings with the
+        # stale-log watermark INSIDE the quads tmp dir makes the
+        # watermark swap in atomically with the new base. A crash
+        # between the two renames leaves a torn nodes/quads pair —
+        # unlike compact() (where the log replays correctly over the
+        # old base) the heal here is simply re-running save(): the
+        # source of truth is the in-memory store, not the path.
+        stale = max(
+            _read_folded_through(self.spark, path),
+            _log_max_batch(self.spark, path),
+        )
+        self.quads.repartitionByRange("p", "s").write.mode(
+            "overwrite"
+        ).parquet(f"{path}/quads.save.tmp")
+        self.nodes.repartition("id").write.mode("overwrite").parquet(
+            f"{path}/nodes.save.tmp"
+        )
+        if stale > 0:
+            _write_folded_through(
+                self.spark, f"{path}/quads.save.tmp", stale
+            )
+        # quads (carrying the watermark) LAST: once it lands, the
+        # stale log is silenced atomically with the new base
+        for sub in ("nodes", "quads"):
+            tgt = hp(f"{path}/{sub}")
+            if fs.exists(tgt) and not fs.delete(tgt, True):
+                raise RuntimeError(
+                    f"save: could not delete {path}/{sub}; store left "
+                    f"on the previous base (recover: remove "
+                    f"*.save.tmp and retry)"
+                )
+            if not fs.rename(hp(f"{path}/{sub}.save.tmp"), tgt):
+                raise RuntimeError(
+                    f"save: rename of {path}/{sub}.save.tmp failed; "
+                    f"recover by re-running save()"
+                )
+        _fs_delete(self.spark, f"{path}/delta")
 
     @classmethod
     def save_deltas(

@@ -85,8 +85,8 @@ def bloom_admission_stream(
     docs: DataFrame,
     bloom: DataFrame,
     key=None,
-    n_bits: int = 1 << 20,
-    k: int = 4,
+    n_bits: int | None = None,
+    k: int | None = None,
     text_col: str = "text",
 ) -> DataFrame:
     """Cross-corpus admission gate at ingest: drop rows whose key is

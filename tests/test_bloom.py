@@ -210,3 +210,47 @@ def test_probe_keys_duplicate_ids_no_false_negative(spark):
         ).collect()
     }
     assert got == {7: True, 8: True, 9: False}
+
+
+def test_geometry_carried_and_validated_both_directions(spark):
+    """ADVICE r8: the old guard only caught build-n_bits > probe-n_bits
+    (word_idx overflow); build-SMALLER-than-probe passed silently and
+    false-negatived. The bloom now carries (n_bits, k) and probe/merge
+    validate BOTH directions; unset parameters inherit the carried
+    geometry, so the default-footgun (build at 2^17, probe with the
+    2^20 default) is gone entirely."""
+    from cayley_spark.functions.bloom import bloom_merge
+
+    docs = _docs(spark, n=32)
+    key = F.col("text")
+    built = bloom_build(docs, key, n_bits=1 << 10, k=3)
+    assert {"word_idx", "bits", "n_bits", "k"} == set(built.columns)
+
+    # unset parameters: probe inherits the build geometry
+    inherited = {
+        r["text"]: r["maybe_member"]
+        for r in bloom_probe(docs, built, key).collect()
+    }
+    assert all(inherited.values())  # members always maybe-member
+
+    # probing with LARGER n_bits than the build now raises (used to
+    # silently false-negative)
+    with pytest.raises(ValueError, match="n_bits"):
+        bloom_probe(docs, built, key, n_bits=1 << 12, k=3)
+    # smaller also raises, and so does a k mismatch
+    with pytest.raises(ValueError, match="n_bits"):
+        bloom_probe(docs, built, key, n_bits=1 << 6, k=3)
+    with pytest.raises(ValueError, match="k="):
+        bloom_probe(docs, built, key, n_bits=1 << 10, k=2)
+    # matching declaration still accepted
+    ok = bloom_probe(docs, built, key, n_bits=1 << 10, k=3)
+    assert {r["text"]: r["maybe_member"] for r in ok.collect()} == inherited
+
+    # merge: mismatched geometries refuse to compose; matching ones
+    # carry the geometry forward
+    other = bloom_build(docs, key, n_bits=1 << 12, k=3)
+    with pytest.raises(ValueError, match="geometry mismatch"):
+        bloom_merge(built, other)
+    merged = bloom_merge(built, bloom_build(docs, key, n_bits=1 << 10, k=3))
+    assert {"word_idx", "bits", "n_bits", "k"} == set(merged.columns)
+    assert bloom_probe(docs, merged, key).count() == 32

@@ -1662,3 +1662,136 @@ def test_ivf_index_add_path_guard(spark, tmp_path):
     del other
     with _pytest.raises(ValueError, match="centroids differ"):
         idx.add(df.where(df.vec_id >= 100), path=str(tmp_path / "other"))
+
+
+def test_ivf_index_add_unsaved_rows_guard(spark, tmp_path):
+    """ADVICE r8: add(path=None) then add(path=...) used to re-read
+    the on-disk buckets and silently DROP the in-memory-only vectors
+    (the centroid-equality guard cannot catch it — centroids match).
+    The dirty flag now refuses until save(); after save() the append
+    path works and nothing is lost."""
+    import pytest as _pytest
+
+    from cayley_spark.functions.ann_index import IVFIndex
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "ivf")
+    idx = IVFIndex.build(df.where(df.vec_id < 100), n_centroids=4).save(
+        path
+    )
+    # in-memory add: rows live only in the union lineage
+    idx.add(
+        df.where((df.vec_id >= 100) & (df.vec_id < 150)), path=None
+    )
+    with _pytest.raises(ValueError, match="in-memory vectors"):
+        idx.add(df.where(df.vec_id >= 150), path=path)
+    # save() reconciles, then the append path is allowed again
+    idx.save(path)
+    idx.add(
+        df.where((df.vec_id >= 150) & (df.vec_id < 200)), path=path
+    )
+    want = df.where(df.vec_id < 200).count()
+    assert idx.bucketed.count() == want
+    assert IVFIndex.load(spark, path).bucketed.count() == want
+
+
+def _parquet_files(root):
+    import os as _os
+
+    return [
+        _os.path.join(r, f)
+        for r, _, fs in _os.walk(root)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+
+
+def test_ivf_index_compact_reduces_files_keeps_rows(spark, tmp_path):
+    """VERDICT r8 #7: add(path) appends one file set per batch — a
+    year of daily deltas makes an inverted list thousands of tiny
+    files. compact() rewrites each bucket as one file run via staged
+    swap: rows identical before/after, file count strictly reduced,
+    and a subsequent load sees the compacted layout."""
+    from cayley_spark.functions.ann_index import IVFIndex
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "ivf")
+    idx = IVFIndex.build(df.where(df.vec_id < 60), n_centroids=4).save(
+        path
+    )
+    for lo, hi in ((60, 120), (120, 180), (180, 240)):
+        idx.add(
+            df.where((df.vec_id >= lo) & (df.vec_id < hi)), path=path
+        )
+    before_files = _parquet_files(str(tmp_path / "ivf" / "buckets"))
+    before_rows = sorted(
+        (r["id"], r["c"]) for r in idx.bucketed.collect()
+    )
+    idx.compact(path)
+    after_files = _parquet_files(str(tmp_path / "ivf" / "buckets"))
+    assert len(after_files) < len(before_files)
+    assert not any("save.tmp" in f for f in after_files)
+    got = sorted(
+        (r["id"], r["c"])
+        for r in IVFIndex.load(spark, path).bucketed.collect()
+    )
+    assert got == before_rows
+    # one file per touched bucket directory after compaction
+    import os as _os
+
+    by_dir = {}
+    for f in after_files:
+        by_dir.setdefault(_os.path.dirname(f), 0)
+        by_dir[_os.path.dirname(f)] += 1
+    assert max(by_dir.values()) == 1
+
+
+def test_lsh_index_compact_reduces_files_keeps_rows(spark, tmp_path):
+    """Same compaction contract for the dedup-signature sidecar."""
+    from cayley_spark.functions.dedup_index import LSHDedupIndex
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "lsh")
+    idx = LSHDedupIndex.build(docs.where(docs.doc_id < 100)).save(path)
+    for lo, hi in ((100, 200), (200, 300), (300, 400)):
+        idx.append(docs.where((docs.doc_id >= lo) & (docs.doc_id < hi)))
+    before_files = _parquet_files(str(tmp_path / "lsh" / "sigs"))
+    before = sorted(
+        (r["id"], r["digest"]) for r in idx.sigs.collect()
+    )
+    idx.compact()
+    after_files = _parquet_files(str(tmp_path / "lsh" / "sigs"))
+    assert len(after_files) < len(before_files)
+    got = sorted(
+        (r["id"], r["digest"])
+        for r in LSHDedupIndex.load(spark, path).sigs.collect()
+    )
+    assert got == before
+    # admission still works over the compacted layout
+    assert idx.dedup(
+        docs.where(docs.doc_id >= 400), jaccard_threshold=0.5
+    ).count() >= 0
+
+
+def test_index_save_onto_own_path_is_safe(spark, tmp_path):
+    """A loaded index re-saved to its own path reads the very files
+    being replaced — the staged tmp+rename swap makes that safe for
+    both sidecar index classes (GraphStore.save got the same fix)."""
+    from cayley_spark.functions.ann_index import IVFIndex
+    from cayley_spark.functions.dedup_index import LSHDedupIndex
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    p1 = str(tmp_path / "ivf")
+    IVFIndex.build(df.where(df.vec_id < 60), n_centroids=4).save(p1)
+    loaded = IVFIndex.load(spark, p1)
+    n = loaded.bucketed.count()
+    loaded.save(p1)
+    assert IVFIndex.load(spark, p1).bucketed.count() == n
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p2 = str(tmp_path / "lsh")
+    LSHDedupIndex.build(docs.where(docs.doc_id < 100)).save(p2)
+    lidx = LSHDedupIndex.load(spark, p2)
+    m = lidx.sigs.count()
+    lidx.save(p2)
+    assert LSHDedupIndex.load(spark, p2).sigs.count() == m

@@ -82,3 +82,64 @@ def test_sketch_validation(spark):
         countmin_build(df, F.col("w"), depth=0)
     with pytest.raises(ValueError):
         countmin_build(df, F.col("w"), width=1)
+
+
+def test_geometry_carried_validated_and_persisted(spark, tmp_path):
+    """ADVICE r8: countmin_estimate had NO geometry validation — a
+    probe with a different depth/width silently under-counted. The
+    grid now carries (depth, width); unset parameters inherit them,
+    declared mismatches fail loudly (in-plan raise_error on matched
+    cells — zero extra jobs on the declared path), and save/load
+    round-trips the geometry."""
+    import pytest
+    from cayley_spark.functions.sketch import (
+        countmin_build,
+        countmin_estimate,
+        countmin_load,
+        countmin_save,
+    )
+
+    df = spark.createDataFrame(
+        [(w,) for w in ("a b a", "b c", "a")], "text string"
+    ).select(F.explode(F.split("text", " ")).alias("tok"))
+    cms = countmin_build(df, F.col("tok"), depth=3, width=64)
+    assert {"row", "bucket", "cnt", "depth", "width"} == set(cms.columns)
+
+    keys = df.select(F.col("tok").alias("key")).distinct()
+    # unset parameters inherit the build geometry
+    inherited = {
+        r["key"]: r["est"]
+        for r in countmin_estimate(keys, cms, F.col("key")).collect()
+    }
+    assert inherited["a"] >= 3 and inherited["c"] >= 1
+    # matching declaration agrees
+    declared = {
+        r["key"]: r["est"]
+        for r in countmin_estimate(
+            keys, cms, F.col("key"), depth=3, width=64
+        ).collect()
+    }
+    assert declared == inherited
+    # mismatched declaration raises (wrong modulus = silent
+    # under-count without the guard) — both parameters, both paths
+    with pytest.raises(Exception, match="geometry mismatch"):
+        countmin_estimate(
+            keys, cms, F.col("key"), depth=3, width=128
+        ).collect()
+    with pytest.raises(Exception, match="geometry mismatch"):
+        countmin_estimate(
+            keys, cms, F.col("key"), depth=4, width=64
+        ).collect()
+    with pytest.raises(ValueError, match="geometry mismatch"):
+        countmin_estimate(keys, cms, F.col("key"), width=128).collect()
+
+    # persisted round-trip carries the geometry
+    path = str(tmp_path / "cms")
+    countmin_save(cms, path)
+    grid, depth, width = countmin_load(spark, path)
+    assert (depth, width) == (3, 64)
+    loaded = {
+        r["key"]: r["est"]
+        for r in countmin_estimate(keys, grid, F.col("key")).collect()
+    }
+    assert loaded == inherited

@@ -301,3 +301,62 @@ def test_compact_crash_window_stale_log_ignored(spark, tmp_path):
     # and a second compact folds ONLY the live batch, idempotently
     final = GraphStore.compact(spark, path)
     assert _quad_terms(final) == after_terms
+
+
+def test_save_overwrite_crash_window_and_self_overwrite(spark, tmp_path):
+    """Overwrite-save onto an existing store routes through the same
+    *.save.tmp + rename swap as compact(), with the stale-log
+    watermark INSIDE the quads tmp dir — so the watermark lands
+    atomically with the new base and there is no window where the new
+    base coexists with a live (replayable) old log. Pinned claims:
+
+    1. no *.save.tmp dirs survive a successful save;
+    2. a RESURRECTED old log (the crash-between-swap-and-log-delete
+       window) is ignored by load() — the new base never re-applies
+       deltas that belong to the store it replaced;
+    3. the next save_deltas numbers past the watermark;
+    4. saving a store BACK ONTO the path its DataFrames lazily read
+       from works (the tmp indirection is what makes the
+       read-while-overwrite safe).
+    """
+    import shutil
+
+    path = str(tmp_path / "store")
+    GraphStore.from_quad_values(spark, SIMPLE_SOCIAL).save(path)
+    GraphStore.save_deltas(
+        spark, path, add=[(_i("harry"), _i("follows"), _i("alice"))]
+    )
+    stale = str(tmp_path / "stale_log")
+    shutil.copytree(os.path.join(path, "delta"), stale)
+
+    fresh = GraphStore.from_quad_values(
+        spark, [(_i("a"), _i("b"), _i("c"))]
+    )
+    fresh.save(path)
+    assert not os.path.exists(os.path.join(path, "quads.save.tmp"))
+    assert not os.path.exists(os.path.join(path, "nodes.save.tmp"))
+    assert not os.path.exists(os.path.join(path, "delta"))
+    assert os.path.exists(os.path.join(path, "quads", "_folded_through"))
+
+    # crash simulation: the old log survives the swap — must be ignored
+    shutil.copytree(stale, os.path.join(path, "delta"))
+    got = GraphStore.load(spark, path)
+    assert _quad_terms(got) == [("<a>", "<b>", "<c>", None)]
+
+    # next delta numbers past the watermark and applies normally
+    b = GraphStore.save_deltas(
+        spark, path, add=[(_i("x"), _i("y"), _i("z"))]
+    )
+    assert b == 2
+    assert _quad_terms(GraphStore.load(spark, path)) == [
+        ("<a>", "<b>", "<c>", None),
+        ("<x>", "<y>", "<z>", None),
+    ]
+
+    # self-overwrite: DataFrames lazy over the very files being replaced
+    st = GraphStore.load(spark, path)
+    st.save(path)
+    assert _quad_terms(GraphStore.load(spark, path)) == [
+        ("<a>", "<b>", "<c>", None),
+        ("<x>", "<y>", "<z>", None),
+    ]
