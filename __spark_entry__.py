@@ -1255,6 +1255,31 @@ def t_mixture(spark, sf):
     ).select("doc_id", "source")
 
 
+def t_mixture_up(spark, sf):
+    """Source mixing with UPSAMPLING (source_mixture(upsample=True),
+    alpha=0.3, target_frac=1.0): keep-rates past 1 replicate a
+    source beyond one epoch — floor(rate) full copies + a
+    content-hash-decided fractional copy, the published-LLM-recipe
+    behavior (GPT-3/Pile mixture weights exceed natural proportions;
+    Brown et al. 2020, Gao et al. 2020). The oracle replays the
+    whole rule — counts, pow, rate, floor, fractional threshold,
+    per-copy explode — so every (doc_id, replica) pair is pinned."""
+    from cayley_spark.functions.sampling import source_mixture
+
+    docs = _t_wide(spark, sf, "documents")
+    return (
+        source_mixture(
+            docs,
+            source_col="source",
+            alpha=0.3,
+            target_frac=1.0,
+            upsample=True,
+        )
+        .select("doc_id", "source", "replica")
+        .orderBy("doc_id", "replica")
+    )
+
+
 def t_shards(spark, sf):
     """Deterministic training-export shard assignment (functions/
     sampling.export_shards): shard = md5-hash(id) mod 16 plus an
@@ -1396,6 +1421,26 @@ def d_semdedup(spark, sf):
 
     emb = _t_wide(spark, sf, "embeddings")
     return semdedup(emb, n_centroids=8, iters=2, threshold=0.43)
+
+
+def d_semdedup_far(spark, sf):
+    """SemDeDup with the PAPER-FAITHFUL keep rule (Abbas et al. 2023
+    §3: within a twin group keep the point with lowest similarity to
+    its cluster centroid — the least prototypical example). Same
+    cluster-bounded plan as d_semdedup; precedence is the
+    integer-scaled centroid cosine floor(cos·1e9) with id tiebreak so
+    the relation is total and engine-replayable (VERDICT r8 #8 — the
+    r8 opt-in rule was pytest-only; this certifies it)."""
+    from cayley_spark.functions.similarity import semdedup
+
+    emb = _t_wide(spark, sf, "embeddings")
+    return semdedup(
+        emb,
+        n_centroids=8,
+        iters=2,
+        threshold=0.43,
+        keep="far_from_centroid",
+    )
 
 
 def t_scripts(spark, sf):
@@ -1579,6 +1624,61 @@ def t_wsample(spark, sf):
         .cast("bigint")
         .alias("h"),
     ).orderBy("doc_id")
+
+
+def t_kmv(spark, sf):
+    """KMV distinct-count sketch (functions/sketch.kmv_build —
+    Bar-Yossef et al. 2002 / Beyer et al. 2007): the 128 smallest
+    md5 digests of the token set, the engine-portable alternative to
+    HLL blobs (state = plain hashes, set-union mergeable, exactly
+    SQL-replayable). The scale path is a per-partition Arrow kernel
+    holding O(k) state — the corpus is scanned once and never
+    shuffled; only ≤ k rows per partition reach the merge."""
+    from cayley_spark.functions.sketch import kmv_build
+    from cayley_spark.functions.text import tokens
+
+    docs = _t_wide(spark, sf, "documents")
+    # (doc, token) pairs: cardinality well past k, so the sketch's
+    # truncation path (not just the exact small-set mode) is what
+    # the oracle certifies
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("t")
+    ).select(
+        F.concat_ws(
+            ":", F.col("doc_id").cast("string"), F.col("t")
+        ).alias("tok")
+    )
+    return kmv_build(toks, F.col("tok"), k=128)
+
+
+def g_lpa(spark, sf):
+    """Community detection by synchronous label propagation
+    (graphs/algorithms.label_propagation — Raghavan et al. 2007,
+    deterministic variant: simultaneous updates, ties to the
+    smallest label) over the order↔part bipartite graph, 2 rounds.
+    Labels are the packed numeric node ids, so min-label ordering is
+    identical in both engines; ids render to strings only in the
+    final projection (the g_hits discipline)."""
+    from cayley_spark.graphs.algorithms import label_propagation
+
+    li = _t(spark, sf, "lineitem")
+    edges = li.select(
+        (F.col("l_orderkey") * 2).alias("src"),
+        (F.col("l_partkey") * 2 + 1).alias("dst"),
+    ).dropDuplicates(["src", "dst"])
+    out = label_propagation(edges, iters=2)
+
+    def rend(c):
+        return F.when(
+            F.col(c) % 2 == 0,
+            F.concat(F.lit("o:"), (F.col(c) / 2).cast("long")),
+        ).otherwise(
+            F.concat(F.lit("p:"), ((F.col(c) - 1) / 2).cast("long"))
+        )
+
+    return out.select(
+        rend("id").alias("id"), rend("community").alias("community")
+    )
 
 
 def d_index(spark, sf):
@@ -2237,18 +2337,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     entries whose last green verdict is OLDEST; entries green in the
     immediately previous round go last (they retain pytest +
     tools/check_oracles.py coverage while they wait).
-    Round-9 window (50) = round-9 additions (never checked; t_wsample
-    first — the one r8 operator that shipped without a driver
-    verdict) + the 25 r06-verified entries that overflowed the
+    Round-9 window (50) = 5 round-9 additions (never checked;
+    t_wsample first — the one r8 operator that shipped without a
+    driver verdict) + the 25 r06-verified entries that overflowed the
     round-8 window (g_regex .. q_events_topuser — exactly 2 rounds
     stale, the oldest verdicts on the board) + the oldest r07-green
-    entries up to position 50. The r07 remainder overflows past 50
-    and leads the round-10 window; the 50 r08-green entries sit at
-    the tail (freshest last, per rotation rule 4).
+    entries up to position 50 (d_trimspans .. q_sliding). The r07
+    remainder (q_session_window .. t_langid) overflows past 50 and
+    leads the round-10 window at 3 rounds stale — exactly the
+    freshness ceiling COVERAGE.md ratified this round; the 50
+    r08-green entries sit at the tail (freshest last, rule 4).
     """
     return {
         # --- round-9 additions (never driver-checked) ------------------
         "t_wsample": t_wsample,
+        "t_mixture_up": t_mixture_up,
+        "d_semdedup_far": d_semdedup_far,
+        "t_kmv": t_kmv,
+        "g_lpa": g_lpa,
         # --- last verified r06 (overflowed the r8 window at 51-75) -----
         "g_regex": g_regex,
         "g_order_limit": g_order_limit,
@@ -2382,6 +2488,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _CUST = "'<customer:' || c_custkey || '>'"
 _NAT = "'<nation:' || n_nationkey || '>'"
+
+# Shared kmeans replay for the two semdedup oracles: 2 decimal-exact
+# Lloyd rounds over the embeddings (the s_knn_ivf pattern), ending in
+# `bucketed` (id, v, c) and `c2` (c, v) — the final centroids.
+_SEMDEDUP_KMEANS_CTE = r"""
+            WITH base AS (
+              SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings
+            ), c0 AS (
+              SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS c, v
+              FROM (SELECT id, v FROM base ORDER BY id LIMIT 8)
+            ),
+            a1 AS (
+              SELECT id, v, c FROM (
+                SELECT b.id, b.v, s.c,
+                  ROW_NUMBER() OVER (PARTITION BY b.id
+                    ORDER BY list_sum([(b.v[i] - s.v[i]) * (b.v[i] - s.v[i]) for i in range(1, len(b.v)+1)]), s.c) AS rn
+                FROM base b CROSS JOIN c0 s
+              ) WHERE rn = 1
+            ), m1 AS (
+              SELECT c, pos,
+                CAST(SUM(CAST(x AS DECIMAL(27,12))) AS DOUBLE)
+                  / COUNT(*) AS m
+              FROM (SELECT c, unnest(
+                      [{'pos': i, 'x': v[i]} for i in range(1, len(v)+1)],
+                      recursive := true)
+                    FROM a1)
+              GROUP BY c, pos
+            ), c1 AS (
+              SELECT p.c, coalesce(g.gv, p.v) AS v
+              FROM c0 p LEFT JOIN
+                (SELECT c, list(m ORDER BY pos) AS gv FROM m1 GROUP BY c) g
+                USING (c)
+            ),
+            a2 AS (
+              SELECT id, v, c FROM (
+                SELECT b.id, b.v, s.c,
+                  ROW_NUMBER() OVER (PARTITION BY b.id
+                    ORDER BY list_sum([(b.v[i] - s.v[i]) * (b.v[i] - s.v[i]) for i in range(1, len(b.v)+1)]), s.c) AS rn
+                FROM base b CROSS JOIN c1 s
+              ) WHERE rn = 1
+            ), m2 AS (
+              SELECT c, pos,
+                CAST(SUM(CAST(x AS DECIMAL(27,12))) AS DOUBLE)
+                  / COUNT(*) AS m
+              FROM (SELECT c, unnest(
+                      [{'pos': i, 'x': v[i]} for i in range(1, len(v)+1)],
+                      recursive := true)
+                    FROM a2)
+              GROUP BY c, pos
+            ), c2 AS (
+              SELECT p.c, coalesce(g.gv, p.v) AS v
+              FROM c1 p LEFT JOIN
+                (SELECT c, list(m ORDER BY pos) AS gv FROM m2 GROUP BY c) g
+                USING (c)
+            ),
+            bucketed AS (
+              SELECT id, v, c FROM (
+                SELECT b.id, b.v, s.c,
+                  ROW_NUMBER() OVER (PARTITION BY b.id
+                    ORDER BY list_sum([(b.v[i] - s.v[i]) * (b.v[i] - s.v[i]) for i in range(1, len(b.v)+1)]), s.c) AS rn
+                FROM base b CROSS JOIN c2 s
+              ) WHERE rn = 1
+            )"""
 
 _SHINGLE3 = (
     "list_distinct([array_to_string(toks[i:i+2], ' ') "
@@ -3696,6 +3866,39 @@ WITH per_cust AS (
             WHERE CAST(CAST(('0x' || substr(md5(COALESCE(d.text, '')), 1, 8))::BIGINT
                        % 1048576 AS INT) AS DOUBLE) / 1048576 < r.rate
         """,
+        # Full replay of the upsampling mixture rule: rates past 1
+        # emit floor(rate) copies + a content-hash fractional copy;
+        # range(0, copies) is empty when copies = 0, so those rows
+        # vanish exactly like the Spark filter.
+        "t_mixture_up": """
+            WITH c AS (
+              SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+            ), w AS (
+              SELECT source, n, pow(CAST(n AS DOUBLE), 0.3) AS w FROM c
+            ), t AS (
+              SELECT SUM(w) AS wsum, SUM(n) AS total FROM w
+            ), r AS (
+              SELECT w.source,
+                (w.w / t.wsum) * (CAST(t.total AS DOUBLE) * 1.0) / w.n
+                  AS rate
+              FROM w, t
+            ), j AS (
+              SELECT d.doc_id, d.source, r.rate,
+                CAST(CAST(('0x' || substr(md5(COALESCE(d.text, '')), 1, 8))::BIGINT
+                     % 1048576 AS INT) AS DOUBLE) / 1048576 AS bf
+              FROM documents d JOIN r ON r.source = d.source
+            ), n AS (
+              SELECT doc_id, source,
+                CAST(floor(rate)
+                     + CASE WHEN bf < rate - floor(rate) THEN 1 ELSE 0 END
+                     AS INT) AS copies
+              FROM j
+            )
+            SELECT doc_id, source,
+                   CAST(unnest(range(0, copies)) AS INT) AS replica
+            FROM n
+            ORDER BY doc_id, replica
+        """,
         "t_shards": """
             SELECT doc_id,
               CAST(('0x' || substr(md5('x' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
@@ -3810,66 +4013,7 @@ WITH per_cust AS (
         # SemDeDup: replay the deterministic kmeans (seeds = first 8
         # ids, 2 decimal-exact Lloyd rounds — the s_knn_ivf oracle
         # pattern with LIMIT 8), then the in-cluster pair rule.
-        "d_semdedup": r"""
-            WITH base AS (
-              SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
-              FROM embeddings
-            ), c0 AS (
-              SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS c, v
-              FROM (SELECT id, v FROM base ORDER BY id LIMIT 8)
-            ),
-            a1 AS (
-              SELECT id, v, c FROM (
-                SELECT b.id, b.v, s.c,
-                  ROW_NUMBER() OVER (PARTITION BY b.id
-                    ORDER BY list_sum([(b.v[i] - s.v[i]) * (b.v[i] - s.v[i]) for i in range(1, len(b.v)+1)]), s.c) AS rn
-                FROM base b CROSS JOIN c0 s
-              ) WHERE rn = 1
-            ), m1 AS (
-              SELECT c, pos,
-                CAST(SUM(CAST(x AS DECIMAL(27,12))) AS DOUBLE)
-                  / COUNT(*) AS m
-              FROM (SELECT c, unnest(
-                      [{'pos': i, 'x': v[i]} for i in range(1, len(v)+1)],
-                      recursive := true)
-                    FROM a1)
-              GROUP BY c, pos
-            ), c1 AS (
-              SELECT p.c, coalesce(g.gv, p.v) AS v
-              FROM c0 p LEFT JOIN
-                (SELECT c, list(m ORDER BY pos) AS gv FROM m1 GROUP BY c) g
-                USING (c)
-            ),
-            a2 AS (
-              SELECT id, v, c FROM (
-                SELECT b.id, b.v, s.c,
-                  ROW_NUMBER() OVER (PARTITION BY b.id
-                    ORDER BY list_sum([(b.v[i] - s.v[i]) * (b.v[i] - s.v[i]) for i in range(1, len(b.v)+1)]), s.c) AS rn
-                FROM base b CROSS JOIN c1 s
-              ) WHERE rn = 1
-            ), m2 AS (
-              SELECT c, pos,
-                CAST(SUM(CAST(x AS DECIMAL(27,12))) AS DOUBLE)
-                  / COUNT(*) AS m
-              FROM (SELECT c, unnest(
-                      [{'pos': i, 'x': v[i]} for i in range(1, len(v)+1)],
-                      recursive := true)
-                    FROM a2)
-              GROUP BY c, pos
-            ), c2 AS (
-              SELECT p.c, coalesce(g.gv, p.v) AS v
-              FROM c1 p LEFT JOIN
-                (SELECT c, list(m ORDER BY pos) AS gv FROM m2 GROUP BY c) g
-                USING (c)
-            ),
-            bucketed AS (
-              SELECT id, v, c FROM (
-                SELECT b.id, b.v, s.c,
-                  ROW_NUMBER() OVER (PARTITION BY b.id
-                    ORDER BY list_sum([(b.v[i] - s.v[i]) * (b.v[i] - s.v[i]) for i in range(1, len(b.v)+1)]), s.c) AS rn
-                FROM base b CROSS JOIN c2 s
-              ) WHERE rn = 1
-            ), dup AS (
+        "d_semdedup": _SEMDEDUP_KMEANS_CTE + r""", dup AS (
               SELECT b.id AS id, MIN(a.id) AS dup_of
               FROM bucketed a JOIN bucketed b
                 ON a.c = b.c AND a.id < b.id
@@ -3879,6 +4023,37 @@ WITH per_cust AS (
             SELECT bk.id AS vec_id, CAST(bk.c AS INT) AS cluster,
                    dup.dup_of IS NULL AS kept, dup.dup_of
             FROM bucketed bk LEFT JOIN dup ON bk.id = dup.id
+        """,
+        # Paper-faithful keep rule (Abbas et al. 2023 §3): within a
+        # twin group keep the point FARTHEST from its centroid —
+        # precedence is the integer-scaled centroid cosine
+        # floor(cos·1e9) with id tiebreak, replayed with the same
+        # sequential array-order folds the Spark expressions use.
+        "d_semdedup_far": _SEMDEDUP_KMEANS_CTE + r""", keyed AS (
+              SELECT bk.id, bk.v, bk.c,
+                CAST(floor(1e9 * (
+                  list_sum([bk.v[i] * cv.v[i]
+                            for i in range(1, len(bk.v)+1)])
+                  / (sqrt(list_sum([bk.v[i] * bk.v[i]
+                                    for i in range(1, len(bk.v)+1)]))
+                     * sqrt(list_sum([cv.v[i] * cv.v[i]
+                                      for i in range(1, len(cv.v)+1)])))
+                )) AS BIGINT) AS k
+              FROM bucketed bk JOIN c2 cv USING (c)
+            ), dup AS (
+              SELECT id, dup_of FROM (
+                SELECT b.id AS id, a.id AS dup_of,
+                  ROW_NUMBER() OVER (PARTITION BY b.id
+                    ORDER BY a.k, a.id) AS rn
+                FROM keyed a JOIN keyed b
+                  ON a.c = b.c
+                  AND (a.k < b.k OR (a.k = b.k AND a.id < b.id))
+                WHERE list_cosine_similarity(a.v, b.v) >= 0.43
+              ) WHERE rn = 1
+            )
+            SELECT bk.id AS vec_id, CAST(bk.c AS INT) AS cluster,
+                   dup.dup_of IS NULL AS kept, dup.dup_of
+            FROM keyed bk LEFT JOIN dup ON bk.id = dup.id
         """,
         # Per-domain stats: host and canonical URL derived analytically
         # per synthesized case (t_urlnorm's CASE table), then one
@@ -4202,6 +4377,63 @@ WITH per_cust AS (
             FROM probes p LEFT JOIN cells c
               ON c.r = p.r AND c.bucket = p.bucket
             GROUP BY key HAVING MIN(COALESCE(c.cnt, 0)) >= 200
+        """,
+        # KMV sketch: the k smallest distinct digests are a pure SQL
+        # statement — fixed-width lowercase hex makes string order =
+        # numeric order, so LIMIT k selects the same set.
+        "t_kmv": r"""
+            SELECT CAST(ROW_NUMBER() OVER (ORDER BY h) AS INT) AS rank,
+                   h, CAST(128 AS INT) AS k
+            FROM (
+              SELECT DISTINCT md5(CAST(doc_id AS VARCHAR) || ':' || t) AS h
+              FROM (SELECT doc_id,
+                           unnest(regexp_extract_all(lower(text), '\w+')) AS t
+                    FROM documents)
+              ORDER BY h LIMIT 128
+            )
+        """,
+        # 2 unrolled synchronous LPA rounds: neighbor-label counts,
+        # arg-max by (cnt DESC, label ASC) — labels are the PACKED
+        # numeric ids (min-label must order numerically, which the
+        # string-rendered g_hits edge form would not).
+        "g_lpa": r"""
+            WITH und AS (
+              SELECT DISTINCT l_orderkey * 2 AS u,
+                              l_partkey * 2 + 1 AS v
+              FROM lineitem
+            ), b AS (
+              SELECT u, v FROM und
+              UNION ALL
+              SELECT v AS u, u AS v FROM und
+            ), l0 AS (
+              SELECT DISTINCT u AS id, u AS label FROM b
+            ), c1 AS (
+              SELECT b.u AS id, l.label, COUNT(*) AS cnt
+              FROM b JOIN l0 l ON l.id = b.v
+              GROUP BY b.u, l.label
+            ), r1 AS (
+              SELECT id, label FROM (
+                SELECT id, label,
+                  ROW_NUMBER() OVER (PARTITION BY id
+                    ORDER BY cnt DESC, label) AS rn
+                FROM c1) WHERE rn = 1
+            ), c2 AS (
+              SELECT b.u AS id, l.label, COUNT(*) AS cnt
+              FROM b JOIN r1 l ON l.id = b.v
+              GROUP BY b.u, l.label
+            ), r2 AS (
+              SELECT id, label FROM (
+                SELECT id, label,
+                  ROW_NUMBER() OVER (PARTITION BY id
+                    ORDER BY cnt DESC, label) AS rn
+                FROM c2) WHERE rn = 1
+            )
+            SELECT
+              CASE WHEN id % 2 = 0 THEN 'o:' || (id // 2)
+                   ELSE 'p:' || ((id - 1) // 2) END AS id,
+              CASE WHEN label % 2 = 0 THEN 'o:' || (label // 2)
+                   ELSE 'p:' || ((label - 1) // 2) END AS community
+            FROM r2
         """,
         # 6 unrolled BPE training rounds (see _bpe_train_oracle): the
         # replace() merge-application semantics are identical in both

@@ -67,6 +67,7 @@ def source_mixture(
     target_frac: float = 0.5,
     text_col: str = "text",
     denominator: int = 1 << 20,
+    upsample: bool = False,
 ) -> DataFrame:
     """Temperature-based source re-weighting — the standard
     multilingual/multi-source mixing rule (sample source s with
@@ -77,13 +78,26 @@ def source_mixture(
     counts, and each row is kept iff its content-hash bucket (a
     20-bit uniform rational) falls below its source's rate — the
     same rows survive on every run, engine, and partitioning.
-    ``target_frac`` sets the expected kept fraction of the corpus;
-    per-source rates are capped at 1 (a boosted small source is
-    never oversampled, matching the no-duplication convention).
+    ``target_frac`` sets the expected kept fraction of the corpus.
+
+    ``upsample=False`` (default): per-source rates are capped at 1 —
+    a boosted small source is never oversampled (no-duplication
+    convention). ``upsample=True``: rates may exceed 1 and a source
+    is replicated past one epoch — the real LLM-recipe behavior
+    (the published GPT-3 / Pile mixture weights exceed natural
+    proportions for high-quality sources: Brown et al. 2020 table
+    2.2, Gao et al. 2020 §1). Each row emits floor(rate) full
+    copies, plus one more iff its content-hash bucket falls below
+    the fractional remainder — so expected copies = rate, the copy
+    decision is content-addressed (same rows replicate on every
+    run/engine/partitioning), and the output gains a ``replica``
+    INT column (0-based) so downstream stages can tell copies apart.
 
     Scale shape: one count aggregation on the (low-cardinality)
     source key, rates re-joined via broadcast, then a scan-speed
-    hash filter — no shuffle of the corpus itself.
+    hash filter; the upsample path adds only a per-row
+    explode(sequence(...)) — still no shuffle of the corpus itself,
+    and output size is rate-bounded by construction.
     """
     counts = df.groupBy(source_col).agg(
         F.count(F.lit(1)).alias("__n")
@@ -91,32 +105,55 @@ def source_mixture(
     totals = counts.agg(
         F.sum("__w").alias("__wsum"), F.sum("__n").alias("__total")
     )
+    raw_rate = (
+        (F.col("__w") / F.col("__wsum"))
+        * (F.col("__total").cast("double") * target_frac)
+        / F.col("__n")
+    )
     rates = counts.crossJoin(F.broadcast(totals)).select(
         F.col(source_col).alias("__src"),
-        F.least(
-            F.lit(1.0),
-            (F.col("__w") / F.col("__wsum"))
-            * (F.col("__total").cast("double") * target_frac)
-            / F.col("__n"),
+        (
+            raw_rate if upsample else F.least(F.lit(1.0), raw_rate)
         ).alias("__rate"),
     )
     # null-safe join: a NULL source is a legitimate group (groupBy
     # counted it, so it carries weight in __wsum/__total) — an
     # equi-join would silently drop its rows while still depressing
     # every other source's keep-rate
-    kept = (
-        df.join(
-            F.broadcast(rates),
-            F.col(source_col).eqNullSafe(F.col("__src")),
-        )
-        .where(
-            hash_bucket(F.col(text_col), denominator).cast("double")
-            / denominator
-            < F.col("__rate")
-        )
-        .drop("__rate", "__src")
+    joined = df.join(
+        F.broadcast(rates),
+        F.col(source_col).eqNullSafe(F.col("__src")),
     )
-    return kept
+    bucket_frac = (
+        hash_bucket(F.col(text_col), denominator).cast("double")
+        / denominator
+    )
+    if not upsample:
+        return joined.where(bucket_frac < F.col("__rate")).drop(
+            "__rate", "__src"
+        )
+    # integer epochs + content-hash-decided fractional remainder;
+    # n_copies >= 1 is filtered BEFORE sequence() (Spark's sequence
+    # auto-steps -1 when stop < start, so sequence(0, -1) would emit
+    # rows instead of none)
+    n_copies = (
+        F.floor("__rate")
+        + F.when(
+            bucket_frac < (F.col("__rate") - F.floor("__rate")),
+            F.lit(1),
+        ).otherwise(F.lit(0))
+    ).cast("int")
+    return (
+        joined.withColumn("__copies", n_copies)
+        .where(F.col("__copies") >= 1)
+        .withColumn(
+            "replica",
+            F.explode(
+                F.sequence(F.lit(0), F.col("__copies") - F.lit(1))
+            ),
+        )
+        .drop("__rate", "__src", "__copies")
+    )
 
 
 def shard_key(col: Column, salt: str = "") -> Column:

@@ -33,8 +33,12 @@ __all__ = [
     "countmin_build",
     "countmin_estimate",
     "countmin_heavy_hitters",
+    "countmin_merge",
     "countmin_save",
     "countmin_load",
+    "kmv_build",
+    "kmv_merge",
+    "kmv_estimate",
 ]
 
 
@@ -227,6 +231,39 @@ def countmin_heavy_hitters(
     return est.where(F.col("est") >= F.lit(int(threshold)))
 
 
+def countmin_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Cell-wise ADDITION of two grids built with the same (depth,
+    width): Count-Min sketches compose linearly, so yesterday's
+    corpus grid + today's delta grid ≡ a one-pass rebuild over the
+    union — the same incremental-maintenance property bloom_merge
+    gives the membership filter, with the same geometry validation
+    (mismatched grids would silently mis-estimate). One tiny groupBy
+    over ≤ 2·depth·width rows."""
+    ga, gb = _carried_grid_geometry(a), _carried_grid_geometry(b)
+    if ga is not None and gb is not None and ga != gb:
+        raise ValueError(
+            f"countmin_merge: geometry mismatch {ga} vs {gb} — grids "
+            f"with different (depth, width) do not compose"
+        )
+    geom = ga if ga is not None else gb
+    cols = ["row", "bucket", "cnt"]
+    merged = (
+        a.select(*cols)
+        .unionByName(b.select(*cols))
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    if geom is None:
+        return merged
+    return merged.select(
+        "row",
+        "bucket",
+        "cnt",
+        F.lit(geom[0]).cast("int").alias("depth"),
+        F.lit(geom[1]).cast("long").alias("width"),
+    )
+
+
 def countmin_save(cms: DataFrame, path: str) -> None:
     """Persist the grid as Parquet — the build-once artifact of the
     100-TB summary workflow (build in the nightly batch job, probe
@@ -256,3 +293,120 @@ def countmin_load(spark, path: str) -> tuple[DataFrame, int, int]:
             f"countmin_save artifact"
         )
     return grid, geom[0], geom[1]
+
+
+# ---------------------------------------------------------------
+# KMV distinct-count sketch
+# ---------------------------------------------------------------
+
+
+def kmv_build(df: DataFrame, key: Column, k: int = 256) -> DataFrame:
+    """K-minimum-values distinct-count sketch (Bar-Yossef et al.
+    2002; Beyer et al. 2007 "On synopses for distinct-value
+    estimation under multiset operations"): the k lexicographically
+    smallest md5 digests of the key set → (rank INT, h STRING, k
+    INT), rank ascending from 1. Distinct-count estimate =
+    (k-1) / fraction(h_k) — see :func:`kmv_estimate`.
+
+    This is the engine-portable alternative to HLL blobs
+    (``approx_count_distinct`` ships an opaque datasketch encoding no
+    other engine can read): the state is plain hex digests, mergeable
+    by set-union (:func:`kmv_merge`), and a SQL oracle replays it
+    EXACTLY (``SELECT DISTINCT md5(key) ORDER BY 1 LIMIT k``). Fixed
+    lowercase-hex width makes string order = numeric order.
+
+    100-TB plan: a per-partition Arrow kernel keeps only the running
+    k smallest DISTINCT digests (O(k) state, vectorized
+    numpy.unique per batch, no sort of the corpus, no shuffle); at
+    most k rows per partition survive to the final tiny
+    distinct + TakeOrdered merge. The corpus is read once and never
+    moved — the whole point of sketching the distinct count instead
+    of groupBy-counting it."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    hashed = df.select(
+        F.md5(F.coalesce(key.cast("string"), F.lit(""))).alias("h")
+    )
+
+    def _partition_minima(batches):
+        import numpy as np
+        import pandas as pd
+
+        best = None
+        for pdf in batches:
+            vals = pdf["h"].to_numpy()
+            cand = (
+                np.unique(vals)
+                if best is None
+                else np.unique(np.concatenate([best, vals]))
+            )
+            best = cand[:k]
+        if best is not None and len(best):
+            yield pd.DataFrame({"h": best})
+
+    minima = hashed.mapInPandas(_partition_minima, "h string")
+    from pyspark.sql.window import Window
+
+    topk = minima.dropDuplicates(["h"]).orderBy("h").limit(k)
+    # rank window runs on <= k rows (post-limit) — never a wide plan
+    return topk.select(
+        F.row_number()
+        .over(Window.orderBy("h"))
+        .cast("int")
+        .alias("rank"),
+        "h",
+        F.lit(int(k)).cast("int").alias("k"),
+    )
+
+
+def kmv_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Set-union of two KMV sketches built with the same k: the k
+    smallest of the union of survivors — EXACTLY the sketch of the
+    concatenated corpora (Beyer et al. 2007 §4 multiset-union
+    property), so per-shard/per-day sketches roll up without
+    re-reading anything. Geometry (k) is validated like
+    bloom/countmin merges."""
+    ka = [int(r[0]) for r in a.select("k").distinct().collect()]
+    kb = [int(r[0]) for r in b.select("k").distinct().collect()]
+    if len(set(ka)) > 1 or len(set(kb)) > 1:
+        raise ValueError("kmv_merge: sketch carries conflicting k values")
+    if ka and kb and ka[0] != kb[0]:
+        raise ValueError(
+            f"kmv_merge: geometry mismatch k={ka[0]} vs k={kb[0]}"
+        )
+    k = ka[0] if ka else (kb[0] if kb else 0)
+    if k == 0:
+        return a.limit(0)
+    from pyspark.sql.window import Window
+
+    u = (
+        a.select("h")
+        .unionByName(b.select("h"))
+        .dropDuplicates(["h"])
+        .orderBy("h")
+        .limit(k)
+    )
+    return u.select(
+        F.row_number()
+        .over(Window.orderBy("h"))
+        .cast("int")
+        .alias("rank"),
+        "h",
+        F.lit(k).cast("int").alias("k"),
+    )
+
+
+def kmv_estimate(sketch: DataFrame) -> float:
+    """Distinct-count point estimate from a KMV sketch: if the
+    sketch holds fewer than k digests the count is EXACT (every
+    distinct key is present); otherwise est = (k-1) / frac(h_k)
+    where frac maps the k-th smallest 128-bit digest into (0, 1).
+    Unbiased per Beyer et al. 2007 §3.1."""
+    rows = sketch.orderBy("rank").collect()
+    if not rows:
+        return 0.0
+    k = int(rows[0]["k"])
+    if len(rows) < k:
+        return float(len(rows))
+    frac = int(rows[-1]["h"], 16) / float(1 << 128)
+    return (k - 1) / frac

@@ -408,3 +408,68 @@ def random_walks(
     for o in outs[1:]:
         res = res.unionByName(o)
     return res
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation
+    (Raghavan, Albert & Kumara 2007 "Near linear time algorithm to
+    detect community structures in large-scale networks"): every
+    node starts in its own community (label = own id); each round
+    every node simultaneously adopts the most frequent label among
+    its neighbors, ties broken by the smallest label. Returns
+    (id, community).
+
+    Determinism: the paper's asynchronous sweep is visit-order
+    dependent BY DESIGN — unacceptable for an engine whose results
+    are oracle-replayed — so this is the synchronous variant with a
+    total tie order (count desc, label asc): independent of
+    partitioning, execution order, and engine. Synchronous LPA can
+    oscillate between two labelings on bipartite-ish structure
+    (Raghavan et al. §3 note), which is why the stopping rule is a
+    fixed caller-chosen round budget rather than "no label changed".
+
+    Scale shape (the pagerank discipline, one round = ):
+    - one edges⋈labels join on the shared node key;
+    - one map-side-combinable (node, neighbor-label) count;
+    - one per-node arg-max via min_by over (-count, label) — no
+      window, no global sort;
+    - lineage truncated per round with localCheckpoint.
+    Labels are node ids (numeric), so min/arg-min orders identically
+    everywhere; no float appears anywhere."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    und = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .dropDuplicates(["u", "v"])
+    )
+    # both directions once: message volume = 2·|E| per round
+    both = und.unionAll(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=False)
+    labels = (
+        both.select(F.col("u").alias("id"))
+        .dropDuplicates(["id"])
+        .withColumn("label", F.col("id"))
+    )
+    for _ in range(iters):
+        msgs = both.join(
+            labels.select(
+                F.col("id").alias("v"), F.col("label").alias("nl")
+            ),
+            "v",
+        ).select(F.col("u").alias("id"), F.col("nl").alias("label"))
+        counts = msgs.groupBy("id", "label").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        labels = counts.groupBy("id").agg(
+            F.min_by(
+                "label", F.struct((-F.col("cnt")).alias("nc"), F.col("label"))
+            ).alias("label")
+        ).localCheckpoint(eager=False)
+    return labels.select("id", F.col("label").alias("community"))

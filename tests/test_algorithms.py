@@ -296,3 +296,31 @@ def test_hits_rejects_zero_iters(spark):
     e = spark.createDataFrame([(1, 2)], "src long, dst long")
     with pytest.raises(ValueError, match="iters >= 1"):
         hits(e, iters=0)
+
+
+def test_label_propagation_communities(spark):
+    """Synchronous LPA (Raghavan et al. 2007, deterministic variant):
+    two triangles bridged by one edge resolve into two communities;
+    the result is partitioning-independent; iters must be >= 1."""
+    import pytest
+
+    from cayley_spark.graphs.algorithms import label_propagation
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12), (3, 10)],
+        "src long, dst long",
+    )
+    out = label_propagation(edges, iters=3)
+    comm = {r["id"]: r["community"] for r in out.collect()}
+    assert set(comm) == {1, 2, 3, 10, 11, 12}
+    # each triangle is internally consistent after 3 rounds, and the
+    # two triangles do not all collapse into one (the bridge edge is
+    # outvoted by the in-triangle majority)
+    assert comm[1] == comm[2]
+    assert comm[10] == comm[11] == comm[12]
+    assert comm[1] != comm[10] or comm[3] != comm[11]
+    # deterministic under partitioning
+    again = label_propagation(edges.repartition(5), iters=3)
+    assert {r["id"]: r["community"] for r in again.collect()} == comm
+    with pytest.raises(ValueError):
+        label_propagation(edges, iters=0)

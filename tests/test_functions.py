@@ -1795,3 +1795,53 @@ def test_index_save_onto_own_path_is_safe(spark, tmp_path):
     m = lidx.sigs.count()
     lidx.save(p2)
     assert LSHDedupIndex.load(spark, p2).sigs.count() == m
+
+
+def test_source_mixture_upsample_replica_semantics(spark):
+    """upsample=True (VERDICT r8 #6): rates past 1 replicate a source
+    beyond one epoch — floor(rate) full copies + a content-hash-
+    decided fractional copy, expected copies = rate. Pinned against
+    an exact python replica of the whole rule; deterministic under
+    repartitioning; default path unchanged (no replica column)."""
+    import hashlib
+    import math
+
+    from cayley_spark.functions.sampling import source_mixture
+
+    rows = [
+        Row(doc_id=i, source="big" if i < 400 else "small",
+            text=f"document number {i} with some words")
+        for i in range(440)
+    ]
+    df = spark.createDataFrame(rows)
+    alpha, tf, denom = 0.25, 1.0, 1 << 20
+    out = source_mixture(
+        df, alpha=alpha, target_frac=tf, upsample=True
+    ).select("doc_id", "replica")
+    got = sorted((r["doc_id"], r["replica"]) for r in out.collect())
+
+    # exact python replica
+    n = {"big": 400, "small": 40}
+    w = {s: c ** alpha for s, c in n.items()}
+    wsum, total = sum(w.values()), sum(n.values())
+    rate = {s: (w[s] / wsum) * (total * tf) / n[s] for s in n}
+    assert rate["small"] > 1.0 > rate["big"]  # the upsample regime
+    want = []
+    for r in rows:
+        h = int(hashlib.md5(r.text.encode()).hexdigest()[:8], 16)
+        bf = (h % denom) / denom
+        rt = rate[r.source]
+        copies = math.floor(rt) + (1 if bf < rt - math.floor(rt) else 0)
+        want.extend((r.doc_id, j) for j in range(copies))
+    assert got == sorted(want)
+    # expected total ≈ target_frac · corpus
+    assert abs(len(got) / 440 - tf) < 0.15
+    # deterministic under partitioning
+    again = source_mixture(
+        df.repartition(7), alpha=alpha, target_frac=tf, upsample=True
+    )
+    assert sorted(
+        (r["doc_id"], r["replica"]) for r in again.collect()
+    ) == got
+    # default path: no replica column, same rows as before
+    assert "replica" not in source_mixture(df).columns

@@ -143,3 +143,81 @@ def test_geometry_carried_validated_and_persisted(spark, tmp_path):
         for r in countmin_estimate(keys, grid, F.col("key")).collect()
     }
     assert loaded == inherited
+
+
+def test_kmv_sketch_replica_merge_estimate(spark):
+    """KMV distinct sketch: exact python-replica equality of the k
+    minima, the Beyer et al. 2007 union property (merge of shard
+    sketches == sketch of the concatenated corpus), exact-mode
+    estimates below k, sane estimates above k, and k-mismatch
+    refusal."""
+    import hashlib
+
+    import pytest
+
+    from cayley_spark.functions.sketch import (
+        kmv_build,
+        kmv_estimate,
+        kmv_merge,
+    )
+
+    keys = [f"key-{i % 40}" for i in range(300)]  # 40 distinct
+    df = spark.createDataFrame([(k,) for k in keys], "key string")
+    sk = kmv_build(df, F.col("key"), k=8)
+    got = [(r["rank"], r["h"]) for r in sk.orderBy("rank").collect()]
+    want = sorted({hashlib.md5(k.encode()).hexdigest() for k in keys})[:8]
+    assert got == [(i + 1, h) for i, h in enumerate(want)]
+
+    # union property: shard sketches merge to the full-corpus sketch
+    a = kmv_build(df.where(F.col("key") < "key-2"), F.col("key"), k=8)
+    b = kmv_build(df.where(F.col("key") >= "key-2"), F.col("key"), k=8)
+    merged = [
+        (r["rank"], r["h"])
+        for r in kmv_merge(a, b).orderBy("rank").collect()
+    ]
+    assert merged == got
+
+    # estimate: exact below k, within 40% above k (k=8 is tiny)
+    small = spark.createDataFrame(
+        [(f"v{i}",) for i in range(5)], "key string"
+    )
+    assert kmv_estimate(kmv_build(small, F.col("key"), k=8)) == 5.0
+    est = kmv_estimate(sk)
+    assert 0.6 * 40 < est < 1.4 * 40
+
+    # geometry: mismatched k refuses to merge
+    with pytest.raises(ValueError, match="k="):
+        kmv_merge(sk, kmv_build(df, F.col("key"), k=16))
+
+
+def test_countmin_merge_matches_one_pass_build(spark):
+    """Count-Min linearity: yesterday's grid + today's delta grid ==
+    one-pass build over the union, cell-for-cell; geometry mismatch
+    refuses."""
+    import pytest
+
+    from cayley_spark.functions.sketch import countmin_build, countmin_merge
+
+    a = spark.createDataFrame(
+        [(w,) for w in "a b a c".split()], "tok string"
+    )
+    b = spark.createDataFrame(
+        [(w,) for w in "b c d d".split()], "tok string"
+    )
+    ga = countmin_build(a, F.col("tok"), depth=3, width=64)
+    gb = countmin_build(b, F.col("tok"), depth=3, width=64)
+    merged = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in countmin_merge(ga, gb).collect()
+    }
+    union = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in countmin_build(
+            a.unionAll(b), F.col("tok"), depth=3, width=64
+        ).collect()
+    }
+    assert merged == union
+    with pytest.raises(ValueError, match="geometry mismatch"):
+        countmin_merge(
+            ga, countmin_build(b, F.col("tok"), depth=3, width=128)
+        )

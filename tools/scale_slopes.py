@@ -134,6 +134,69 @@ def run_ops(spark, sf_dir: str, m: int) -> dict[str, float]:
             emb, n_centroids=8 * m, iters=2, threshold=0.43
         ),
     }
+    if os.environ.get("SCALE_OPS") == "r9":
+        # Round-9 additions: certify the new operators' slopes on the
+        # same controlled corpora. Edges for LPA replicate the base
+        # lineitem bipartite graph with a disjoint id offset per
+        # replica — fixed structure, m-fold edges (the same
+        # fixed-dup-rate discipline as the documents corpus).
+        from cayley_spark.functions.sampling import (
+            source_mixture,
+            weighted_sample,
+        )
+        from cayley_spark.functions.sketch import kmv_build
+        from cayley_spark.functions.text import tokens
+        from cayley_spark.graphs.algorithms import label_propagation
+
+        li = spark.read.parquet(os.path.join(BASE_SF, "lineitem.parquet"))
+        base_edges = li.select(
+            (F.col("l_orderkey") * 2).alias("src"),
+            (F.col("l_partkey") * 2 + 1).alias("dst"),
+        ).dropDuplicates(["src", "dst"])
+        ereps = [base_edges]
+        for kk in range(1, m):
+            ereps.append(
+                base_edges.select(
+                    (F.col("src") + F.lit(2 * kk * OFFSET)).alias("src"),
+                    (F.col("dst") + F.lit(2 * kk * OFFSET)).alias("dst"),
+                )
+            )
+        edges = ereps[0]
+        for r in ereps[1:]:
+            edges = edges.unionByName(r)
+        edges = edges.repartition(par).localCheckpoint()
+
+        def _kmv():
+            toks = docs.select(
+                "doc_id", F.explode(tokens(F.col("text"))).alias("t")
+            ).select(
+                F.concat_ws(
+                    ":", F.col("doc_id").cast("string"), F.col("t")
+                ).alias("tok")
+            )
+            return kmv_build(toks, F.col("tok"), k=128)
+
+        ops = {
+            "t_kmv": _kmv,
+            "g_lpa": lambda: label_propagation(edges, iters=2),
+            "t_mixture_up": lambda: source_mixture(
+                docs, alpha=0.3, target_frac=1.0, upsample=True
+            ),
+            "t_wsample": lambda: weighted_sample(
+                docs.withColumn(
+                    "w", (F.col("n_chars") + F.lit(1)).cast("double")
+                ),
+                "w",
+                k=100,
+            ),
+            "d_semdedup_far": lambda: semdedup(
+                emb,
+                n_centroids=8 * m,
+                iters=2,
+                threshold=0.43,
+                keep="far_from_centroid",
+            ),
+        }
 
     def persistent_ids():
         mm = spark.sparkContext._jsc.getPersistentRDDs()
