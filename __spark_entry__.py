@@ -1681,6 +1681,73 @@ def g_lpa(spark, sf):
     )
 
 
+def t_perplexity(spark, sf):
+    """CCNet-style LM quality filtering (functions/text.lm_perplexity
+    — Wenzek et al. 2020 §3.3): word-trigram model with add-one
+    smoothing trained on the corpus, per-document integer-scaled
+    negative log-likelihood Σ floor(-1e6·ln p(w3|w1w2)). The float ln
+    is evaluated once per DISTINCT model trigram and floored to an
+    integer, so the per-doc aggregation is exact integer summation —
+    fully hash-gated, unlike a float perplexity."""
+    from cayley_spark.functions.text import lm_perplexity
+
+    docs = _t_wide(spark, sf, "documents")
+    return lm_perplexity(docs)
+
+
+def t_qscore(spark, sf):
+    """Model-based quality scoring, fastText-shaped (functions/text.
+    hashed_linear_score — Joulin et al. 2017; the GPT-3 CommonCrawl
+    filter was exactly such a linear classifier, Brown et al. 2020
+    appendix A): hashed unigram+bigram features (the DSIR feature
+    map) × a broadcast integer weight table, reduced per document.
+    The registry weights are a deterministic synthetic model
+    (weight = bucket % 97 - 48) so the oracle derives every weight
+    analytically; a trained model's quantized weights drop into the
+    same table."""
+    from cayley_spark.functions.text import hashed_linear_score
+
+    docs = _t_wide(spark, sf, "documents")
+    weights = spark.range(8192).select(
+        F.col("id").alias("bucket"),
+        ((F.col("id") % 97) - 48).cast("long").alias("weight"),
+    )
+    return hashed_linear_score(docs, weights, buckets=8192)
+
+
+def g_ppr(spark, sf):
+    """Personalized PageRank (graphs/algorithms.personalized_pagerank
+    — Page et al. 1999 §6, Jeh & Widom 2003) over the order↔part
+    bipartite graph, seeded at the two smallest order nodes, 2
+    rounds: teleport mass lands only on the seeds, so ranks measure
+    proximity to them (the similar-node primitive). Integer
+    fixed-point (the g_pagerank discipline); the seed set is a
+    literal isin — the graph never joins against it."""
+    from cayley_spark.graphs.algorithms import personalized_pagerank
+
+    li = _t(spark, sf, "lineitem")
+    edges = li.select(
+        (F.col("l_orderkey") * 2).alias("src"),
+        (F.col("l_partkey") * 2 + 1).alias("dst"),
+    ).dropDuplicates(["src", "dst"])
+    seeds = [
+        int(r[0])
+        for r in edges.select("src")
+        .dropDuplicates(["src"])
+        .orderBy("src")
+        .limit(2)
+        .collect()
+    ]
+    pr = personalized_pagerank(edges, seeds, iters=2)
+    id_str = F.when(
+        F.col("id") % 2 == 0,
+        F.concat(F.lit("o:"), (F.col("id") / 2).cast("long")),
+    ).otherwise(
+        F.concat(F.lit("p:"), ((F.col("id") - 1) / 2).cast("long"))
+    )
+    return pr.select(id_str.alias("id"), "rank")
+
+
 def d_index(spark, sf):
     """Persisted cross-corpus dedup index (functions/dedup_index.
     LSHDedupIndex): the src0-9 historical corpus is indexed ONCE to
@@ -2355,6 +2422,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_semdedup_far": d_semdedup_far,
         "t_kmv": t_kmv,
         "g_lpa": g_lpa,
+        "t_perplexity": t_perplexity,
+        "t_qscore": t_qscore,
+        "g_ppr": g_ppr,
         # --- last verified r06 (overflowed the r8 window at 51-75) -----
         "g_regex": g_regex,
         "g_order_limit": g_order_limit,
@@ -4433,6 +4503,115 @@ WITH per_cust AS (
                    ELSE 'p:' || ((id - 1) // 2) END AS id,
               CASE WHEN label % 2 = 0 THEN 'o:' || (label // 2)
                    ELSE 'p:' || ((label - 1) // 2) END AS community
+            FROM r2
+        """,
+        # Trigram-LM NLL: the float ln is evaluated once per DISTINCT
+        # model trigram and floored to an integer (LM_LOGPROB_SCALE),
+        # so the per-doc sums below are exact integer arithmetic.
+        "t_perplexity": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '\w+') AS t
+              FROM documents
+            ), tri AS (
+              SELECT doc_id,
+                unnest([{'w1': t[i], 'w2': t[i+1], 'w3': t[i+2]}
+                        for i in range(1, len(t) - 1)],
+                       recursive := true)
+              FROM toks WHERE len(t) >= 3
+            ), c3 AS (
+              SELECT w1, w2, w3, COUNT(*) AS c3
+              FROM tri GROUP BY 1, 2, 3
+            ), c2 AS (
+              SELECT w1, w2, CAST(SUM(c3) AS BIGINT) AS c2
+              FROM c3 GROUP BY 1, 2
+            ), v AS (
+              SELECT COUNT(DISTINCT tok) AS V
+              FROM (SELECT unnest(t) AS tok FROM toks)
+            ), model AS (
+              SELECT c3.w1, c3.w2, c3.w3,
+                CAST(floor(-1000000.0 * ln(
+                  CAST(c3.c3 + 1 AS DOUBLE)
+                  / CAST(c2.c2 + v.V AS DOUBLE))) AS BIGINT) AS nll
+              FROM c3 JOIN c2 USING (w1, w2), v
+            )
+            SELECT tri.doc_id,
+                   COUNT(*) AS n_trigrams,
+                   CAST(SUM(m.nll) AS BIGINT) AS nll_scaled
+            FROM tri JOIN model m USING (w1, w2, w3)
+            GROUP BY tri.doc_id
+        """,
+        # Hashed linear scorer: the registry's synthetic model is
+        # weight = bucket % 97 - 48, derived analytically per bucket
+        # (same grams + md5-bucket map as t_dsir, 8192 buckets).
+        "t_qscore": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '\w+') AS t
+              FROM documents
+            ), grams AS (
+              SELECT doc_id, unnest(t) AS g FROM toks
+              UNION ALL
+              SELECT doc_id,
+                     unnest([t[i] || ' ' || t[i+1]
+                             for i in range(1, len(t))]) AS g
+              FROM toks
+            ), b AS (
+              SELECT doc_id,
+                CAST(('0x' || substr(md5(g), 1, 8))::BIGINT % 8192
+                     AS BIGINT) AS bucket
+              FROM grams
+            )
+            SELECT doc_id, COUNT(*) AS n_feats,
+                   CAST(SUM((bucket % 97) - 48) AS BIGINT) AS score
+            FROM b GROUP BY doc_id
+        """,
+        # 2 unrolled personalized-pagerank rounds: teleport mass only
+        # on the two smallest order nodes (derived in-query, same set
+        # the Spark side collects); integer truncating division both
+        # engines (// on non-negative operands == Spark's div).
+        "g_ppr": r"""
+            WITH e AS (
+              SELECT DISTINCT l_orderkey * 2 AS src,
+                              l_partkey * 2 + 1 AS dst
+              FROM lineitem
+            ), nodes AS (
+              SELECT src AS id FROM e UNION SELECT dst FROM e
+            ), seeds AS (
+              SELECT DISTINCT src AS id FROM e ORDER BY id LIMIT 2
+            ), deg AS (
+              SELECT src, COUNT(*) AS deg FROM e GROUP BY src
+            ), r0 AS (
+              SELECT n.id,
+                CASE WHEN s.id IS NOT NULL
+                     THEN CAST(1000000000 AS BIGINT)
+                     ELSE CAST(0 AS BIGINT) END AS r
+              FROM nodes n LEFT JOIN seeds s ON n.id = s.id
+            ), i1 AS (
+              SELECT e.dst AS id, CAST(SUM(r.r // d.deg) AS BIGINT) AS inc
+              FROM e JOIN r0 r ON r.id = e.src JOIN deg d ON d.src = e.src
+              GROUP BY e.dst
+            ), r1 AS (
+              SELECT n.id,
+                CAST(CASE WHEN s.id IS NOT NULL THEN 150000000 ELSE 0 END
+                     + (85 * COALESCE(i.inc, 0)) // 100 AS BIGINT) AS r
+              FROM nodes n LEFT JOIN seeds s ON n.id = s.id
+                           LEFT JOIN i1 i ON n.id = i.id
+            ), i2 AS (
+              SELECT e.dst AS id, CAST(SUM(r.r // d.deg) AS BIGINT) AS inc
+              FROM e JOIN r1 r ON r.id = e.src JOIN deg d ON d.src = e.src
+              GROUP BY e.dst
+            ), r2 AS (
+              SELECT n.id,
+                CAST(CASE WHEN s.id IS NOT NULL THEN 150000000 ELSE 0 END
+                     + (85 * COALESCE(i.inc, 0)) // 100 AS BIGINT) AS r
+              FROM nodes n LEFT JOIN seeds s ON n.id = s.id
+                           LEFT JOIN i2 i ON n.id = i.id
+            )
+            SELECT
+              CASE WHEN id % 2 = 0 THEN 'o:' || (id // 2)
+                   ELSE 'p:' || ((id - 1) // 2) END AS id,
+              r AS rank
             FROM r2
         """,
         # 6 unrolled BPE training rounds (see _bpe_train_oracle): the

@@ -1089,3 +1089,140 @@ def bpe_segment(col: Column, merges: list[tuple[str, str]]) -> Column:
         lambda t: (F.trim(t) != "") & (~t.contains(sep)),
     )
     return F.flatten(F.transform(pre, seg))
+
+
+LM_LOGPROB_SCALE = 1_000_000
+
+
+def lm_perplexity(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    scale: int = LM_LOGPROB_SCALE,
+) -> DataFrame:
+    """CCNet-style LM quality filtering (Wenzek et al. 2020 §3.3
+    score documents by perplexity under a corpus LM; Laurençon et
+    al. 2022 ROOTS does the same): a word-TRIGRAM model with add-one
+    smoothing is trained on the corpus itself, and every document
+    gets (id, n_trigrams, nll_scaled) where nll_scaled is the
+    integer Σ floor(-scale · ln p(w3 | w1 w2)) over its trigram
+    instances, p = (c3 + 1) / (c2 + V). Consumers rank/filter by
+    nll_scaled / n_trigrams — high mean NLL ≡ high perplexity ≡
+    atypical text (garbled, wrong-language, machine-junk).
+
+    Determinism: the float ln is evaluated ONCE PER DISTINCT TRIGRAM
+    in the model table and immediately floored to an integer, so
+    per-document aggregation is exact integer summation — engine-
+    portable the same way SEMDEDUP_SIM_SCALE keys are (a 1-ulp libm
+    divergence flips a floor only when scale·ln(p) lands within a
+    ulp of an integer — and only for that one model row, not per
+    instance).
+
+    Plan: trigram instances are pure array expressions at scan
+    speed; the model is two groupBys (trigram, then its bigram
+    prefix — the second over MODEL-sized rows, never the corpus);
+    docs join the model on the trigram key and re-aggregate by id.
+    Vocabulary V is a 1-row broadcast scalar. Model tables are
+    vocabulary-bounded, so at 100 TB both model joins broadcast
+    while the corpus is touched exactly twice (instance explode +
+    final per-doc agg), both on uniform keys."""
+    toks = tokens(F.col(text_col))
+    tri = df.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.size(toks) >= 3,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - 2),
+                    lambda i: F.struct(
+                        F.element_at(toks, i).alias("w1"),
+                        F.element_at(toks, i + 1).alias("w2"),
+                        F.element_at(toks, i + 2).alias("w3"),
+                    ),
+                ),
+            ).otherwise(
+                F.array().cast(
+                    "array<struct<w1:string,w2:string,w3:string>>"
+                )
+            )
+        ).alias("t"),
+    ).select(id_col, "t.w1", "t.w2", "t.w3")
+    c3 = tri.groupBy("w1", "w2", "w3").agg(
+        F.count(F.lit(1)).alias("c3")
+    )
+    # prefix counts derived from the MODEL table (model-sized agg)
+    c2 = c3.groupBy("w1", "w2").agg(F.sum("c3").alias("c2"))
+    vocab = df.select(
+        F.explode(tokens(F.col(text_col))).alias("w")
+    ).agg(F.count_distinct("w").alias("V"))
+    model = (
+        c3.join(c2, ["w1", "w2"])
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            "w3",
+            F.floor(
+                -F.lit(float(scale))
+                * F.log(
+                    (F.col("c3") + F.lit(1)).cast("double")
+                    / (F.col("c2") + F.col("V")).cast("double")
+                )
+            )
+            .cast("long")
+            .alias("nll"),
+        )
+    )
+    return (
+        tri.join(model, ["w1", "w2", "w3"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.sum("nll").cast("long").alias("nll_scaled"),
+        )
+    )
+
+
+def hashed_linear_score(
+    df: DataFrame,
+    weights: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 8192,
+) -> DataFrame:
+    """Model-based quality scoring, fastText-shaped (Joulin et al.
+    2017: hash the token n-grams, look up each bucket's learned
+    weight, reduce per document; the GPT-3 pipeline used exactly
+    such a linear classifier to filter Common Crawl — Brown et al.
+    2020 appendix A): (id, n_feats, score) with score = Σ
+    weight[bucket] over the document's hashed unigram+bigram
+    features (the DSIR feature map, sampling.hashed_ngram_buckets).
+
+    ``weights`` is any (bucket BIGINT, weight BIGINT) table — a
+    trained model's quantized weights land here; integer weights
+    keep the per-doc sum exact and engine-portable (quantizing a
+    linear scorer to int does not change its ranking granularity in
+    practice and buys bit-identical reproducibility).
+
+    Plan: features are pure array expressions at scan speed; the
+    model is ≤ ``buckets`` rows → broadcast join; one corpus shuffle
+    on id. A document never pairs with anything — cost is linear in
+    corpus tokens, the same shape as DSIR."""
+    from .sampling import hashed_ngram_buckets
+
+    feats = df.select(
+        F.col(id_col),
+        F.explode(
+            hashed_ngram_buckets(F.col(text_col), buckets)
+        ).alias("bucket"),
+    )
+    return (
+        feats.join(F.broadcast(weights), "bucket", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum(F.coalesce(F.col("weight"), F.lit(0)))
+            .cast("long")
+            .alias("score"),
+        )
+    )

@@ -324,3 +324,42 @@ def test_label_propagation_communities(spark):
     assert {r["id"]: r["community"] for r in again.collect()} == comm
     with pytest.raises(ValueError):
         label_propagation(edges, iters=0)
+
+
+def test_personalized_pagerank_exact_replica(spark):
+    """PPR (Page et al. 1999 §6): integer fixed-point against an
+    exact python replica — seeds get teleport mass, proximity decays
+    away from the seed set, unreachable nodes stay at 0."""
+    import pytest
+
+    from cayley_spark.graphs.algorithms import personalized_pagerank
+
+    E = [(1, 2), (2, 3), (3, 1), (3, 4), (10, 11)]
+    edges = spark.createDataFrame(E, "src long, dst long")
+    got = {
+        r["id"]: r["rank"]
+        for r in personalized_pagerank(edges, [1], iters=3).collect()
+    }
+
+    scale, dn, dd = 1_000_000_000, 85, 100
+    nodes = sorted({x for e in E for x in e})
+    deg = {}
+    for s, _ in E:
+        deg[s] = deg.get(s, 0) + 1
+    tele = scale * (dd - dn) // dd
+    r = {n: (scale if n == 1 else 0) for n in nodes}
+    for _ in range(3):
+        inc = {n: 0 for n in nodes}
+        for s, d in E:
+            inc[d] += r[s] // deg[s]
+        r = {
+            n: (tele if n == 1 else 0) + (dn * inc[n]) // dd
+            for n in nodes
+        }
+    assert got == r
+    # the disconnected component gets exactly zero mass
+    assert got[10] == 0 and got[11] == 0
+    # seed's neighborhood ranks above farther nodes
+    assert got[1] > got[2] > got[3] > 0
+    with pytest.raises(ValueError):
+        personalized_pagerank(edges, [], iters=3)

@@ -1845,3 +1845,83 @@ def test_source_mixture_upsample_replica_semantics(spark):
     ) == got
     # default path: no replica column, same rows as before
     assert "replica" not in source_mixture(df).columns
+
+
+def test_lm_perplexity_replica_and_ranking(spark):
+    """Trigram-LM NLL (CCNet-style filter): exact python replica of
+    the integer-scaled model, and a garbled document scores a higher
+    mean NLL than corpus-typical text."""
+    import math
+
+    from cayley_spark.functions.text import lm_perplexity
+
+    typical = "the quick brown fox jumps over the lazy dog"
+    rows = [Row(doc_id=i, text=typical) for i in range(8)]
+    rows.append(Row(doc_id=8, text="zq xv qq zx vq xz qz vx zv"))
+    df = spark.createDataFrame(rows)
+    got = {
+        r["doc_id"]: (r["n_trigrams"], r["nll_scaled"])
+        for r in lm_perplexity(df).collect()
+    }
+
+    # python replica
+    import re
+
+    docs = {r.doc_id: re.findall(r"\w+", r.text.lower()) for r in rows}
+    tris = {}
+    for toks in docs.values():
+        for i in range(len(toks) - 2):
+            t = tuple(toks[i : i + 3])
+            tris[t] = tris.get(t, 0) + 1
+    bi = {}
+    for t, c in tris.items():
+        bi[t[:2]] = bi.get(t[:2], 0) + c
+    V = len({w for toks in docs.values() for w in toks})
+    nll = {
+        t: math.floor(-1e6 * math.log((c + 1) / (bi[t[:2]] + V)))
+        for t, c in tris.items()
+    }
+    want = {}
+    for d, toks in docs.items():
+        ts = [tuple(toks[i : i + 3]) for i in range(len(toks) - 2)]
+        if ts:
+            want[d] = (len(ts), sum(nll[t] for t in ts))
+    assert got == want
+    # garbled text is atypical: higher mean NLL
+    mean = lambda d: got[d][1] / got[d][0]
+    assert mean(8) > mean(0)
+
+
+def test_hashed_linear_score_replica(spark):
+    """fastText-shaped scorer: exact python replica of the hashed
+    features × broadcast weights reduce; buckets absent from the
+    model contribute 0."""
+    import hashlib
+    import re
+
+    from cayley_spark.functions.text import hashed_linear_score
+
+    rows = [
+        Row(doc_id=1, text="good clean prose with words"),
+        Row(doc_id=2, text="spam spam spam click here"),
+    ]
+    df = spark.createDataFrame(rows)
+    wrows = [(b, (b % 13) - 6) for b in range(0, 512, 2)]  # even only
+    weights = spark.createDataFrame(wrows, "bucket long, weight long")
+    got = {
+        r["doc_id"]: (r["n_feats"], r["score"])
+        for r in hashed_linear_score(df, weights, buckets=512).collect()
+    }
+    wmap = dict(wrows)
+    want = {}
+    for r in rows:
+        toks = re.findall(r"\w+", r.text.lower())
+        grams = toks + [
+            f"{a} {b}" for a, b in zip(toks, toks[1:])
+        ]
+        bs = [
+            int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % 512
+            for g in grams
+        ]
+        want[r.doc_id] = (len(bs), sum(wmap.get(b, 0) for b in bs))
+    assert got == want

@@ -198,6 +198,36 @@ def run_ops(spark, sf_dir: str, m: int) -> dict[str, float]:
             ),
         }
 
+        from cayley_spark.functions.text import (
+            hashed_linear_score,
+            lm_perplexity,
+        )
+        from cayley_spark.graphs.algorithms import personalized_pagerank
+
+        weights = spark.range(8192).select(
+            F.col("id").alias("bucket"),
+            ((F.col("id") % 97) - 48).cast("long").alias("weight"),
+        )
+        seeds = [
+            int(r[0])
+            for r in edges.select("src")
+            .dropDuplicates(["src"])
+            .orderBy("src")
+            .limit(2)
+            .collect()
+        ]
+        ops.update(
+            {
+                "t_perplexity": lambda: lm_perplexity(docs),
+                "t_qscore": lambda: hashed_linear_score(
+                    docs, weights, buckets=8192
+                ),
+                "g_ppr": lambda: personalized_pagerank(
+                    edges, seeds, iters=2
+                ),
+            }
+        )
+
     def persistent_ids():
         mm = spark.sparkContext._jsc.getPersistentRDDs()
         return {int(k) for k in mm.keySet().toArray()}
