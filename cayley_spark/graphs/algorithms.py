@@ -440,11 +440,20 @@ def label_propagation(
       window, no global sort;
     - lineage truncated per round with localCheckpoint.
     Labels are node ids (numeric), so min/arg-min orders identically
-    everywhere; no float appears anywhere."""
+    everywhere; no float appears anywhere.
+
+    Input is canonicalized like :func:`kcore`/:func:`triangles`
+    (least/greatest + dedup): parallel AND reciprocal edges collapse
+    to one undirected edge, self-loops drop — multigraph storage
+    cannot skew the neighbor-label vote (a reciprocal pair counting
+    twice was a real hypothesis-fuzz catch)."""
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
     und = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
         .where(F.col("u") != F.col("v"))
         .dropDuplicates(["u", "v"])
     )

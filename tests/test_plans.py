@@ -203,3 +203,45 @@ def test_intersect_probe_order_follows_predicate_stats(spark):
         r["id"] for r in b.collect()
     )
     assert len(a.collect()) > 0
+
+
+def test_qscore_broadcasts_model_single_id_shuffle(spark, entry):
+    """hashed_linear_score: the 8192-row weight table must broadcast
+    (never a shuffled join against the corpus features), and the only
+    hash exchange moving corpus rows is the per-doc aggregation."""
+    df = entry.queries()["t_qscore"](spark, SF)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # exchanges: feature->agg (plus AQE coalesces); no join shuffle
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_kmv_no_corpus_shuffle_before_kernel(spark, entry):
+    """kmv_build: the corpus flows straight into the per-partition
+    Arrow kernel — no Exchange between the scan and mapInPandas (the
+    O(k)-state property that makes the sketch cheaper than a distinct
+    at 100 TB)."""
+    df = entry.queries()["t_kmv"](spark, SF)
+    plan = plan_of(df)
+    k_at = plan.find("MapInPandas")
+    assert k_at != -1
+    # the kernel's child subtree (between MapInPandas and its feeding
+    # scan in the flattened dump) must contain no HASH exchange — the
+    # corpus is never shuffled to build the sketch. (_t_wide's
+    # round-robin repartition is the documented test-rig equalizer
+    # for single-row-group testdata files, a no-op at real scale.)
+    tail = plan[k_at:]
+    scan_at = tail.find("Scan parquet")
+    assert scan_at != -1
+    assert "Exchange hashpartitioning" not in tail[:scan_at], tail[:scan_at]
+
+
+def test_perplexity_model_joins_not_cartesian(spark, entry):
+    """lm_perplexity: the vocabulary scalar arrives as a 1-row
+    broadcast; no CartesianProduct, no SortMergeJoin against the
+    1-row side."""
+    df = entry.queries()["t_perplexity"](spark, SF)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
