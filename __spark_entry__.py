@@ -1715,6 +1715,26 @@ def t_qscore(spark, sf):
     return hashed_linear_score(docs, weights, buckets=8192)
 
 
+def t_gopher(spark, sf):
+    """Gopher quality-rule battery (functions/text.gopher_rules —
+    Rae et al. 2021 appendix A, the MassiveWeb filter set later
+    pipelines reuse): per-doc boolean verdicts for word count, mean
+    word length, symbol ratio, alphabetic-word fraction, stopword
+    presence, plus the conjunction — all division-free integer
+    comparisons, so every verdict hash-gates exactly."""
+    from cayley_spark.functions.text import gopher_rules
+
+    docs = _t_wide(spark, sf, "documents")
+    # corpus-apt stop list (the synthetic vocabulary has only two of
+    # the paper's English function words) so every rule DISCRIMINATES
+    # on this corpus instead of uniformly failing the conjunction
+    return gopher_rules(
+        docs,
+        min_words=30,
+        stoplist=("the", "a", "table", "value", "row", "fast"),
+    )
+
+
 def g_ppr(spark, sf):
     """Personalized PageRank (graphs/algorithms.personalized_pagerank
     — Page et al. 1999 §6, Jeh & Widom 2003) over the order↔part
@@ -2425,6 +2445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_perplexity": t_perplexity,
         "t_qscore": t_qscore,
         "g_ppr": g_ppr,
+        "t_gopher": t_gopher,
         # --- last verified r06 (overflowed the r8 window at 51-75) -----
         "g_regex": g_regex,
         "g_order_limit": g_order_limit,
@@ -4504,6 +4525,46 @@ WITH per_cust AS (
               CASE WHEN label % 2 = 0 THEN 'o:' || (label // 2)
                    ELSE 'p:' || ((label - 1) // 2) END AS community
             FROM r2
+        """,
+        # Gopher rules: division-free integer comparisons replayed
+        # verbatim; symbol count = '#' occurrences + '...' regex splits.
+        "t_gopher": r"""
+            WITH b AS (
+              SELECT doc_id,
+                regexp_extract_all(lower(COALESCE(text, '')), '\w+') AS t,
+                len(string_split(COALESCE(text, ''), '#')) - 1
+                  + len(regexp_split_to_array(COALESCE(text, ''),
+                                              '\.\.\.')) - 1
+                  AS n_symbols
+              FROM documents
+            ), m AS (
+              SELECT doc_id,
+                CAST(len(t) AS INT) AS n_words,
+                CAST(COALESCE(list_sum([length(x) for x in t]), 0)
+                     AS INT) AS word_chars,
+                CAST(n_symbols AS INT) AS n_symbols,
+                CAST(len([x for x in t if regexp_matches(x, '[a-z]')])
+                     AS INT) AS n_alpha_words,
+                CAST(len([w for w in
+                          ['the','a','table','value','row','fast']
+                          if list_contains(t, w)]) AS INT) AS stop_hits
+              FROM b
+            )
+            SELECT doc_id, n_words, word_chars, n_symbols,
+                   n_alpha_words, stop_hits,
+              (n_words >= 30 AND n_words <= 100000) AS ok_word_count,
+              (word_chars >= 3 * n_words
+               AND word_chars <= 10 * n_words) AS ok_mean_word_len,
+              (10 * n_symbols <= n_words) AS ok_symbol_ratio,
+              (5 * n_alpha_words >= 4 * n_words) AS ok_alpha_words,
+              (stop_hits >= 2) AS ok_stopwords,
+              ((n_words >= 30 AND n_words <= 100000)
+               AND (word_chars >= 3 * n_words
+                    AND word_chars <= 10 * n_words)
+               AND (10 * n_symbols <= n_words)
+               AND (5 * n_alpha_words >= 4 * n_words)
+               AND (stop_hits >= 2)) AS pass_gopher
+            FROM m
         """,
         # Trigram-LM NLL: the float ln is evaluated once per DISTINCT
         # model trigram and floored to an integer (LM_LOGPROB_SCALE),

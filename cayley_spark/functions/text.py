@@ -1226,3 +1226,82 @@ def hashed_linear_score(
             .alias("score"),
         )
     )
+
+
+GOPHER_STOPLIST = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    stoplist: tuple = GOPHER_STOPLIST,
+) -> DataFrame:
+    """The Gopher quality-rule battery (Rae et al. 2021 appendix A —
+    the heuristic filter set MassiveWeb shipped and most later
+    pipelines reuse, e.g. RefinedWeb §3.1): per-document boolean
+    verdicts for each rule plus the conjunction, computed as pure
+    column expressions at scan speed.
+
+    Rules (division-free comparisons so every verdict is exact
+    integer arithmetic — the oracle-portability discipline):
+
+    - ``ok_word_count``: word count in [min_words, max_words];
+    - ``ok_mean_word_len``: mean word length in [3, 10]
+      (3·n ≤ Σlen ≤ 10·n);
+    - ``ok_symbol_ratio``: hash + ellipsis occurrences ≤ 0.1·words
+      (10·symbols ≤ words);
+    - ``ok_alpha_words``: ≥ 80% of words contain an alphabetic
+      character (5·alpha_words ≥ 4·words);
+    - ``ok_stopwords``: ≥ 2 distinct members of ``stoplist`` appear
+      (default = the paper's 8 English function words; pass a
+      corpus-appropriate list for other languages/domains);
+    - ``pass_gopher``: all of the above.
+
+    The paper's line-level rules (bullet-start / ellipsis-end line
+    fractions) need line structure the flat testdata lacks; they are
+    the same expression shape (split + filter + size) and are folded
+    into the symbol rule's ellipsis count here. Integer counts ride
+    along so consumers can re-threshold without a re-scan."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    toks = tokens(c)
+    n_words = F.size(toks)
+    word_chars = F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t))
+    n_symbols = (
+        F.size(F.split(c, "#", -1))
+        - 1
+        + F.size(F.split(c, r"\.\.\.", -1))
+        - 1
+    )
+    n_alpha_words = F.size(
+        F.filter(toks, lambda t: t.rlike("[a-z]"))
+    )
+    stop_hits = F.size(
+        F.filter(
+            F.array(*[F.lit(w) for w in stoplist]),
+            lambda w: F.array_contains(toks, w),
+        )
+    )
+    ok_wc = (n_words >= min_words) & (n_words <= max_words)
+    ok_mwl = (word_chars >= 3 * n_words) & (word_chars <= 10 * n_words)
+    ok_sym = 10 * n_symbols <= n_words
+    ok_alpha = 5 * n_alpha_words >= 4 * n_words
+    ok_stop = stop_hits >= 2
+    return df.select(
+        id_col,
+        n_words.cast("int").alias("n_words"),
+        word_chars.cast("int").alias("word_chars"),
+        n_symbols.cast("int").alias("n_symbols"),
+        n_alpha_words.cast("int").alias("n_alpha_words"),
+        stop_hits.cast("int").alias("stop_hits"),
+        ok_wc.alias("ok_word_count"),
+        ok_mwl.alias("ok_mean_word_len"),
+        ok_sym.alias("ok_symbol_ratio"),
+        ok_alpha.alias("ok_alpha_words"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_wc & ok_mwl & ok_sym & ok_alpha & ok_stop).alias(
+            "pass_gopher"
+        ),
+    )

@@ -1925,3 +1925,49 @@ def test_hashed_linear_score_replica(spark):
         ]
         want[r.doc_id] = (len(bs), sum(wmap.get(b, 0) for b in bs))
     assert got == want
+
+
+def test_gopher_rules_boundaries(spark):
+    """Gopher filter battery (Rae et al. 2021 appendix A): each rule
+    verified at its boundary with crafted documents; division-free
+    comparisons make every verdict exact."""
+    from cayley_spark.functions.text import gopher_rules
+
+    docs = [
+        # 0: passes everything (the and of ... 50+ 4-char words)
+        (0, "the and " + " ".join(["word"] * 60)),
+        # 1: too short (3 words)
+        (1, "the and word"),
+        # 2: mean word length too LOW (1-char words)
+        (2, "the and " + " ".join(["a"] * 60)),
+        # 3: mean word length too HIGH (12-char words)
+        (3, "the and " + " ".join(["abcdefghijkl"] * 60)),
+        # 4: symbol-heavy (hashes + ellipses > words/10)
+        (4, "the and " + " ".join(["word"] * 60) + " " + "# ... " * 10),
+        # 5: numeric words (alpha fraction < 80%)
+        (5, "the and " + " ".join(["1234"] * 60)),
+        # 6: only one stop word
+        (6, "the " + " ".join(["word"] * 60)),
+        # 7: NULL text
+        (7, None),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in gopher_rules(df, min_words=50).collect()
+    }
+    assert out[0]["pass_gopher"]
+    assert not out[1]["ok_word_count"] and not out[1]["pass_gopher"]
+    assert not out[2]["ok_mean_word_len"]
+    assert not out[3]["ok_mean_word_len"]
+    assert not out[4]["ok_symbol_ratio"] and out[4]["n_symbols"] == 20
+    assert not out[5]["ok_alpha_words"]
+    assert out[6]["stop_hits"] == 1 and not out[6]["ok_stopwords"]
+    assert out[7]["n_words"] == 0 and not out[7]["pass_gopher"]
+    # exact mean-word-length boundary: 3.0 exactly (inclusive)
+    b = spark.createDataFrame(
+        [(0, "the and " + " ".join(["abc"] * 60))],
+        "doc_id long, text string",
+    )
+    row = gopher_rules(b, min_words=10).collect()[0]
+    assert row["ok_mean_word_len"]
