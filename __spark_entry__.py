@@ -2424,16 +2424,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     entries whose last green verdict is OLDEST; entries green in the
     immediately previous round go last (they retain pytest +
     tools/check_oracles.py coverage while they wait).
-    Round-9 window (50) = 5 round-9 additions (never checked;
+    Round-9 window (50) = 9 round-9 additions (never checked;
     t_wsample first — the one r8 operator that shipped without a
     driver verdict) + the 25 r06-verified entries that overflowed the
     round-8 window (g_regex .. q_events_topuser — exactly 2 rounds
     stale, the oldest verdicts on the board) + the oldest r07-green
-    entries up to position 50 (d_trimspans .. q_sliding). The r07
-    remainder (q_session_window .. t_langid) overflows past 50 and
-    leads the round-10 window at 3 rounds stale — exactly the
-    freshness ceiling COVERAGE.md ratified this round; the 50
-    r08-green entries sit at the tail (freshest last, rule 4).
+    entries up to position 50 (d_trimspans .. q_antijoin). The r07
+    remainder (q_cube .. t_langid) overflows past 50 and leads the
+    round-10 window at 3 rounds stale — exactly the freshness
+    ceiling COVERAGE.md ratified this round; the 50 r08-green
+    entries sit at the tail (freshest last, rule 4).
     """
     return {
         # --- round-9 additions (never driver-checked) ------------------
