@@ -111,3 +111,114 @@ def _countmin_fold(key: Column, path: str, depth: int, width: int):
         _write_last_batch(spark, path, batch_id)
 
     return _fold
+
+
+def bloom_stream(
+    docs: DataFrame,
+    key: Column,
+    path: str,
+    n_bits: int = 1 << 20,
+    k: int = 4,
+):
+    """Maintain a persisted bloom filter at ``path`` over a stream:
+    per micro-batch, build the batch's own (≤ n_bits/64-row) bloom
+    and OR it into the saved words via bloom_merge semantics — bit
+    arrays compose, so the maintained filter answers membership over
+    everything applied so far exactly as a one-pass build would
+    (test-pinned). The artifact at ``{path}/bloom`` is
+    bloom_save-compatible: any batch job bloom_loads it for
+    admission gating while the stream keeps it current. Same batch-id replay guard as countmin_stream; the
+    only crash window re-ORs one batch, which for a bloom is a
+    no-op (idempotent bitwise OR — the one sketch where replay is
+    actually harmless)."""
+    from ..functions.bloom import _check
+
+    _check(n_bits, k)
+    return docs.writeStream.foreachBatch(
+        _bloom_fold(key, path, n_bits, k)
+    )
+
+
+def _bloom_fold(key: Column, path: str, n_bits: int, k: int):
+    from ..functions.bloom import _check, bloom_build, bloom_save
+
+    _check(n_bits, k)
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_id <= _read_last_batch(spark, path):
+            return
+        batch_bloom = bloom_build(batch_df, key, n_bits, k)
+        words = {
+            int(r["word_idx"]): int(r["bits"])
+            for r in batch_bloom.collect()  # <= n_bits/64 rows
+        }
+        try:
+            for r in spark.read.parquet(
+                os.path.join(path, "bloom", "words")
+            ).collect():
+                w = int(r["word_idx"])
+                words[w] = words.get(w, 0) | int(r["bits"])
+        except Exception:
+            pass  # first batch
+        merged = spark.createDataFrame(
+            [
+                (w, b, int(n_bits), int(k))
+                for w, b in sorted(words.items())
+            ],
+            "word_idx bigint, bits bigint, n_bits bigint, k int",
+        )
+        # bloom_save writes words + the (n_bits, k) meta sidecar and
+        # validates carried geometry; stage the whole filter dir then
+        # swap so concurrent readers never see a half-written filter
+        bloom_save(merged, os.path.join(path, "bloom.save.tmp"))
+        from ..functions.ann_index import _swap_dir
+
+        _swap_dir(spark, path, "bloom")
+        _write_last_batch(spark, path, batch_id)
+
+    return _fold
+
+
+def kmv_stream(docs: DataFrame, key: Column, path: str, k: int = 256):
+    """Maintain a persisted KMV distinct-count sketch at ``path``
+    over a stream: per micro-batch, sketch the batch and take the k
+    smallest of the union with the saved survivors — the Beyer et
+    al. 2007 multiset-union property makes the maintained sketch
+    EXACTLY the one-pass sketch of everything applied so far
+    (test-pinned). Like the bloom fold, a replayed batch is
+    mathematically a no-op (set union is idempotent), but the
+    batch-id guard still skips it to avoid the wasted rewrite."""
+    return docs.writeStream.foreachBatch(_kmv_fold(key, path, k))
+
+
+def _kmv_fold(key: Column, path: str, k: int):
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        from ..functions.sketch import kmv_build
+
+        spark = batch_df.sparkSession
+        if batch_id <= _read_last_batch(spark, path):
+            return
+        batch_sk = kmv_build(batch_df, key, k=k)
+        hashes = {r["h"] for r in batch_sk.collect()}  # <= k rows
+        try:
+            for r in spark.read.parquet(
+                os.path.join(path, "minima")
+            ).collect():
+                hashes.add(r["h"])
+        except Exception:
+            pass
+        top = sorted(hashes)[:k]
+        merged = spark.createDataFrame(
+            [(i + 1, h, int(k)) for i, h in enumerate(top)],
+            "rank int, h string, k int",
+        )
+        merged.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(path, "minima.save.tmp")
+        )
+        from ..functions.ann_index import _swap_dir
+
+        _swap_dir(spark, path, "minima")
+        _write_last_batch(spark, path, batch_id)
+
+    return _fold
