@@ -280,63 +280,12 @@ def main() -> None:
             "invocation": "python bench.py (alone, no concurrent "
             "Spark sessions)",
         },
-        # Standing ledger of isolated re-adjudications of suspected
-        # regressions (single-query runs, 5 reps, bench session + GC
-        # discipline) — kept here so it rides into BENCH_DETAIL.json
-        # every round and round-over-round comparisons see it.
-        "adjudications": {
-            "r6_s_knn_ivf": "r5 warm 4.71s (+35% vs r4 3.50) re-run "
-            "isolated: [7.93, 3.53, 3.63, 3.63, 3.18] min 3.18s — "
-            "host noise, at/below r4 level; no fix needed",
-            "r6_d_against": "r5 warm 2.85s (+31% vs r4 2.17) re-run "
-            "isolated WITH the new hot-bucket guard: "
-            "[9.62, 4.14, 6.46, 4.10, 2.39] min 2.39s — host noise "
-            "(in-run variance 2.4-6.5s); no fix needed",
-            "r7_q20_q21": "r6 suite warm ~2x on unchanged code (q20 "
-            "0.75->1.61, q21 1.10->2.19; two runs agreed). Isolated "
-            "5-rep re-runs: q20 [6.92, 1.46, 1.23, 1.11, 1.03] min "
-            "1.03s, q21 [2.18, 1.39, 1.03, 1.03, 1.03] min 1.03s — "
-            "q21 at r5 level, q20 within the sub-second variance "
-            "band; plan audit shows 6 BroadcastHashJoin / 0 SMJ (no "
-            "AQE flip). Suite-context contention, not a regression.",
-            "r7_movies": "movies_2set drift 0.027->0.038s (1.9x of "
-            "the 20ms baseline) adjudicated: isolated noop-write "
-            "reps [0.037,0.031,0.031,0.032,0.037] still ~1.55x. Root "
-            "cause is the HARNESS, not the engine: noop-write times "
-            "a Spark job launch + Arrow py4j bridge (~25-40ms fixed) "
-            "on rows the local engine already computed driver-side. "
-            "Materialization switched to .all() (rendered dicts — "
-            "what the memstore baseline itself measures); Path.all/"
-            "all_values gained the bridge-free local fast path. "
-            "Isolated .all() reps: 2set [10,9,9,10,9]ms = 0.5x "
-            "baseline, 3set 18-20ms, lookup 3ms, costars 14-16ms.",
-            "r7_t_scripts_d_lsh": "r7 suite movers t_scripts "
-            "0.50->0.85 and d_lsh 2.24->3.72 (unchanged code) "
-            "re-run isolated 5-rep: t_scripts "
-            "[4.53, 0.54, 0.42, 0.44, 0.36] min 0.36s, d_lsh "
-            "[8.86, 2.45, 2.34, 2.33, 2.62] min 2.33s — both at/"
-            "below r6 level; transient, no fix needed. (An earlier "
-            "edition of this note claimed these were the ONLY two "
-            ">1.3x movers — wrong: d_jaccard also moved and was "
-            "adjudicated separately in r8, see r8_d_jaccard.)",
-            "r8_d_jaccard": "r7 warm 6.84s vs r6 4.26s on unchanged "
-            "code (only r7 diff in dedup.py is the unrelated "
-            "trim_spans addition) — the mover the r7 note missed. "
-            "Isolated 5-rep re-run (bench session + GC discipline): "
-            "[13.73, 4.64, 3.69, 4.69, 3.74] min 3.69s — BELOW the "
-            "r6 level; suite contention / host noise, no plan "
-            "change, no fix needed.",
-            "r8_d_jaccard_reprice": "the r8 scale-slope experiment "
-            "(SCALE.md) caught the direct-vs-AllPairs budget flip at "
-            "a mispriced 5e7 boundary (direct ~7s vs AllPairs 77-102s "
-            "at sum(df^2)=57M, t=0.35); budget repriced to 5e8 plus "
-            "an in-join PPJoin length filter. Both AllPairs bounds "
-            "carry one unit of float slack (double(t) can round up "
-            "and drop a TRUE boundary pair — review-confirmed at "
-            "t=0.28, J=7/25; regression + fuzz pinned). Bench "
-            "d_jaccard runs the direct plan at sf0.1 either way: "
-            "6.84 -> 4.81s.",
-        },
+        # Adjudications of suspected regressions live in the
+        # append-only ADJUDICATIONS.json ledger at the repo root —
+        # bench.py never writes it, so bench rewrites can no longer
+        # clobber it (it was lost twice in round 9 when it rode
+        # inside this file). This key is only a pointer.
+        "adjudications_ledger": "ADJUDICATIONS.json",
     }
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"

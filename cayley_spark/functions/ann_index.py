@@ -36,22 +36,47 @@ from .similarity import _nearest, cosine, kmeans_centroids
 
 def _swap_dir(spark: SparkSession, path: str, sub: str) -> None:
     """Swap ``{path}/{sub}.save.tmp`` into ``{path}/{sub}`` via Hadoop
-    FileSystem delete+rename (portable across local/HDFS/S3A). Return
-    values are CHECKED — Hadoop reports failure by returning false."""
+    FileSystem rename-aside (portable across local/HDFS/S3A). Return
+    values are CHECKED — Hadoop reports failure by returning false.
+
+    Ordering: target → target.old, tmp → target, delete target.old.
+    The window in which the target does not exist is the gap between
+    the two renames (metadata ops), not the duration of a recursive
+    delete — the old delete-then-rename ordering left concurrent
+    readers (which streaming/sketches.py explicitly allows) a
+    delete-sized hole. A crash between the renames is recovered by
+    restoring ``.old``. True atomicity holds only on rename-atomic
+    filesystems (HDFS, local POSIX); on S3A rename is a non-atomic
+    copy, so concurrent readers there can still observe a missing or
+    partial target — front S3 swaps with a table format or a
+    manifest if readers cannot tolerate that."""
     sc = spark.sparkContext
     jvm = sc._jvm
     hp = jvm.org.apache.hadoop.fs.Path
     fs = hp(path).getFileSystem(sc._jsc.hadoopConfiguration())
     tgt = hp(os.path.join(path, sub))
-    if fs.exists(tgt) and not fs.delete(tgt, True):
+    old = hp(os.path.join(path, f"{sub}.old"))
+    if fs.exists(old) and not fs.delete(old, True):
         raise RuntimeError(
-            f"swap: could not delete {path}/{sub}; previous layout "
+            f"swap: could not clear stale {path}/{sub}.old; previous "
+            f"layout left intact (remove it and retry)"
+        )
+    had_old = fs.exists(tgt)
+    if had_old and not fs.rename(tgt, old):
+        raise RuntimeError(
+            f"swap: could not set aside {path}/{sub}; previous layout "
             f"left intact (recover: remove *.save.tmp and retry)"
         )
     if not fs.rename(hp(os.path.join(path, f"{sub}.save.tmp")), tgt):
+        if had_old:
+            fs.rename(old, tgt)  # best-effort restore of the old dir
         raise RuntimeError(
             f"swap: rename of {path}/{sub}.save.tmp failed; retry"
         )
+    if had_old:
+        # cleanup only — target is already correct; a failed delete
+        # leaves junk that the next swap's entry guard clears
+        fs.delete(old, True)
 
 
 class IVFIndex:

@@ -198,6 +198,18 @@ def bloom_probe(
             f"n_bits={n_bits} exceeds the broadcast cap "
             f"{MAX_BROADCAST_BITS}; use bloom_probe_keys (join form)"
         )
+    if n_bits is None and "n_bits" in bloom.columns:
+        # geometry is carried: read it from ONE row and apply the
+        # broadcast cap before collecting — an over-cap filter used
+        # to be fully collected (up to n_bits/64 rows, a driver-OOM
+        # risk) and only then rejected
+        head = bloom.select("n_bits").limit(1).collect()
+        if head and int(head[0]["n_bits"]) > MAX_BROADCAST_BITS:
+            raise ValueError(
+                f"bloom carries n_bits={int(head[0]['n_bits'])}, over "
+                f"the broadcast cap {MAX_BROADCAST_BITS}; use "
+                f"bloom_probe_keys (join form)"
+            )
     rows = bloom.collect()  # bounded: <= n_bits/64 rows by construction
     carried: set[tuple[int, int]] = set()
     if rows and "n_bits" in rows[0].__fields__ and "k" in rows[0].__fields__:

@@ -139,6 +139,23 @@ def countmin_estimate(
     returning wrong estimates. Geometry-less grids keep the
     caller-declared values unchecked (pre-geometry behavior)."""
     carried_cols = "depth" in cms.columns and "width" in cms.columns
+    if depth is not None and width is not None and carried_cols:
+        # Declared-geometry path: the in-plan raise_error guard below
+        # only fires on cells a probe key actually MATCHES, so a
+        # mismatched modulus whose mis-moduled probes all land on
+        # absent cells would return est=0 silently — exactly the
+        # under-count the guard exists to prevent, on the all-miss
+        # path. One cheap grid-sized job closes that hole up front.
+        geom = _carried_grid_geometry(cms)
+        if geom is not None and (
+            int(depth) != geom[0] or int(width) != geom[1]
+        ):
+            raise ValueError(
+                f"countmin_estimate geometry mismatch: declared "
+                f"({depth}, {width}) != build ({geom[0]}, {geom[1]}) "
+                f"— probes would use the wrong modulus (silent "
+                f"under-counts)"
+            )
     if depth is None or width is None:
         geom = _carried_grid_geometry(cms)
         if geom is None:

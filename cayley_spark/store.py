@@ -296,6 +296,13 @@ class GraphStore:
                     f"recover by re-running save()"
                 )
         _fs_delete(self.spark, f"{path}/delta")
+        # Re-point the live DataFrames at the swapped files: a store
+        # load()ed from this same path holds lazy plans whose file
+        # listings name the files the swap just deleted, so any later
+        # action on this object would hit FileNotFoundException (or
+        # read nothing). Same discipline as IVFIndex.save.
+        self.quads = self.spark.read.parquet(f"{path}/quads")
+        self.nodes = self.spark.read.parquet(f"{path}/nodes")
 
     @classmethod
     def save_deltas(

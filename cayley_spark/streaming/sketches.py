@@ -24,12 +24,29 @@ import os
 from pyspark.sql import Column, DataFrame, functions as F
 
 
+def _path_exists(spark, path: str) -> bool:
+    """Explicit Hadoop-FS existence probe. The folds used to wrap
+    their reads in bare try/except — which treated ANY read failure
+    (transient FS error, corrupt footer, permission blip) as 'no
+    sketch yet' and silently REPLACED the accumulated sketch with
+    just the current batch: a permanent under-count that violates
+    the Count-Min never-under-counts contract. Existence is the only
+    condition that legitimately means 'first batch'; every other
+    error must propagate so the batch fails and foreachBatch retries
+    it against the intact artifact."""
+    sc = spark.sparkContext
+    hp = sc._jvm.org.apache.hadoop.fs.Path
+    p = hp(path)
+    fs = p.getFileSystem(sc._jsc.hadoopConfiguration())
+    return fs.exists(p)
+
+
 def _read_last_batch(spark, path: str) -> int:
-    try:
-        row = spark.read.parquet(os.path.join(path, "last_batch")).head()
-        return int(row["batch_id"]) if row is not None else -1
-    except Exception:
-        return -1
+    marker = os.path.join(path, "last_batch")
+    if not _path_exists(spark, marker):
+        return -1  # stream has never committed a batch here
+    row = spark.read.parquet(marker).head()
+    return int(row["batch_id"]) if row is not None else -1
 
 
 def _write_last_batch(spark, path: str, batch_id: int) -> None:
@@ -84,12 +101,10 @@ def _countmin_fold(key: Column, path: str, depth: int, width: int):
             for r in grid.collect()  # bounded: <= depth*width rows
         }
         cur = os.path.join(path, "cells")
-        try:
+        if _path_exists(spark, cur):  # else first batch: no grid yet
             for r in spark.read.parquet(cur).collect():
                 k = (int(r["row"]), int(r["bucket"]))
                 cells[k] = cells.get(k, 0) + int(r["cnt"])
-        except Exception:
-            pass  # first batch: no grid yet
         merged = spark.createDataFrame(
             [
                 (rw, b, c, int(depth), int(width))
@@ -153,14 +168,11 @@ def _bloom_fold(key: Column, path: str, n_bits: int, k: int):
             int(r["word_idx"]): int(r["bits"])
             for r in batch_bloom.collect()  # <= n_bits/64 rows
         }
-        try:
-            for r in spark.read.parquet(
-                os.path.join(path, "bloom", "words")
-            ).collect():
+        saved_words = os.path.join(path, "bloom", "words")
+        if _path_exists(spark, saved_words):  # else first batch
+            for r in spark.read.parquet(saved_words).collect():
                 w = int(r["word_idx"])
                 words[w] = words.get(w, 0) | int(r["bits"])
-        except Exception:
-            pass  # first batch
         merged = spark.createDataFrame(
             [
                 (w, b, int(n_bits), int(k))
@@ -201,13 +213,10 @@ def _kmv_fold(key: Column, path: str, k: int):
             return
         batch_sk = kmv_build(batch_df, key, k=k)
         hashes = {r["h"] for r in batch_sk.collect()}  # <= k rows
-        try:
-            for r in spark.read.parquet(
-                os.path.join(path, "minima")
-            ).collect():
+        saved_minima = os.path.join(path, "minima")
+        if _path_exists(spark, saved_minima):  # else first batch
+            for r in spark.read.parquet(saved_minima).collect():
                 hashes.add(r["h"])
-        except Exception:
-            pass
         top = sorted(hashes)[:k]
         merged = spark.createDataFrame(
             [(i + 1, h, int(k)) for i, h in enumerate(top)],
