@@ -303,6 +303,13 @@ class GraphStore:
         # read nothing). Same discipline as IVFIndex.save.
         self.quads = self.spark.read.parquet(f"{path}/quads")
         self.nodes = self.spark.read.parquet(f"{path}/nodes")
+        # The compile memo caches whole PLANS built over the pre-swap
+        # DataFrames — its "the store is immutable" premise breaks
+        # exactly here, and a hit would replay a plan whose file
+        # listing names the deleted files. Drop it; the numeric
+        # _pred_count_cache and the driver-side _local_index describe
+        # the (unchanged) data, not file layout, and stay valid.
+        self.__dict__.pop("_compile_cache", None)
 
     @classmethod
     def save_deltas(

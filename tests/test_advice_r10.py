@@ -71,6 +71,8 @@ def test_store_save_onto_own_path_repoints(spark, tmp_path):
     """load() then save() onto the same path: the swap deletes the
     files the lazy DataFrames listed, so save must re-point them —
     subsequent actions on the SAME object read the swapped files."""
+    from cayley_spark import Path
+
     path = str(tmp_path / "store")
     st = GraphStore.from_quad_values(
         spark,
@@ -79,9 +81,14 @@ def test_store_save_onto_own_path_repoints(spark, tmp_path):
     st.save(path)
     loaded = GraphStore.load(spark, path)
     n_before = loaded.quads.count()
+    # populate the compile memo with a plan over the PRE-swap files —
+    # the second query below must not replay it (the memo's
+    # "immutable store" premise breaks on an own-path save)
+    assert Path.start(loaded, IRI("b")).in_(IRI("p")).all_values() == ["<a>"]
     loaded.save(path)  # overwrite-swap onto its own source path
     assert loaded.quads.count() == n_before  # old files are gone; must not fail
     assert loaded.nodes.count() > 0
+    assert Path.start(loaded, IRI("b")).in_(IRI("p")).all_values() == ["<a>"]
 
 
 def test_bloom_probe_carried_overcap_raises(spark):
