@@ -884,6 +884,66 @@ def q21(spark, sf):
     )
 
 
+def q_tpch_rev(spark, sf):
+    """Consolidated TPC-H revenue trio Q7+Q8+Q9 (registry
+    consolidation, COVERAGE.md round 10: three near-duplicate
+    multi-join + year-extract + decimal-agg shapes merged into one
+    multi-assert entry ahead of the 150-entry cap). All three plans
+    still execute end-to-end unchanged — q7/q8/q9 remain the
+    implementations — and their results harmonize into
+    (q, k, yr, v) rows: q7 keys on supp|cust nation pair, q8 on the
+    market-share scalar, q9 on nation; every original value column
+    survives verbatim in v."""
+    a = q7(spark, sf).select(
+        F.lit("q7").alias("q"),
+        F.concat(
+            F.col("supp_nation"), F.lit("|"), F.col("cust_nation")
+        ).alias("k"),
+        F.col("l_year").cast("int").alias("yr"),
+        F.col("revenue").alias("v"),
+    )
+    b = q8(spark, sf).select(
+        F.lit("q8").alias("q"),
+        F.lit("mkt_share").alias("k"),
+        F.col("o_year").cast("int").alias("yr"),
+        F.col("mkt_share").alias("v"),
+    )
+    c = q9(spark, sf).select(
+        F.lit("q9").alias("q"),
+        F.col("nation").alias("k"),
+        F.col("o_year").cast("int").alias("yr"),
+        F.col("sum_profit").alias("v"),
+    )
+    return a.unionByName(b).unionByName(c)
+
+
+def q_tpch_mix1(spark, sf):
+    """Consolidated TPC-H Q19+Q20+Q21 (registry consolidation,
+    COVERAGE.md round 10): the OR-of-ANDs pushed-filter aggregate,
+    the nested-aggregate semi-join chain, and the double-correlated
+    EXISTS/NOT-EXISTS shape merged into one multi-assert entry. The
+    three plans execute unchanged via q19/q20/q21; results
+    harmonize into (q, k, v): q19 contributes its revenue scalar,
+    q20 its (s_name → s_suppkey) rows, q21 its (s_name → numwait)
+    top-20."""
+    a = q19(spark, sf).select(
+        F.lit("q19").alias("q"),
+        F.lit("revenue").alias("k"),
+        F.col("revenue").alias("v"),
+    )
+    b = q20(spark, sf).select(
+        F.lit("q20").alias("q"),
+        F.col("s_name").alias("k"),
+        F.col("s_suppkey").cast("double").alias("v"),
+    )
+    c = q21(spark, sf).select(
+        F.lit("q21").alias("q"),
+        F.col("s_name").alias("k"),
+        F.col("numwait").cast("double").alias("v"),
+    )
+    return a.unionByName(b).unionByName(c)
+
+
 def q22(spark, sf):
     """TPC-H Q22 (global sales opportunity): rich-but-inactive
     customers per nation — above-average balance (division-free:
@@ -1715,6 +1775,83 @@ def t_qscore(spark, sf):
     return hashed_linear_score(docs, weights, buckets=8192)
 
 
+def t_perplexity_ext(spark, sf):
+    """CCNet-FAITHFUL LM filtering (functions/text.lm_perplexity with
+    model= — Wenzek et al. 2020 §3.3 train on a clean REFERENCE
+    corpus, score the target): the trigram model is trained only on
+    the doc_id % 5 = 0 slice (the stand-in for Wikipedia) via
+    lm_train_trigram, then every document is scored against it with
+    a broadcast model join; trigrams absent from the model cost the
+    explicit default_nll (20·scale ≡ ln p = -20). Because the
+    reference-corpus model is fixed-size w.r.t. the target, the
+    100 TB scoring plan touches the corpus exactly twice with a
+    BroadcastHashJoin in between — no corpus-keyed join shuffle
+    (plan-pinned, tests/test_plans.py)."""
+    from cayley_spark.functions.text import lm_perplexity, lm_train_trigram
+
+    docs = _t_wide(spark, sf, "documents")
+    ref = docs.where(F.col("doc_id") % 5 == 0)
+    model = lm_train_trigram(ref)
+    return lm_perplexity(
+        docs, model=model, default_nll=20_000_000, broadcast_model=True
+    )
+
+
+def t_qtrain(spark, sf):
+    """In-engine trainer for the GPT-3-style quality filter
+    (functions/text.hashed_linear_train — Brown et al. 2020 appendix
+    A fit a linear classifier on curated-vs-crawl labels): integer
+    batch perceptron, 2 epochs, over hashed unigram+bigram features;
+    labels are the deterministic doc_id parity split (+1 even / -1
+    odd) so the oracle can unroll both epochs analytically. Output =
+    the non-zero (bucket, weight) rows hashed_linear_score consumes.
+    Per epoch: broadcast weight join + one groupBy(id) shuffle + a
+    map-side-combinable groupBy(bucket); driver traffic is ≤ buckets
+    rows per epoch (the BPE-trainer discipline)."""
+    from cayley_spark.functions.text import hashed_linear_train
+
+    docs = _t_wide(spark, sf, "documents").select(
+        "doc_id",
+        "text",
+        ((F.col("doc_id") % 2) * 2 - 1).cast("int").alias("label"),
+    )
+    return hashed_linear_train(docs, buckets=8192, epochs=2)
+
+
+def t_gopher_lines(spark, sf):
+    """Gopher LINE-level rules (functions/text.gopher_rules —
+    Rae et al. 2021 appendix A: drop docs with >90% bullet-start or
+    >30% ellipsis-end lines, the two rules real pipelines hit most
+    on web text). The flat testdata has no newlines, so the entry
+    synthesizes deterministic line structure first: doc_id % 3 = 0
+    docs become all-bullet lists (fail the bullet rule), % 3 = 1
+    docs end every line with an ellipsis (fail the ellipsis rule),
+    the rest get plain multi-line bodies (pass). Division-free
+    threshold comparisons, same expression shape as the other
+    rules."""
+    from cayley_spark.functions.text import gopher_rules
+
+    docs = _t_wide(spark, sf, "documents").select(
+        "doc_id",
+        F.expr(
+            "CASE WHEN doc_id % 3 = 0"
+            "  THEN '- ' || replace(text, ' ', chr(10) || '- ')"
+            " WHEN doc_id % 3 = 1"
+            "  THEN replace(text, ' ', '...' || chr(10))"
+            " ELSE replace(text, ' join', chr(10) || 'join') END"
+        ).alias("text"),
+    )
+    out = gopher_rules(docs, min_words=1)
+    return out.select(
+        "doc_id",
+        "n_lines",
+        "n_bullet_lines",
+        "n_ellipsis_lines",
+        "ok_bullet_lines",
+        "ok_ellipsis_lines",
+    )
+
+
 def t_gopher(spark, sf):
     """Gopher quality-rule battery (functions/text.gopher_rules —
     Rae et al. 2021 appendix A, the MassiveWeb filter set later
@@ -2420,75 +2557,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     The driver verifies the FIRST 50 entries in dict order, so ordering
     is evidence policy (a CONTINUOUS ROTATION, documented in
-    COVERAGE.md): entries with no driver verdict yet go first, then the
+    COVERAGE.md): entries with no driver verdict yet go first, then
+    entries whose code changed since their last verdict, then the
     entries whose last green verdict is OLDEST; entries green in the
     immediately previous round go last (they retain pytest +
     tools/check_oracles.py coverage while they wait).
-    Round-9 window (50) = 9 round-9 additions (never checked;
-    t_wsample first — the one r8 operator that shipped without a
-    driver verdict) + the 25 r06-verified entries that overflowed the
-    round-8 window (g_regex .. q_events_topuser — exactly 2 rounds
-    stale, the oldest verdicts on the board) + the oldest r07-green
-    entries up to position 50 (d_trimspans .. q_antijoin). The r07
-    remainder (q_cube .. t_langid) overflows past 50 and leads the
-    round-10 window at 3 rounds stale — exactly the freshness
-    ceiling COVERAGE.md ratified this round; the 50 r08-green
-    entries sit at the tail (freshest last, rule 4).
+    Round-10 window (50) = 5 never/changed entries (t_perplexity_ext,
+    t_qtrain, t_gopher_lines, the two TPC-H consolidation entries) +
+    2 code-changed r9-green entries (t_gopher gained the line rules,
+    t_perplexity's self-train path was refactored for model=) + the
+    33-entry r07-remainder cohort (q_cube .. t_langid — exactly 3
+    rounds stale at this verdict, the ratified ceiling, scheduled by
+    COVERAGE.md round 8) + the first 10 of the r08-green tail
+    (d_bloom .. t_postings). The remaining r08-green entries overflow
+    to 51+ and lead the round-11 window; r09-green entries sit last
+    (rule 4). Registry = 132 after the Q7+Q8+Q9 / Q19+Q20+Q21
+    consolidations (they run all six plans via two multi-assert
+    entries — no operator-surface loss).
     """
     return {
-        # --- round-9 additions (never driver-checked) ------------------
-        "t_wsample": t_wsample,
-        "t_mixture_up": t_mixture_up,
-        "d_semdedup_far": d_semdedup_far,
-        "t_kmv": t_kmv,
-        "g_lpa": g_lpa,
-        "t_perplexity": t_perplexity,
-        "t_qscore": t_qscore,
-        "g_ppr": g_ppr,
+        # --- round-10 additions (never driver-checked) -----------------
+        "t_perplexity_ext": t_perplexity_ext,
+        "t_qtrain": t_qtrain,
+        "t_gopher_lines": t_gopher_lines,
+        "q_tpch_rev": q_tpch_rev,
+        "q_tpch_mix1": q_tpch_mix1,
+        # --- code changed since their r9 verdict (jump the queue) ------
         "t_gopher": t_gopher,
-        # --- last verified r06 (overflowed the r8 window at 51-75) -----
-        "g_regex": g_regex,
-        "g_order_limit": g_order_limit,
-        "g_skip": g_skip,
-        "g_optional": g_optional,
-        "g_both": g_both,
-        "g_follow": g_follow,
-        "g_followr": g_followr,
-        "g_or_short": g_or_short,
-        "g_valuefilter": g_valuefilter,
-        "g_valuefilter_fn": g_valuefilter_fn,
-        "g_write_delete": g_write_delete,
-        "g_recursive": g_recursive,
-        "g_recursive_dist": g_recursive_dist,
-        "q1": q1,
-        "q3": q3,
-        "q4": q4,
-        "q5": q5,
-        "q6": q6,
-        "q14": q14,
-        "q17": q17,
-        "q18": q18,
-        "q_events_hourly": q_events_hourly,
-        "q_events_windowed": q_events_windowed,
-        "q_sessions": q_sessions,
-        "q_events_topuser": q_events_topuser,
-        # --- last verified r07 (oldest cohort after the r06 tail) ------
-        "d_trimspans": d_trimspans,
-        "t_urlnorm": t_urlnorm,
-        "d_semdedup": d_semdedup,
-        "t_domains": t_domains,
-        "g_hits": g_hits,
-        "s_kcenter": s_kcenter,
-        "q12": q12,
-        "q_asof": q_asof,
-        "q_range": q_range,
-        "q_rollup": q_rollup,
-        "q_pivot": q_pivot,
-        "q_median": q_median,
-        "m_image": m_image,
-        "m_audio": m_audio,
-        "q_json": q_json,
-        "q_antijoin": q_antijoin,
+        "t_perplexity": t_perplexity,
+        # --- last verified r07 (3 rounds stale = the ceiling; the ------
+        # --- cohort COVERAGE.md scheduled to lead this window) ---------
         "q_cube": q_cube,
         "q_wau": q_wau,
         "q_rolling": q_rolling,
@@ -2497,7 +2595,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_lsh": d_lsh,
         "d_against": d_against,
         "d_index": d_index,
-        # --- positions 51+: r07 remainder; leads the round-10 window ---
         "d_neardup": d_neardup,
         "t_html": t_html,
         "t_mixture": t_mixture,
@@ -2523,7 +2620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_quality": t_quality,
         "t_fingerprint": t_fingerprint,
         "t_langid": t_langid,
-        # --- tail: green in CORRECTNESS_r08 (pytest-held this round) ---
+        # --- last verified r08: head fills the window to 50 ------------
         "d_bloom": d_bloom,
         "t_dsir": t_dsir,
         "t_bpe_train": t_bpe_train,
@@ -2534,6 +2631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_contaminate": t_contaminate,
         "t_split": t_split,
         "t_postings": t_postings,
+        # --- positions 51+: r08-green overflow; leads round 11 ---------
         "t_clean": t_clean,
         "t_urls": t_urls,
         "t_tfidf": t_tfidf,
@@ -2545,17 +2643,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_shards": t_shards,
         "s_knn_quant": s_knn_quant,
         "q2": q2,
-        "q7": q7,
-        "q8": q8,
-        "q9": q9,
         "q10": q10,
         "q11": q11,
         "q13": q13,
         "q15": q15,
         "q16": q16,
-        "q19": q19,
-        "q20": q20,
-        "q21": q21,
         "q22": q22,
         "t_paradedup": t_paradedup,
         "d_spans": d_spans,
@@ -2574,6 +2666,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_allnodes": g_allnodes,
         "g_labeled": g_labeled,
         "g_compare": g_compare,
+        # --- tail: green in CORRECTNESS_r09 (freshest; rule 4) ----------
+        "g_regex": g_regex,
+        "g_order_limit": g_order_limit,
+        "g_skip": g_skip,
+        "g_optional": g_optional,
+        "g_both": g_both,
+        "g_follow": g_follow,
+        "g_followr": g_followr,
+        "g_or_short": g_or_short,
+        "g_valuefilter": g_valuefilter,
+        "g_valuefilter_fn": g_valuefilter_fn,
+        "g_write_delete": g_write_delete,
+        "g_recursive": g_recursive,
+        "g_recursive_dist": g_recursive_dist,
+        "q1": q1,
+        "q3": q3,
+        "q4": q4,
+        "q5": q5,
+        "q6": q6,
+        "q14": q14,
+        "q17": q17,
+        "q18": q18,
+        "q_events_hourly": q_events_hourly,
+        "q_events_windowed": q_events_windowed,
+        "q_sessions": q_sessions,
+        "q_events_topuser": q_events_topuser,
+        "d_trimspans": d_trimspans,
+        "t_urlnorm": t_urlnorm,
+        "d_semdedup": d_semdedup,
+        "t_domains": t_domains,
+        "g_hits": g_hits,
+        "s_kcenter": s_kcenter,
+        "q12": q12,
+        "q_asof": q_asof,
+        "q_range": q_range,
+        "q_rollup": q_rollup,
+        "q_pivot": q_pivot,
+        "q_median": q_median,
+        "m_image": m_image,
+        "m_audio": m_audio,
+        "q_json": q_json,
+        "q_antijoin": q_antijoin,
+        "t_wsample": t_wsample,
+        "t_mixture_up": t_mixture_up,
+        "d_semdedup_far": d_semdedup_far,
+        "t_kmv": t_kmv,
+        "g_lpa": g_lpa,
+        "t_qscore": t_qscore,
+        "g_ppr": g_ppr,
     }
 
 
@@ -3117,7 +3258,15 @@ WITH offers AS (
         ORDER BY e.s_acctbal DESC, e.n_name, e.s_name, p.p_partkey
         LIMIT 100
         """,
-        "q7": """
+        # Consolidated Q7+Q8+Q9 (COVERAGE.md r10 consolidation):
+        # each branch is the former standalone oracle verbatim,
+        # harmonized into (q, k, yr, v).
+        "q_tpch_rev": r"""
+            SELECT 'q7' AS q,
+                   supp_nation || '|' || cust_nation AS k,
+                   l_year AS yr, revenue AS v
+            FROM (
+
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
           CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
@@ -3133,8 +3282,12 @@ SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
           AND l_shipdate >= TIMESTAMP '1996-01-01'
           AND l_shipdate < TIMESTAMP '1998-01-01'
         GROUP BY 1, 2, 3
-        """,
-        "q8": """
+        )
+            UNION ALL
+            SELECT 'q8' AS q, 'mkt_share' AS k,
+                   o_year AS yr, mkt_share AS v
+            FROM (
+
 SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
           CAST(SUM(CAST(CASE WHEN ns.n_name = 'NATION_3'
                      THEN l_extendedprice * (1 - l_discount)
@@ -3153,8 +3306,12 @@ SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
           AND o_orderdate >= TIMESTAMP '1996-01-01'
           AND o_orderdate < TIMESTAMP '1998-01-01'
         GROUP BY 1
-        """,
-        "q9": """
+        )
+            UNION ALL
+            SELECT 'q9' AS q, nation AS k,
+                   o_year AS yr, sum_profit AS v
+            FROM (
+
 SELECT n_name AS nation,
           CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
@@ -3168,6 +3325,85 @@ SELECT n_name AS nation,
         JOIN nation ON s_nationkey = n_nationkey
         WHERE p_name LIKE '%red%'
         GROUP BY 1, 2
+        )
+        """,
+        # Consolidated Q19+Q20+Q21 (COVERAGE.md r10
+        # consolidation): former standalone oracles verbatim,
+        # harmonized into (q, k, v).
+        "q_tpch_mix1": r"""
+            SELECT 'q19' AS q, 'revenue' AS k, revenue AS v
+            FROM (
+
+SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                     AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 20 AND 30)
+        )
+            UNION ALL
+            SELECT 'q20' AS q, s_name AS k,
+                   CAST(s_suppkey AS DOUBLE) AS v
+            FROM (
+
+WITH red AS (
+          SELECT l_partkey, l_suppkey, l_quantity FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1997-01-01'
+            AND l_partkey IN (
+              SELECT p_partkey FROM part WHERE p_name LIKE '%red%')
+        ), per_ps AS (
+          SELECT l_partkey, l_suppkey,
+                 SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq_ps
+          FROM red GROUP BY 1, 2
+        ), per_p AS (
+          SELECT l_partkey AS pk,
+                 SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq_p
+          FROM red GROUP BY 1
+        ), dominant AS (
+          SELECT DISTINCT l_suppkey FROM per_ps
+          JOIN per_p ON l_partkey = pk WHERE sq_ps * 2 > sq_p
+        )
+        SELECT s_suppkey, s_name
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+          AND s_suppkey IN (SELECT l_suppkey FROM dominant)
+        )
+            UNION ALL
+            SELECT 'q21' AS q, s_name AS k,
+                   CAST(numwait AS DOUBLE) AS v
+            FROM (
+
+WITH lo AS (
+          SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE o_orderstatus = 'F'
+        ), all_s AS (
+          SELECT DISTINCT l_orderkey, l_suppkey FROM lo
+        ), late_s AS (
+          SELECT DISTINCT l_orderkey, l_suppkey FROM lo
+          WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+        ), n_all AS (
+          SELECT l_orderkey AS ka, COUNT(*) AS n_supp
+          FROM all_s GROUP BY 1
+        ), n_late AS (
+          SELECT l_orderkey AS kl, COUNT(*) AS n_late
+          FROM late_s GROUP BY 1
+        )
+        SELECT s_name, COUNT(*) AS numwait
+        FROM late_s
+        JOIN n_all ON l_orderkey = ka
+        JOIN n_late ON l_orderkey = kl
+        JOIN supplier ON l_suppkey = s_suppkey
+        WHERE n_supp > 1 AND n_late = 1
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name LIMIT 20
+        )
         """,
         "q10": """
 SELECT c_custkey, c_name, c_acctbal, n_name,
@@ -3224,69 +3460,6 @@ WITH rel AS (
           AND l_suppkey NOT IN (
             SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
         GROUP BY 1, 2, 3
-        """,
-        "q19": """
-SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-                     AS DECIMAL(18,4))) AS DOUBLE) AS revenue
-        FROM lineitem JOIN part ON l_partkey = p_partkey
-        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
-               AND l_quantity BETWEEN 1 AND 11)
-           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
-               AND l_quantity BETWEEN 10 AND 20)
-           OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
-               AND l_quantity BETWEEN 20 AND 30)
-        """,
-        "q20": """
-WITH red AS (
-          SELECT l_partkey, l_suppkey, l_quantity FROM lineitem
-          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-            AND l_shipdate < TIMESTAMP '1997-01-01'
-            AND l_partkey IN (
-              SELECT p_partkey FROM part WHERE p_name LIKE '%red%')
-        ), per_ps AS (
-          SELECT l_partkey, l_suppkey,
-                 SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq_ps
-          FROM red GROUP BY 1, 2
-        ), per_p AS (
-          SELECT l_partkey AS pk,
-                 SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq_p
-          FROM red GROUP BY 1
-        ), dominant AS (
-          SELECT DISTINCT l_suppkey FROM per_ps
-          JOIN per_p ON l_partkey = pk WHERE sq_ps * 2 > sq_p
-        )
-        SELECT s_suppkey, s_name
-        FROM supplier
-        JOIN nation ON s_nationkey = n_nationkey
-        JOIN region ON n_regionkey = r_regionkey
-        WHERE r_name = 'EUROPE'
-          AND s_suppkey IN (SELECT l_suppkey FROM dominant)
-        """,
-        "q21": """
-WITH lo AS (
-          SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
-          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-          WHERE o_orderstatus = 'F'
-        ), all_s AS (
-          SELECT DISTINCT l_orderkey, l_suppkey FROM lo
-        ), late_s AS (
-          SELECT DISTINCT l_orderkey, l_suppkey FROM lo
-          WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
-        ), n_all AS (
-          SELECT l_orderkey AS ka, COUNT(*) AS n_supp
-          FROM all_s GROUP BY 1
-        ), n_late AS (
-          SELECT l_orderkey AS kl, COUNT(*) AS n_late
-          FROM late_s GROUP BY 1
-        )
-        SELECT s_name, COUNT(*) AS numwait
-        FROM late_s
-        JOIN n_all ON l_orderkey = ka
-        JOIN n_late ON l_orderkey = kl
-        JOIN supplier ON l_suppkey = s_suppkey
-        WHERE n_supp > 1 AND n_late = 1
-        GROUP BY s_name
-        ORDER BY numwait DESC, s_name LIMIT 20
         """,
         "q22": """
 WITH cust AS (
@@ -4532,6 +4705,7 @@ WITH per_cust AS (
             WITH b AS (
               SELECT doc_id,
                 regexp_extract_all(lower(COALESCE(text, '')), '\w+') AS t,
+                string_split(COALESCE(text, ''), chr(10)) AS ls,
                 len(string_split(COALESCE(text, ''), '#')) - 1
                   + len(regexp_split_to_array(COALESCE(text, ''),
                                               '\.\.\.')) - 1
@@ -4547,24 +4721,155 @@ WITH per_cust AS (
                      AS INT) AS n_alpha_words,
                 CAST(len([w for w in
                           ['the','a','table','value','row','fast']
-                          if list_contains(t, w)]) AS INT) AS stop_hits
+                          if list_contains(t, w)]) AS INT) AS stop_hits,
+                CAST(len(ls) AS INT) AS n_lines,
+                CAST(len([x for x in ls
+                          if regexp_matches(trim(x), '^[-*•]')])
+                     AS INT) AS n_bullet_lines,
+                CAST(len([x for x in ls
+                          if regexp_matches(trim(x), '(\.\.\.|…)$')])
+                     AS INT) AS n_ellipsis_lines
               FROM b
             )
             SELECT doc_id, n_words, word_chars, n_symbols,
-                   n_alpha_words, stop_hits,
+                   n_alpha_words, stop_hits, n_lines, n_bullet_lines,
+                   n_ellipsis_lines,
               (n_words >= 30 AND n_words <= 100000) AS ok_word_count,
               (word_chars >= 3 * n_words
                AND word_chars <= 10 * n_words) AS ok_mean_word_len,
               (10 * n_symbols <= n_words) AS ok_symbol_ratio,
               (5 * n_alpha_words >= 4 * n_words) AS ok_alpha_words,
               (stop_hits >= 2) AS ok_stopwords,
+              (10 * n_bullet_lines <= 9 * n_lines) AS ok_bullet_lines,
+              (10 * n_ellipsis_lines <= 3 * n_lines)
+                AS ok_ellipsis_lines,
               ((n_words >= 30 AND n_words <= 100000)
                AND (word_chars >= 3 * n_words
                     AND word_chars <= 10 * n_words)
                AND (10 * n_symbols <= n_words)
                AND (5 * n_alpha_words >= 4 * n_words)
-               AND (stop_hits >= 2)) AS pass_gopher
+               AND (stop_hits >= 2)
+               AND (10 * n_bullet_lines <= 9 * n_lines)
+               AND (10 * n_ellipsis_lines <= 3 * n_lines))
+                AS pass_gopher
             FROM m
+        """,
+        "t_gopher_lines": r"""
+            WITH src AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 3 = 0
+                  THEN '- ' || replace(text, ' ', chr(10) || '- ')
+                 WHEN doc_id % 3 = 1
+                  THEN replace(text, ' ', '...' || chr(10))
+                 ELSE replace(text, ' join', chr(10) || 'join') END
+                  AS text
+              FROM documents
+            ), b AS (
+              SELECT doc_id,
+                string_split(COALESCE(text, ''), chr(10)) AS ls
+              FROM src
+            ), m AS (
+              SELECT doc_id,
+                CAST(len(ls) AS INT) AS n_lines,
+                CAST(len([x for x in ls
+                          if regexp_matches(trim(x), '^[-*•]')])
+                     AS INT) AS n_bullet_lines,
+                CAST(len([x for x in ls
+                          if regexp_matches(trim(x), '(\.\.\.|…)$')])
+                     AS INT) AS n_ellipsis_lines
+              FROM b
+            )
+            SELECT doc_id, n_lines, n_bullet_lines, n_ellipsis_lines,
+              (10 * n_bullet_lines <= 9 * n_lines) AS ok_bullet_lines,
+              (10 * n_ellipsis_lines <= 3 * n_lines)
+                AS ok_ellipsis_lines
+            FROM m
+        """,
+        # CCNet split: model trained ONLY on the doc_id % 5 = 0 slice,
+        # scored over every document; OOV trigrams cost the explicit
+        # default_nll = 20,000,000 each. Same once-per-distinct-
+        # trigram floored ln as t_perplexity, so sums stay exact.
+        "t_perplexity_ext": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '\w+') AS t
+              FROM documents
+            ), tri AS (
+              SELECT doc_id,
+                unnest([{'w1': t[i], 'w2': t[i+1], 'w3': t[i+2]}
+                        for i in range(1, len(t) - 1)],
+                       recursive := true)
+              FROM toks WHERE len(t) >= 3
+            ), rtri AS (
+              SELECT * FROM tri WHERE doc_id % 5 = 0
+            ), c3 AS (
+              SELECT w1, w2, w3, COUNT(*) AS c3
+              FROM rtri GROUP BY 1, 2, 3
+            ), c2 AS (
+              SELECT w1, w2, CAST(SUM(c3) AS BIGINT) AS c2
+              FROM c3 GROUP BY 1, 2
+            ), v AS (
+              SELECT COUNT(DISTINCT tok) AS V
+              FROM (SELECT unnest(t) AS tok FROM toks
+                    WHERE doc_id % 5 = 0)
+            ), model AS (
+              SELECT c3.w1, c3.w2, c3.w3,
+                CAST(floor(-1000000.0 * ln(
+                  CAST(c3.c3 + 1 AS DOUBLE)
+                  / CAST(c2.c2 + v.V AS DOUBLE))) AS BIGINT) AS nll
+              FROM c3 JOIN c2 USING (w1, w2), v
+            )
+            SELECT tri.doc_id,
+                   COUNT(*) AS n_trigrams,
+                   CAST(SUM(COALESCE(m.nll, 20000000)) AS BIGINT)
+                     AS nll_scaled
+            FROM tri LEFT JOIN model m USING (w1, w2, w3)
+            GROUP BY tri.doc_id
+        """,
+        # Integer batch perceptron, 2 epochs unrolled analytically
+        # (the g_ppr unroll discipline): epoch 1 starts from zero
+        # weights, so label*score = 0 <= 0 misclassifies EVERY doc
+        # and w1 = sum(label*cnt) per bucket; epoch 2 rescores under
+        # w1 and only then gates the gradient on misclassification.
+        "t_qtrain": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     CAST((doc_id % 2) * 2 - 1 AS BIGINT) AS label,
+                     regexp_extract_all(lower(text), '\w+') AS t
+              FROM documents
+            ), grams AS (
+              SELECT doc_id, label, unnest(t) AS g FROM toks
+              UNION ALL
+              SELECT doc_id, label,
+                     unnest([t[i] || ' ' || t[i+1]
+                             for i in range(1, len(t))]) AS g
+              FROM toks
+            ), feats AS (
+              SELECT doc_id, label,
+                CAST(('0x' || substr(md5(g), 1, 8))::BIGINT % 8192
+                     AS BIGINT) AS bucket,
+                COUNT(*) AS cnt
+              FROM grams GROUP BY 1, 2, 3
+            ), w1 AS (
+              SELECT bucket, CAST(SUM(label * cnt) AS BIGINT) AS w
+              FROM feats GROUP BY bucket
+            ), s2 AS (
+              SELECT f.doc_id, f.label,
+                CAST(SUM(f.cnt * COALESCE(w1.w, 0)) AS BIGINT) AS score
+              FROM feats f LEFT JOIN w1 USING (bucket)
+              GROUP BY 1, 2
+            ), mis2 AS (
+              SELECT doc_id FROM s2 WHERE label * score <= 0
+            ), g2 AS (
+              SELECT f.bucket,
+                CAST(SUM(f.label * f.cnt) AS BIGINT) AS g
+              FROM feats f JOIN mis2 USING (doc_id)
+              GROUP BY f.bucket
+            )
+            SELECT w1.bucket,
+                   CAST(w1.w + COALESCE(g2.g, 0) AS BIGINT) AS weight
+            FROM w1 LEFT JOIN g2 USING (bucket)
+            WHERE w1.w + COALESCE(g2.g, 0) != 0
         """,
         # Trigram-LM NLL: the float ln is evaluated once per DISTINCT
         # model trigram and floored to an integer (LM_LOGPROB_SCALE),

@@ -1094,40 +1094,13 @@ def bpe_segment(col: Column, merges: list[tuple[str, str]]) -> Column:
 LM_LOGPROB_SCALE = 1_000_000
 
 
-def lm_perplexity(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    scale: int = LM_LOGPROB_SCALE,
+def _trigram_instances(
+    df: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:
-    """CCNet-style LM quality filtering (Wenzek et al. 2020 §3.3
-    score documents by perplexity under a corpus LM; Laurençon et
-    al. 2022 ROOTS does the same): a word-TRIGRAM model with add-one
-    smoothing is trained on the corpus itself, and every document
-    gets (id, n_trigrams, nll_scaled) where nll_scaled is the
-    integer Σ floor(-scale · ln p(w3 | w1 w2)) over its trigram
-    instances, p = (c3 + 1) / (c2 + V). Consumers rank/filter by
-    nll_scaled / n_trigrams — high mean NLL ≡ high perplexity ≡
-    atypical text (garbled, wrong-language, machine-junk).
-
-    Determinism: the float ln is evaluated ONCE PER DISTINCT TRIGRAM
-    in the model table and immediately floored to an integer, so
-    per-document aggregation is exact integer summation — engine-
-    portable the same way SEMDEDUP_SIM_SCALE keys are (a 1-ulp libm
-    divergence flips a floor only when scale·ln(p) lands within a
-    ulp of an integer — and only for that one model row, not per
-    instance).
-
-    Plan: trigram instances are pure array expressions at scan
-    speed; the model is two groupBys (trigram, then its bigram
-    prefix — the second over MODEL-sized rows, never the corpus);
-    docs join the model on the trigram key and re-aggregate by id.
-    Vocabulary V is a 1-row broadcast scalar. Model tables are
-    vocabulary-bounded, so at 100 TB both model joins broadcast
-    while the corpus is touched exactly twice (instance explode +
-    final per-doc agg), both on uniform keys."""
+    """(id, w1, w2, w3) — one row per word-trigram INSTANCE, pure
+    array expressions at scan speed (no UDF, no shuffle)."""
     toks = tokens(F.col(text_col))
-    tri = df.select(
+    return df.select(
         F.col(id_col),
         F.explode(
             F.when(
@@ -1147,15 +1120,46 @@ def lm_perplexity(
             )
         ).alias("t"),
     ).select(id_col, "t.w1", "t.w2", "t.w3")
-    c3 = tri.groupBy("w1", "w2", "w3").agg(
-        F.count(F.lit(1)).alias("c3")
+
+
+def lm_train_trigram(
+    df: DataFrame,
+    text_col: str = "text",
+    scale: int = LM_LOGPROB_SCALE,
+) -> DataFrame:
+    """Train the add-one-smoothed word-trigram model lm_perplexity
+    scores against: (w1, w2, w3, nll BIGINT) with nll =
+    floor(-scale · ln p(w3 | w1 w2)), p = (c3 + 1) / (c2 + V).
+
+    This is the CCNet split (Wenzek et al. 2020 §3.3): train on a
+    CLEAN REFERENCE corpus (their KenLM is Wikipedia-trained), then
+    score the target corpus via ``lm_perplexity(target, model=...)``.
+    A reference-corpus model is fixed-size w.r.t. the corpus being
+    filtered, so the 100 TB scoring path joins against a bounded —
+    typically broadcastable — table no matter how big the target is.
+
+    Plan: one corpus groupBy for c3, a MODEL-sized groupBy for the
+    bigram prefixes, and a 1-row broadcast vocabulary scalar. The
+    float ln is evaluated once per distinct trigram and immediately
+    floored, so downstream per-doc sums are exact integers."""
+    tri = _trigram_instances(
+        df.select(F.lit(0).alias("__one"), text_col), "__one", text_col
     )
-    # prefix counts derived from the MODEL table (model-sized agg)
-    c2 = c3.groupBy("w1", "w2").agg(F.sum("c3").alias("c2"))
     vocab = df.select(
         F.explode(tokens(F.col(text_col))).alias("w")
     ).agg(F.count_distinct("w").alias("V"))
-    model = (
+    return _trigram_model(tri, vocab, scale)
+
+
+def _trigram_model(tri: DataFrame, vocab: DataFrame, scale: int) -> DataFrame:
+    """(w1,w2,w3,nll) from trigram instances + a 1-row vocab scalar:
+    c3 is the only corpus-sized agg; the bigram-prefix agg is over
+    MODEL-sized rows; vocab broadcasts as a 1-row scalar."""
+    c3 = tri.groupBy("w1", "w2", "w3").agg(
+        F.count(F.lit(1)).alias("c3")
+    )
+    c2 = c3.groupBy("w1", "w2").agg(F.sum("c3").alias("c2"))
+    return (
         c3.join(c2, ["w1", "w2"])
         .crossJoin(F.broadcast(vocab))
         .select(
@@ -1173,12 +1177,80 @@ def lm_perplexity(
             .alias("nll"),
         )
     )
+
+
+def lm_perplexity(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    scale: int = LM_LOGPROB_SCALE,
+    model: DataFrame | None = None,
+    default_nll: int | None = None,
+    broadcast_model: bool = False,
+) -> DataFrame:
+    """CCNet-style LM quality filtering (Wenzek et al. 2020 §3.3
+    score documents by perplexity under an LM; Laurençon et al. 2022
+    ROOTS does the same): every document gets (id, n_trigrams,
+    nll_scaled) where nll_scaled is the integer Σ floor(-scale ·
+    ln p(w3 | w1 w2)) over its trigram instances. Consumers
+    rank/filter by nll_scaled / n_trigrams — high mean NLL ≡ high
+    perplexity ≡ atypical text (garbled, wrong-language, junk).
+
+    Two modes:
+
+    - ``model=None`` (convenience): the add-one trigram model is
+      self-trained on ``df`` itself. Every scored trigram is then in
+      the model by construction (inner join, no OOV path). NOTE the
+      scale cost: a self-trained model grows with the corpus's
+      DISTINCT trigrams — billions of rows at 100 TB — so the
+      tri ⋈ model join is a sort-merge shuffle and training adds a
+      corpus-wide groupBy. Still linear, but NOT broadcastable.
+    - ``model=`` a pre-trained (w1, w2, w3, nll) table — the
+      paper-faithful path (CCNet scores against a Wikipedia-trained
+      KenLM, not the corpus being filtered; ``lm_train_trigram`` on
+      a clean reference corpus produces one). Trigrams absent from
+      the model cost ``default_nll`` each (when None: 1-row job for
+      max(model.nll) + scale ≈ e× less likely than the rarest seen
+      trigram — pass the exact OOV penalty, e.g. floor(scale·ln V),
+      to override). Because a reference-corpus model is FIXED-SIZE
+      w.r.t. the target, pass ``broadcast_model=True`` when it fits
+      the broadcast budget and the 100 TB scoring plan touches the
+      corpus exactly twice (instance explode + per-doc agg) with a
+      broadcast model join in between — no corpus-keyed join
+      shuffle at all.
+
+    Determinism: the float ln is evaluated ONCE PER DISTINCT TRIGRAM
+    in the model table and immediately floored to an integer, so
+    per-document aggregation is exact integer summation — engine-
+    portable the same way SEMDEDUP_SIM_SCALE keys are (a 1-ulp libm
+    divergence flips a floor only when scale·ln(p) lands within a
+    ulp of an integer — and only for that one model row, not per
+    instance)."""
+    tri = _trigram_instances(df, id_col, text_col)
+    if model is None:
+        # self-train from the SAME tri frame (one instance explode
+        # feeds both model build and scoring — the pre-r10 plan)
+        vocab = df.select(
+            F.explode(tokens(F.col(text_col))).alias("w")
+        ).agg(F.count_distinct("w").alias("V"))
+        model = _trigram_model(tri, vocab, scale)
+        joined = tri.join(model, ["w1", "w2", "w3"])
+        nll = F.col("nll")
+    else:
+        if default_nll is None:
+            # conservative OOV penalty: one job over the bounded
+            # model table, never the corpus
+            row = model.agg(F.max("nll").alias("m")).head()
+            mx = int(row["m"]) if row and row["m"] is not None else 0
+            default_nll = mx + int(scale)
+        m = F.broadcast(model) if broadcast_model else model
+        joined = tri.join(m, ["w1", "w2", "w3"], "left")
+        nll = F.coalesce(F.col("nll"), F.lit(int(default_nll)))
     return (
-        tri.join(model, ["w1", "w2", "w3"])
-        .groupBy(id_col)
+        joined.groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_trigrams"),
-            F.sum("nll").cast("long").alias("nll_scaled"),
+            F.sum(nll).cast("long").alias("nll_scaled"),
         )
     )
 
@@ -1228,6 +1300,94 @@ def hashed_linear_score(
     )
 
 
+def hashed_linear_train(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "label",
+    buckets: int = 8192,
+    epochs: int = 2,
+    lr: int = 1,
+) -> DataFrame:
+    """Fit the GPT-3-style quality filter IN-ENGINE: a distributed,
+    integer batch perceptron over hashed n-gram features (Brown et
+    al. 2020 appendix A train exactly such a linear classifier on
+    curated-vs-crawl labels; Joulin et al. 2017 is the feature map).
+    Returns the (bucket BIGINT, weight BIGINT) table
+    ``hashed_linear_score`` consumes — train here, score there, no
+    external tooling in the loop.
+
+    ``label_col`` must be +1 (curated/keep) / -1 (crawl/reject).
+    Batch perceptron update, all-integer so the fit is bit-exact and
+    engine-portable: per epoch, score every doc under the current
+    weights (score_d = Σ_b cnt_{d,b}·w_b), and every misclassified
+    doc (label·score ≤ 0 — ties count as wrong, so epoch 1 from
+    zero weights updates on every doc) contributes
+    w_b += label·cnt_{d,b}·lr for each of its feature buckets.
+
+    Plan, per epoch: the ≤ ``buckets``-row weight table broadcasts
+    onto the feature frame (never a corpus-keyed model join); one
+    groupBy(id) shuffle scores docs; the misclassified set joins
+    back to features on the SAME id partitioning (exchange reuse);
+    one map-side-combinable groupBy(bucket) reduces the gradient to
+    ≤ buckets rows, which are the ONLY driver traffic (the BPE-
+    trainer discipline — model-sized rows per round, never corpus
+    rows). Cost is epochs × (2 scans + 2 shuffles of the feature
+    frame), linear in corpus tokens at any scale."""
+    from .sampling import hashed_ngram_buckets
+
+    if epochs < 1:
+        raise ValueError(f"epochs must be >= 1, got {epochs}")
+    spark = df.sparkSession
+    lbl = F.col(label_col).cast("long")
+    feats = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            lbl.alias("__label"),
+            F.explode(
+                hashed_ngram_buckets(F.col(text_col), buckets)
+            ).alias("bucket"),
+        )
+        .groupBy("__id", "__label", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w: dict[int, int] = {}
+    for _ in range(int(epochs)):
+        if w:
+            wdf = spark.createDataFrame(
+                [(int(b), int(v)) for b, v in sorted(w.items())],
+                "bucket bigint, weight bigint",
+            )
+            scored = feats.join(F.broadcast(wdf), "bucket", "left")
+        else:
+            # zero model: scores are identically 0 without a join
+            scored = feats.withColumn("weight", F.lit(None).cast("long"))
+        scores = scored.groupBy("__id", "__label").agg(
+            F.sum(
+                F.col("cnt") * F.coalesce(F.col("weight"), F.lit(0))
+            ).alias("score")
+        )
+        mis = scores.where(
+            F.col("__label") * F.col("score") <= 0
+        ).select("__id")
+        grad = (
+            feats.join(mis, "__id")
+            .groupBy("bucket")
+            .agg(
+                (F.sum(F.col("__label") * F.col("cnt")) * F.lit(int(lr)))
+                .cast("long")
+                .alias("g")
+            )
+        )
+        for r in grad.collect():  # <= buckets rows
+            b = int(r["bucket"])
+            w[b] = w.get(b, 0) + int(r["g"])
+    return spark.createDataFrame(
+        [(int(b), int(v)) for b, v in sorted(w.items()) if v != 0],
+        "bucket bigint, weight bigint",
+    )
+
+
 GOPHER_STOPLIST = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 
@@ -1258,12 +1418,17 @@ def gopher_rules(
     - ``ok_stopwords``: ≥ 2 distinct members of ``stoplist`` appear
       (default = the paper's 8 English function words; pass a
       corpus-appropriate list for other languages/domains);
+    - ``ok_bullet_lines``: ≤ 90% of lines start with a bullet
+      character (-, *, •) — the paper drops docs where >90% do
+      (10·bullet_lines ≤ 9·n_lines);
+    - ``ok_ellipsis_lines``: ≤ 30% of lines end with an ellipsis
+      (... or …) — the paper drops docs where >30% do
+      (10·ellipsis_lines ≤ 3·n_lines);
     - ``pass_gopher``: all of the above.
 
-    The paper's line-level rules (bullet-start / ellipsis-end line
-    fractions) need line structure the flat testdata lacks; they are
-    the same expression shape (split + filter + size) and are folded
-    into the symbol rule's ellipsis count here. Integer counts ride
+    Line rules split on \\n and trim each line; a flat single-line
+    document has n_lines = 1, so both rules discriminate on its one
+    line exactly as the paper's fractions do. Integer counts ride
     along so consumers can re-threshold without a re-scan."""
     c = F.coalesce(F.col(text_col), F.lit(""))
     toks = tokens(c)
@@ -1284,11 +1449,23 @@ def gopher_rules(
             lambda w: F.array_contains(toks, w),
         )
     )
+    lines = F.split(c, "\n", -1)
+    n_lines = F.size(lines)
+    n_bullet_lines = F.size(
+        F.filter(lines, lambda l: F.trim(l).rlike(r"^[-*•]"))
+    )
+    n_ellipsis_lines = F.size(
+        F.filter(
+            lines, lambda l: F.trim(l).rlike(r"(\.\.\.|…)$")
+        )
+    )
     ok_wc = (n_words >= min_words) & (n_words <= max_words)
     ok_mwl = (word_chars >= 3 * n_words) & (word_chars <= 10 * n_words)
     ok_sym = 10 * n_symbols <= n_words
     ok_alpha = 5 * n_alpha_words >= 4 * n_words
     ok_stop = stop_hits >= 2
+    ok_bullet = 10 * n_bullet_lines <= 9 * n_lines
+    ok_ellipsis = 10 * n_ellipsis_lines <= 3 * n_lines
     return df.select(
         id_col,
         n_words.cast("int").alias("n_words"),
@@ -1296,12 +1473,23 @@ def gopher_rules(
         n_symbols.cast("int").alias("n_symbols"),
         n_alpha_words.cast("int").alias("n_alpha_words"),
         stop_hits.cast("int").alias("stop_hits"),
+        n_lines.cast("int").alias("n_lines"),
+        n_bullet_lines.cast("int").alias("n_bullet_lines"),
+        n_ellipsis_lines.cast("int").alias("n_ellipsis_lines"),
         ok_wc.alias("ok_word_count"),
         ok_mwl.alias("ok_mean_word_len"),
         ok_sym.alias("ok_symbol_ratio"),
         ok_alpha.alias("ok_alpha_words"),
         ok_stop.alias("ok_stopwords"),
-        (ok_wc & ok_mwl & ok_sym & ok_alpha & ok_stop).alias(
-            "pass_gopher"
-        ),
+        ok_bullet.alias("ok_bullet_lines"),
+        ok_ellipsis.alias("ok_ellipsis_lines"),
+        (
+            ok_wc
+            & ok_mwl
+            & ok_sym
+            & ok_alpha
+            & ok_stop
+            & ok_bullet
+            & ok_ellipsis
+        ).alias("pass_gopher"),
     )

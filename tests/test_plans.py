@@ -245,3 +245,28 @@ def test_perplexity_model_joins_not_cartesian(spark, entry):
     plan = plan_of(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_perplexity_ext_scores_via_broadcast_model(spark, entry):
+    """t_perplexity_ext (CCNet split): the corpus-side scoring join
+    against the reference-trained model is a BroadcastHashJoin — the
+    100 TB path never shuffles the target corpus onto trigram keys.
+    The plan root down to that join must contain no SortMergeJoin
+    (a model-sized SMJ deeper in the TRAINING subtree is fine)."""
+    df = entry.queries()["t_perplexity_ext"](spark, SF)
+    plan = plan_of(df)
+    at = plan.find("BroadcastHashJoin")
+    assert at != -1
+    assert "SortMergeJoin" not in plan[:at]
+    assert "CartesianProduct" not in plan
+
+
+def test_gopher_lines_is_pure_expressions(spark, entry):
+    """t_gopher_lines: line-rule verdicts are scan-speed column
+    expressions — no join, no hash exchange anywhere (the only
+    exchange is _t_wide's documented round-robin test-rig
+    equalizer)."""
+    df = entry.queries()["t_gopher_lines"](spark, SF)
+    plan = plan_of(df)
+    assert "Join" not in plan
+    assert "Exchange hashpartitioning" not in plan
