@@ -1852,6 +1852,47 @@ def t_gopher_lines(spark, sf):
     )
 
 
+def t_c4(spark, sf):
+    """C4 cleaning battery (functions/text.c4_rules — Raffel et al.
+    2020 §2.2, the T5-corpus filter set): line retention by terminal
+    punctuation + minimum words, sentence-count gate, lorem-ipsum
+    and curly-brace page drops, plus the cleaned text itself. The
+    flat testdata gets deterministic structure first: doc_id % 4 = 0
+    docs become multi-line prose with terminal periods (mostly
+    keepable), % 4 = 1 gain a literal brace (drop), % 4 = 2 lead
+    with lorem ipsum (drop), % 4 = 3 stay flat and unpunctuated
+    (no surviving lines). Pure column expressions at scan speed."""
+    from cayley_spark.functions.text import c4_rules
+
+    docs = _t_wide(spark, sf, "documents").select(
+        "doc_id",
+        F.expr(
+            "CASE WHEN doc_id % 4 = 0"
+            "  THEN replace(text, ' row', '.' || chr(10)) || '.'"
+            " WHEN doc_id % 4 = 1 THEN text || ' {x}'"
+            " WHEN doc_id % 4 = 2"
+            "  THEN 'lorem ipsum ' || replace(text, ' row', '.' ||"
+            " chr(10)) || '.'"
+            " ELSE text END"
+        ).alias("text"),
+    )
+    return c4_rules(docs)
+
+
+def t_entropy(spark, sf):
+    """Per-document unigram Shannon entropy (functions/text.
+    token_entropy — Shannon 1948; the cheap repetitiveness signal
+    quality pipelines use to drop templated/keyboard-mash pages):
+    integer-scaled Σ c_w·floor(scale·ln(N/c_w)) with the ln floored
+    once per distinct (doc, token) row, so the sums hash-gate
+    exactly. One count shuffle + a window that the final per-doc agg
+    rides — no joins, no model."""
+    from cayley_spark.functions.text import token_entropy
+
+    docs = _t_wide(spark, sf, "documents")
+    return token_entropy(docs)
+
+
 def t_gopher(spark, sf):
     """Gopher quality-rule battery (functions/text.gopher_rules —
     Rae et al. 2021 appendix A, the MassiveWeb filter set later
@@ -2580,6 +2621,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_perplexity_ext": t_perplexity_ext,
         "t_qtrain": t_qtrain,
         "t_gopher_lines": t_gopher_lines,
+        "t_c4": t_c4,
+        "t_entropy": t_entropy,
         "q_tpch_rev": q_tpch_rev,
         "q_tpch_mix1": q_tpch_mix1,
         # --- code changed since their r9 verdict (jump the queue) ------
@@ -2629,9 +2672,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_redact": t_redact,
         "t_repetition": t_repetition,
         "t_contaminate": t_contaminate,
+        # --- positions 51+: r08-green overflow; leads round 11 ---------
         "t_split": t_split,
         "t_postings": t_postings,
-        # --- positions 51+: r08-green overflow; leads round 11 ---------
         "t_clean": t_clean,
         "t_urls": t_urls,
         "t_tfidf": t_tfidf,
@@ -4784,6 +4827,71 @@ WITH per_cust AS (
               (10 * n_ellipsis_lines <= 3 * n_lines)
                 AS ok_ellipsis_lines
             FROM m
+        """,
+        # C4 battery over the same deterministic line synthesis as
+        # the Spark entry; list comprehensions mirror the array
+        # filter lambdas exactly.
+        "t_c4": r"""
+            WITH src AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 4 = 0
+                  THEN replace(text, ' row', '.' || chr(10)) || '.'
+                 WHEN doc_id % 4 = 1 THEN text || ' {x}'
+                 WHEN doc_id % 4 = 2
+                  THEN 'lorem ipsum ' ||
+                       replace(text, ' row', '.' || chr(10)) || '.'
+                 ELSE text END AS text
+              FROM documents
+            ), b AS (
+              SELECT doc_id, COALESCE(text, '') AS t,
+                     string_split(COALESCE(text, ''), chr(10)) AS ls
+              FROM src
+            ), m AS (
+              SELECT doc_id,
+                CAST(len(ls) AS INT) AS n_lines,
+                [x for x in ls
+                 if regexp_matches(trim(x), '[.!?"]$')
+                    AND len([w for w in string_split(trim(x), ' ')
+                             if w != '']) >= 5] AS kept,
+                CAST(len(regexp_extract_all(t, '[.!?]')) AS INT)
+                  AS n_sentences,
+                contains(lower(t), 'lorem ipsum') AS has_lorem,
+                contains(t, '{') AS has_brace
+              FROM b
+            )
+            SELECT doc_id, n_lines,
+                   CAST(len(kept) AS INT) AS n_kept_lines,
+                   n_sentences, has_lorem, has_brace,
+              (n_sentences >= 3) AS ok_sentences,
+              (n_sentences >= 3 AND NOT has_lorem AND NOT has_brace
+               AND len(kept) >= 1) AS keep_c4,
+              COALESCE(array_to_string(kept, chr(10)), '')
+                AS clean_text
+            FROM m
+        """,
+        # Unigram entropy: ln floored once per distinct (doc, token)
+        # count row (the lm_perplexity determinism discipline), so
+        # both engines sum identical integers.
+        "t_entropy": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '\w+'))
+                       AS w
+              FROM documents
+            ), counts AS (
+              SELECT doc_id, w, COUNT(*) AS c
+              FROM toks GROUP BY 1, 2
+            ), wn AS (
+              SELECT doc_id, c,
+                     SUM(c) OVER (PARTITION BY doc_id) AS n
+              FROM counts
+            )
+            SELECT doc_id,
+                   CAST(SUM(c) AS BIGINT) AS n_tokens,
+                   CAST(SUM(c * CAST(floor(1000000.0 *
+                     ln(CAST(n AS DOUBLE) / CAST(c AS DOUBLE)))
+                     AS BIGINT)) AS BIGINT) AS entropy_scaled
+            FROM wn GROUP BY doc_id
         """,
         # CCNet split: model trained ONLY on the doc_id % 5 = 0 slice,
         # scored over every document; OOV trigrams cost the explicit

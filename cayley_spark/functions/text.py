@@ -1300,6 +1300,116 @@ def hashed_linear_score(
     )
 
 
+def c4_rules(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words_per_line: int = 5,
+    min_sentences: int = 3,
+) -> DataFrame:
+    """The C4 cleaning battery (Raffel et al. 2020 §2.2 — the filter
+    set behind the original T5 corpus, still the baseline most
+    web-scale pipelines start from): per-document verdicts plus the
+    CLEANED text, all pure column expressions at scan speed.
+
+    Rules:
+
+    - line retention: a line survives only if it ends in terminal
+      punctuation (. ! ? ") and has ≥ ``min_words_per_line``
+      whitespace-separated words — ``clean_text`` is the surviving
+      lines rejoined, the column a downstream tokenizer consumes;
+    - ``ok_sentences``: ≥ ``min_sentences`` sentence terminals
+      ([.!?]) in the original text;
+    - ``has_lorem``: 'lorem ipsum' (case-insensitive) — placeholder
+      page, drop;
+    - ``has_brace``: literal '{' — leaked code/markup, drop;
+    - ``keep_c4``: ok_sentences AND NOT has_lorem AND NOT has_brace
+      AND ≥ 1 surviving line.
+
+    (The paper's bad-words list is a caller-supplied policy choice —
+    filter ``clean_text`` with ``redact``/``array_contains`` as
+    needed; its 3-sentence-span dedup is the span-dedup operator
+    family in functions/dedup.py.) Integer counts ride along for
+    re-thresholding without a re-scan."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.split(c, "\n", -1)
+    kept = F.filter(
+        lines,
+        lambda l: F.trim(l).rlike(r'[.!?"]$')
+        & (
+            F.size(F.filter(F.split(F.trim(l), " ", -1), lambda w: w != ""))
+            >= min_words_per_line
+        ),
+    )
+    n_sentences = F.size(F.regexp_extract_all(c, F.lit(r"[.!?]"), 0))
+    has_lorem = F.contains(F.lower(c), F.lit("lorem ipsum"))
+    has_brace = F.contains(c, F.lit("{"))
+    n_kept = F.size(kept)
+    ok_sent = n_sentences >= min_sentences
+    return df.select(
+        id_col,
+        F.size(lines).cast("int").alias("n_lines"),
+        n_kept.cast("int").alias("n_kept_lines"),
+        n_sentences.cast("int").alias("n_sentences"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+        ok_sent.alias("ok_sentences"),
+        (ok_sent & ~has_lorem & ~has_brace & (n_kept >= 1)).alias(
+            "keep_c4"
+        ),
+        F.array_join(kept, "\n").alias("clean_text"),
+    )
+
+
+TOKEN_ENTROPY_SCALE = 1_000_000
+
+
+def token_entropy(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    scale: int = TOKEN_ENTROPY_SCALE,
+) -> DataFrame:
+    """Per-document unigram Shannon entropy (Shannon 1948), the
+    cheap repetitiveness/diversity quality signal: templated or
+    keyboard-mash documents score low, natural prose high. Returns
+    (id, n_tokens, entropy_scaled) with entropy_scaled =
+    Σ_w c_w · floor(scale · ln(N / c_w)) over the document's
+    distinct tokens — consumers compare entropy_scaled against
+    threshold · N · scale (division-free) or rank by the ratio.
+
+    Determinism: the float ln is evaluated ONCE PER DISTINCT
+    (document, token) COUNT ROW and immediately floored, so the
+    per-doc sum is exact integer arithmetic — the lm_perplexity
+    discipline.
+
+    Plan: explode → one groupBy(id, token) shuffle for counts; the
+    per-doc total N is a window over id (second exchange), and the
+    final per-doc aggregation RIDES that same id partitioning — no
+    third shuffle. Linear in corpus tokens; no joins, no model."""
+    from pyspark.sql import Window
+
+    toks = tokens(F.col(text_col))
+    counts = (
+        df.select(F.col(id_col), F.explode(toks).alias("w"))
+        .groupBy(id_col, "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_tot = F.sum("c").over(Window.partitionBy(id_col))
+    term = F.col("c") * F.floor(
+        F.lit(float(scale))
+        * F.log(F.col("__n").cast("double") / F.col("c").cast("double"))
+    ).cast("long")
+    return (
+        counts.withColumn("__n", n_tot)
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.sum(term).cast("long").alias("entropy_scaled"),
+        )
+    )
+
+
 def hashed_linear_train(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -270,3 +270,22 @@ def test_gopher_lines_is_pure_expressions(spark, entry):
     plan = plan_of(df)
     assert "Join" not in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_c4_is_pure_expressions(spark, entry):
+    """t_c4: the whole battery including clean_text reassembly is
+    column expressions — no join, no hash exchange."""
+    df = entry.queries()["t_c4"](spark, SF)
+    plan = plan_of(df)
+    assert "Join" not in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_entropy_final_agg_rides_window_partitioning(spark, entry):
+    """t_entropy: exactly two hash exchanges — the (id, token) count
+    shuffle and the per-doc window — and the final groupBy(id) rides
+    the window's id partitioning instead of adding a third."""
+    df = entry.queries()["t_entropy"](spark, SF)
+    plan = plan_of(df)
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan

@@ -222,6 +222,78 @@ def test_lm_perplexity_broadcast_model_plan(spark):
     assert "SortMergeJoin" not in plan[:at]
 
 
+def test_c4_rules_boundaries(spark):
+    """Raffel et al. 2020 §2.2 battery: line retention (terminal
+    punctuation + ≥5 words), sentence gate, lorem/brace drops,
+    cleaned text reassembly."""
+    from cayley_spark.functions.text import c4_rules
+
+    docs = [
+        # 0: two good lines + one short + one unpunctuated
+        (0, "one two three four five.\nshort line.\nsix seven eight nine ten!\nno terminal punct here"),
+        # 1: lorem ipsum page
+        (1, "Lorem Ipsum dolor sit amet okay.\nmore words one two three."),
+        # 2: curly brace page
+        (2, "function f() { return 1; } one two three four five."),
+        # 3: only two sentences
+        (3, "one two three four five.\nsix seven eight nine ten."),
+        # 4: quote-terminated line counts
+        (4, 'he said "one two three four five."\nsix seven eight nine ten.\neleven twelve thirteen fourteen fifteen?'),
+        # 5: NULL text
+        (5, None),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in c4_rules(df).collect()}
+    assert out[0]["n_kept_lines"] == 2 and out[0]["n_lines"] == 4
+    assert out[0]["clean_text"] == (
+        "one two three four five.\nsix seven eight nine ten!"
+    )
+    assert out[0]["n_sentences"] == 3 and out[0]["keep_c4"]
+    assert out[1]["has_lorem"] and not out[1]["keep_c4"]
+    assert out[2]["has_brace"] and not out[2]["keep_c4"]
+    assert out[3]["n_sentences"] == 2 and not out[3]["ok_sentences"]
+    assert out[4]["n_kept_lines"] == 3 and out[4]["keep_c4"]
+    assert out[5]["n_kept_lines"] == 0 and not out[5]["keep_c4"]
+    assert out[5]["clean_text"] == ""
+
+
+def test_token_entropy_matches_replica(spark):
+    """Integer-scaled Shannon entropy: exact python replica; uniform
+    tokens score ln(n), repeated single token scores 0."""
+    from cayley_spark.functions.text import token_entropy
+
+    docs = [
+        (0, "a b c d"),  # uniform: H = ln(4)
+        (1, "a a a a"),  # degenerate: H = 0
+        (2, "a a b"),  # mixed
+        (3, ""),  # no tokens: no output row
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["entropy_scaled"])
+        for r in token_entropy(df).collect()
+    }
+    want = {}
+    for d, t in docs:
+        toks = re.findall(r"\w+", t.lower())
+        if not toks:
+            continue
+        n = len(toks)
+        cnt = {}
+        for w in toks:
+            cnt[w] = cnt.get(w, 0) + 1
+        want[d] = (
+            n,
+            sum(
+                c * math.floor(1_000_000 * math.log(n / c))
+                for c in cnt.values()
+            ),
+        )
+    assert got == want
+    assert got[1][1] == 0
+    assert got[0][1] == 4 * math.floor(1_000_000 * math.log(4))
+
+
 def test_gopher_line_rules_boundaries(spark):
     """Rae et al. 2021 appendix A line rules at their thresholds:
     >90% bullet-start lines fails, =90% passes; >30% ellipsis-end
