@@ -4743,7 +4743,9 @@ WITH per_cust AS (
             FROM r2
         """,
         # Gopher rules: division-free integer comparisons replayed
-        # verbatim; symbol count = '#' occurrences + '...' regex splits.
+        # verbatim; symbol count = '#' + '...' + '…' occurrences (the
+        # r11 fix: the symbol rule now counts the Unicode ellipsis the
+        # way the ellipsis-line rule always did).
         "t_gopher": r"""
             WITH b AS (
               SELECT doc_id,
@@ -4752,6 +4754,7 @@ WITH per_cust AS (
                 len(string_split(COALESCE(text, ''), '#')) - 1
                   + len(regexp_split_to_array(COALESCE(text, ''),
                                               '\.\.\.')) - 1
+                  + len(string_split(COALESCE(text, ''), '…')) - 1
                   AS n_symbols
               FROM documents
             ), m AS (

@@ -44,23 +44,36 @@ def _swap_dir(spark: SparkSession, path: str, sub: str) -> None:
     the two renames (metadata ops), not the duration of a recursive
     delete — the old delete-then-rename ordering left concurrent
     readers (which streaming/sketches.py explicitly allows) a
-    delete-sized hole. A crash between the renames is recovered by
-    restoring ``.old``. True atomicity holds only on rename-atomic
-    filesystems (HDFS, local POSIX); on S3A rename is a non-atomic
-    copy, so concurrent readers there can still observe a missing or
-    partial target — front S3 swaps with a table format or a
-    manifest if readers cannot tolerate that."""
+    delete-sized hole. A crash between the renames leaves ``.old`` as
+    the ONLY copy of the accumulated state; the entry guard below
+    (and ``_recover_swap``, which state readers call before their
+    first read) rename it back rather than deleting it — ``.old`` is
+    deletable junk only when the target also exists. True atomicity
+    holds only on rename-atomic filesystems (HDFS, local POSIX); on
+    S3A rename is a non-atomic copy, so concurrent readers there can
+    still observe a missing or partial target — front S3 swaps with a
+    table format or a manifest if readers cannot tolerate that."""
     sc = spark.sparkContext
     jvm = sc._jvm
     hp = jvm.org.apache.hadoop.fs.Path
     fs = hp(path).getFileSystem(sc._jsc.hadoopConfiguration())
     tgt = hp(os.path.join(path, sub))
     old = hp(os.path.join(path, f"{sub}.old"))
-    if fs.exists(old) and not fs.delete(old, True):
-        raise RuntimeError(
-            f"swap: could not clear stale {path}/{sub}.old; previous "
-            f"layout left intact (remove it and retry)"
-        )
+    if fs.exists(old):
+        if not fs.exists(tgt):
+            # crash landed between the two renames of a previous
+            # swap: restore the set-aside state instead of deleting
+            # the only copy (permanent sketch under-count otherwise)
+            if not fs.rename(old, tgt):
+                raise RuntimeError(
+                    f"swap: could not restore {path}/{sub}.old to "
+                    f"{path}/{sub} (crash-recovery); fix up manually"
+                )
+        elif not fs.delete(old, True):
+            raise RuntimeError(
+                f"swap: could not clear stale {path}/{sub}.old; previous "
+                f"layout left intact (remove it and retry)"
+            )
     had_old = fs.exists(tgt)
     if had_old and not fs.rename(tgt, old):
         raise RuntimeError(
@@ -77,6 +90,29 @@ def _swap_dir(spark: SparkSession, path: str, sub: str) -> None:
         # cleanup only — target is already correct; a failed delete
         # leaves junk that the next swap's entry guard clears
         fs.delete(old, True)
+
+
+def _recover_swap(spark: SparkSession, path: str, sub: str) -> None:
+    """Recover from a crash that landed between ``_swap_dir``'s two
+    renames: the target ``{path}/{sub}`` is absent and ``{sub}.old``
+    holds the only copy of the state that was set aside — rename it
+    back. Callers that fold new data into persisted state (the
+    streaming sketch folds) MUST call this before probing the target:
+    otherwise the probe reads 'absent', the fold treats the batch as
+    the first one, and the accumulated sketch is silently replaced by
+    the batch's own — a permanent Count-Min under-count / bloom false
+    negative. No-op when the target exists or there is no ``.old``."""
+    sc = spark.sparkContext
+    hp = sc._jvm.org.apache.hadoop.fs.Path
+    fs = hp(path).getFileSystem(sc._jsc.hadoopConfiguration())
+    tgt = hp(os.path.join(path, sub))
+    old = hp(os.path.join(path, f"{sub}.old"))
+    if fs.exists(old) and not fs.exists(tgt):
+        if not fs.rename(old, tgt):
+            raise RuntimeError(
+                f"recover: could not restore {path}/{sub}.old to "
+                f"{path}/{sub}; fix up manually"
+            )
 
 
 class IVFIndex:

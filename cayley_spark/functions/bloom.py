@@ -198,18 +198,29 @@ def bloom_probe(
             f"n_bits={n_bits} exceeds the broadcast cap "
             f"{MAX_BROADCAST_BITS}; use bloom_probe_keys (join form)"
         )
-    if n_bits is None and "n_bits" in bloom.columns:
+    if "n_bits" in bloom.columns:
         # geometry is carried: read it from ONE row and apply the
-        # broadcast cap before collecting — an over-cap filter used
-        # to be fully collected (up to n_bits/64 rows, a driver-OOM
-        # risk) and only then rejected
+        # broadcast cap AND the declared-vs-carried check before
+        # collecting — an over-cap filter used to be fully collected
+        # (up to n_bits/64 rows, a driver-OOM risk) and only then
+        # rejected, including when the caller declared an in-cap
+        # n_bits against an over-cap carried geometry
         head = bloom.select("n_bits").limit(1).collect()
-        if head and int(head[0]["n_bits"]) > MAX_BROADCAST_BITS:
-            raise ValueError(
-                f"bloom carries n_bits={int(head[0]['n_bits'])}, over "
-                f"the broadcast cap {MAX_BROADCAST_BITS}; use "
-                f"bloom_probe_keys (join form)"
-            )
+        if head:
+            cb = int(head[0]["n_bits"])
+            if cb > MAX_BROADCAST_BITS:
+                raise ValueError(
+                    f"bloom carries n_bits={cb}, over "
+                    f"the broadcast cap {MAX_BROADCAST_BITS}; use "
+                    f"bloom_probe_keys (join form)"
+                )
+            if n_bits is not None and int(n_bits) != cb:
+                raise ValueError(
+                    f"bloom_probe geometry mismatch: declared "
+                    f"n_bits={n_bits} != build n_bits={cb} — positions "
+                    f"would be computed mod the wrong modulus (silent "
+                    f"false negatives)"
+                )
     rows = bloom.collect()  # bounded: <= n_bits/64 rows by construction
     carried: set[tuple[int, int]] = set()
     if rows and "n_bits" in rows[0].__fields__ and "k" in rows[0].__fields__:

@@ -1522,7 +1522,8 @@ def gopher_rules(
     - ``ok_mean_word_len``: mean word length in [3, 10]
       (3·n ≤ Σlen ≤ 10·n);
     - ``ok_symbol_ratio``: hash + ellipsis occurrences ≤ 0.1·words
-      (10·symbols ≤ words);
+      (10·symbols ≤ words); an ellipsis is ``...`` OR the Unicode
+      ``…`` — the same pair the line-end rule counts;
     - ``ok_alpha_words``: ≥ 80% of words contain an alphabetic
       character (5·alpha_words ≥ 4·words);
     - ``ok_stopwords``: ≥ 2 distinct members of ``stoplist`` appear
@@ -1548,6 +1549,8 @@ def gopher_rules(
         F.size(F.split(c, "#", -1))
         - 1
         + F.size(F.split(c, r"\.\.\.", -1))
+        - 1
+        + F.size(F.split(c, "…", -1))
         - 1
     )
     n_alpha_words = F.size(

@@ -100,6 +100,13 @@ def _countmin_fold(key: Column, path: str, depth: int, width: int):
             (int(r["row"]), int(r["bucket"])): int(r["cnt"])
             for r in grid.collect()  # bounded: <= depth*width rows
         }
+        from ..functions.ann_index import _recover_swap
+
+        # if a crash landed between a prior swap's two renames, the
+        # accumulated grid lives only in cells.old — restore it BEFORE
+        # the existence probe, or this fold would treat the batch as
+        # the first one and permanently under-count
+        _recover_swap(spark, path, "cells")
         cur = os.path.join(path, "cells")
         if _path_exists(spark, cur):  # else first batch: no grid yet
             for r in spark.read.parquet(cur).collect():
@@ -168,6 +175,9 @@ def _bloom_fold(key: Column, path: str, n_bits: int, k: int):
             int(r["word_idx"]): int(r["bits"])
             for r in batch_bloom.collect()  # <= n_bits/64 rows
         }
+        from ..functions.ann_index import _recover_swap
+
+        _recover_swap(spark, path, "bloom")  # crash-window .old restore
         saved_words = os.path.join(path, "bloom", "words")
         if _path_exists(spark, saved_words):  # else first batch
             for r in spark.read.parquet(saved_words).collect():
@@ -213,6 +223,9 @@ def _kmv_fold(key: Column, path: str, k: int):
             return
         batch_sk = kmv_build(batch_df, key, k=k)
         hashes = {r["h"] for r in batch_sk.collect()}  # <= k rows
+        from ..functions.ann_index import _recover_swap
+
+        _recover_swap(spark, path, "minima")  # crash-window .old restore
         saved_minima = os.path.join(path, "minima")
         if _path_exists(spark, saved_minima):  # else first batch
             for r in spark.read.parquet(saved_minima).collect():
