@@ -1394,6 +1394,49 @@ def d_trimspans(spark, sf):
     return trim_spans(docs, k=5, min_docs=2)
 
 
+def d_substr(spark, sf):
+    """ExactSubstr dedup (functions/dedup.exact_substr_dedup; Lee et
+    al. 2022 §4.1: a substring repeated verbatim in the corpus is
+    removed until one copy remains — the suffix-array dedup modality,
+    here as its fixed-k sliding-window Spark relaxation): 10-token
+    VERBATIM windows with >=2 total occurrences (within-doc repeats
+    count, unlike d_trimspans' distinct-doc threshold) are
+    duplicated; the (id, pos)-smallest occurrence survives and every
+    other copy is span-merged and trimmed. No pair join: one window
+    explode, one map-side-combinable groupBy(window) for
+    (count, keeper), one window-key join back, one id-keyed trim."""
+    from cayley_spark.functions.dedup import exact_substr_dedup
+
+    docs = _t_wide(spark, sf, "documents")
+    return exact_substr_dedup(docs, k=10, min_count=2)
+
+
+def q_events_agg(spark, sf):
+    """Consolidated tumbling-aggregation pair q_events_hourly +
+    q_events_windowed (registry consolidation, COVERAGE.md round 11
+    — the same-shape merge COVERAGE scheduled ahead of the 150 cap).
+    Both plans still execute end-to-end unchanged: the direct
+    date_trunc groupBy AND the streaming-capable windowed_counts
+    operator (whose batch plan is the one that incrementalizes under
+    writeStream). Results harmonize into (q, bucket_ts, event_type,
+    n, sum_value) with every original value column preserved."""
+    a = q_events_hourly(spark, sf).select(
+        F.lit("hourly").alias("q"),
+        F.col("hour").alias("bucket_ts"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+    b = q_events_windowed(spark, sf).select(
+        F.lit("windowed").alias("q"),
+        F.col("window_start").alias("bucket_ts"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+    return a.unionByName(b)
+
+
 def _synth_url():
     """Deterministic messy URL per document (six aliasing spellings
     keyed on doc_id % 6) — shared by t_urlnorm and t_domains; the
@@ -2603,76 +2646,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     entries whose last green verdict is OLDEST; entries green in the
     immediately previous round go last (they retain pytest +
     tools/check_oracles.py coverage while they wait).
-    Round-10 window (50) = 5 never/changed entries (t_perplexity_ext,
-    t_qtrain, t_gopher_lines, the two TPC-H consolidation entries) +
-    2 code-changed r9-green entries (t_gopher gained the line rules,
-    t_perplexity's self-train path was refactored for model=) + the
-    33-entry r07-remainder cohort (q_cube .. t_langid — exactly 3
+    Round-11 window (50) = 2 new entries (d_substr = ExactSubstr
+    dedup; q_events_agg = the q_events_hourly+q_events_windowed
+    consolidation, which it replaces) + 4 code-changed r10-green
+    entries (t_gopher/t_gopher_lines gained the Unicode-ellipsis
+    symbol term, d_bloom rides the widened bloom_probe geometry
+    guard, d_trimspans rides the _trim_by_starts refactor) + the
+    36-entry r08-overflow cohort (t_split .. g_compare — exactly 3
     rounds stale at this verdict, the ratified ceiling, scheduled by
-    COVERAGE.md round 8) + the first 10 of the r08-green tail
-    (d_bloom .. t_postings). The remaining r08-green entries overflow
-    to 51+ and lead the round-11 window; r09-green entries sit last
-    (rule 4). Registry = 132 after the Q7+Q8+Q9 / Q19+Q20+Q21
-    consolidations (they run all six plans via two multi-assert
-    entries — no operator-surface loss).
+    COVERAGE.md round 10) + the first 8 of the r09-green cohort
+    (g_regex .. g_or_short). The remaining 37 r09-green entries
+    overflow to 51+ and lead the round-12 window; r10-green entries
+    sit last (rule 4). Registry = 134 (132 + t_c4/t_entropy at r10;
+    +2 −2 this round: the q_events consolidation executes both
+    plans via one multi-assert entry — no operator-surface loss).
     """
     return {
-        # --- round-10 additions (never driver-checked) -----------------
-        "t_perplexity_ext": t_perplexity_ext,
-        "t_qtrain": t_qtrain,
-        "t_gopher_lines": t_gopher_lines,
-        "t_c4": t_c4,
-        "t_entropy": t_entropy,
-        "q_tpch_rev": q_tpch_rev,
-        "q_tpch_mix1": q_tpch_mix1,
-        # --- code changed since their r9 verdict (jump the queue) ------
+        # --- round-11 additions (never driver-checked): d_substr =
+        # --- ExactSubstr dedup; q_events_agg = the hourly+windowed
+        # --- consolidation (replaces both standalone entries) -----
+        "d_substr": d_substr,
+        "q_events_agg": q_events_agg,
+        # --- code changed since their r10 verdict (rule-3 jump):
+        # --- t_gopher/t_gopher_lines gained the Unicode-ellipsis
+        # --- symbol term, d_bloom rides the widened bloom_probe
+        # --- geometry guard, d_trimspans rides the _trim_by_starts
+        # --- refactor shared with exact_substr_dedup --------------
         "t_gopher": t_gopher,
-        "t_perplexity": t_perplexity,
-        # --- last verified r07 (3 rounds stale = the ceiling; the ------
-        # --- cohort COVERAGE.md scheduled to lead this window) ---------
-        "q_cube": q_cube,
-        "q_wau": q_wau,
-        "q_rolling": q_rolling,
-        "q_sliding": q_sliding,
-        "q_session_window": q_session_window,
-        "d_lsh": d_lsh,
-        "d_against": d_against,
-        "d_index": d_index,
-        "d_neardup": d_neardup,
-        "t_html": t_html,
-        "t_mixture": t_mixture,
-        "g_triangles": g_triangles,
-        "g_pagerank": g_pagerank,
-        "g_degrees": g_degrees,
-        "g_predstats": g_predstats,
-        "m_dhash": m_dhash,
-        "m_audio_segments": m_audio_segments,
-        "q_retention": q_retention,
-        "q_funnel": q_funnel,
-        "q_stratified": q_stratified,
-        "d_exact": d_exact,
-        "d_editdist": d_editdist,
-        "d_simhash": d_simhash,
-        "d_cluster": d_cluster,
-        "d_dedup_corpus": d_dedup_corpus,
-        "d_embed": d_embed,
-        "s_knn": s_knn,
-        "s_knn_lsh": s_knn_lsh,
-        "s_knn_ivf": s_knn_ivf,
-        "t_tokens": t_tokens,
-        "t_quality": t_quality,
-        "t_fingerprint": t_fingerprint,
-        "t_langid": t_langid,
-        # --- last verified r08: head fills the window to 50 ------------
+        "t_gopher_lines": t_gopher_lines,
         "d_bloom": d_bloom,
-        "t_dsir": t_dsir,
-        "t_bpe_train": t_bpe_train,
-        "t_countmin": t_countmin,
-        "d_jaccard": d_jaccard,
-        "t_redact": t_redact,
-        "t_repetition": t_repetition,
-        "t_contaminate": t_contaminate,
-        # --- positions 51+: r08-green overflow; leads round 11 ---------
+        "d_trimspans": d_trimspans,
+        # --- last verified r08 (3 rounds stale = the ceiling; the
+        # --- 36-entry overflow cohort COVERAGE.md scheduled to
+        # --- lead this window, incl. the displaced t_split and
+        # --- t_postings) --------------------------------------------
         "t_split": t_split,
         "t_postings": t_postings,
         "t_clean": t_clean,
@@ -2709,7 +2716,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_allnodes": g_allnodes,
         "g_labeled": g_labeled,
         "g_compare": g_compare,
-        # --- tail: green in CORRECTNESS_r09 (freshest; rule 4) ----------
+        # --- last verified r09 (head of the cohort fills the
+        # --- window to 50) ------------------------------------------
         "g_regex": g_regex,
         "g_order_limit": g_order_limit,
         "g_skip": g_skip,
@@ -2718,6 +2726,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_follow": g_follow,
         "g_followr": g_followr,
         "g_or_short": g_or_short,
+        # --- r09 overflow (positions 51+; leads the round-12
+        # --- window at 3 rounds stale) ------------------------------
         "g_valuefilter": g_valuefilter,
         "g_valuefilter_fn": g_valuefilter_fn,
         "g_write_delete": g_write_delete,
@@ -2731,11 +2741,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14": q14,
         "q17": q17,
         "q18": q18,
-        "q_events_hourly": q_events_hourly,
-        "q_events_windowed": q_events_windowed,
         "q_sessions": q_sessions,
         "q_events_topuser": q_events_topuser,
-        "d_trimspans": d_trimspans,
         "t_urlnorm": t_urlnorm,
         "d_semdedup": d_semdedup,
         "t_domains": t_domains,
@@ -2758,6 +2765,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_lpa": g_lpa,
         "t_qscore": t_qscore,
         "g_ppr": g_ppr,
+        # --- green in round 10 (rule 4: wait last; held by pytest
+        # --- + tools/check_oracles.py meanwhile) --------------------
+        "t_perplexity_ext": t_perplexity_ext,
+        "t_qtrain": t_qtrain,
+        "t_c4": t_c4,
+        "t_entropy": t_entropy,
+        "q_tpch_rev": q_tpch_rev,
+        "q_tpch_mix1": q_tpch_mix1,
+        "t_perplexity": t_perplexity,
+        "q_cube": q_cube,
+        "q_wau": q_wau,
+        "q_rolling": q_rolling,
+        "q_sliding": q_sliding,
+        "q_session_window": q_session_window,
+        "d_lsh": d_lsh,
+        "d_against": d_against,
+        "d_index": d_index,
+        "d_neardup": d_neardup,
+        "t_html": t_html,
+        "t_mixture": t_mixture,
+        "g_triangles": g_triangles,
+        "g_pagerank": g_pagerank,
+        "g_degrees": g_degrees,
+        "g_predstats": g_predstats,
+        "m_dhash": m_dhash,
+        "m_audio_segments": m_audio_segments,
+        "q_retention": q_retention,
+        "q_funnel": q_funnel,
+        "q_stratified": q_stratified,
+        "d_exact": d_exact,
+        "d_editdist": d_editdist,
+        "d_simhash": d_simhash,
+        "d_cluster": d_cluster,
+        "d_dedup_corpus": d_dedup_corpus,
+        "d_embed": d_embed,
+        "s_knn": s_knn,
+        "s_knn_lsh": s_knn_lsh,
+        "s_knn_ivf": s_knn_ivf,
+        "t_tokens": t_tokens,
+        "t_quality": t_quality,
+        "t_fingerprint": t_fingerprint,
+        "t_langid": t_langid,
+        "t_dsir": t_dsir,
+        "t_bpe_train": t_bpe_train,
+        "t_countmin": t_countmin,
+        "d_jaccard": d_jaccard,
+        "t_redact": t_redact,
+        "t_repetition": t_repetition,
+        "t_contaminate": t_contaminate,
     }
 
 
@@ -3640,17 +3696,20 @@ WITH per_cust AS (
             JOIN customer ON o_custkey = c_custkey
             ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
         """,
-        "q_events_hourly": """
-            SELECT date_trunc('hour', ts) AS hour, event_type,
-              COUNT(*) AS n,
+        # q_events_agg: the two former standalone oracles verbatim
+        # under a union (the q_tpch_rev consolidation pattern) — the
+        # Spark entry runs BOTH implementations (direct groupBy +
+        # the streaming-capable windowed_counts operator).
+        "q_events_agg": """
+            SELECT 'hourly' AS q, date_trunc('hour', ts) AS bucket_ts,
+              event_type, COUNT(*) AS n,
               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
-            FROM events GROUP BY 1, 2
-        """,
-        "q_events_windowed": """
-            SELECT date_trunc('hour', ts) AS window_start, event_type,
-              COUNT(*) AS n,
+            FROM events GROUP BY 2, 3
+            UNION ALL
+            SELECT 'windowed' AS q, date_trunc('hour', ts) AS bucket_ts,
+              event_type, COUNT(*) AS n,
               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
-            FROM events GROUP BY 1, 2
+            FROM events GROUP BY 2, 3
         """,
         "q_sessions": """
             WITH m AS (
@@ -4417,6 +4476,68 @@ WITH per_cust AS (
               FROM sh s
               JOIN dup USING (g)
               CROSS JOIN (SELECT unnest(range(0, 5)) AS d) d
+            ), sp AS (
+              SELECT id,
+                     CAST(COUNT(*) AS INT) AS n_removed,
+                     CAST(SUM(CASE WHEN prev = cpos - 1 THEN 0 ELSE 1
+                              END) AS INT) AS n_spans
+              FROM (
+                SELECT id, cpos,
+                       lag(cpos) OVER (PARTITION BY id ORDER BY cpos)
+                         AS prev
+                FROM cov
+              ) GROUP BY id
+            ), tokpos AS (
+              SELECT id, unnest(
+                [{'i': i - 1, 'tok': toks[i]}
+                 for i in range(1, len(toks) + 1)],
+                recursive := true)
+              FROM base
+            ), ct AS (
+              SELECT t.id,
+                     string_agg(t.tok, ' ' ORDER BY t.i) AS clean_text
+              FROM tokpos t
+              LEFT JOIN cov c ON t.id = c.id AND t.i = c.cpos
+              WHERE c.cpos IS NULL
+              GROUP BY t.id
+            )
+            SELECT b.id AS doc_id,
+                   COALESCE(ct.clean_text, '') AS clean_text,
+                   CAST(len(b.toks) AS INT) AS n_tokens,
+                   COALESCE(sp.n_removed, 0) AS n_removed,
+                   COALESCE(sp.n_spans, 0) AS n_spans
+            FROM base b
+            LEFT JOIN ct ON b.id = ct.id
+            LEFT JOIN sp ON b.id = sp.id
+        """,
+        # ExactSubstr: verbatim (NO lower()) 10-token windows,
+        # total-occurrence >= 2 threshold, keep-one = the (id, pos)-
+        # smallest occurrence (ROW_NUMBER replay of Spark's
+        # min(struct(id, pos))); the trim tail mirrors d_trimspans.
+        "d_substr": r"""
+            WITH base AS (
+              SELECT doc_id AS id,
+                     regexp_extract_all(text, '\w+') AS toks
+              FROM documents
+            ), sh AS (
+              SELECT id, unnest(
+                [{'pos': i - 1,
+                  'g': array_to_string(toks[i:i+9], ' ')}
+                 for i in range(1, len(toks) - 8)],
+                recursive := true)
+              FROM base
+            ), occ AS (
+              SELECT id, pos,
+                ROW_NUMBER() OVER (PARTITION BY g ORDER BY id, pos)
+                  AS rn,
+                COUNT(*) OVER (PARTITION BY g) AS cnt
+              FROM sh
+            ), rem AS (
+              SELECT id, pos FROM occ WHERE cnt >= 2 AND rn > 1
+            ), cov AS (
+              SELECT DISTINCT r.id, r.pos + d.d AS cpos
+              FROM rem r
+              CROSS JOIN (SELECT unnest(range(0, 10)) AS d) d
             ), sp AS (
               SELECT id,
                      CAST(COUNT(*) AS INT) AS n_removed,

@@ -566,6 +566,22 @@ def trim_spans(
         .groupBy("id")
         .agg(F.array_sort(F.collect_list("pos")).alias("starts"))
     )
+    return _trim_by_starts(base, starts, k, id_col)
+
+
+def _trim_by_starts(
+    base: DataFrame, starts: DataFrame, k: int, id_col: str
+) -> DataFrame:
+    """Shared removal tail of trim_spans / exact_substr_dedup: given
+    the persisted tokenized corpus ``base`` (id, toks) and per-doc
+    SORTED duplicate-window start positions ``starts`` (id, starts),
+    merge each [s, s+k-1] run into maximal spans (run-length merge:
+    extend the open span while start <= end+1, so a fully boilerplate
+    document collapses to ONE merged span and the token-coverage test
+    costs O(n_tokens x n_merged_spans), not O(n_tokens x n_starts)),
+    delete the covered tokens, and return every document as
+    (id_col, clean_text, n_tokens, n_removed, n_spans)."""
+    n = F.size("toks")
     empty_spans = F.expr("CAST(array() AS array<struct<s:int,e:int>>)")
     merged = F.aggregate(
         F.coalesce(F.col("starts"), F.expr("CAST(array() AS array<int>)")),
@@ -616,6 +632,85 @@ def trim_spans(
         (n - F.size(kept)).cast("int").alias("n_removed"),
         F.size("spans").cast("int").alias("n_spans"),
     ), base)
+
+
+def exact_substr_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 50,
+    min_count: int = 2,
+) -> DataFrame:
+    """ExactSubstr deduplication (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better" §4.1: any 50-token
+    substring repeated verbatim in the corpus is removed until one
+    copy remains; fixed-k sliding-window relaxation of their
+    suffix-array maximal match): positional k-token windows, matched
+    VERBATIM (case-sensitive — unlike trim_spans' case-folded
+    shingles), a window with >= ``min_count`` total occurrences
+    ANYWHERE (including repeats inside one document — unlike
+    trim_spans' distinct-document threshold) is duplicated, its
+    single canonical occurrence (the (id, pos)-smallest — the
+    paper's "leave one copy", made deterministic) survives, and
+    every OTHER occurrence is deleted via the shared span-merge
+    trimmer. Returns every document as (id, clean_text, n_tokens,
+    n_removed, n_spans); clean_text space-joins the surviving tokens
+    in original order/case (the same whitespace relaxation as
+    trim_spans).
+
+    Scale shape (the no-pair-join discipline of duplicated_spans):
+    one positional-window explode, ONE groupBy(window) computing
+    (count, min(id, pos)) — both map-side combinable, so a window
+    shared by a million documents costs one counter row — one join
+    back on the window key to drop keeper occurrences, one per-doc
+    start collect, and the shared id-keyed trim tail. O(total
+    windows) with uniform keys; nothing ever pairs documents.
+    Consecutive overlapping windows of a repeated passage share
+    their keeper document (min (id, pos) is monotone across the
+    passage), so the canonical copy keeps the WHOLE passage and
+    later copies lose it wholesale."""
+    toks = F.coalesce(
+        F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), 0),
+        F.array().cast("array<string>"),
+    )
+    base = df.select(
+        F.col(id_col).alias("id"), toks.alias("toks")
+    ).persist()
+    n = F.size("toks")
+    sh = base.select(
+        "id",
+        F.posexplode(
+            F.when(
+                n >= k,
+                F.transform(
+                    F.sequence(F.lit(0), n - k),
+                    lambda i: F.concat_ws(" ", F.slice("toks", i + 1, k)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pos", "g"),
+    )
+    # one corpus-wide agg: total occurrences + the canonical keeper.
+    # min(struct(id, pos)) orders lexicographically — deterministic,
+    # and map-side combinable (no window function, no second shuffle).
+    dup = (
+        sh.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min(F.struct(F.col("id"), F.col("pos"))).alias("keep"),
+        )
+        .where(F.col("cnt") >= min_count)
+        .select("g", "keep")
+    )
+    starts = (
+        sh.join(dup, "g")
+        .where(
+            (F.col("id") != F.col("keep.id"))
+            | (F.col("pos") != F.col("keep.pos"))
+        )
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list("pos")).alias("starts"))
+    )
+    return _trim_by_starts(base, starts, k, id_col)
 
 
 def simhash64(col: Column, k: int = 2) -> Column:

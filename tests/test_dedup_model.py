@@ -250,6 +250,72 @@ def _model_trim(rows, k=3, min_docs=2):
     return out
 
 
+# ---------------- exact_substr_dedup model fuzz ----------------
+
+
+def _model_exact_substr(rows, k=3, min_count=2):
+    """Pure-python replica of functions/dedup.exact_substr_dedup:
+    verbatim positional k-windows, total-occurrence >= min_count dup
+    set, the (id, pos)-smallest occurrence kept, all other
+    occurrences' covered ranges merged and trimmed per doc."""
+    toks = {i: re.findall(r"\w+", t) for i, t in rows}
+    occ = {}
+    for i, tk in toks.items():
+        for p in range(len(tk) - k + 1):
+            occ.setdefault(" ".join(tk[p : p + k]), []).append((i, p))
+    removal = {}
+    for g, lst in occ.items():
+        if len(lst) >= min_count:
+            keeper = min(lst)
+            for ip in lst:
+                if ip != keeper:
+                    removal.setdefault(ip[0], []).append(ip[1])
+    out = {}
+    for i, tk in toks.items():
+        spans = []
+        for p in sorted(removal.get(i, [])):
+            if spans and p <= spans[-1][1] + 1:
+                spans[-1][1] = p + k - 1
+            else:
+                spans.append([p, p + k - 1])
+        covered = {j for s, e in spans for j in range(s, e + 1)}
+        kept = [x for j, x in enumerate(tk) if j not in covered]
+        out[i] = (
+            " ".join(kept),
+            len(tk),
+            len(tk) - len(kept),
+            len(spans),
+        )
+    return out
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=corpora(), k=st.sampled_from([2, 3, 5]))
+def test_exact_substr_matches_model(spark, rows, k):
+    """exact_substr_dedup vs a pure-python replica on random corpora
+    with planted duplicates: clean_text, counts, and merged span
+    counts must match exactly — including the keep-one choice."""
+    from cayley_spark.functions.dedup import exact_substr_dedup
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["clean_text"],
+            r["n_tokens"],
+            r["n_removed"],
+            r["n_spans"],
+        )
+        for r in exact_substr_dedup(df, k=k, min_count=2).collect()
+    }
+    want = _model_exact_substr(rows, k=k, min_count=2)
+    assert got == want, f"diverges on {rows!r} @ k={k}"
+
+
 @settings(
     max_examples=15,
     deadline=None,

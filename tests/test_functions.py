@@ -1174,6 +1174,71 @@ def test_trim_spans_no_pair_join(spark):
         assert r["n_spans"] >= 1
 
 
+def test_exact_substr_dedup_golden(spark):
+    """ExactSubstr keep-one semantics: the (id,pos)-smallest
+    occurrence of a duplicated k-window survives, every other copy is
+    trimmed; matching is VERBATIM (case differences do not match,
+    unlike trim_spans); a window repeated within ONE document is
+    still deduplicated (total-occurrence threshold, not distinct
+    docs)."""
+    from cayley_spark.functions.dedup import exact_substr_dedup
+
+    shared = "the quick brown fox jumps over the lazy dog and"
+    far = "zulu yankee xray whiskey victor"
+    rows = [
+        Row(doc_id=1, text=f"{shared} alpha beta gamma delta"),
+        Row(doc_id=2, text=f"intro words lead in {shared} outro"),
+        Row(doc_id=3, text=f"CASE check {shared.upper()} here now"),
+        Row(doc_id=4, text=f"{far} one two three {far}"),
+        Row(doc_id=5, text="totally unrelated text with nothing like it"),
+        Row(doc_id=6, text=""),
+        Row(doc_id=7, text="tiny"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in exact_substr_dedup(
+            spark.createDataFrame(rows), k=5, min_count=2
+        ).collect()
+    }
+    assert len(out) == 7
+    # doc 1 is the canonical copy — it keeps the whole passage
+    assert out[1]["clean_text"] == f"{shared} alpha beta gamma delta"
+    assert out[1]["n_removed"] == 0 and out[1]["n_spans"] == 0
+    # doc 2 loses the whole 10-token passage as ONE merged span
+    assert out[2]["clean_text"] == "intro words lead in outro"
+    assert out[2]["n_removed"] == 10 and out[2]["n_spans"] == 1
+    # verbatim matching: the upper-cased copy is NOT a duplicate
+    assert out[3]["n_removed"] == 0
+    assert "THE QUICK" in out[3]["clean_text"]
+    # within-doc repetition: second occurrence trimmed, first kept
+    assert out[4]["clean_text"] == f"{far} one two three"
+    assert out[4]["n_removed"] == 5 and out[4]["n_spans"] == 1
+    assert out[5]["n_removed"] == 0
+    assert out[6]["clean_text"] == "" and out[6]["n_tokens"] == 0
+    assert out[7]["clean_text"] == "tiny"
+
+
+def test_exact_substr_dedup_no_pair_join(spark):
+    """Boilerplate shared by many docs costs one counter row, never a
+    candidate pair — no cartesian/broadcast-nested-loop in the plan;
+    exactly one copy of the boilerplate survives corpus-wide."""
+    from cayley_spark.functions.dedup import exact_substr_dedup
+
+    boiler = "all rights reserved contact us for details"
+    rows = [
+        Row(doc_id=i, text=f"doc {i} body content number {i} {boiler}")
+        for i in range(6)
+    ]
+    res = exact_substr_dedup(spark.createDataFrame(rows), k=5, min_count=2)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    rows_out = res.collect()
+    survivors = [r for r in rows_out if "reserved" in r["clean_text"]]
+    assert len(survivors) == 1 and survivors[0]["doc_id"] == 0
+    assert all(r["n_spans"] == 1 for r in rows_out if r["doc_id"] != 0)
+
+
 def test_canonicalize_url_aliases(spark):
     """The usual crawl-aliasing pairs collapse to one canonical key:
     case, default ports, trailing slash, fragments, tracking params,

@@ -281,6 +281,19 @@ def test_c4_is_pure_expressions(spark, entry):
     assert "Exchange hashpartitioning" not in plan
 
 
+def test_substr_dedup_no_pair_join_bounded_shuffles(spark, entry):
+    """d_substr (ExactSubstr): documents must never pair with each
+    other — no cartesian/nested-loop — and the whole keep-one plan
+    is window-key + id-key shuffles only: one groupBy(g), the g-key
+    join back (riding the agg's partitioning), one starts collect
+    and the id-keyed trim join — bounded by 5 hash exchanges."""
+    df = entry.queries()["d_substr"](spark, SF)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 5, plan
+
+
 def test_entropy_final_agg_rides_window_partitioning(spark, entry):
     """t_entropy: exactly two hash exchanges — the (id, token) count
     shuffle and the per-doc window — and the final groupBy(id) rides
