@@ -1411,6 +1411,26 @@ def d_substr(spark, sf):
     return exact_substr_dedup(docs, k=10, min_count=2)
 
 
+def d_substr_against(spark, sf):
+    """Asymmetric/incremental ExactSubstr (functions/dedup.
+    exact_substr_against — the daily-crawl-vs-historical-corpus
+    pattern of d_against in the substring modality): the doc_id % 3
+    = 0 slice stands in for the already-admitted corpus, the rest is
+    the new batch; every 10-token window the corpus already holds is
+    removed from ALL its batch occurrences (the corpus copy is
+    canonical), and windows fresh to the batch get the keep-one rule
+    within it, so appending the output to the corpus preserves the
+    global at-most-one-copy invariant. Never a document pair join:
+    the corpus reduces to its distinct window set, the batch windows
+    semi/anti-join it on the window key."""
+    from cayley_spark.functions.dedup import exact_substr_against
+
+    docs = _t_wide(spark, sf, "documents")
+    ref = docs.where(F.col("doc_id") % 3 == 0)
+    new = docs.where(F.col("doc_id") % 3 != 0)
+    return exact_substr_against(new, ref, k=10, min_count=2)
+
+
 def q_events_agg(spark, sf):
     """Consolidated tumbling-aggregation pair q_events_hourly +
     q_events_windowed (registry consolidation, COVERAGE.md round 11
@@ -2646,19 +2666,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     entries whose last green verdict is OLDEST; entries green in the
     immediately previous round go last (they retain pytest +
     tools/check_oracles.py coverage while they wait).
-    Round-11 window (50) = 2 new entries (d_substr = ExactSubstr
-    dedup; q_events_agg = the q_events_hourly+q_events_windowed
+    Round-11 window (50) = 3 new entries (d_substr = ExactSubstr
+    dedup; d_substr_against = its asymmetric/incremental pass;
+    q_events_agg = the q_events_hourly+q_events_windowed
     consolidation, which it replaces) + 4 code-changed r10-green
     entries (t_gopher/t_gopher_lines gained the Unicode-ellipsis
     symbol term, d_bloom rides the widened bloom_probe geometry
     guard, d_trimspans rides the _trim_by_starts refactor) + the
     36-entry r08-overflow cohort (t_split .. g_compare — exactly 3
     rounds stale at this verdict, the ratified ceiling, scheduled by
-    COVERAGE.md round 10) + the first 8 of the r09-green cohort
-    (g_regex .. g_or_short). The remaining 37 r09-green entries
+    COVERAGE.md round 10) + the first 7 of the r09-green cohort
+    (g_regex .. g_followr). The remaining 38 r09-green entries
     overflow to 51+ and lead the round-12 window; r10-green entries
-    sit last (rule 4). Registry = 134 (132 + t_c4/t_entropy at r10;
-    +2 −2 this round: the q_events consolidation executes both
+    sit last (rule 4). Registry = 135 (132 + t_c4/t_entropy at r10;
+    +3 −2 this round: the q_events consolidation executes both
     plans via one multi-assert entry — no operator-surface loss).
     """
     return {
@@ -2666,6 +2687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- ExactSubstr dedup; q_events_agg = the hourly+windowed
         # --- consolidation (replaces both standalone entries) -----
         "d_substr": d_substr,
+        "d_substr_against": d_substr_against,
         "q_events_agg": q_events_agg,
         # --- code changed since their r10 verdict (rule-3 jump):
         # --- t_gopher/t_gopher_lines gained the Unicode-ellipsis
@@ -4569,6 +4591,85 @@ WITH per_cust AS (
                    COALESCE(sp.n_removed, 0) AS n_removed,
                    COALESCE(sp.n_spans, 0) AS n_spans
             FROM base b
+            LEFT JOIN ct ON b.id = ct.id
+            LEFT JOIN sp ON b.id = sp.id
+        """,
+        # Asymmetric ExactSubstr: corpus = doc_id % 3 = 0 slice,
+        # batch = the rest; corpus-window hits remove EVERY batch
+        # occurrence, batch-fresh windows get the same keep-one
+        # ROW_NUMBER replay as d_substr; trim tail identical.
+        "d_substr_against": r"""
+            WITH newd AS (
+              SELECT doc_id AS id,
+                     regexp_extract_all(text, '\w+') AS toks
+              FROM documents WHERE doc_id % 3 <> 0
+            ), refd AS (
+              SELECT regexp_extract_all(text, '\w+') AS toks
+              FROM documents WHERE doc_id % 3 = 0
+            ), refg AS (
+              SELECT DISTINCT g FROM (
+                SELECT unnest(
+                  [array_to_string(toks[i:i+9], ' ')
+                   for i in range(1, len(toks) - 8)]) AS g
+                FROM refd
+              )
+            ), sh AS (
+              SELECT id, unnest(
+                [{'pos': i - 1,
+                  'g': array_to_string(toks[i:i+9], ' ')}
+                 for i in range(1, len(toks) - 8)],
+                recursive := true)
+              FROM newd
+            ), hc AS (
+              SELECT s.id, s.pos FROM sh s JOIN refg USING (g)
+            ), fresh AS (
+              SELECT * FROM sh s
+              WHERE NOT EXISTS (SELECT 1 FROM refg r WHERE r.g = s.g)
+            ), occ AS (
+              SELECT id, pos,
+                ROW_NUMBER() OVER (PARTITION BY g ORDER BY id, pos)
+                  AS rn,
+                COUNT(*) OVER (PARTITION BY g) AS cnt
+              FROM fresh
+            ), rem AS (
+              SELECT id, pos FROM occ WHERE cnt >= 2 AND rn > 1
+              UNION ALL
+              SELECT id, pos FROM hc
+            ), cov AS (
+              SELECT DISTINCT r.id, r.pos + d.d AS cpos
+              FROM rem r
+              CROSS JOIN (SELECT unnest(range(0, 10)) AS d) d
+            ), sp AS (
+              SELECT id,
+                     CAST(COUNT(*) AS INT) AS n_removed,
+                     CAST(SUM(CASE WHEN prev = cpos - 1 THEN 0 ELSE 1
+                              END) AS INT) AS n_spans
+              FROM (
+                SELECT id, cpos,
+                       lag(cpos) OVER (PARTITION BY id ORDER BY cpos)
+                         AS prev
+                FROM cov
+              ) GROUP BY id
+            ), tokpos AS (
+              SELECT id, unnest(
+                [{'i': i - 1, 'tok': toks[i]}
+                 for i in range(1, len(toks) + 1)],
+                recursive := true)
+              FROM newd
+            ), ct AS (
+              SELECT t.id,
+                     string_agg(t.tok, ' ' ORDER BY t.i) AS clean_text
+              FROM tokpos t
+              LEFT JOIN cov c ON t.id = c.id AND t.i = c.cpos
+              WHERE c.cpos IS NULL
+              GROUP BY t.id
+            )
+            SELECT b.id AS doc_id,
+                   COALESCE(ct.clean_text, '') AS clean_text,
+                   CAST(len(b.toks) AS INT) AS n_tokens,
+                   COALESCE(sp.n_removed, 0) AS n_removed,
+                   COALESCE(sp.n_spans, 0) AS n_spans
+            FROM newd b
             LEFT JOIN ct ON b.id = ct.id
             LEFT JOIN sp ON b.id = sp.id
         """,

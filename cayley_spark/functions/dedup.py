@@ -634,6 +634,95 @@ def _trim_by_starts(
     ), base)
 
 
+def exact_substr_against(
+    new: DataFrame,
+    existing: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 50,
+    min_count: int = 2,
+) -> DataFrame:
+    """Asymmetric ExactSubstr — the incremental pass of
+    :func:`exact_substr_dedup` (the daily-crawl-vs-historical-corpus
+    pattern of ``dedup_against``, in the substring modality): trim
+    from ``new`` every k-token window that occurs ANYWHERE in
+    ``existing`` (the already-admitted corpus is canonical, so EVERY
+    new occurrence goes — no keep-one), and additionally keep-one
+    dedup the windows duplicated (>= ``min_count`` occurrences)
+    WITHIN ``new`` itself, so the returned batch is clean against
+    the corpus AND against itself — appending it to ``existing``
+    preserves the global at-most-one-copy invariant. Returns every
+    ``new`` document as (id, clean_text, n_tokens, n_removed,
+    n_spans); ``existing`` rows are never rewritten (they hold the
+    canonical copies by construction).
+
+    Scale shape: never new×new or new×existing document pairs. The
+    existing side reduces to its DISTINCT window set (one map-side-
+    combinable aggregate — at scale a persisted, incrementally
+    appended sidecar like LSHDedupIndex rather than a per-batch
+    rescan); the new side's windows semi-join it on the window key,
+    and the within-batch pass reuses exact_substr_dedup's
+    (count, keeper) aggregate restricted to windows ABSENT from the
+    corpus (windows present in it are already fully removed — the
+    anti-join keeps the two removal sets disjoint by construction).
+    One explode per side, window-key joins, one id shuffle, the
+    shared trim tail."""
+    toks = F.coalesce(
+        F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), 0),
+        F.array().cast("array<string>"),
+    )
+    base = new.select(
+        F.col(id_col).alias("id"), toks.alias("toks")
+    ).persist()
+    n = F.size("toks")
+
+    def window_arr(nn):
+        return F.when(
+            nn >= k,
+            F.transform(
+                F.sequence(F.lit(0), nn - k),
+                lambda i: F.concat_ws(" ", F.slice("toks", i + 1, k)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    sh = base.select(
+        "id", F.posexplode(window_arr(n)).alias("pos", "g")
+    )
+    corpus_g = (
+        existing.select(toks.alias("toks"))
+        .select(F.explode(window_arr(F.size("toks"))).alias("g"))
+        .distinct()
+    )
+    # pass 1: every occurrence of a corpus window is removed
+    hit_corpus = sh.join(corpus_g, "g", "left_semi").select("id", "pos")
+    # pass 2: keep-one within the batch, only for windows NOT in the
+    # corpus (disjoint from pass 1 by the anti-join)
+    fresh = sh.join(corpus_g, "g", "left_anti")
+    dup = (
+        fresh.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min(F.struct(F.col("id"), F.col("pos"))).alias("keep"),
+        )
+        .where(F.col("cnt") >= min_count)
+        .select("g", "keep")
+    )
+    hit_batch = (
+        fresh.join(dup, "g")
+        .where(
+            (F.col("id") != F.col("keep.id"))
+            | (F.col("pos") != F.col("keep.pos"))
+        )
+        .select("id", "pos")
+    )
+    starts = (
+        hit_corpus.unionByName(hit_batch)
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list("pos")).alias("starts"))
+    )
+    return _trim_by_starts(base, starts, k, id_col)
+
+
 def exact_substr_dedup(
     df: DataFrame,
     id_col: str = "doc_id",

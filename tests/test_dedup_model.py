@@ -316,6 +316,88 @@ def test_exact_substr_matches_model(spark, rows, k):
     assert got == want, f"diverges on {rows!r} @ k={k}"
 
 
+def _model_exact_substr_against(new_rows, ref_rows, k=3, min_count=2):
+    """Pure-python replica of functions/dedup.exact_substr_against:
+    corpus windows removed from every new occurrence; batch-fresh
+    windows keep-one within the batch."""
+    ref_g = set()
+    for _, t in ref_rows:
+        tk = re.findall(r"\w+", t)
+        for p in range(len(tk) - k + 1):
+            ref_g.add(" ".join(tk[p : p + k]))
+    toks = {i: re.findall(r"\w+", t) for i, t in new_rows}
+    occ = {}
+    removal = {}
+    for i, tk in toks.items():
+        for p in range(len(tk) - k + 1):
+            g = " ".join(tk[p : p + k])
+            if g in ref_g:
+                removal.setdefault(i, []).append(p)
+            else:
+                occ.setdefault(g, []).append((i, p))
+    for g, lst in occ.items():
+        if len(lst) >= min_count:
+            keeper = min(lst)
+            for ip in lst:
+                if ip != keeper:
+                    removal.setdefault(ip[0], []).append(ip[1])
+    out = {}
+    for i, tk in toks.items():
+        spans = []
+        for p in sorted(removal.get(i, [])):
+            if spans and p <= spans[-1][1] + 1:
+                spans[-1][1] = p + k - 1
+            else:
+                spans.append([p, p + k - 1])
+        covered = {j for s, e in spans for j in range(s, e + 1)}
+        kept = [x for j, x in enumerate(tk) if j not in covered]
+        out[i] = (
+            " ".join(kept),
+            len(tk),
+            len(tk) - len(kept),
+            len(spans),
+        )
+    return out
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=corpora(), k=st.sampled_from([2, 3, 5]))
+def test_exact_substr_against_matches_model(spark, rows, k):
+    """exact_substr_against vs a pure-python replica: split each
+    random corpus into ref (even ids) and new (odd ids) so planted
+    duplicates land both across the split and within the batch."""
+    from cayley_spark.functions.dedup import exact_substr_against
+
+    ref_rows = [r for r in rows if r[0] % 2 == 0]
+    new_rows = [r for r in rows if r[0] % 2 == 1]
+    if not new_rows:
+        return
+    new_df = spark.createDataFrame(new_rows, "doc_id long, text string")
+    ref_df = spark.createDataFrame(
+        ref_rows or [(10**9, "")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (
+            r["clean_text"],
+            r["n_tokens"],
+            r["n_removed"],
+            r["n_spans"],
+        )
+        for r in exact_substr_against(
+            new_df, ref_df, k=k, min_count=2
+        ).collect()
+    }
+    want = _model_exact_substr_against(
+        new_rows, ref_rows, k=k, min_count=2
+    )
+    assert got == want, f"diverges on {rows!r} @ k={k}"
+
+
 @settings(
     max_examples=15,
     deadline=None,

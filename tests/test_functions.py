@@ -1239,6 +1239,47 @@ def test_exact_substr_dedup_no_pair_join(spark):
     assert all(r["n_spans"] == 1 for r in rows_out if r["doc_id"] != 0)
 
 
+def test_exact_substr_against_golden(spark):
+    """Asymmetric ExactSubstr: every occurrence of a corpus window is
+    removed from the new batch (the corpus holds the canonical copy),
+    while windows fresh to the batch get keep-one within it; clean
+    docs pass through."""
+    from cayley_spark.functions.dedup import exact_substr_against
+
+    shared = "the quick brown fox jumps over the lazy dog and"
+    q = "november oscar papa quebec romeo"
+    existing = spark.createDataFrame(
+        [Row(doc_id=100, text=f"{shared} archived corpus tail here")]
+    )
+    new = spark.createDataFrame(
+        [
+            # corpus window: removed even as a SINGLE occurrence
+            Row(doc_id=1, text=f"fresh opening words {shared} closing"),
+            # batch-only window, twice in one doc: keep-one
+            Row(doc_id=2, text=f"{q} one two three {q}"),
+            # same batch-only window again: doc 2 pos 0 is the keeper
+            Row(doc_id=3, text=f"prefix {q} suffix trail"),
+            Row(doc_id=4, text="nothing shared with anyone at all"),
+            Row(doc_id=5, text=""),
+        ]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in exact_substr_against(
+            new, existing, k=5, min_count=2
+        ).collect()
+    }
+    assert len(out) == 5  # existing rows are not returned
+    assert out[1]["clean_text"] == "fresh opening words closing"
+    assert out[1]["n_removed"] == 10 and out[1]["n_spans"] == 1
+    assert out[2]["clean_text"] == f"{q} one two three"
+    assert out[2]["n_removed"] == 5
+    assert out[3]["clean_text"] == "prefix suffix trail"
+    assert out[3]["n_removed"] == 5
+    assert out[4]["n_removed"] == 0
+    assert out[5]["clean_text"] == "" and out[5]["n_tokens"] == 0
+
+
 def test_canonicalize_url_aliases(spark):
     """The usual crawl-aliasing pairs collapse to one canonical key:
     case, default ports, trailing slash, fragments, tracking params,

@@ -228,6 +228,62 @@ def run_ops(spark, sf_dir: str, m: int) -> dict[str, float]:
             }
         )
 
+    if os.environ.get("SCALE_OPS") == "r11":
+        # Round-10/11 additions: the CCNet broadcast scoring path, the
+        # in-engine perceptron trainer (both cache_feats settings —
+        # the VERDICT r10 #7 experiment), the Gopher/C4/entropy
+        # expression batteries, and ExactSubstr dedup. The reference
+        # corpus for t_perplexity_ext is the FIXED base documents
+        # table at every m — the paper's regime (model fixed, target
+        # grows) is exactly what the broadcast claim is about.
+        from cayley_spark.functions.dedup import exact_substr_dedup
+        from cayley_spark.functions.text import (
+            c4_rules,
+            gopher_rules,
+            hashed_linear_train,
+            lm_perplexity,
+            lm_train_trigram,
+            token_entropy,
+        )
+
+        ref = spark.read.parquet(
+            os.path.join(BASE_SF, "documents.parquet")
+        )
+        if ref.rdd.getNumPartitions() < par:
+            ref = ref.repartition(par)
+        model = lm_train_trigram(ref).localCheckpoint()
+        labeled = docs.select(
+            "doc_id",
+            "text",
+            ((F.col("doc_id") % 2) * 2 - 1).cast("int").alias("label"),
+        )
+
+        def _train(cache):
+            def run():
+                out = hashed_linear_train(
+                    labeled, buckets=8192, epochs=2, cache_feats=cache
+                )
+                return out
+
+            return run
+
+        ops = {
+            "t_perplexity_ext": lambda: lm_perplexity(
+                docs,
+                model=model,
+                default_nll=20_000_000,
+                broadcast_model=True,
+            ),
+            "t_qtrain_nocache": _train(False),
+            "t_qtrain_cache": _train(True),
+            "t_gopher": lambda: gopher_rules(docs, min_words=30),
+            "t_c4": lambda: c4_rules(docs),
+            "t_entropy": lambda: token_entropy(docs),
+            "d_substr": lambda: exact_substr_dedup(
+                docs, k=10, min_count=2
+            ),
+        }
+
     def persistent_ids():
         mm = spark.sparkContext._jsc.getPersistentRDDs()
         return {int(k) for k in mm.keySet().toArray()}
