@@ -1431,6 +1431,39 @@ def d_substr_against(spark, sf):
     return exact_substr_against(new, ref, k=10, min_count=2)
 
 
+def d_substr_index(spark, sf):
+    """Persisted ExactSubstr window index (functions/dedup_index.
+    SubstrDedupIndex): the doc_id % 3 = 0 corpus slice is indexed
+    ONCE to Parquet — distinct 64-bit window fingerprints, 8 bytes
+    per corpus token, the storage order of the suffix array Lee et
+    al. 2022 build — keyed by (sf dir, source-file mtime) like
+    d_index, so the first call per dataset builds+saves and every
+    later call LOADS; the remaining docs are trimmed against the
+    FILES. Same verdict as d_substr_against: the oracle certifies
+    the persisted fingerprint path reproduces the exact-string
+    semantics (64-bit collisions are impossible at test scale and
+    documented ≈n²/2⁶⁵ on the class at 100 TB)."""
+    import hashlib
+    import os
+
+    from cayley_spark.functions.dedup_index import SubstrDedupIndex
+
+    docs = _t_wide(spark, sf, "documents")
+    ref = docs.where(F.col("doc_id") % 3 == 0)
+    new = docs.where(F.col("doc_id") % 3 != 0)
+    src = f"{sf}/documents.parquet"
+    fp = hashlib.md5(
+        f"{os.path.abspath(src)}:{os.path.getmtime(src)}:substr".encode()
+    ).hexdigest()[:10]
+    path = f"/tmp/cayley_substr_index_{fp}"
+    try:
+        idx = SubstrDedupIndex.load(spark, path)
+    except Exception:
+        SubstrDedupIndex.build(ref, k=10).save(path)
+        idx = SubstrDedupIndex.load(spark, path)
+    return idx.trim(new, min_count=2)
+
+
 def q_events_agg(spark, sf):
     """Consolidated tumbling-aggregation pair q_events_hourly +
     q_events_windowed (registry consolidation, COVERAGE.md round 11
@@ -2666,21 +2699,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     entries whose last green verdict is OLDEST; entries green in the
     immediately previous round go last (they retain pytest +
     tools/check_oracles.py coverage while they wait).
-    Round-11 window (50) = 3 new entries (d_substr = ExactSubstr
+    Round-11 window (50) = 4 new entries (d_substr = ExactSubstr
     dedup; d_substr_against = its asymmetric/incremental pass;
-    q_events_agg = the q_events_hourly+q_events_windowed
-    consolidation, which it replaces) + 4 code-changed r10-green
-    entries (t_gopher/t_gopher_lines gained the Unicode-ellipsis
-    symbol term, d_bloom rides the widened bloom_probe geometry
-    guard, d_trimspans rides the _trim_by_starts refactor) + the
-    36-entry r08-overflow cohort (t_split .. g_compare — exactly 3
-    rounds stale at this verdict, the ratified ceiling, scheduled by
-    COVERAGE.md round 10) + the first 7 of the r09-green cohort
-    (g_regex .. g_followr). The remaining 38 r09-green entries
-    overflow to 51+ and lead the round-12 window; r10-green entries
-    sit last (rule 4). Registry = 135 (132 + t_c4/t_entropy at r10;
-    +3 −2 this round: the q_events consolidation executes both
-    plans via one multi-assert entry — no operator-surface loss).
+    d_substr_index = the persisted fingerprint-index form of the
+    same verdict; q_events_agg = the q_events_hourly+
+    q_events_windowed consolidation, which it replaces) + 4
+    code-changed r10-green entries (t_gopher/t_gopher_lines gained
+    the Unicode-ellipsis symbol term, d_bloom rides the widened
+    bloom_probe geometry guard, d_trimspans rides the
+    _trim_by_starts refactor) + the 36-entry r08-overflow cohort
+    (t_split .. g_compare — exactly 3 rounds stale at this verdict,
+    the ratified ceiling, scheduled by COVERAGE.md round 10) + the
+    first 6 of the r09-green cohort (g_regex .. g_follow). The
+    remaining 39 r09-green entries overflow to 51+ and lead the
+    round-12 window; r10-green entries sit last (rule 4). Registry
+    = 136 (132 + t_c4/t_entropy at r10; +4 −2 this round: the
+    q_events consolidation executes both plans via one multi-assert
+    entry — no operator-surface loss).
     """
     return {
         # --- round-11 additions (never driver-checked): d_substr =
@@ -2688,6 +2723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- consolidation (replaces both standalone entries) -----
         "d_substr": d_substr,
         "d_substr_against": d_substr_against,
+        "d_substr_index": d_substr_index,
         "q_events_agg": q_events_agg,
         # --- code changed since their r10 verdict (rule-3 jump):
         # --- t_gopher/t_gopher_lines gained the Unicode-ellipsis
@@ -3202,6 +3238,83 @@ def _kcenter_oracle(k: int = 6) -> str:
         f'\nSELECT id AS vec_id, CAST("rank" AS INT) AS rank FROM s{k-1}'
     )
     return "".join(parts)
+
+
+_SUBSTR_AGAINST_SQL = r"""
+            WITH newd AS (
+              SELECT doc_id AS id,
+                     regexp_extract_all(text, '\w+') AS toks
+              FROM documents WHERE doc_id % 3 <> 0
+            ), refd AS (
+              SELECT regexp_extract_all(text, '\w+') AS toks
+              FROM documents WHERE doc_id % 3 = 0
+            ), refg AS (
+              SELECT DISTINCT g FROM (
+                SELECT unnest(
+                  [array_to_string(toks[i:i+9], ' ')
+                   for i in range(1, len(toks) - 8)]) AS g
+                FROM refd
+              )
+            ), sh AS (
+              SELECT id, unnest(
+                [{'pos': i - 1,
+                  'g': array_to_string(toks[i:i+9], ' ')}
+                 for i in range(1, len(toks) - 8)],
+                recursive := true)
+              FROM newd
+            ), hc AS (
+              SELECT s.id, s.pos FROM sh s JOIN refg USING (g)
+            ), fresh AS (
+              SELECT * FROM sh s
+              WHERE NOT EXISTS (SELECT 1 FROM refg r WHERE r.g = s.g)
+            ), occ AS (
+              SELECT id, pos,
+                ROW_NUMBER() OVER (PARTITION BY g ORDER BY id, pos)
+                  AS rn,
+                COUNT(*) OVER (PARTITION BY g) AS cnt
+              FROM fresh
+            ), rem AS (
+              SELECT id, pos FROM occ WHERE cnt >= 2 AND rn > 1
+              UNION ALL
+              SELECT id, pos FROM hc
+            ), cov AS (
+              SELECT DISTINCT r.id, r.pos + d.d AS cpos
+              FROM rem r
+              CROSS JOIN (SELECT unnest(range(0, 10)) AS d) d
+            ), sp AS (
+              SELECT id,
+                     CAST(COUNT(*) AS INT) AS n_removed,
+                     CAST(SUM(CASE WHEN prev = cpos - 1 THEN 0 ELSE 1
+                              END) AS INT) AS n_spans
+              FROM (
+                SELECT id, cpos,
+                       lag(cpos) OVER (PARTITION BY id ORDER BY cpos)
+                         AS prev
+                FROM cov
+              ) GROUP BY id
+            ), tokpos AS (
+              SELECT id, unnest(
+                [{'i': i - 1, 'tok': toks[i]}
+                 for i in range(1, len(toks) + 1)],
+                recursive := true)
+              FROM newd
+            ), ct AS (
+              SELECT t.id,
+                     string_agg(t.tok, ' ' ORDER BY t.i) AS clean_text
+              FROM tokpos t
+              LEFT JOIN cov c ON t.id = c.id AND t.i = c.cpos
+              WHERE c.cpos IS NULL
+              GROUP BY t.id
+            )
+            SELECT b.id AS doc_id,
+                   COALESCE(ct.clean_text, '') AS clean_text,
+                   CAST(len(b.toks) AS INT) AS n_tokens,
+                   COALESCE(sp.n_removed, 0) AS n_removed,
+                   COALESCE(sp.n_spans, 0) AS n_spans
+            FROM newd b
+            LEFT JOIN ct ON b.id = ct.id
+            LEFT JOIN sp ON b.id = sp.id
+        """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4598,81 +4711,11 @@ WITH per_cust AS (
         # batch = the rest; corpus-window hits remove EVERY batch
         # occurrence, batch-fresh windows get the same keep-one
         # ROW_NUMBER replay as d_substr; trim tail identical.
-        "d_substr_against": r"""
-            WITH newd AS (
-              SELECT doc_id AS id,
-                     regexp_extract_all(text, '\w+') AS toks
-              FROM documents WHERE doc_id % 3 <> 0
-            ), refd AS (
-              SELECT regexp_extract_all(text, '\w+') AS toks
-              FROM documents WHERE doc_id % 3 = 0
-            ), refg AS (
-              SELECT DISTINCT g FROM (
-                SELECT unnest(
-                  [array_to_string(toks[i:i+9], ' ')
-                   for i in range(1, len(toks) - 8)]) AS g
-                FROM refd
-              )
-            ), sh AS (
-              SELECT id, unnest(
-                [{'pos': i - 1,
-                  'g': array_to_string(toks[i:i+9], ' ')}
-                 for i in range(1, len(toks) - 8)],
-                recursive := true)
-              FROM newd
-            ), hc AS (
-              SELECT s.id, s.pos FROM sh s JOIN refg USING (g)
-            ), fresh AS (
-              SELECT * FROM sh s
-              WHERE NOT EXISTS (SELECT 1 FROM refg r WHERE r.g = s.g)
-            ), occ AS (
-              SELECT id, pos,
-                ROW_NUMBER() OVER (PARTITION BY g ORDER BY id, pos)
-                  AS rn,
-                COUNT(*) OVER (PARTITION BY g) AS cnt
-              FROM fresh
-            ), rem AS (
-              SELECT id, pos FROM occ WHERE cnt >= 2 AND rn > 1
-              UNION ALL
-              SELECT id, pos FROM hc
-            ), cov AS (
-              SELECT DISTINCT r.id, r.pos + d.d AS cpos
-              FROM rem r
-              CROSS JOIN (SELECT unnest(range(0, 10)) AS d) d
-            ), sp AS (
-              SELECT id,
-                     CAST(COUNT(*) AS INT) AS n_removed,
-                     CAST(SUM(CASE WHEN prev = cpos - 1 THEN 0 ELSE 1
-                              END) AS INT) AS n_spans
-              FROM (
-                SELECT id, cpos,
-                       lag(cpos) OVER (PARTITION BY id ORDER BY cpos)
-                         AS prev
-                FROM cov
-              ) GROUP BY id
-            ), tokpos AS (
-              SELECT id, unnest(
-                [{'i': i - 1, 'tok': toks[i]}
-                 for i in range(1, len(toks) + 1)],
-                recursive := true)
-              FROM newd
-            ), ct AS (
-              SELECT t.id,
-                     string_agg(t.tok, ' ' ORDER BY t.i) AS clean_text
-              FROM tokpos t
-              LEFT JOIN cov c ON t.id = c.id AND t.i = c.cpos
-              WHERE c.cpos IS NULL
-              GROUP BY t.id
-            )
-            SELECT b.id AS doc_id,
-                   COALESCE(ct.clean_text, '') AS clean_text,
-                   CAST(len(b.toks) AS INT) AS n_tokens,
-                   COALESCE(sp.n_removed, 0) AS n_removed,
-                   COALESCE(sp.n_spans, 0) AS n_spans
-            FROM newd b
-            LEFT JOIN ct ON b.id = ct.id
-            LEFT JOIN sp ON b.id = sp.id
-        """,
+        "d_substr_against": _SUBSTR_AGAINST_SQL,
+        # d_substr_index: identical verdict — the entry certifies
+        # the PERSISTED fingerprint index reproduces the exact-
+        # string semantics (the d_index-vs-d_against pattern).
+        "d_substr_index": _SUBSTR_AGAINST_SQL,
         # The oracle does NOT replay the normalization chain: it
         # derives each synthesized case's expected canonical form
         # analytically (independent derivation, the m_dhash

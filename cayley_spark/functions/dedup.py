@@ -634,6 +634,20 @@ def _trim_by_starts(
     ), base)
 
 
+def _token_window_arr(n, k: int):
+    """Array of the k-token sliding windows of column ``toks``
+    (VERBATIM, space-joined — the ExactSubstr match key), empty when
+    the document is shorter than k tokens. ``n`` is the caller's
+    F.size('toks') expression."""
+    return F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.concat_ws(" ", F.slice("toks", i + 1, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def exact_substr_against(
     new: DataFrame,
     existing: DataFrame,
@@ -676,21 +690,14 @@ def exact_substr_against(
     ).persist()
     n = F.size("toks")
 
-    def window_arr(nn):
-        return F.when(
-            nn >= k,
-            F.transform(
-                F.sequence(F.lit(0), nn - k),
-                lambda i: F.concat_ws(" ", F.slice("toks", i + 1, k)),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-
     sh = base.select(
-        "id", F.posexplode(window_arr(n)).alias("pos", "g")
+        "id", F.posexplode(_token_window_arr(n, k)).alias("pos", "g")
     )
     corpus_g = (
         existing.select(toks.alias("toks"))
-        .select(F.explode(window_arr(F.size("toks"))).alias("g"))
+        .select(
+            F.explode(_token_window_arr(F.size("toks"), k)).alias("g")
+        )
         .distinct()
     )
     # pass 1: every occurrence of a corpus window is removed
@@ -767,16 +774,7 @@ def exact_substr_dedup(
     ).persist()
     n = F.size("toks")
     sh = base.select(
-        "id",
-        F.posexplode(
-            F.when(
-                n >= k,
-                F.transform(
-                    F.sequence(F.lit(0), n - k),
-                    lambda i: F.concat_ws(" ", F.slice("toks", i + 1, k)),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("pos", "g"),
+        "id", F.posexplode(_token_window_arr(n, k)).alias("pos", "g")
     )
     # one corpus-wide agg: total occurrences + the canonical keeper.
     # min(struct(id, pos)) orders lexicographically — deterministic,

@@ -292,3 +292,200 @@ class LSHDedupIndex:
             new.join(dup, id_col, "left_anti"),
             *getattr(dup, "_cayley_persisted", ()),
         )
+
+
+_SUBSTR_META_SCHEMA = "k int"
+
+
+class SubstrDedupIndex:
+    """Persisted ExactSubstr window index — the substring-modality
+    sibling of :class:`LSHDedupIndex` (same build/save/load/append/
+    compact lifecycle): index the historical corpus's k-token window
+    FINGERPRINTS once, then trim every incoming batch against the
+    files, never re-reading corpus text.
+
+    The stored row is one BIGINT xxhash64 fingerprint per distinct
+    window — 8 bytes/window ≈ 8 bytes/corpus token, the same storage
+    order as the suffix array Lee et al. 2022 build for ExactSubstr,
+    but shardable as plain Parquet and probed with a semi-join
+    instead of binary search. Fingerprinting makes the index
+    APPROXIMATE: a 64-bit collision erases one batch window
+    occurrence (P ≈ n²/2⁶⁵ — ~3% cumulative at a trillion distinct
+    windows; the direct operators `exact_substr_dedup` /
+    `exact_substr_against` stay exact, and the driver oracle
+    certifies this index path against the exact-string semantics at
+    test scale, where collisions are impossible in practice).
+
+    ``trim`` applies the exact_substr_against verdict with the
+    corpus side read from the index: every batch occurrence of an
+    indexed window is removed (the corpus copy is canonical), and
+    windows fresh to the batch get the keep-one rule within it.
+    Admitting a batch = ``trim`` → append the CLEANED text's windows
+    (``append``), preserving the global at-most-one-copy invariant
+    incrementally."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        wins: DataFrame,
+        k: int = 50,
+        path: str | None = None,
+    ):
+        self.spark = spark
+        self.wins = wins  # (fp bigint), distinct within each write
+        self.k = k
+        self.path = path
+
+    @staticmethod
+    def _fp_frame(df: DataFrame, text_col: str, k: int) -> DataFrame:
+        from .dedup import _token_window_arr
+        from .text import TOKEN_RE
+
+        toks = F.coalesce(
+            F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), 0),
+            F.array().cast("array<string>"),
+        )
+        return (
+            df.select(toks.alias("toks"))
+            .select(
+                F.explode(
+                    _token_window_arr(F.size("toks"), k)
+                ).alias("g")
+            )
+            .select(F.xxhash64("g").alias("fp"))
+            .distinct()
+        )
+
+    @classmethod
+    def build(
+        cls,
+        existing: DataFrame,
+        text_col: str = "text",
+        k: int = 50,
+    ) -> "SubstrDedupIndex":
+        return cls(
+            existing.sparkSession,
+            cls._fp_frame(existing, text_col, k),
+            k=k,
+        )
+
+    # ---------------- persistence ----------------
+
+    def save(self, path: str) -> "SubstrDedupIndex":
+        from .ann_index import _swap_dir
+
+        self.wins.write.mode("overwrite").parquet(
+            os.path.join(path, "wins.save.tmp")
+        )
+        _swap_dir(self.spark, path, "wins")
+        self.spark.createDataFrame(
+            [(self.k,)], _SUBSTR_META_SCHEMA
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(path, "meta")
+        )
+        self.wins = self.spark.read.parquet(os.path.join(path, "wins"))
+        self.path = path
+        return self
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "SubstrDedupIndex":
+        meta = spark.read.parquet(os.path.join(path, "meta")).head()
+        return cls(
+            spark,
+            spark.read.parquet(os.path.join(path, "wins")),
+            k=meta["k"],
+            path=path,
+        )
+
+    def append(
+        self, batch: DataFrame, text_col: str = "text"
+    ) -> "SubstrDedupIndex":
+        """Append the batch's distinct window fingerprints to the
+        saved table (a files operation — corpus text is never
+        re-read). Cross-batch duplicate fingerprints are harmless
+        for the semi-join probe and are squeezed out by compact()."""
+        if self.path is None:
+            raise ValueError("append requires a saved index; call save(path)")
+        self._fp_frame(batch, text_col, self.k).write.mode(
+            "append"
+        ).parquet(os.path.join(self.path, "wins"))
+        self.wins = self.spark.read.parquet(os.path.join(self.path, "wins"))
+        return self
+
+    def compact(self) -> "SubstrDedupIndex":
+        """Global distinct + file-count rewrite (the LSHDedupIndex
+        compact discipline): appends accumulate per-batch files and
+        cross-batch duplicate fingerprints; compaction rewrites the
+        distinct set target-sized and swaps via rename."""
+        if self.path is None:
+            raise ValueError("compact requires a saved index; call save(path)")
+        from .ann_index import _swap_dir
+
+        cur = self.spark.read.parquet(os.path.join(self.path, "wins"))
+        cur.distinct().coalesce(
+            max(1, cur.rdd.getNumPartitions() // 8)
+        ).write.mode("overwrite").parquet(
+            os.path.join(self.path, "wins.save.tmp")
+        )
+        _swap_dir(self.spark, self.path, "wins")
+        self.wins = self.spark.read.parquet(os.path.join(self.path, "wins"))
+        return self
+
+    # ---------------- admission ----------------
+
+    def trim(
+        self,
+        new: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        min_count: int = 2,
+    ) -> DataFrame:
+        """exact_substr_against semantics with the corpus side read
+        from the index: (id, clean_text, n_tokens, n_removed,
+        n_spans) for every row of ``new``. Scale shape: the batch's
+        positional windows fingerprint at scan speed and semi/anti-
+        join the index on the BIGINT key (uniform, 8-byte shuffle
+        rows); the within-batch keep-one aggregate runs only on
+        windows absent from the index; one id shuffle; the shared
+        trim tail."""
+        from .dedup import _token_window_arr, _trim_by_starts
+        from .text import TOKEN_RE
+
+        toks = F.coalesce(
+            F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), 0),
+            F.array().cast("array<string>"),
+        )
+        base = new.select(
+            F.col(id_col).alias("id"), toks.alias("toks")
+        ).persist()
+        n = F.size("toks")
+        sh = base.select(
+            "id",
+            F.posexplode(_token_window_arr(n, self.k)).alias("pos", "g"),
+        ).withColumn("fp", F.xxhash64("g"))
+        idx = self.wins
+        hit_corpus = sh.join(idx, "fp", "left_semi").select("id", "pos")
+        fresh = sh.join(idx, "fp", "left_anti")
+        dup = (
+            fresh.groupBy("g")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.min(F.struct(F.col("id"), F.col("pos"))).alias("keep"),
+            )
+            .where(F.col("cnt") >= min_count)
+            .select("g", "keep")
+        )
+        hit_batch = (
+            fresh.join(dup, "g")
+            .where(
+                (F.col("id") != F.col("keep.id"))
+                | (F.col("pos") != F.col("keep.pos"))
+            )
+            .select("id", "pos")
+        )
+        starts = (
+            hit_corpus.unionByName(hit_batch)
+            .groupBy("id")
+            .agg(F.array_sort(F.collect_list("pos")).alias("starts"))
+        )
+        return _trim_by_starts(base, starts, self.k, id_col)

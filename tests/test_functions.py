@@ -1280,6 +1280,83 @@ def test_exact_substr_against_golden(spark):
     assert out[5]["clean_text"] == "" and out[5]["n_tokens"] == 0
 
 
+def test_substr_index_matches_direct_operator(spark, tmp_path):
+    """SubstrDedupIndex.trim must reproduce exact_substr_against
+    verbatim (the index is the persisted form of the same verdict;
+    64-bit fingerprint collisions are impossible at this scale), and
+    survive a save/load roundtrip."""
+    from cayley_spark.functions.dedup import exact_substr_against
+    from cayley_spark.functions.dedup_index import SubstrDedupIndex
+
+    shared = "the quick brown fox jumps over the lazy dog and"
+    q = "november oscar papa quebec romeo"
+    existing = spark.createDataFrame(
+        [Row(doc_id=100, text=f"{shared} archived corpus tail here")]
+    )
+    new = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=f"fresh opening words {shared} closing"),
+            Row(doc_id=2, text=f"{q} one two three {q}"),
+            Row(doc_id=3, text=f"prefix {q} suffix trail"),
+            Row(doc_id=4, text="nothing shared with anyone at all"),
+        ]
+    )
+    p = str(tmp_path / "sidx")
+    SubstrDedupIndex.build(existing, k=5).save(p)
+    idx = SubstrDedupIndex.load(spark, p)
+    assert idx.k == 5
+
+    def snap(df):
+        return {
+            r["doc_id"]: (
+                r["clean_text"],
+                r["n_tokens"],
+                r["n_removed"],
+                r["n_spans"],
+            )
+            for r in df.collect()
+        }
+
+    got = snap(idx.trim(new, min_count=2))
+    want = snap(exact_substr_against(new, existing, k=5, min_count=2))
+    assert got == want
+
+
+def test_substr_index_append_compact_admission(spark, tmp_path):
+    """The incremental admission loop: trim a batch, append its
+    CLEANED text, and the next batch containing the same passage
+    loses it (the first batch's surviving copy is canonical).
+    compact() preserves the probe verdict while collapsing files."""
+    from cayley_spark.functions.dedup_index import SubstrDedupIndex
+
+    q = "november oscar papa quebec romeo"
+    p = str(tmp_path / "sidx2")
+    seed = spark.createDataFrame(
+        [Row(doc_id=0, text="seed corpus body with plain words only")]
+    )
+    SubstrDedupIndex.build(seed, k=5).save(p)
+    idx = SubstrDedupIndex.load(spark, p)
+
+    b1 = spark.createDataFrame([Row(doc_id=1, text=f"alpha {q} omega")])
+    t1 = idx.trim(b1)
+    assert t1.head()["n_removed"] == 0  # q is new to the corpus
+    idx.append(
+        t1.select("doc_id", F.col("clean_text").alias("text"))
+    )
+    b2 = spark.createDataFrame(
+        [Row(doc_id=2, text=f"second copy here {q} trailing words")]
+    )
+    out2 = idx.trim(b2).head()
+    assert out2["n_removed"] == 5 and out2["n_spans"] == 1
+    assert "november" not in out2["clean_text"]
+    n_before = idx.wins.count()
+    idx.append(b1)  # duplicate fingerprints: harmless, bloaty
+    idx.compact()
+    assert idx.wins.count() == n_before  # distinct restored
+    out3 = idx.trim(b2).head()
+    assert out3["n_removed"] == 5  # verdict unchanged post-compact
+
+
 def test_canonicalize_url_aliases(spark):
     """The usual crawl-aliasing pairs collapse to one canonical key:
     case, default ports, trailing slash, fragments, tracking params,
