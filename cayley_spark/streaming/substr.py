@@ -1,0 +1,120 @@
+"""Streaming ExactSubstr admission — the writeStream face of
+``dedup_index.SubstrDedupIndex`` (the same role streaming/sketches.py
+plays for the sketch family): per micro-batch, trim the batch against
+the window-fingerprint index accumulated from every EARLIER batch,
+emit the cleaned rows, and append the cleaned text's fingerprints —
+so the corpus-wide at-most-one-copy invariant is maintained
+incrementally as the stream arrives.
+
+Exactly-once without a transactional sink: every write is keyed by
+batch id —
+
+- cleaned rows land in ``{out_path}/batch_id=N/`` (mode=overwrite, so
+  a crash-replayed batch rewrites the same rows);
+- the batch's fingerprints land in ``{path}/wins/batch_id=N/``
+  (overwrite again);
+- and, decisively, each batch is trimmed against
+  ``wins WHERE batch_id < N`` (a partition-PRUNED scan), so a replay
+  sees exactly the pre-batch index even when the crash landed after
+  its own fingerprint append — the re-trim is bit-identical and the
+  overwrites converge. The countmin_stream folds need their
+  marker-ordering argument because a sketch fold is cumulative; here
+  both writes are per-batch-keyed, so the last_batch marker is only a
+  skip-work guard, not a correctness boundary.
+
+The ``{path}`` directory stays loadable by ``SubstrDedupIndex.load``
+(meta rides along; the extra ``batch_id`` partition column in wins is
+ignored by the fingerprint semi-join), so a batch pipeline can take
+over the index a stream built, and vice versa a stream can extend a
+batch-built index only via its own layout (start streams on their own
+index path or compact() the flat files into it first).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, functions as F
+
+from .sketches import _path_exists, _read_last_batch, _write_last_batch
+
+
+def substr_dedup_stream(
+    docs: DataFrame,
+    path: str,
+    out_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 50,
+    min_count: int = 2,
+):
+    """foreachBatch writer maintaining a streaming ExactSubstr
+    admission loop at ``path`` (index) / ``out_path`` (cleaned rows).
+    Returns the writer; the caller picks trigger/checkpoint and
+    starts it. Batch-vs-stream equivalence and crash-replay
+    idempotence are test-pinned (tests/test_streaming_substr.py)."""
+    return docs.writeStream.foreachBatch(
+        _substr_fold(path, out_path, id_col, text_col, k, min_count)
+    )
+
+
+def _substr_fold(
+    path: str,
+    out_path: str,
+    id_col: str,
+    text_col: str,
+    k: int,
+    min_count: int,
+):
+    """The per-batch fold — exposed so tests can drive replay
+    semantics directly."""
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        from ..functions.dedup_index import SubstrDedupIndex
+
+        spark = batch_df.sparkSession
+        if batch_id <= _read_last_batch(spark, path):
+            return  # crash-replay of a fully-applied batch
+        wins_dir = os.path.join(path, "wins")
+        meta_dir = os.path.join(path, "meta")
+        if _path_exists(spark, meta_dir):
+            meta = spark.read.parquet(meta_dir).head()
+            if int(meta["k"]) != int(k):
+                raise ValueError(
+                    f"substr stream k={k} against an index built with "
+                    f"k={int(meta['k'])} — window spaces are disjoint, "
+                    f"the trim would silently never match"
+                )
+        else:
+            spark.createDataFrame([(int(k),)], "k int").coalesce(
+                1
+            ).write.mode("overwrite").parquet(meta_dir)
+        if _path_exists(spark, wins_dir):
+            # the decisive filter: a replayed batch must not see its
+            # own (possibly already-appended) fingerprints as corpus
+            wins = (
+                spark.read.parquet(wins_dir)
+                .where(F.col("batch_id") < int(batch_id))
+                .select("fp")
+            )
+        else:
+            wins = spark.createDataFrame([], "fp bigint")
+        idx = SubstrDedupIndex(spark, wins, k=k)
+        trimmed = idx.trim(
+            batch_df, id_col=id_col, text_col=text_col,
+            min_count=min_count,
+        ).persist()  # two consumers: the row sink + the fp append
+        trimmed.write.mode("overwrite").parquet(
+            os.path.join(out_path, f"batch_id={int(batch_id)}")
+        )
+        SubstrDedupIndex._fp_frame(
+            trimmed.select(F.col("clean_text").alias(text_col)),
+            text_col,
+            k,
+        ).write.mode("overwrite").parquet(
+            os.path.join(wins_dir, f"batch_id={int(batch_id)}")
+        )
+        trimmed.unpersist(False)
+        _write_last_batch(spark, path, batch_id)
+
+    return _fold
