@@ -1452,8 +1452,11 @@ def d_substr_index(spark, sf):
     ref = docs.where(F.col("doc_id") % 3 == 0)
     new = docs.where(F.col("doc_id") % 3 != 0)
     src = f"{sf}/documents.parquet"
+    # k rides in the cache key: a stale cache built with another k
+    # would otherwise load silently and trim in a disjoint window
+    # space (meta carries k, but load() has no expected-k argument)
     fp = hashlib.md5(
-        f"{os.path.abspath(src)}:{os.path.getmtime(src)}:substr".encode()
+        f"{os.path.abspath(src)}:{os.path.getmtime(src)}:substr:k=10".encode()
     ).hexdigest()[:10]
     path = f"/tmp/cayley_substr_index_{fp}"
     try:
@@ -1461,6 +1464,8 @@ def d_substr_index(spark, sf):
     except Exception:
         SubstrDedupIndex.build(ref, k=10).save(path)
         idx = SubstrDedupIndex.load(spark, path)
+    if idx.k != 10:
+        raise RuntimeError(f"cached substr index carries k={idx.k}, want 10")
     return idx.trim(new, min_count=2)
 
 

@@ -399,6 +399,56 @@ def test_exact_substr_against_matches_model(spark, rows, k):
 
 
 @settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=corpora(), k=st.sampled_from([2, 3]))
+def test_substr_family_invariants(spark, rows, k, tmp_path_factory):
+    """Family coherence on random corpora: (1) exact_substr_against
+    with an EMPTY corpus degenerates to exact_substr_dedup (pure
+    within-batch keep-one); (2) SubstrDedupIndex.trim reproduces
+    exact_substr_against verbatim through the persisted fingerprint
+    files (no 64-bit collisions at this scale)."""
+    from cayley_spark.functions.dedup import (
+        exact_substr_against,
+        exact_substr_dedup,
+    )
+    from cayley_spark.functions.dedup_index import SubstrDedupIndex
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    empty = spark.createDataFrame([], "doc_id long, text string")
+
+    def snap(out):
+        return {
+            r["doc_id"]: (
+                r["clean_text"],
+                r["n_tokens"],
+                r["n_removed"],
+                r["n_spans"],
+            )
+            for r in out.collect()
+        }
+
+    assert snap(exact_substr_against(df, empty, k=k, min_count=2)) == snap(
+        exact_substr_dedup(df, k=k, min_count=2)
+    )
+    ref_rows = [r for r in rows if r[0] % 2 == 0]
+    new_rows = [r for r in rows if r[0] % 2 == 1]
+    if not (ref_rows and new_rows):
+        return
+    ref = spark.createDataFrame(ref_rows, "doc_id long, text string")
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+    p = str(tmp_path_factory.mktemp("sidx"))
+    SubstrDedupIndex.build(ref, k=k).save(p)
+    idx = SubstrDedupIndex.load(spark, p)
+    assert snap(idx.trim(new, min_count=2)) == snap(
+        exact_substr_against(new, ref, k=k, min_count=2)
+    )
+
+
+@settings(
     max_examples=15,
     deadline=None,
     derandomize=True,
