@@ -1403,8 +1403,8 @@ def d_substr(spark, sf):
     count, unlike d_trimspans' distinct-doc threshold) are
     duplicated; the (id, pos)-smallest occurrence survives and every
     other copy is span-merged and trimmed. No pair join: one window
-    explode, one map-side-combinable groupBy(window) for
-    (count, keeper), one window-key join back, one id-keyed trim."""
+    explode, (count, keeper) annotated over ONE window-key shuffle
+    (analytic window, not groupBy + join-back), one id-keyed trim."""
     from cayley_spark.functions.dedup import exact_substr_dedup
 
     docs = _t_wide(spark, sf, "documents")

@@ -703,25 +703,25 @@ def exact_substr_against(
     # pass 1: every occurrence of a corpus window is removed
     hit_corpus = sh.join(corpus_g, "g", "left_semi").select("id", "pos")
     # pass 2: keep-one within the batch, only for windows NOT in the
-    # corpus (disjoint from pass 1 by the anti-join)
+    # corpus (disjoint from pass 1 by the anti-join); (cnt, keeper)
+    # ride one window-key shuffle, the exact_substr_dedup pattern
+    from pyspark.sql.window import Window
+
     fresh = sh.join(corpus_g, "g", "left_anti")
-    dup = (
-        fresh.groupBy("g")
-        .agg(
-            F.count(F.lit(1)).alias("cnt"),
-            F.min(F.struct(F.col("id"), F.col("pos"))).alias("keep"),
-        )
-        .where(F.col("cnt") >= min_count)
-        .select("g", "keep")
+    w = Window.partitionBy("g")
+    ann = fresh.select(
+        "id",
+        "pos",
+        F.count(F.lit(1)).over(w).alias("cnt"),
+        F.min(F.struct(F.col("id"), F.col("pos"))).over(w).alias("keep"),
     )
-    hit_batch = (
-        fresh.join(dup, "g")
-        .where(
+    hit_batch = ann.where(
+        (F.col("cnt") >= min_count)
+        & (
             (F.col("id") != F.col("keep.id"))
             | (F.col("pos") != F.col("keep.pos"))
         )
-        .select("id", "pos")
-    )
+    ).select("id", "pos")
     starts = (
         hit_corpus.unionByName(hit_batch)
         .groupBy("id")
@@ -755,12 +755,15 @@ def exact_substr_dedup(
     trim_spans).
 
     Scale shape (the no-pair-join discipline of duplicated_spans):
-    one positional-window explode, ONE groupBy(window) computing
-    (count, min(id, pos)) — both map-side combinable, so a window
-    shared by a million documents costs one counter row — one join
-    back on the window key to drop keeper occurrences, one per-doc
-    start collect, and the shared id-keyed trim tail. O(total
-    windows) with uniform keys; nothing ever pairs documents.
+    one positional-window explode, then (count, keeper) annotate
+    every occurrence over ONE window-key shuffle (an unbounded
+    analytic window — a groupBy + join-back would shuffle the
+    k×-corpus-tokens window stream twice for the same answer;
+    SCALE.md round 11 measured the rewrite at −34% wall at 10×),
+    one per-doc start collect, and the shared id-keyed trim tail.
+    O(total windows) with uniform keys; nothing ever pairs
+    documents — a window shared by a million documents is one
+    streamed analytic group, never 10^12 candidate pairs.
     Consecutive overlapping windows of a repeated passage share
     their keeper document (min (id, pos) is monotone across the
     passage), so the canonical copy keeps the WHOLE passage and
@@ -776,23 +779,30 @@ def exact_substr_dedup(
     sh = base.select(
         "id", F.posexplode(_token_window_arr(n, k)).alias("pos", "g")
     )
-    # one corpus-wide agg: total occurrences + the canonical keeper.
-    # min(struct(id, pos)) orders lexicographically — deterministic,
-    # and map-side combinable (no window function, no second shuffle).
-    dup = (
-        sh.groupBy("g")
-        .agg(
-            F.count(F.lit(1)).alias("cnt"),
-            F.min(F.struct(F.col("id"), F.col("pos"))).alias("keep"),
-        )
-        .where(F.col("cnt") >= min_count)
-        .select("g", "keep")
+    # (cnt, keeper) ride ONE window-key shuffle: an unbounded window
+    # over g annotates every occurrence with its group's total count
+    # and (id, pos)-minimum in the same pass, where a groupBy + join-
+    # back would shuffle the corpus-sized window stream TWICE (once
+    # into the agg, once into the probe side) for the same answer —
+    # at 100 TB the window stream is k× corpus tokens, the dominant
+    # volume. min(struct(id, pos)) orders lexicographically —
+    # deterministic keeper.
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("g")
+    ann = sh.select(
+        "id",
+        "pos",
+        F.count(F.lit(1)).over(w).alias("cnt"),
+        F.min(F.struct(F.col("id"), F.col("pos"))).over(w).alias("keep"),
     )
     starts = (
-        sh.join(dup, "g")
-        .where(
-            (F.col("id") != F.col("keep.id"))
-            | (F.col("pos") != F.col("keep.pos"))
+        ann.where(
+            (F.col("cnt") >= min_count)
+            & (
+                (F.col("id") != F.col("keep.id"))
+                | (F.col("pos") != F.col("keep.pos"))
+            )
         )
         .groupBy("id")
         .agg(F.array_sort(F.collect_list("pos")).alias("starts"))

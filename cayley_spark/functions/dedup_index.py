@@ -466,23 +466,27 @@ class SubstrDedupIndex:
         idx = self.wins
         hit_corpus = sh.join(idx, "fp", "left_semi").select("id", "pos")
         fresh = sh.join(idx, "fp", "left_anti")
-        dup = (
-            fresh.groupBy("g")
-            .agg(
-                F.count(F.lit(1)).alias("cnt"),
-                F.min(F.struct(F.col("id"), F.col("pos"))).alias("keep"),
-            )
-            .where(F.col("cnt") >= min_count)
-            .select("g", "keep")
+        # (cnt, keeper) ride one window-key shuffle — the
+        # exact_substr_dedup pattern (a groupBy + join-back would
+        # shuffle the batch's window stream twice)
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("g")
+        ann = fresh.select(
+            "id",
+            "pos",
+            F.count(F.lit(1)).over(w).alias("cnt"),
+            F.min(F.struct(F.col("id"), F.col("pos"))).over(w).alias(
+                "keep"
+            ),
         )
-        hit_batch = (
-            fresh.join(dup, "g")
-            .where(
+        hit_batch = ann.where(
+            (F.col("cnt") >= min_count)
+            & (
                 (F.col("id") != F.col("keep.id"))
                 | (F.col("pos") != F.col("keep.pos"))
             )
-            .select("id", "pos")
-        )
+        ).select("id", "pos")
         starts = (
             hit_corpus.unionByName(hit_batch)
             .groupBy("id")

@@ -292,6 +292,10 @@ def test_substr_dedup_no_pair_join_bounded_shuffles(spark, entry):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("Exchange hashpartitioning") <= 5, plan
+    # (cnt, keeper) ride ONE window-key shuffle via an analytic
+    # window — the r11 rewrite that halved the shuffle volume; a
+    # regression to groupBy + join-back would drop the Window node
+    assert "Window" in plan
 
 
 def test_entropy_final_agg_rides_window_partitioning(spark, entry):
