@@ -1469,6 +1469,22 @@ def d_substr_index(spark, sf):
     return idx.trim(new, min_count=2)
 
 
+def t_rep_ngrams(spark, sf):
+    """Gopher N-GRAM repetition battery (functions/text.
+    repetition_ngram_stats — Rae et al. 2021 §A1.1, the n-gram half
+    t_repetition's unigram gates don't cover): per (doc, n),
+    LONG-format verdicts — most-frequent-n-gram char fraction for
+    n=2-4 (thresholds 0.20/0.18/0.16), merged char coverage of
+    duplicated n-grams for n=5-10 (0.15..0.10) — applied
+    division-free (100·cov ≤ T_n·word_chars, T_n = 24−2n / 20−n).
+    One explode covers all nine n; occurrence counts ride one
+    (id, n, gram) window shuffle."""
+    from cayley_spark.functions.text import repetition_ngram_stats
+
+    docs = _t_wide(spark, sf, "documents")
+    return repetition_ngram_stats(docs)
+
+
 def q_events_agg(spark, sf):
     """Consolidated tumbling-aggregation pair q_events_hourly +
     q_events_windowed (registry consolidation, COVERAGE.md round 11
@@ -2704,23 +2720,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     entries whose last green verdict is OLDEST; entries green in the
     immediately previous round go last (they retain pytest +
     tools/check_oracles.py coverage while they wait).
-    Round-11 window (50) = 4 new entries (d_substr = ExactSubstr
+    Round-11 window (50) = 5 new entries (d_substr = ExactSubstr
     dedup; d_substr_against = its asymmetric/incremental pass;
     d_substr_index = the persisted fingerprint-index form of the
-    same verdict; q_events_agg = the q_events_hourly+
-    q_events_windowed consolidation, which it replaces) + 4
-    code-changed r10-green entries (t_gopher/t_gopher_lines gained
-    the Unicode-ellipsis symbol term, d_bloom rides the widened
-    bloom_probe geometry guard, d_trimspans rides the
-    _trim_by_starts refactor) + the 36-entry r08-overflow cohort
-    (t_split .. g_compare — exactly 3 rounds stale at this verdict,
-    the ratified ceiling, scheduled by COVERAGE.md round 10) + the
-    first 6 of the r09-green cohort (g_regex .. g_follow). The
-    remaining 39 r09-green entries overflow to 51+ and lead the
-    round-12 window; r10-green entries sit last (rule 4). Registry
-    = 136 (132 + t_c4/t_entropy at r10; +4 −2 this round: the
-    q_events consolidation executes both plans via one multi-assert
-    entry — no operator-surface loss).
+    same verdict; t_rep_ngrams = the Gopher n-gram repetition
+    battery; q_events_agg = the q_events_hourly+q_events_windowed
+    consolidation, which it replaces) + 4 code-changed r10-green
+    entries (t_gopher/t_gopher_lines gained the Unicode-ellipsis
+    symbol term, d_bloom rides the widened bloom_probe geometry
+    guard, d_trimspans rides the _trim_by_starts refactor) + the
+    36-entry r08-overflow cohort (t_split .. g_compare — exactly 3
+    rounds stale at this verdict, the ratified ceiling, scheduled by
+    COVERAGE.md round 10) + the first 5 of the r09-green cohort
+    (g_regex .. g_both). The remaining 40 r09-green entries
+    overflow to 51+ and lead the round-12 window; r10-green entries
+    sit last (rule 4). Registry = 137 (132 + t_c4/t_entropy at r10;
+    +5 −2 this round: the q_events consolidation executes both
+    plans via one multi-assert entry — no operator-surface loss).
     """
     return {
         # --- round-11 additions (never driver-checked): d_substr =
@@ -2729,6 +2745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_substr": d_substr,
         "d_substr_against": d_substr_against,
         "d_substr_index": d_substr_index,
+        "t_rep_ngrams": t_rep_ngrams,
         "q_events_agg": q_events_agg,
         # --- code changed since their r10 verdict (rule-3 jump):
         # --- t_gopher/t_gopher_lines gained the Unicode-ellipsis
@@ -4721,6 +4738,84 @@ WITH per_cust AS (
         # the PERSISTED fingerprint index reproduces the exact-
         # string semantics (the d_index-vs-d_against pattern).
         "d_substr_index": _SUBSTR_AGAINST_SQL,
+        # Gopher n-gram repetition: top = count x token-chars of the
+        # most frequent n-gram (ROW_NUMBER tie-break to smallest
+        # gram, replaying Spark's min(struct(-cnt, g))); dup = merged
+        # char coverage of >=2-count n-grams via DISTINCT covered
+        # positions; division-free verdicts with T_n = 24-2n / 20-n.
+        "t_rep_ngrams": r"""
+            WITH base AS (
+              SELECT doc_id AS id,
+                     regexp_extract_all(lower(text), '\w+') AS toks
+              FROM documents
+            ), chars AS (
+              SELECT id,
+                CAST(COALESCE(list_sum([length(x) for x in toks]), 0)
+                     AS BIGINT) AS wc
+              FROM base
+            ), ns AS (
+              SELECT unnest(range(2, 11)) AS n
+            ), grams AS (
+              SELECT b.id, ns.n, unnest(
+                [{'pos': i - 1,
+                  'g': array_to_string(toks[i:i+CAST(ns.n AS INT)-1],
+                                       ' ')}
+                 for i in range(1, len(toks) - CAST(ns.n AS INT) + 2)],
+                recursive := true)
+              FROM base b CROSS JOIN ns
+            ), counts AS (
+              SELECT id, n, g, COUNT(*) AS cnt
+              FROM grams GROUP BY 1, 2, 3
+            ), top AS (
+              SELECT id, n,
+                CAST(cnt * (length(g) - (n - 1)) AS BIGINT) AS cov
+              FROM (
+                SELECT id, n, g, cnt,
+                  ROW_NUMBER() OVER (PARTITION BY id, n
+                                     ORDER BY cnt DESC, g) AS rn
+                FROM counts
+              ) WHERE rn = 1 AND n <= 4
+            ), dupocc AS (
+              SELECT g2.id, g2.n, g2.pos
+              FROM grams g2
+              JOIN counts c
+                ON g2.id = c.id AND g2.n = c.n AND g2.g = c.g
+              WHERE c.cnt >= 2 AND g2.n >= 5
+            ), cov AS (
+              SELECT DISTINCT id, n, pos + d AS cpos
+              FROM (
+                SELECT id, n, pos, unnest(range(0, n)) AS d
+                FROM dupocc
+              )
+            ), tokpos AS (
+              SELECT id, unnest(
+                [{'i': i - 1, 'len': length(toks[i])}
+                 for i in range(1, len(toks) + 1)],
+                recursive := true)
+              FROM base
+            ), dupcov AS (
+              SELECT c.id, c.n, CAST(SUM(t.len) AS BIGINT) AS cov
+              FROM cov c
+              JOIN tokpos t ON c.id = t.id AND c.cpos = t.i
+              GROUP BY 1, 2
+            )
+            SELECT ch.id AS doc_id,
+              CAST(ns.n AS INT) AS n,
+              CASE WHEN ns.n <= 4 THEN 'top' ELSE 'dup' END AS rule,
+              CAST(COALESCE(CASE WHEN ns.n <= 4 THEN top.cov
+                                 ELSE dupcov.cov END, 0)
+                   AS BIGINT) AS cov_chars,
+              ch.wc AS word_chars,
+              (100 * COALESCE(CASE WHEN ns.n <= 4 THEN top.cov
+                                   ELSE dupcov.cov END, 0)
+               <= (CASE WHEN ns.n <= 4 THEN 24 - 2 * ns.n
+                        ELSE 20 - ns.n END) * ch.wc) AS ok
+            FROM chars ch
+            CROSS JOIN ns
+            LEFT JOIN top ON top.id = ch.id AND top.n = ns.n
+            LEFT JOIN dupcov
+              ON dupcov.id = ch.id AND dupcov.n = ns.n
+        """,
         # The oracle does NOT replay the normalization chain: it
         # derives each synthesized case's expected canonical form
         # analytically (independent derivation, the m_dhash

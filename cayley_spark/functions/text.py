@@ -1513,6 +1513,179 @@ def hashed_linear_train(
     )
 
 
+def repetition_ngram_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_ns: tuple = (2, 3, 4),
+    dup_ns: tuple = (5, 6, 7, 8, 9, 10),
+) -> DataFrame:
+    """The Gopher N-GRAM repetition battery (Rae et al. 2021 §A1.1 —
+    the half of the repetition section ``repetition_stats`` doesn't
+    cover; RefinedWeb/Dolma/FineWeb all reship it): per document and
+    per n, LONG-format rows (id, n, rule, cov_chars, word_chars, ok):
+
+    - ``rule='top'`` (n in ``top_ns``): cov_chars = occurrences ×
+      token-chars of the document's most frequent n-gram (ties break
+      to the lexicographically smallest — deterministic); the paper
+      drops docs where the fraction exceeds 0.20/0.18/0.16 for
+      n=2/3/4.
+    - ``rule='dup'`` (n in ``dup_ns``): cov_chars = token-chars
+      covered by AT LEAST one occurrence of any n-gram appearing
+      ≥2 times in the document, counted once (positions of
+      overlapping duplicated n-grams merge — the span machinery);
+      thresholds 0.15…0.10 for n=5…10.
+
+    Characters = token characters (Σ len(token), no whitespace — the
+    same word_chars denominator as gopher_rules). Thresholds are the
+    paper's, applied division-free: ok ⟺ 100·cov ≤ T_n·word_chars
+    with T_n = 24−2n (top) / 20−n (dup) — exactly the published
+    percentages as integers. Docs shorter than n emit (cov=0,
+    ok=true) — the rules are vacuous, not failing.
+
+    Plan: ONE positional explode covers every n (Σ_n (m−n+1) ≈ 9m
+    rows); occurrence counts ride ONE (id, n, gram) window shuffle
+    (the exact_substr_dedup pattern — never a groupBy + join-back);
+    the top pick and the duplicated-start collect are (id, n)
+    aggregates riding smaller shuffles; one id join back to the
+    tokenized base for the char sums. No pair join, no UDF; linear
+    in corpus tokens at any scale."""
+    from pyspark.sql.window import Window
+
+    all_ns = sorted(set(top_ns) | set(dup_ns))
+    toks = tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col).alias("id"), toks.alias("toks")
+    ).persist()
+    m = F.size("toks")
+    word_chars = F.aggregate(
+        F.col("toks"), F.lit(0).cast("long"), lambda a, t: a + F.length(t)
+    )
+    chars = base.select("id", word_chars.alias("word_chars"))
+    spine = chars.select(
+        "id",
+        F.explode(F.array(*[F.lit(int(x)) for x in all_ns])).alias("n"),
+        "word_chars",
+    )
+    def _wins(nn: int):
+        return F.transform(
+            F.when(m >= nn, F.sequence(F.lit(0), m - nn)).otherwise(
+                F.array().cast("array<int>")
+            ),
+            lambda i: F.struct(
+                F.lit(int(nn)).alias("n"),
+                i.alias("pos"),
+                F.concat_ws(" ", F.slice("toks", i + 1, nn)).alias("g"),
+            ),
+        )
+
+    grams = base.select(
+        "id",
+        F.explode(
+            F.flatten(F.array(*[_wins(int(nn)) for nn in all_ns]))
+        ).alias("w"),
+    ).select("id", "w.n", "w.pos", "w.g")
+    w = Window.partitionBy("id", "n", "g")
+    ann = grams.select(
+        "id", "n", "pos", "g", F.count(F.lit(1)).over(w).alias("cnt")
+    )
+    # BOTH rule families reduce in ONE (id, n) aggregate over the
+    # single annotated gram stream — a separate top/dup branch would
+    # recompute the explode + window subtree twice (observed as 2
+    # Window nodes / 6 exchanges before this fusion). Conditional
+    # aggregates: the top pick only sees n in top_ns rows, the
+    # duplicated-start collect only (n in dup_ns, cnt >= 2) rows
+    # (collect_list drops the nulls the conditions produce).
+    per = (
+        ann.groupBy("id", "n")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("n").isin(*[int(x) for x in top_ns]),
+                    F.struct((-F.col("cnt")).alias("nc"), F.col("g")),
+                )
+            ).alias("t"),
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("n").isin(*[int(x) for x in dup_ns])
+                        & (F.col("cnt") >= 2),
+                        F.col("pos"),
+                    )
+                )
+            ).alias("starts"),
+        )
+    )
+    empty_spans = F.expr("CAST(array() AS array<struct<s:int,e:int>>)")
+    merged = F.aggregate(
+        F.coalesce(
+            F.col("starts"), F.expr("CAST(array() AS array<int>)")
+        ),
+        empty_spans,
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (s <= F.try_element_at(acc, F.lit(-1))["e"] + 1),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        F.try_element_at(acc, F.lit(-1))["s"].alias("s"),
+                        (s + F.col("n") - 1).alias("e"),
+                    )
+                ),
+            ),
+        ).otherwise(
+            F.concat(
+                acc,
+                F.array(
+                    F.struct(
+                        s.alias("s"), (s + F.col("n") - 1).alias("e")
+                    )
+                ),
+            )
+        ),
+    )
+    covered = F.filter(
+        F.sequence(F.lit(0), F.size("toks") - 1),
+        lambda i: F.exists(
+            "spans", lambda sp: (i >= sp["s"]) & (i <= sp["e"])
+        ),
+    )
+    is_top = F.col("n").isin(*[int(x) for x in top_ns])
+    top_cov = F.when(
+        F.col("t").isNotNull(),
+        (-F.col("t.nc")) * (F.length("t.g") - (F.col("n") - 1)),
+    ).cast("long")
+    dup_cov = F.aggregate(
+        covered,
+        F.lit(0).cast("long"),
+        lambda a, i: a + F.length(F.try_element_at("toks", i + 1)),
+    )
+    cov = F.coalesce(
+        F.when(is_top, top_cov).otherwise(dup_cov), F.lit(0).cast("long")
+    )
+    thr = F.when(is_top, 24 - 2 * F.col("n")).otherwise(20 - F.col("n"))
+    rule = F.when(is_top, F.lit("top")).otherwise(F.lit("dup"))
+    from ._cache import track_persisted
+
+    return track_persisted(
+        spine.join(per, ["id", "n"], "left")
+        .join(base, "id")
+        .withColumn("spans", merged)
+        .select(
+            F.col("id").alias(id_col),
+            F.col("n").cast("int").alias("n"),
+            rule.alias("rule"),
+            cov.alias("cov_chars"),
+            F.col("word_chars").cast("long").alias("word_chars"),
+            (
+                100 * cov <= thr.cast("long") * F.col("word_chars")
+            ).alias("ok"),
+        ),
+        base,
+    )
+
+
 GOPHER_STOPLIST = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 

@@ -210,6 +210,73 @@ def test_dedup_against_matches_model(spark, new, old, thresh):
     )
 
 
+# ---------------- repetition n-gram battery model fuzz ----------
+# (lives here to reuse the corpora() strategy; the operator is in
+# functions/text.py)
+
+
+def _model_rep_ngrams(rows, top_ns=(2, 3, 4), dup_ns=(5, 6, 7, 8, 9, 10)):
+    out = {}
+    for i, t in rows:
+        tk = re.findall(r"\w+", t.lower())
+        wc = sum(len(x) for x in tk)
+        for n in sorted(set(top_ns) | set(dup_ns)):
+            grams = [
+                (" ".join(tk[p : p + n]), p)
+                for p in range(len(tk) - n + 1)
+            ]
+            if n in top_ns:
+                rule = "top"
+                if grams:
+                    from collections import Counter
+
+                    c = Counter(g for g, _ in grams)
+                    best = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+                    cov = best[1] * (len(best[0]) - (n - 1))
+                else:
+                    cov = 0
+            else:
+                rule = "dup"
+                from collections import Counter
+
+                c = Counter(g for g, _ in grams)
+                covered = set()
+                for g, p in grams:
+                    if c[g] >= 2:
+                        covered.update(range(p, p + n))
+                cov = sum(len(tk[j]) for j in covered)
+            thr = 24 - 2 * n if n in top_ns else 20 - n
+            out[(i, n)] = (rule, cov, wc, 100 * cov <= thr * wc)
+    return out
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=corpora())
+def test_rep_ngrams_matches_model(spark, rows):
+    """repetition_ngram_stats vs a pure-python replica on random
+    corpora (planted near-duplicates produce real within-doc n-gram
+    repetition): rule, coverage chars, denominators, and verdicts
+    must match for every (doc, n)."""
+    from cayley_spark.functions.text import repetition_ngram_stats
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["n"]): (
+            r["rule"],
+            r["cov_chars"],
+            r["word_chars"],
+            r["ok"],
+        )
+        for r in repetition_ngram_stats(df).collect()
+    }
+    assert got == _model_rep_ngrams(rows), f"diverges on {rows!r}"
+
+
 # ---------------- trim_spans model fuzz ----------------
 
 

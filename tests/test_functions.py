@@ -1357,6 +1357,52 @@ def test_substr_index_append_compact_admission(spark, tmp_path):
     assert out3["n_removed"] == 5  # verdict unchanged post-compact
 
 
+def test_repetition_ngram_golden(spark):
+    """Hand-computed Gopher n-gram repetition values: top-gram
+    cov = count x gram token-chars (ties to the lexicographically
+    smallest), dup coverage merges overlapping occurrences and
+    counts each character once, short/empty docs are vacuous
+    passes."""
+    from cayley_spark.functions.text import repetition_ngram_stats
+
+    rows = [
+        Row(doc_id=1, text="spam spam spam spam unique words here today"),
+        Row(
+            doc_id=2,
+            text="the cat sat on the mat and then "
+            "the cat sat on the mat again",
+        ),
+        Row(doc_id=3, text="short"),
+        Row(doc_id=4, text=""),
+    ]
+    got = {
+        (r["doc_id"], r["n"]): (
+            r["rule"],
+            r["cov_chars"],
+            r["word_chars"],
+            r["ok"],
+        )
+        for r in repetition_ngram_stats(
+            spark.createDataFrame(rows)
+        ).collect()
+    }
+    # doc 1: "spam spam" x3 -> 3*8=24 of 36 chars; the full 4-gram
+    # appears once (cov = its 16 token-chars)
+    assert got[(1, 2)] == ("top", 24, 36, False)
+    assert got[(1, 4)] == ("top", 16, 36, False)
+    assert got[(1, 5)] == ("dup", 0, 36, True)
+    # doc 2: the repeated 5/6-grams overlap into two merged runs of
+    # 6 tokens each -> 34 chars counted once
+    assert got[(2, 5)] == ("dup", 34, 46, False)
+    assert got[(2, 6)] == ("dup", 34, 46, False)
+    assert got[(2, 7)] == ("dup", 0, 46, True)
+    # short/empty docs: every rule is a vacuous pass with zero cov
+    assert all(got[(3, n)][3] for n in range(2, 11))
+    assert all(
+        got[(4, n)][1] == 0 and got[(4, n)][3] for n in range(2, 11)
+    )
+
+
 def test_canonicalize_url_aliases(spark):
     """The usual crawl-aliasing pairs collapse to one canonical key:
     case, default ports, trailing slash, fragments, tracking params,

@@ -298,6 +298,22 @@ def test_substr_dedup_no_pair_join_bounded_shuffles(spark, entry):
     assert "Window" in plan
 
 
+def test_rep_ngrams_single_gram_shuffle(spark, entry):
+    """t_rep_ngrams: all nine n ride ONE explode and ONE
+    (id, n, gram) window shuffle — no join between gram frames, no
+    cartesian; the top/dup aggregates and the base join-back are the
+    only other exchanges (bounded)."""
+    df = entry.queries()["t_rep_ngrams"](spark, SF)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
+    # one fused (id, n) aggregate serves BOTH rule families — the
+    # unfused two-branch form recomputed the explode+window subtree
+    # (2 Window nodes / 6 exchanges); keep it fused
+    assert plan.count("Exchange hashpartitioning") <= 4, plan
+
+
 def test_entropy_final_agg_rides_window_partitioning(spark, entry):
     """t_entropy: exactly two hash exchanges — the (id, token) count
     shuffle and the per-doc window — and the final groupBy(id) rides
