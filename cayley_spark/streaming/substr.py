@@ -58,6 +58,54 @@ def substr_dedup_stream(
     )
 
 
+def compact_substr_stream(spark, path: str) -> None:
+    """Offline compaction of a streaming substr index: fold every
+    COMMITTED ``wins/batch_id=*`` partition (batch_id ≤ the
+    last_batch marker) into one distinct fingerprint set stored at
+    ``batch_id=<last_batch>``, deleting the folded partitions — after
+    a year of micro-batches the per-batch layout is thousands of tiny
+    files, the read-amplification trap every other index here
+    compacts away. Run while the stream is DOWN (the standard
+    maintenance window for its sibling compact()s).
+
+    Replay safety: an ORPHANED partition — batch_id greater than the
+    marker, left by a crash between the fingerprint append and the
+    marker write — is deliberately left untouched: folding it into a
+    committed partition would poison that batch's replay (the
+    re-trim's ``batch_id < N`` filter would suddenly see the batch's
+    own fingerprints as corpus). Replays of committed batches are
+    blocked by the marker guard, so moving their fingerprints to the
+    newest committed id never changes any future or replayed trim."""
+    from ..functions.ann_index import _swap_dir
+
+    last = _read_last_batch(spark, path)
+    if last < 0:
+        return  # nothing committed yet
+    wins_dir = os.path.join(path, "wins")
+    cur = spark.read.parquet(wins_dir)
+    committed = cur.where(F.col("batch_id") <= int(last))
+    n_parts = committed.rdd.getNumPartitions()
+    committed.select("fp").distinct().coalesce(
+        max(1, n_parts // 8)
+    ).write.mode("overwrite").parquet(
+        os.path.join(path, f"wins.save.tmp/batch_id={int(last)}")
+    )
+    # orphaned partitions (> last) ride along into the new layout
+    # untouched so a pending replay still sees exactly its own append
+    orphans = [
+        r["batch_id"]
+        for r in cur.select("batch_id").distinct().collect()
+        if int(r["batch_id"]) > int(last)
+    ]
+    for b in orphans:
+        spark.read.parquet(
+            os.path.join(wins_dir, f"batch_id={int(b)}")
+        ).write.mode("overwrite").parquet(
+            os.path.join(path, f"wins.save.tmp/batch_id={int(b)}")
+        )
+    _swap_dir(spark, path, "wins")
+
+
 def _substr_fold(
     path: str,
     out_path: str,

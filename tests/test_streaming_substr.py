@@ -110,6 +110,71 @@ def test_fold_replay_is_idempotent_even_after_fp_append(spark, tmp_path):
     ) == first
 
 
+def test_compact_stream_index_preserves_verdict(spark, tmp_path):
+    """compact_substr_stream folds committed batch partitions into
+    one distinct set at the last committed id, leaves an orphaned
+    (post-crash, pre-marker) partition untouched, and the next
+    batch's trim verdict is unchanged."""
+    import os as _os
+
+    from cayley_spark.streaming.sketches import _write_last_batch
+    from cayley_spark.streaming.substr import (
+        _substr_fold,
+        compact_substr_stream,
+    )
+
+    path, out = str(tmp_path / "idx"), str(tmp_path / "out")
+    fold = _substr_fold(path, out, "doc_id", "text", 5, 2)
+    fold(spark.createDataFrame([Row(doc_id=1, text=f"alpha {Q} omega end")]), 0)
+    fold(
+        spark.createDataFrame(
+            [Row(doc_id=2, text="different body entirely here now")]
+        ),
+        1,
+    )
+    # crash simulation: batch 2 appended fingerprints but the marker
+    # write was lost -> orphaned partition batch_id=2
+    b2 = spark.createDataFrame(
+        [Row(doc_id=3, text="orphan golf hotel india juliet kilo lima")]
+    )
+    fold(b2, 2)
+    _write_last_batch(spark, path, 1)
+    compact_substr_stream(spark, path)
+    parts = sorted(
+        int(r["batch_id"])
+        for r in spark.read.parquet(_os.path.join(path, "wins"))
+        .select("batch_id")
+        .distinct()
+        .collect()
+    )
+    assert parts == [1, 2]  # 0+1 folded into 1; orphan 2 untouched
+    # the orphaned batch replays bit-identically post-compaction
+    before = {
+        r["doc_id"]: r["clean_text"]
+        for r in spark.read.parquet(
+            _os.path.join(out, "batch_id=2")
+        ).collect()
+    }
+    fold(b2, 2)
+    after = {
+        r["doc_id"]: r["clean_text"]
+        for r in spark.read.parquet(
+            _os.path.join(out, "batch_id=2")
+        ).collect()
+    }
+    assert after == before
+    _write_last_batch(spark, path, 2)
+    # future batch still loses the batch-0 passage to the corpus
+    fold(
+        spark.createDataFrame(
+            [Row(doc_id=9, text=f"fresh copy {Q} trailing")]
+        ),
+        3,
+    )
+    row = spark.read.parquet(_os.path.join(out, "batch_id=3")).head()
+    assert row["n_removed"] == 5
+
+
 def test_fold_k_mismatch_raises(spark, tmp_path):
     from cayley_spark.streaming.substr import _substr_fold
 
