@@ -163,6 +163,12 @@ def _substr_fold(
             os.path.join(wins_dir, f"batch_id={int(batch_id)}")
         )
         trimmed.unpersist(False)
+        # trim() persists the tokenized batch (track_persisted
+        # contract); a long-running stream would leak one cached
+        # frame per micro-batch without this release
+        from ..functions._cache import unpersist_intermediates
+
+        unpersist_intermediates(trimmed)
         _write_last_batch(spark, path, batch_id)
 
     return _fold
