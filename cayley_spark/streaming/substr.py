@@ -125,6 +125,14 @@ def _substr_fold(
             return  # crash-replay of a fully-applied batch
         wins_dir = os.path.join(path, "wins")
         meta_dir = os.path.join(path, "meta")
+        # a crash between compact_substr_stream's two renames leaves
+        # the index only in wins.old; restore it BEFORE the existence
+        # probe or this fold would trim against an empty corpus and
+        # the next swap's entry guard would delete the only copy
+        # (the ADVICE-r10 sketch-fold lesson, same shape)
+        from ..functions.ann_index import _recover_swap
+
+        _recover_swap(spark, path, "wins")
         if _path_exists(spark, meta_dir):
             meta = spark.read.parquet(meta_dir).head()
             if int(meta["k"]) != int(k):

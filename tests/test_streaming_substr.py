@@ -175,6 +175,35 @@ def test_compact_stream_index_preserves_verdict(spark, tmp_path):
     assert row["n_removed"] == 5
 
 
+def test_fold_recovers_compaction_crash_window(spark, tmp_path):
+    """Crash between compaction's two renames (wins gone, wins.old
+    the only copy): the next fold must restore it, not trim against
+    an empty corpus."""
+    import os as _os
+
+    from cayley_spark.streaming.substr import _substr_fold
+
+    path, out = str(tmp_path / "idx"), str(tmp_path / "out")
+    fold = _substr_fold(path, out, "doc_id", "text", 5, 2)
+    fold(spark.createDataFrame([Row(doc_id=1, text=f"alpha {Q} omega end")]), 0)
+    sc = spark.sparkContext
+    hp = sc._jvm.org.apache.hadoop.fs.Path
+    fs = hp(path).getFileSystem(sc._jsc.hadoopConfiguration())
+    assert fs.rename(
+        hp(_os.path.join(path, "wins")),
+        hp(_os.path.join(path, "wins.old")),
+    )
+    fold(
+        spark.createDataFrame(
+            [Row(doc_id=5, text=f"replayed copy {Q} body words")]
+        ),
+        1,
+    )
+    row = spark.read.parquet(_os.path.join(out, "batch_id=1")).head()
+    assert row["n_removed"] == 5  # the accumulated index survived
+    assert not _os.path.exists(_os.path.join(path, "wins.old"))
+
+
 def test_fold_k_mismatch_raises(spark, tmp_path):
     from cayley_spark.streaming.substr import _substr_fold
 
