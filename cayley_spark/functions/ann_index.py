@@ -281,6 +281,9 @@ class IVFIndex:
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "IVFIndex":
+        # a crash between a prior save/compact's two renames leaves
+        # the bucket layout only in buckets.old — restore before read
+        _recover_swap(spark, path, "buckets")
         crow = spark.read.parquet(os.path.join(path, "centroids")).head()
         cents = [list(c) for c in crow["centroids"]]
         bucketed = spark.read.parquet(os.path.join(path, "buckets"))

@@ -142,6 +142,11 @@ class LSHDedupIndex:
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "LSHDedupIndex":
+        from .ann_index import _recover_swap
+
+        # crash between a prior save/compact's renames: sigs lives
+        # only in sigs.old — restore before read
+        _recover_swap(spark, path, "sigs")
         meta = spark.read.parquet(os.path.join(path, "meta")).head()
         return cls(
             spark,
@@ -389,6 +394,11 @@ class SubstrDedupIndex:
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "SubstrDedupIndex":
+        from .ann_index import _recover_swap
+
+        # crash between a prior save/compact's renames: wins lives
+        # only in wins.old — restore before read
+        _recover_swap(spark, path, "wins")
         meta = spark.read.parquet(os.path.join(path, "meta")).head()
         return cls(
             spark,

@@ -94,6 +94,48 @@ def test_swap_dir_entry_restores_orphaned_old(spark, tmp_path):
     assert spark.read.parquet(f"{base}/stale").head()["v"] == 3
 
 
+def test_index_loads_recover_crash_window(spark, tmp_path):
+    """All three persisted indexes auto-restore a crash-orphaned
+    .old on load() instead of failing on the missing target (or,
+    worse, having the next swap delete the only copy)."""
+    from pyspark.sql import Row
+
+    from cayley_spark.functions.dedup_index import (
+        LSHDedupIndex,
+        SubstrDedupIndex,
+    )
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="alpha beta gamma delta epsilon zeta")]
+    )
+
+    def orphan(base, sub):
+        _hadoop_rename(spark, f"{base}/{sub}", f"{base}/{sub}.old")
+
+    p1 = str(tmp_path / "lsh")
+    LSHDedupIndex.build(docs).save(p1)
+    orphan(p1, "sigs")
+    assert LSHDedupIndex.load(spark, p1).sigs.count() == 1
+
+    p2 = str(tmp_path / "substr")
+    SubstrDedupIndex.build(docs, k=3).save(p2)
+    n = SubstrDedupIndex.load(spark, p2).wins.count()
+    orphan(p2, "wins")
+    assert SubstrDedupIndex.load(spark, p2).wins.count() == n
+
+    from cayley_spark.functions.ann_index import IVFIndex
+    from cayley_spark.functions.similarity import kmeans_centroids
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), float(i % 3)]) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    p3 = str(tmp_path / "ivf")
+    IVFIndex.build(emb, n_centroids=2, iters=1).save(p3)
+    orphan(p3, "buckets")
+    assert IVFIndex.load(spark, p3).bucketed.count() == 8
+
+
 def test_bloom_probe_declared_incap_vs_carried_overcap(spark):
     """Declaring an in-cap n_bits against an over-cap carried geometry
     must raise from the 1-row head check, not after a full collect."""
