@@ -153,14 +153,14 @@ def main(argv: list[str] | None = None) -> int:
     pp = sub.add_parser(
         "pipeline",
         help="corpus transforms: dedup/chunk/pack/split/quality/"
-             "html/mix/shard/paradedup/spans/tiers/compact",
+             "html/mix/shard/paradedup/spans/tiers/substr/compact",
     )
     pp.add_argument(
         "op",
         choices=[
             "dedup", "chunk", "pack", "split", "quality",
             "html", "mix", "shard", "paradedup", "spans", "tiers",
-            "compact",
+            "substr", "compact",
         ],
     )
     pp.add_argument("--in", dest="inp", required=True, help="input parquet")
@@ -183,6 +183,8 @@ def main(argv: list[str] | None = None) -> int:
     pp.add_argument("--span-k", type=int, default=5)
     pp.add_argument("--min-docs", type=int, default=2)
     pp.add_argument("--n-buckets", type=int, default=10)
+    pp.add_argument("--substr-k", type=int, default=50)
+    pp.add_argument("--min-count", type=int, default=2)
     pp.add_argument("--target-mb", type=int, default=512)
     args = ap.parse_args(argv)
 
@@ -412,6 +414,16 @@ def _pipeline(spark, args) -> int:
             df, id_col=args.id_col, text_col=args.text_col,
             k=args.span_k, min_docs=args.min_docs,
         ).write.mode("overwrite").parquet(args.out)
+    elif args.op == "substr":
+        from .functions._cache import unpersist_intermediates
+        from .functions.dedup import exact_substr_dedup
+
+        out = exact_substr_dedup(
+            df, id_col=args.id_col, text_col=args.text_col,
+            k=args.substr_k, min_count=args.min_count,
+        )
+        out.write.mode("overwrite").parquet(args.out)
+        unpersist_intermediates(out)
     elif args.op == "tiers":
         from .functions.text import quality_buckets
 

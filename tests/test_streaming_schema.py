@@ -827,6 +827,15 @@ def test_cli_pipeline_verbs(spark, tmp_path, capsys):
     # docs 0/1 share all their 3-gram spans
     assert sn.count() == 2 and "n_dup_spans" in sn.columns
 
+    out = str(tmp_path / "ss")
+    assert main(["pipeline", "substr", "--in", src, "--out", out,
+                 "--substr-k", "3"]) == 0
+    ss = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    # ExactSubstr keep-one: doc 0 keeps the repeated passage, doc 1
+    # (same text) loses it entirely
+    assert len(ss) == 6 and ss[0]["n_removed"] < ss[1]["n_removed"]
+    assert ss[1]["clean_text"] == ""
+
     out = str(tmp_path / "tr")
     assert main(["pipeline", "tiers", "--in", src, "--out", out,
                  "--n-buckets", "3"]) == 0
