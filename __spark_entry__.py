@@ -1459,11 +1459,16 @@ def d_substr_index(spark, sf):
         f"{os.path.abspath(src)}:{os.path.getmtime(src)}:substr:k=10".encode()
     ).hexdigest()[:10]
     path = f"/tmp/cayley_substr_index_{fp}"
-    try:
-        idx = SubstrDedupIndex.load(spark, path)
-    except Exception:
+    # probe for genuine absence explicitly (meta is written LAST by
+    # save(), so its presence marks a completed save; load() recovers
+    # the wins crash window itself) — a bare except would silently
+    # rebuild on transient FS errors / corrupt footers instead of
+    # surfacing them (the _path_exists anti-pattern, ADVICE r11)
+    from cayley_spark.streaming.sketches import _path_exists
+
+    if not _path_exists(spark, os.path.join(path, "meta")):
         SubstrDedupIndex.build(ref, k=10).save(path)
-        idx = SubstrDedupIndex.load(spark, path)
+    idx = SubstrDedupIndex.load(spark, path)
     if idx.k != 10:
         raise RuntimeError(f"cached substr index carries k={idx.k}, want 10")
     return idx.trim(new, min_count=2)
@@ -2087,11 +2092,13 @@ def d_index(spark, sf):
         f"{os.path.abspath(src)}:{os.path.getmtime(src)}".encode()
     ).hexdigest()[:10]
     path = f"/tmp/cayley_dedup_index_{fp}"
-    try:
-        idx = LSHDedupIndex.load(spark, path)
-    except Exception:
+    # explicit-absence probe, same rationale as d_substr_index: meta
+    # is written last, so its presence marks a completed save
+    from cayley_spark.streaming.sketches import _path_exists
+
+    if not _path_exists(spark, os.path.join(path, "meta")):
         LSHDedupIndex.build(existing, k=3, num_hashes=16, bands=4).save(path)
-        idx = LSHDedupIndex.load(spark, path)
+    idx = LSHDedupIndex.load(spark, path)
     return idx.dedup(new, jaccard_threshold=0.5).select("doc_id", "source")
 
 

@@ -670,6 +670,14 @@ def exact_substr_against(
     n_spans); ``existing`` rows are never rewritten (they hold the
     canonical copies by construction).
 
+    Splice-junction relaxation: the invariant is over the PRE-SPLICE
+    token streams. Deleting a span splices its surviving neighbors
+    together, and a spliced junction can form a NEW k-window in
+    clean_text that happens to coincide with a corpus window; junction
+    windows are not re-checked (the standard fixed-k ExactSubstr
+    relaxation — a suffix-array implementation has the same property
+    at removal boundaries).
+
     Scale shape: never new×new or new×existing document pairs. The
     existing side reduces to its DISTINCT window set (one map-side-
     combinable aggregate — at scale a persisted, incrementally

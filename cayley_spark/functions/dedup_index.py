@@ -188,8 +188,12 @@ class LSHDedupIndex:
         discipline as GraphStore.compact."""
         if self.path is None:
             raise ValueError("compact requires a saved index; call save(path)")
-        from .ann_index import _swap_dir
+        from .ann_index import _recover_swap, _swap_dir
 
+        # a crash between a prior swap's renames leaves sigs only in
+        # sigs.old; load()/save() recover it — this maintenance entry
+        # point must too, not fail with path-not-found
+        _recover_swap(self.spark, self.path, "sigs")
         cur = self.spark.read.parquet(os.path.join(self.path, "sigs"))
         # coalesce to the natural post-scan partitioning: small index
         # → few files; a 100-TB index keeps its scan parallelism
@@ -327,7 +331,11 @@ class SubstrDedupIndex:
     windows fresh to the batch get the keep-one rule within it.
     Admitting a batch = ``trim`` → append the CLEANED text's windows
     (``append``), preserving the global at-most-one-copy invariant
-    incrementally."""
+    incrementally — over the PRE-SPLICE token streams: deleting a
+    span splices its surviving neighbors, and a spliced junction can
+    form a new k-window in clean_text that coincides with an indexed
+    window; junction windows are not re-checked (the standard fixed-k
+    ExactSubstr relaxation, same note on exact_substr_against)."""
 
     def __init__(
         self,
@@ -429,8 +437,11 @@ class SubstrDedupIndex:
         distinct set target-sized and swaps via rename."""
         if self.path is None:
             raise ValueError("compact requires a saved index; call save(path)")
-        from .ann_index import _swap_dir
+        from .ann_index import _recover_swap, _swap_dir
 
+        # same crash-window recovery as load(): wins may live only in
+        # wins.old after an interrupted swap
+        _recover_swap(self.spark, self.path, "wins")
         cur = self.spark.read.parquet(os.path.join(self.path, "wins"))
         cur.distinct().coalesce(
             max(1, cur.rdd.getNumPartitions() // 8)

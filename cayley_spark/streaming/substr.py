@@ -76,11 +76,31 @@ def compact_substr_stream(spark, path: str) -> None:
     own fingerprints as corpus). Replays of committed batches are
     blocked by the marker guard, so moving their fingerprints to the
     newest committed id never changes any future or replayed trim."""
-    from ..functions.ann_index import _swap_dir
+    from ..functions.ann_index import _recover_swap, _swap_dir
 
     last = _read_last_batch(spark, path)
     if last < 0:
         return  # nothing committed yet
+    # a compaction that crashed MID-WRITE leaves a partial
+    # wins.save.tmp; the writes below overwrite only their OWN
+    # batch_id=* subdirectories, so stale sibling partitions from the
+    # failed attempt would ride into the swapped-in layout — harmless
+    # for trims (fingerprints only accumulate) but permanent
+    # duplicate rows re-folded on every future compaction. Clear it.
+    sc = spark.sparkContext
+    hp = sc._jvm.org.apache.hadoop.fs.Path
+    fs = hp(path).getFileSystem(sc._jsc.hadoopConfiguration())
+    tmp = hp(os.path.join(path, "wins.save.tmp"))
+    if fs.exists(tmp) and not fs.delete(tmp, True):
+        raise RuntimeError(
+            f"compact: could not clear stale {path}/wins.save.tmp from a "
+            f"crashed compaction; remove it and retry"
+        )
+    # a crash between a previous compaction's two renames leaves the
+    # index only in wins.old — restore before the read, matching
+    # _substr_fold and SubstrDedupIndex.load (this maintenance entry
+    # point must not be the one reader that fails on the crash window)
+    _recover_swap(spark, path, "wins")
     wins_dir = os.path.join(path, "wins")
     cur = spark.read.parquet(wins_dir)
     committed = cur.where(F.col("batch_id") <= int(last))
