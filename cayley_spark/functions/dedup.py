@@ -634,6 +634,107 @@ def _trim_by_starts(
     ), base)
 
 
+def _removal_starts(
+    sh: DataFrame,
+    min_count: int,
+    hot_cap: int | None,
+    exclude: DataFrame | None = None,
+    exclude_key: str = "g",
+) -> DataFrame:
+    """Occurrences to REMOVE from a positional window stream ``sh``
+    (id, pos, g, ...) under the ExactSubstr keep-one rule: every
+    occurrence of a window with >= ``min_count`` total occurrences
+    except the global (id, pos)-minimum keeper. Shared by
+    exact_substr_dedup / exact_substr_against / SubstrDedupIndex.trim.
+
+    ``exclude`` (the corpus window set of the asymmetric operators,
+    keyed by ``exclude_key``) is anti-joined out of the WINDOW path:
+    its keys' occurrences are removed wholesale by the caller's own
+    corpus semi-join, so they never need the keep-one verdict.
+
+    Default path: (cnt, keeper) annotate every occurrence over ONE
+    analytic window-key shuffle (the r11 measured rewrite — a groupBy
+    + join-back shuffles the k×-corpus-tokens stream twice). But
+    window functions get no map-side partial aggregation and AQE's
+    skew mitigation never splits window partitions, so a window key
+    shared by 10^7+ occurrences (license boilerplate, chain letters)
+    would serialize into ONE straggler/OOM task at 100 TB.
+
+    ``hot_cap`` is that guard — the window-modality port of the LSH
+    family's hot_bucket_keys discipline: a deterministic doc-sampled
+    count pre-pass (rate ≈ 20/hot_cap, keyed xxhash64(doc id) so it
+    is reproducible across runs/engines/partitionings) flags windows
+    with ≈> hot_cap occurrences; flagged windows take a map-side-
+    combinable groupBy (partial aggregation collapses a 10^8-row key
+    to one row per input partition BEFORE the shuffle) whose tiny
+    result broadcast-joins back, so hot occurrences never co-locate;
+    every other window rides the analytic window exactly as before.
+    Routing happens BEFORE the ``exclude`` join: window-key membership
+    in the corpus is per-KEY, so a hot key's count is identical on
+    either side of it, the hot path pays no corpus join at all, and
+    flagged keys leave the cold stream before the corpus anti-join —
+    which ALSO de-skews that join's sort. A hot key that IS in the
+    corpus produces keep-one hits here that are a strict subset of
+    the caller's corpus hits (duplicate start positions merge into
+    the same span in _trim_by_starts) — over-removal is impossible.
+
+    The sample affects ROUTING only, never the verdict: flagged
+    windows get exact (cnt, keeper) from the groupBy, windows the
+    sample missed are still exact via the window path — so the output
+    is bit-identical for every hot_cap including None (disabled), and
+    the driver oracle needs no cap logic. On corpora with no hot
+    window the candidate set materializes EMPTY and AQE's
+    empty-relation propagation collapses the guard joins
+    (semi/inner/anti against an empty broadcast), leaving the
+    single-window plan to do all the work."""
+    keep_min = F.min(F.struct(F.col("id"), F.col("pos")))
+    not_keeper = (F.col("id") != F.col("keep.id")) | (
+        F.col("pos") != F.col("keep.pos")
+    )
+    hot_hits = None
+    cold = sh
+    if hot_cap is not None:
+        rate = max(1, int(hot_cap) // 20)
+        cand = (
+            sh.where(F.pmod(F.xxhash64("id"), F.lit(rate)) == 0)
+            .groupBy("g")
+            .agg(F.count(F.lit(1)).alias("sc"))
+            .where(F.col("sc") * (2 * rate) >= F.lit(int(hot_cap)))
+            .select("g")
+        )
+        hot_stream = sh.join(F.broadcast(cand), "g", "left_semi").select(
+            "id", "pos", "g"
+        )
+        hot = (
+            hot_stream.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("cnt"), keep_min.alias("keep"))
+            .where(F.col("cnt") >= int(min_count))
+        )
+        hot_hits = (
+            hot_stream.join(F.broadcast(hot), "g", "inner")
+            .where(not_keeper)
+            .select("id", "pos")
+        )
+        cold = sh.join(F.broadcast(cand), "g", "left_anti")
+    if exclude is not None:
+        cold = cold.join(exclude, exclude_key, "left_anti")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("g")
+    ann = cold.select(
+        "id",
+        "pos",
+        F.count(F.lit(1)).over(w).alias("cnt"),
+        keep_min.over(w).alias("keep"),
+    )
+    cold_hits = ann.where(
+        (F.col("cnt") >= int(min_count)) & not_keeper
+    ).select("id", "pos")
+    if hot_hits is None:
+        return cold_hits
+    return cold_hits.unionByName(hot_hits)
+
+
 def _token_window_arr(n, k: int):
     """Array of the k-token sliding windows of column ``toks``
     (VERBATIM, space-joined — the ExactSubstr match key), empty when
@@ -655,6 +756,7 @@ def exact_substr_against(
     text_col: str = "text",
     k: int = 50,
     min_count: int = 2,
+    hot_cap: int | None = 100_000,
 ) -> DataFrame:
     """Asymmetric ExactSubstr — the incremental pass of
     :func:`exact_substr_dedup` (the daily-crawl-vs-historical-corpus
@@ -710,26 +812,14 @@ def exact_substr_against(
     )
     # pass 1: every occurrence of a corpus window is removed
     hit_corpus = sh.join(corpus_g, "g", "left_semi").select("id", "pos")
-    # pass 2: keep-one within the batch, only for windows NOT in the
-    # corpus (disjoint from pass 1 by the anti-join); (cnt, keeper)
-    # ride one window-key shuffle, the exact_substr_dedup pattern
-    from pyspark.sql.window import Window
-
-    fresh = sh.join(corpus_g, "g", "left_anti")
-    w = Window.partitionBy("g")
-    ann = fresh.select(
-        "id",
-        "pos",
-        F.count(F.lit(1)).over(w).alias("cnt"),
-        F.min(F.struct(F.col("id"), F.col("pos"))).over(w).alias("keep"),
+    # pass 2: keep-one within the batch for windows NOT in the corpus
+    # (exclude= anti-joins them out of the window path); (cnt, keeper)
+    # ride one hot-key-guarded window shuffle. A hot key that is also
+    # a corpus key may appear in both hit streams — duplicate start
+    # positions merge into the same span in _trim_by_starts
+    hit_batch = _removal_starts(
+        sh, min_count, hot_cap, exclude=corpus_g
     )
-    hit_batch = ann.where(
-        (F.col("cnt") >= min_count)
-        & (
-            (F.col("id") != F.col("keep.id"))
-            | (F.col("pos") != F.col("keep.pos"))
-        )
-    ).select("id", "pos")
     starts = (
         hit_corpus.unionByName(hit_batch)
         .groupBy("id")
@@ -744,6 +834,7 @@ def exact_substr_dedup(
     text_col: str = "text",
     k: int = 50,
     min_count: int = 2,
+    hot_cap: int | None = 100_000,
 ) -> DataFrame:
     """ExactSubstr deduplication (Lee et al. 2022, "Deduplicating
     Training Data Makes Language Models Better" §4.1: any 50-token
@@ -775,7 +866,11 @@ def exact_substr_dedup(
     Consecutive overlapping windows of a repeated passage share
     their keeper document (min (id, pos) is monotone across the
     passage), so the canonical copy keeps the WHOLE passage and
-    later copies lose it wholesale."""
+    later copies lose it wholesale. ``hot_cap`` bounds per-task
+    window-key occupancy: keys above it route through a map-side-
+    combinable groupBy + broadcast join-back instead of co-locating
+    in one window task (see _removal_starts — the verdict is
+    bit-identical for every hot_cap; None disables the guard)."""
     toks = F.coalesce(
         F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), 0),
         F.array().cast("array<string>"),
@@ -787,31 +882,12 @@ def exact_substr_dedup(
     sh = base.select(
         "id", F.posexplode(_token_window_arr(n, k)).alias("pos", "g")
     )
-    # (cnt, keeper) ride ONE window-key shuffle: an unbounded window
-    # over g annotates every occurrence with its group's total count
-    # and (id, pos)-minimum in the same pass, where a groupBy + join-
-    # back would shuffle the corpus-sized window stream TWICE (once
-    # into the agg, once into the probe side) for the same answer —
-    # at 100 TB the window stream is k× corpus tokens, the dominant
-    # volume. min(struct(id, pos)) orders lexicographically —
-    # deterministic keeper.
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("g")
-    ann = sh.select(
-        "id",
-        "pos",
-        F.count(F.lit(1)).over(w).alias("cnt"),
-        F.min(F.struct(F.col("id"), F.col("pos"))).over(w).alias("keep"),
-    )
+    # (cnt, keeper) ride ONE window-key shuffle (guarded against hot
+    # keys — the full plan argument lives on _removal_starts);
+    # min(struct(id, pos)) orders lexicographically — deterministic
+    # keeper.
     starts = (
-        ann.where(
-            (F.col("cnt") >= min_count)
-            & (
-                (F.col("id") != F.col("keep.id"))
-                | (F.col("pos") != F.col("keep.pos"))
-            )
-        )
+        _removal_starts(sh, min_count, hot_cap)
         .groupBy("id")
         .agg(F.array_sort(F.collect_list("pos")).alias("starts"))
     )

@@ -460,6 +460,7 @@ class SubstrDedupIndex:
         id_col: str = "doc_id",
         text_col: str = "text",
         min_count: int = 2,
+        hot_cap: int | None = 100_000,
     ) -> DataFrame:
         """exact_substr_against semantics with the corpus side read
         from the index: (id, clean_text, n_tokens, n_removed,
@@ -467,9 +468,15 @@ class SubstrDedupIndex:
         positional windows fingerprint at scan speed and semi/anti-
         join the index on the BIGINT key (uniform, 8-byte shuffle
         rows); the within-batch keep-one aggregate runs only on
-        windows absent from the index; one id shuffle; the shared
-        trim tail."""
-        from .dedup import _token_window_arr, _trim_by_starts
+        windows absent from the index, guarded against hot window
+        keys by ``hot_cap`` (dedup._removal_starts — verdict
+        invariant, None disables); one id shuffle; the shared trim
+        tail."""
+        from .dedup import (
+            _removal_starts,
+            _token_window_arr,
+            _trim_by_starts,
+        )
         from .text import TOKEN_RE
 
         toks = F.coalesce(
@@ -486,28 +493,13 @@ class SubstrDedupIndex:
         ).withColumn("fp", F.xxhash64("g"))
         idx = self.wins
         hit_corpus = sh.join(idx, "fp", "left_semi").select("id", "pos")
-        fresh = sh.join(idx, "fp", "left_anti")
-        # (cnt, keeper) ride one window-key shuffle — the
-        # exact_substr_dedup pattern (a groupBy + join-back would
-        # shuffle the batch's window stream twice)
-        from pyspark.sql.window import Window
-
-        w = Window.partitionBy("g")
-        ann = fresh.select(
-            "id",
-            "pos",
-            F.count(F.lit(1)).over(w).alias("cnt"),
-            F.min(F.struct(F.col("id"), F.col("pos"))).over(w).alias(
-                "keep"
-            ),
+        # (cnt, keeper) ride one hot-key-guarded window shuffle — the
+        # exact_substr_dedup pattern; indexed fingerprints anti-join
+        # out of the window path only (hot keys route beforehand and
+        # may overlap hit_corpus — duplicate starts merge in the trim)
+        hit_batch = _removal_starts(
+            sh, min_count, hot_cap, exclude=idx, exclude_key="fp"
         )
-        hit_batch = ann.where(
-            (F.col("cnt") >= min_count)
-            & (
-                (F.col("id") != F.col("keep.id"))
-                | (F.col("pos") != F.col("keep.pos"))
-            )
-        ).select("id", "pos")
         starts = (
             hit_corpus.unionByName(hit_batch)
             .groupBy("id")
