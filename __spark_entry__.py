@@ -1516,6 +1516,76 @@ def q_events_agg(spark, sf):
     return a.unionByName(b)
 
 
+def p_pipeline(spark, sf):
+    """End-to-end corpus-preparation pipeline (functions/pipeline.
+    corpus_pipeline — the COMPOSITION of the individually certified
+    stages, which is what a training-data team actually runs):
+    language-ID -> Gopher rule battery -> C4 line cleaning (stages
+    1-3 fused into ONE raw scan, survivor frame persisted) ->
+    boilerplate-paragraph dedup -> ExactSubstr keep-one dedup ->
+    MinHash near-dup removal -> benchmark decontamination ->
+    temperature source mixing -> deterministic export shards.
+
+    The flat testdata gets the t_paradedup structure synthesis plus
+    terminal periods (every 5-token run becomes a '.'-terminated
+    line + paragraph break) so the line/paragraph stages
+    discriminate; the doc_id % 25 = 0 slice stands in for the
+    benchmark set (the t_contaminate convention). The oracle replays
+    the ENTIRE chain — every stage oracle already exists in this
+    file; this entry certifies their composition (column contracts,
+    stage wiring) and the plan pin certifies no stage re-scans raw
+    text (tests/test_plans.py)."""
+    from cayley_spark.functions.pipeline import corpus_pipeline
+
+    docs = _t_wide(spark, sf, "documents").withColumn(
+        "text",
+        F.regexp_replace("text", r"((?:\S+ ){4}\S+) ", "$1.\n\n"),
+    )
+    bench = docs.where(F.col("doc_id") % 25 == 0)
+    corpus = docs.where(F.col("doc_id") % 25 != 0)
+    return corpus_pipeline(
+        corpus,
+        bench,
+        gopher_min_words=30,
+        gopher_stoplist=("the", "a", "table", "value", "row", "fast"),
+        substr_k=10,
+        substr_min_count=2,
+        jaccard_threshold=0.2,
+        alpha=0.5,
+        target_frac=0.5,
+        n_shards=16,
+        shard_salt="x",
+    )
+
+
+def q_window_agg(spark, sf):
+    """Consolidated window-frame pair q_rolling + q_sliding (registry
+    consolidation, COVERAGE.md round 12 — the q_events_agg pattern).
+    Both plans still execute end-to-end unchanged: the interval
+    RANGE-frame analytic window (events per user in the preceding
+    hour) AND the overlapping sliding-window generator (1h window,
+    30min slide). Results harmonize into (q, event_id, user_id,
+    window_start, event_type, n) with every original value column
+    preserved; columns the other plan lacks are typed NULLs."""
+    a = q_rolling(spark, sf).select(
+        F.lit("rolling").alias("q"),
+        "event_id",
+        "user_id",
+        F.lit(None).cast("timestamp").alias("window_start"),
+        F.lit(None).cast("string").alias("event_type"),
+        F.col("n_last_hour").alias("n"),
+    )
+    b = q_sliding(spark, sf).select(
+        F.lit("sliding").alias("q"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("long").alias("user_id"),
+        "window_start",
+        "event_type",
+        F.col("n").alias("n"),
+    )
+    return a.unionByName(b)
+
+
 def _synth_url():
     """Deterministic messy URL per document (six aliasing spellings
     keyed on doc_id % 6) — shared by t_urlnorm and t_domains; the
@@ -2727,94 +2797,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     entries whose last green verdict is OLDEST; entries green in the
     immediately previous round go last (they retain pytest +
     tools/check_oracles.py coverage while they wait).
-    Round-11 window (50) = 5 new entries (d_substr = ExactSubstr
-    dedup; d_substr_against = its asymmetric/incremental pass;
-    d_substr_index = the persisted fingerprint-index form of the
-    same verdict; t_rep_ngrams = the Gopher n-gram repetition
-    battery; q_events_agg = the q_events_hourly+q_events_windowed
-    consolidation, which it replaces) + 4 code-changed r10-green
-    entries (t_gopher/t_gopher_lines gained the Unicode-ellipsis
-    symbol term, d_bloom rides the widened bloom_probe geometry
-    guard, d_trimspans rides the _trim_by_starts refactor) + the
-    36-entry r08-overflow cohort (t_split .. g_compare — exactly 3
-    rounds stale at this verdict, the ratified ceiling, scheduled by
-    COVERAGE.md round 10) + the first 5 of the r09-green cohort
-    (g_regex .. g_both). The remaining 40 r09-green entries
-    overflow to 51+ and lead the round-12 window; r10-green entries
-    sit last (rule 4). Registry = 137 (132 + t_c4/t_entropy at r10;
-    +5 −2 this round: the q_events consolidation executes both
-    plans via one multi-assert entry — no operator-surface loss).
+    Round-12 window (50) = 2 new entries (p_pipeline = the composed
+    end-to-end corpus pipeline, VERDICT r11 #5; q_window_agg = the
+    q_rolling+q_sliding consolidation scheduled by the COVERAGE.md
+    round-11 ledger, which it replaces) + 8 code-changed entries
+    (rule-3 jumps: d_substr/d_substr_against/d_substr_index ride the
+    hot-window-key guard on _removal_starts, d_index rides the
+    LSHDedupIndex.compact crash-recovery fix, t_gopher/t_gopher_lines
+    and t_c4 ride the predicate-form refactor of gopher_rules/
+    c4_rules, t_shards rides export_shards' keep-columns parameter)
+    + the 40-entry r09-overflow cohort (g_follow .. g_ppr — exactly
+    3 rounds stale at this verdict, the ratified ceiling, scheduled
+    by COVERAGE.md round 11). The r10-green remainder (43) overflows
+    to 51+ and leads the round-13 window; r11-green entries sit last
+    (rule 4). Registry = 137 (+2 −2 this round: the q_window_agg
+    consolidation executes both plans via one multi-assert entry —
+    no operator-surface loss).
     """
     return {
-        # --- round-11 additions (never driver-checked): d_substr =
-        # --- ExactSubstr dedup; q_events_agg = the hourly+windowed
-        # --- consolidation (replaces both standalone entries) -----
+        # --- round-12 additions (never driver-checked): p_pipeline
+        # --- = the composed corpus pipeline; q_window_agg = the
+        # --- rolling+sliding consolidation (replaces both) ---------
+        "p_pipeline": p_pipeline,
+        "q_window_agg": q_window_agg,
+        # --- code changed since their last verdict (rule-3 jump):
+        # --- the ExactSubstr family rides the hot-window guard,
+        # --- d_index the compact crash-recovery fix, t_gopher/
+        # --- t_gopher_lines/t_c4 the predicate-form refactor,
+        # --- t_shards the keep-columns parameter -------------------
         "d_substr": d_substr,
         "d_substr_against": d_substr_against,
         "d_substr_index": d_substr_index,
-        "t_rep_ngrams": t_rep_ngrams,
-        "q_events_agg": q_events_agg,
-        # --- code changed since their r10 verdict (rule-3 jump):
-        # --- t_gopher/t_gopher_lines gained the Unicode-ellipsis
-        # --- symbol term, d_bloom rides the widened bloom_probe
-        # --- geometry guard, d_trimspans rides the _trim_by_starts
-        # --- refactor shared with exact_substr_dedup --------------
+        "d_index": d_index,
         "t_gopher": t_gopher,
         "t_gopher_lines": t_gopher_lines,
-        "d_bloom": d_bloom,
-        "d_trimspans": d_trimspans,
-        # --- last verified r08 (3 rounds stale = the ceiling; the
-        # --- 36-entry overflow cohort COVERAGE.md scheduled to
-        # --- lead this window, incl. the displaced t_split and
-        # --- t_postings) --------------------------------------------
-        "t_split": t_split,
-        "t_postings": t_postings,
-        "t_clean": t_clean,
-        "t_urls": t_urls,
-        "t_tfidf": t_tfidf,
-        "t_vocab": t_vocab,
-        "t_trigram_lm": t_trigram_lm,
-        "t_chunks": t_chunks,
-        "t_pack": t_pack,
-        "t_bpe": t_bpe,
+        "t_c4": t_c4,
         "t_shards": t_shards,
-        "s_knn_quant": s_knn_quant,
-        "q2": q2,
-        "q10": q10,
-        "q11": q11,
-        "q13": q13,
-        "q15": q15,
-        "q16": q16,
-        "q22": q22,
-        "t_paradedup": t_paradedup,
-        "d_spans": d_spans,
-        "t_scripts": t_scripts,
-        "t_tiers": t_tiers,
-        "g_walks": g_walks,
-        "t_cooc": t_cooc,
-        "g_in": g_in,
-        "g_out2": g_out2,
-        "g_tags": g_tags,
-        "g_union": g_union,
-        "g_except": g_except,
-        "g_intersect": g_intersect,
-        "g_unique": g_unique,
-        "g_count": g_count,
-        "g_allnodes": g_allnodes,
-        "g_labeled": g_labeled,
-        "g_compare": g_compare,
-        # --- last verified r09 (head of the cohort fills the
-        # --- window to 50) ------------------------------------------
-        "g_regex": g_regex,
-        "g_order_limit": g_order_limit,
-        "g_skip": g_skip,
-        "g_optional": g_optional,
-        "g_both": g_both,
+        # --- last verified r09 (3 rounds stale = the ceiling; the
+        # --- 40-entry overflow cohort COVERAGE.md scheduled to
+        # --- lead this window) --------------------------------------
         "g_follow": g_follow,
         "g_followr": g_followr,
         "g_or_short": g_or_short,
-        # --- r09 overflow (positions 51+; leads the round-12
-        # --- window at 3 rounds stale) ------------------------------
         "g_valuefilter": g_valuefilter,
         "g_valuefilter_fn": g_valuefilter_fn,
         "g_write_delete": g_write_delete,
@@ -2852,23 +2876,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_lpa": g_lpa,
         "t_qscore": t_qscore,
         "g_ppr": g_ppr,
-        # --- green in round 10 (rule 4: wait last; held by pytest
-        # --- + tools/check_oracles.py meanwhile) --------------------
+        # --- r10-green remainder (positions 51+; leads the round-13
+        # --- window at 3 rounds stale; held by pytest +
+        # --- tools/check_oracles.py meanwhile) ----------------------
         "t_perplexity_ext": t_perplexity_ext,
         "t_qtrain": t_qtrain,
-        "t_c4": t_c4,
         "t_entropy": t_entropy,
         "q_tpch_rev": q_tpch_rev,
         "q_tpch_mix1": q_tpch_mix1,
         "t_perplexity": t_perplexity,
         "q_cube": q_cube,
         "q_wau": q_wau,
-        "q_rolling": q_rolling,
-        "q_sliding": q_sliding,
         "q_session_window": q_session_window,
         "d_lsh": d_lsh,
         "d_against": d_against,
-        "d_index": d_index,
         "d_neardup": d_neardup,
         "t_html": t_html,
         "t_mixture": t_mixture,
@@ -2901,6 +2922,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_redact": t_redact,
         "t_repetition": t_repetition,
         "t_contaminate": t_contaminate,
+        # --- green in round 11 (rule 4: wait last) ------------------
+        "t_rep_ngrams": t_rep_ngrams,
+        "q_events_agg": q_events_agg,
+        "d_bloom": d_bloom,
+        "d_trimspans": d_trimspans,
+        "t_split": t_split,
+        "t_postings": t_postings,
+        "t_clean": t_clean,
+        "t_urls": t_urls,
+        "t_tfidf": t_tfidf,
+        "t_vocab": t_vocab,
+        "t_trigram_lm": t_trigram_lm,
+        "t_chunks": t_chunks,
+        "t_pack": t_pack,
+        "t_bpe": t_bpe,
+        "s_knn_quant": s_knn_quant,
+        "q2": q2,
+        "q10": q10,
+        "q11": q11,
+        "q13": q13,
+        "q15": q15,
+        "q16": q16,
+        "q22": q22,
+        "t_paradedup": t_paradedup,
+        "d_spans": d_spans,
+        "t_scripts": t_scripts,
+        "t_tiers": t_tiers,
+        "g_walks": g_walks,
+        "t_cooc": t_cooc,
+        "g_in": g_in,
+        "g_out2": g_out2,
+        "g_tags": g_tags,
+        "g_union": g_union,
+        "g_except": g_except,
+        "g_intersect": g_intersect,
+        "g_unique": g_unique,
+        "g_count": g_count,
+        "g_allnodes": g_allnodes,
+        "g_labeled": g_labeled,
+        "g_compare": g_compare,
+        "g_regex": g_regex,
+        "g_order_limit": g_order_limit,
+        "g_skip": g_skip,
+        "g_optional": g_optional,
+        "g_both": g_both,
     }
 
 
@@ -3974,25 +4040,12 @@ WITH per_cust AS (
                 AND o.o_orderdate >= TIMESTAMP '1996-01-01'
                 AND o.o_orderdate < TIMESTAMP '1997-01-01')
         """,
-        "q_rolling": """
-            SELECT event_id, user_id,
-              COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
-                RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
-                AS n_last_hour
-            FROM events
-        """,
-        "q_json": """
-            SELECT event_type,
-              COUNT(k) AS n_with_k,
-              CAST(SUM(k) AS BIGINT) AS sum_k,
-              MIN(k) AS min_k, MAX(k) AS max_k
-            FROM (
-              SELECT event_type,
-                CAST(json_extract(props, '$.k') AS INT) AS k
-              FROM events
-            ) GROUP BY event_type
-        """,
-        "q_sliding": """
+        # q_window_agg: the two former standalone window-frame
+        # oracles (q_rolling + q_sliding) verbatim under a union —
+        # the q_events_agg consolidation pattern; the Spark entry
+        # runs BOTH plans (RANGE-frame analytic window + overlapping
+        # window() generator).
+        "q_window_agg": """
             WITH wins AS (
               -- make_timestamp(µs) is timezone-free; a
               -- to_timestamp()+CAST round-trip goes through
@@ -4004,8 +4057,254 @@ WITH per_cust AS (
               ]) AS window_start
               FROM events
             )
-            SELECT window_start, event_type, COUNT(*) AS n
-            FROM wins GROUP BY 1, 2
+            SELECT 'rolling' AS q, event_id, user_id,
+              CAST(NULL AS TIMESTAMP) AS window_start,
+              CAST(NULL AS VARCHAR) AS event_type,
+              COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
+                AS n
+            FROM events
+            UNION ALL
+            SELECT 'sliding' AS q, CAST(NULL AS BIGINT) AS event_id,
+              CAST(NULL AS BIGINT) AS user_id,
+              window_start, event_type, COUNT(*) AS n
+            FROM wins GROUP BY window_start, event_type
+        """,
+        # p_pipeline: the WHOLE corpus-preparation chain replayed
+        # as one CTE pipeline — each stage is the corresponding
+        # standalone oracle (t_langid/t_gopher/t_c4/t_paradedup/
+        # d_substr/d_dedup_corpus/t_contaminate/t_mixture/t_shards)
+        # rewired to read its predecessor instead of `documents`.
+        "p_pipeline": r"""
+            WITH RECURSIVE syn AS (
+              SELECT doc_id, source,
+                regexp_replace(text, '((?:\S+ ){4}\S+) ',
+                  '\1.' || chr(10) || chr(10), 'g') AS text
+              FROM documents
+            ), corp AS (
+              SELECT doc_id, source, COALESCE(text, '') AS text
+              FROM syn WHERE doc_id % 25 <> 0
+            ), lang AS (
+              SELECT doc_id FROM (
+                SELECT doc_id,
+                  len(list_filter(t, x -> x IN ('der','und','das'))) AS s_de,
+                  len(list_filter(t, x -> x IN ('the','and','of'))) AS s_en,
+                  len(list_filter(t, x -> x IN ('el','los','de'))) AS s_es,
+                  len(list_filter(t, x -> x IN ('le','les','et'))) AS s_fr
+                FROM (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t
+                      FROM corp)
+              ) WHERE (CASE
+                  WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'unknown'
+                  WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                  WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                  WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                  ELSE 'fr' END) = 'en'
+            ), gop AS (
+              SELECT doc_id FROM (
+                SELECT doc_id,
+                  CAST(len(t) AS INT) AS n_words,
+                  CAST(COALESCE(list_sum([length(x) for x in t]), 0)
+                       AS INT) AS word_chars,
+                  CAST(len(string_split(tx, '#')) - 1
+                       + len(regexp_split_to_array(tx, '\.\.\.')) - 1
+                       + len(string_split(tx, '…')) - 1 AS INT) AS n_symbols,
+                  CAST(len([x for x in t if regexp_matches(x, '[a-z]')])
+                       AS INT) AS n_alpha_words,
+                  CAST(len([w for w in ['the','a','table','value','row','fast']
+                            if list_contains(t, w)]) AS INT) AS stop_hits,
+                  CAST(len(ls) AS INT) AS n_lines,
+                  CAST(len([x for x in ls
+                            if regexp_matches(trim(x), '^[-*•]')])
+                       AS INT) AS n_bullet_lines,
+                  CAST(len([x for x in ls
+                            if regexp_matches(trim(x), '(\.\.\.|…)$')])
+                       AS INT) AS n_ellipsis_lines
+                FROM (SELECT doc_id, text AS tx,
+                        regexp_extract_all(lower(text), '\w+') AS t,
+                        string_split(text, chr(10)) AS ls
+                      FROM corp)
+              ) WHERE n_words >= 30 AND n_words <= 100000
+                  AND word_chars >= 3 * n_words AND word_chars <= 10 * n_words
+                  AND 10 * n_symbols <= n_words
+                  AND 5 * n_alpha_words >= 4 * n_words
+                  AND stop_hits >= 2
+                  AND 10 * n_bullet_lines <= 9 * n_lines
+                  AND 10 * n_ellipsis_lines <= 3 * n_lines
+            ), c4 AS (
+              SELECT doc_id, source, array_to_string(kept, chr(10)) AS text
+              FROM (
+                SELECT doc_id, source,
+                  [x for x in ls
+                   if regexp_matches(trim(x), '[.!?"]$')
+                      AND len([w for w in string_split(trim(x), ' ')
+                               if w <> '']) >= 5] AS kept,
+                  CAST(len(regexp_extract_all(tx, '[.!?]')) AS INT)
+                    AS n_sentences,
+                  contains(lower(tx), 'lorem ipsum') AS has_lorem,
+                  contains(tx, '{') AS has_brace
+                FROM (SELECT doc_id, source, text AS tx,
+                        string_split(text, chr(10)) AS ls
+                      FROM corp
+                      WHERE doc_id IN (SELECT doc_id FROM lang)
+                        AND doc_id IN (SELECT doc_id FROM gop))
+              ) WHERE n_sentences >= 3 AND NOT has_lorem AND NOT has_brace
+                  AND len(kept) >= 1
+            ), paras AS (
+              SELECT doc_id,
+                unnest([{'pos': i - 1, 'para': arr[i]}
+                        for i in range(1, len(arr) + 1)],
+                       recursive := true)
+              FROM (SELECT doc_id, regexp_split_to_array(text, '\n+') AS arr
+                    FROM c4)
+            ), pd AS (
+              SELECT doc_id, pos, para FROM paras WHERE trim(para) <> ''
+            ), dfreq AS (
+              SELECT para, COUNT(DISTINCT doc_id) AS pdf FROM pd GROUP BY para
+            ), pkept AS (
+              SELECT p.doc_id, p.pos, p.para, (f.pdf > 1) AS drp
+              FROM pd p JOIN dfreq f USING (para)
+            ), ptext AS (
+              SELECT doc_id,
+                COALESCE(array_to_string(
+                  list(para ORDER BY pos) FILTER (WHERE NOT drp),
+                  chr(10)), '') AS text
+              FROM pkept GROUP BY doc_id
+            ), sbase AS (
+              SELECT doc_id AS id, regexp_extract_all(text, '\w+') AS toks
+              FROM ptext
+            ), ssh AS (
+              SELECT id, unnest(
+                [{'pos': i - 1, 'g': array_to_string(toks[i:i+9], ' ')}
+                 for i in range(1, len(toks) - 8)],
+                recursive := true)
+              FROM sbase
+            ), socc AS (
+              SELECT id, pos,
+                ROW_NUMBER() OVER (PARTITION BY g ORDER BY id, pos) AS rn,
+                COUNT(*) OVER (PARTITION BY g) AS cnt
+              FROM ssh
+            ), srem AS (
+              SELECT id, pos FROM socc WHERE cnt >= 2 AND rn > 1
+            ), scov AS (
+              SELECT DISTINCT r.id, r.pos + d.d AS cpos
+              FROM srem r
+              CROSS JOIN (SELECT unnest(range(0, 10)) AS d) d
+            ), stokpos AS (
+              SELECT id, unnest(
+                [{'i': i - 1, 'tok': toks[i]}
+                 for i in range(1, len(toks) + 1)],
+                recursive := true)
+              FROM sbase
+            ), stext AS (
+              SELECT t.id AS doc_id, string_agg(t.tok, ' ' ORDER BY t.i) AS text
+              FROM stokpos t
+              LEFT JOIN scov c ON t.id = c.id AND t.i = c.cpos
+              WHERE c.cpos IS NULL
+              GROUP BY t.id
+            ), msh AS (
+              SELECT doc_id AS id,
+                list_distinct([array_to_string(toks[i:i+2], ' ')
+                               for i in range(1, len(toks) - 1)]) AS sh
+              FROM (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS toks
+                    FROM stext)
+              WHERE len(toks) >= 3
+            ), sig AS (
+              SELECT id, sh,
+                [list_min([md5(CAST(j AS VARCHAR) || ':' || s) for s in sh])
+                 for j in range(0, 16)] AS sig
+              FROM msh
+            ), banded AS (
+              SELECT id, sh, unnest(
+                [{'band': b, 'bh': md5(array_to_string(sig[b*4+1:b*4+4], '|'))}
+                 for b in range(0, 4)],
+                recursive := true)
+              FROM sig
+            ), bsz AS (
+              SELECT band, bh, COUNT(*) AS n FROM banded GROUP BY band, bh
+            ), bok AS (
+              SELECT banded.* FROM banded JOIN bsz USING (band, bh)
+              WHERE bsz.n <= 256
+            ), cand AS (
+              SELECT DISTINCT a.id AS id_a, b.id AS id_b
+              FROM bok a JOIN banded b
+                ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
+            ), pairs AS (
+              SELECT p.id_a, p.id_b
+              FROM cand p
+              JOIN msh x ON x.id = p.id_a
+              JOIN msh y ON y.id = p.id_b
+              WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                  / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))
+                  >= 0.2
+            ), edges AS (
+              SELECT id_a AS a, id_b AS b FROM pairs
+              UNION ALL
+              SELECT id_b AS a, id_a AS b FROM pairs
+            ), reach AS (
+              SELECT doc_id AS id, doc_id AS lab FROM stext
+              UNION
+              SELECT e.b AS id, r.lab
+              FROM reach r JOIN edges e ON e.a = r.id
+            ), survivors AS (
+              SELECT id AS doc_id FROM reach GROUP BY id HAVING MIN(lab) = id
+            ), cgrams AS (
+              SELECT doc_id,
+                unnest(list_distinct([array_to_string(t[i:i+4], ' ')
+                                      for i in range(1, len(t) - 3)])) AS g
+              FROM (SELECT s.doc_id,
+                      regexp_extract_all(lower(t.text), '\w+') AS t
+                    FROM survivors s JOIN stext t USING (doc_id))
+              WHERE len(t) >= 5
+            ), bgrams AS (
+              SELECT DISTINCT
+                unnest([array_to_string(t[i:i+4], ' ')
+                        for i in range(1, len(t) - 3)]) AS g
+              FROM (SELECT regexp_extract_all(lower(text), '\w+') AS t
+                    FROM syn WHERE doc_id % 25 = 0)
+              WHERE len(t) >= 5
+            ), contaminated AS (
+              SELECT DISTINCT c.doc_id FROM cgrams c JOIN bgrams b USING (g)
+            ), basem AS (
+              SELECT s.doc_id, c.source, t.text
+              FROM survivors s
+              JOIN stext t USING (doc_id)
+              JOIN c4 c USING (doc_id)
+              WHERE s.doc_id NOT IN (SELECT doc_id FROM contaminated)
+            ), mc AS (
+              SELECT source, COUNT(*) AS n FROM basem GROUP BY source
+            ), mw AS (
+              SELECT source, n, pow(CAST(n AS DOUBLE), 0.5) AS w FROM mc
+            ), mt AS (
+              SELECT SUM(w) AS wsum, SUM(n) AS total FROM mw
+            ), mr AS (
+              SELECT mw.source,
+                LEAST(1.0,
+                  (mw.w / mt.wsum) * (CAST(mt.total AS DOUBLE) * 0.5) / mw.n
+                ) AS rate
+              FROM mw, mt
+            ), mixed AS (
+              SELECT b.doc_id, b.source, b.text
+              FROM basem b JOIN mr ON mr.source = b.source
+              WHERE CAST(CAST(('0x' || substr(md5(COALESCE(b.text, '')), 1, 8))::BIGINT
+                         % 1048576 AS INT) AS DOUBLE) / 1048576 < mr.rate
+            )
+            SELECT doc_id, source,
+              CAST(('0x' || substr(md5('x' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   % 16 AS INT) AS shard,
+              md5('x' || CAST(doc_id AS VARCHAR)) AS sort_key,
+              text AS clean_text
+            FROM mixed
+        """,
+        "q_json": """
+            SELECT event_type,
+              COUNT(k) AS n_with_k,
+              CAST(SUM(k) AS BIGINT) AS sum_k,
+              MIN(k) AS min_k, MAX(k) AS max_k
+            FROM (
+              SELECT event_type,
+                CAST(json_extract(props, '$.k') AS INT) AS k
+              FROM events
+            ) GROUP BY event_type
         """,
         "q_session_window": """
             -- session_window semantics differ from the manual

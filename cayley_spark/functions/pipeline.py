@@ -1,0 +1,202 @@
+"""End-to-end training-corpus pipeline composition.
+
+Every stage here is an operator this repo certifies in isolation
+(language ID, Gopher/C4 quality rules, paragraph / ExactSubstr /
+MinHash dedup, benchmark decontamination, temperature source mixing,
+deterministic export sharding — the standard web-corpus recipe, cf.
+Rae et al. 2021 §A1, Raffel et al. 2020 §2.2, Lee et al. 2022,
+Penedo et al. 2023 §3). What a training-data team actually runs is
+their COMPOSITION over one corpus, and composition is where column
+contracts, persist/unpersist discipline, and redundant re-scans go
+wrong; :func:`corpus_pipeline` wires the chain once, with the shape
+pinned by tests (the raw corpus is scanned ONCE — all scan-speed
+filters fuse into that pass and every later stage reads the persisted
+survivor frame or its descendants).
+
+Scale shape (100 TB):
+
+- stage 1 (language ID + Gopher + C4) is pure column expressions
+  fused into the ONE raw-corpus scan; the survivor frame (id,
+  source, cleaned text) persists and is the only thing downstream
+  stages touch — raw text is never re-read;
+- the dedup stages keep their certified no-pair-join shapes
+  (paragraph digests shuffle, ExactSubstr windows ride one analytic
+  shuffle with the hot-key guard, MinHash moves ids+signatures
+  only);
+- decontamination broadcasts the benchmark n-gram set;
+- mixing/sharding are a broadcast rate join + scan-speed hash
+  expressions;
+- the single metadata join-back (restoring ``source`` onto the
+  dedup survivors) is id-keyed on uniform keys — the text stages
+  shed metadata columns so their shuffles move tokens, not payload.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ._cache import track_persisted
+from .dedup import (
+    benchmark_contamination,
+    dedup_corpus,
+    exact_substr_dedup,
+)
+from .sampling import export_shards, source_mixture
+from .text import (
+    GOPHER_STOPLIST,
+    c4_clean,
+    c4_keep,
+    gopher_pass,
+    language_guess,
+    paragraph_dedup,
+)
+
+
+def corpus_pipeline(
+    docs: DataFrame,
+    benchmark: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    lang: str = "en",
+    gopher_min_words: int = 50,
+    gopher_stoplist: tuple = GOPHER_STOPLIST,
+    c4_min_words_per_line: int = 5,
+    c4_min_sentences: int = 3,
+    para_max_df: int = 1,
+    substr_k: int = 50,
+    substr_min_count: int = 2,
+    minhash_k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    jaccard_threshold: float = 0.8,
+    contam_n: int = 5,
+    alpha: float = 0.5,
+    target_frac: float = 0.5,
+    n_shards: int = 16,
+    shard_salt: str = "",
+) -> DataFrame:
+    """Compose the full corpus-preparation chain and return the
+    training-ready survivors as (id, source, shard, sort_key,
+    clean_text):
+
+    1. **language ID** — keep docs :func:`language_guess` labels
+       ``lang``;
+    2. **Gopher rules** — keep docs passing the full rule battery
+       (:func:`gopher_pass`);
+    3. **C4 cleaning** — keep docs passing ``keep_c4`` and continue
+       with the line-cleaned text (:func:`c4_keep` /
+       :func:`c4_clean`); stages 1-3 are one fused scan, and the
+       survivor frame persists (downstream stages consume it, never
+       the raw corpus);
+    4. **paragraph dedup** — drop all copies of paragraphs (newline-
+       separated lines of the C4-cleaned text) in > ``para_max_df``
+       distinct docs (:func:`paragraph_dedup`, the C4/RefinedWeb
+       boilerplate rule);
+    5. **ExactSubstr dedup** — keep-one removal of ``substr_k``-token
+       verbatim windows (:func:`exact_substr_dedup`, Lee et al.
+       2022); docs trimmed to empty are dropped;
+    6. **MinHash near-dup removal** — LSH → exact-Jaccard verify →
+       cluster → keep the min-id representative
+       (:func:`dedup_corpus`);
+    7. **decontamination** — drop docs sharing any ``contam_n``-gram
+       with ``benchmark`` (:func:`benchmark_contamination`; skipped
+       when ``benchmark`` is None);
+    8. **source mixing** — temperature re-weighting
+       (:func:`source_mixture`: rate ∝ n^alpha over the SURVIVING
+       per-source counts, content-hash keep decisions);
+    9. **export shards** — deterministic (shard, sort_key)
+       assignment (:func:`export_shards(keep=True)`).
+
+    Intermediates persisted by this call or its stage operators are
+    tracked on the result — release them with
+    :func:`cayley_spark.functions._cache.unpersist_intermediates`
+    after materializing.
+    """
+    raw = F.col(text_col)
+    filtered = (
+        docs.where(language_guess(raw) == lang)
+        .where(
+            gopher_pass(
+                raw, min_words=gopher_min_words, stoplist=gopher_stoplist
+            )
+        )
+        .where(c4_keep(raw, c4_min_words_per_line, c4_min_sentences))
+        .select(
+            F.col(id_col),
+            F.col(source_col),
+            c4_clean(raw, c4_min_words_per_line).alias(text_col),
+        )
+        .persist()
+    )
+    para = paragraph_dedup(
+        filtered.select(id_col, text_col),
+        id_col=id_col,
+        text_col=text_col,
+        max_df=para_max_df,
+        sep_re=r"\n+",
+        joiner="\n",
+    )
+    sub = exact_substr_dedup(
+        para.select(
+            F.col(id_col), F.col("clean_text").alias(text_col)
+        ),
+        id_col=id_col,
+        text_col=text_col,
+        k=substr_k,
+        min_count=substr_min_count,
+    )
+    sub_handles = getattr(sub, "_cayley_persisted", ())
+    nonempty = sub.where(F.col("clean_text") != "").select(
+        F.col(id_col), F.col("clean_text").alias(text_col)
+    )
+    deduped = dedup_corpus(
+        nonempty,
+        id_col=id_col,
+        text_col=text_col,
+        k=minhash_k,
+        num_hashes=num_hashes,
+        bands=bands,
+        jaccard_threshold=jaccard_threshold,
+    )
+    dedup_handles = getattr(deduped, "_cayley_persisted", ())
+    if benchmark is not None:
+        contaminated = benchmark_contamination(
+            deduped, benchmark, id_col=id_col, text_col=text_col,
+            n=contam_n,
+        ).select(id_col)
+        clean = deduped.join(contaminated, id_col, "left_anti")
+    else:
+        clean = deduped
+    # restore the metadata the text stages shed (one id-keyed join on
+    # uniform keys; the alternative — threading `source` through every
+    # token shuffle — moves payload columns through the dedup stages).
+    # Persisted: source_mixture references its input three times
+    # (per-source counts, their totals, and the hash-filter join) —
+    # without this the decontamination anti-join and this restore
+    # join would re-execute per reference (and the benchmark n-gram
+    # derivation with them, measured as 3 raw benchmark scans in the
+    # optimized plan; pinned in tests/test_plans.py).
+    with_src = clean.join(
+        filtered.select(id_col, source_col), id_col
+    ).persist()
+    mixed = source_mixture(
+        with_src,
+        source_col=source_col,
+        alpha=alpha,
+        target_frac=target_frac,
+        text_col=text_col,
+    )
+    out = export_shards(
+        mixed, id_col=id_col, n_shards=n_shards, salt=shard_salt,
+        keep=True,
+    ).select(
+        F.col(id_col),
+        F.col(source_col),
+        "shard",
+        "sort_key",
+        F.col(text_col).alias("clean_text"),
+    )
+    return track_persisted(
+        out, filtered, with_src, *sub_handles, *dedup_handles
+    )

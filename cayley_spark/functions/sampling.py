@@ -169,6 +169,7 @@ def export_shards(
     id_col: str = "doc_id",
     n_shards: int = 16,
     salt: str = "",
+    keep: bool = False,
 ) -> DataFrame:
     """Deterministic training-export shard assignment: every row gets
     (shard, sort_key) where shard = hash(id) mod n_shards and
@@ -177,11 +178,17 @@ def export_shards(
     document order be fixed but pseudo-random, decoupled from crawl
     order). The writer pattern is
     ``out.repartition('shard').sortWithinPartitions('sort_key')`` —
-    one shuffle, no single global sort task."""
+    one shuffle, no single global sort task. ``keep=True`` appends
+    (shard, sort_key) to the existing columns instead of projecting
+    them away — the composed-pipeline form (the assignment stays a
+    scan-speed expression either way; a keep-columns variant via
+    join-back would shuffle the corpus for nothing)."""
     k = shard_key(F.col(id_col), salt)
     shard = (
         F.conv(F.substring(k, 1, 8), 16, 10).cast("long") % n_shards
     ).cast("int")
+    if keep:
+        return df.withColumns({"shard": shard, "sort_key": k})
     return df.select(
         F.col(id_col), shard.alias("shard"), k.alias("sort_key")
     )

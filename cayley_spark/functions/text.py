@@ -1332,6 +1332,27 @@ def c4_rules(
     family in functions/dedup.py.) Integer counts ride along for
     re-thresholding without a re-scan."""
     c = F.coalesce(F.col(text_col), F.lit(""))
+    p = _c4_parts(c, min_words_per_line, min_sentences)
+    return df.select(
+        id_col,
+        F.size(p["lines"]).cast("int").alias("n_lines"),
+        F.size(p["kept"]).cast("int").alias("n_kept_lines"),
+        p["n_sentences"].cast("int").alias("n_sentences"),
+        p["has_lorem"].alias("has_lorem"),
+        p["has_brace"].alias("has_brace"),
+        p["ok_sentences"].alias("ok_sentences"),
+        p["keep"].alias("keep_c4"),
+        F.array_join(p["kept"], "\n").alias("clean_text"),
+    )
+
+
+def _c4_parts(
+    c: Column, min_words_per_line: int, min_sentences: int
+) -> dict:
+    """The C4 rule sub-expressions as Columns, shared by the
+    :func:`c4_rules` battery and the predicate/clean-column forms
+    (:func:`c4_keep` / :func:`c4_clean`) the composed pipeline
+    filters with — one definition, so the forms cannot drift."""
     lines = F.split(c, "\n", -1)
     kept = F.filter(
         lines,
@@ -1344,21 +1365,33 @@ def c4_rules(
     n_sentences = F.size(F.regexp_extract_all(c, F.lit(r"[.!?]"), 0))
     has_lorem = F.contains(F.lower(c), F.lit("lorem ipsum"))
     has_brace = F.contains(c, F.lit("{"))
-    n_kept = F.size(kept)
     ok_sent = n_sentences >= min_sentences
-    return df.select(
-        id_col,
-        F.size(lines).cast("int").alias("n_lines"),
-        n_kept.cast("int").alias("n_kept_lines"),
-        n_sentences.cast("int").alias("n_sentences"),
-        has_lorem.alias("has_lorem"),
-        has_brace.alias("has_brace"),
-        ok_sent.alias("ok_sentences"),
-        (ok_sent & ~has_lorem & ~has_brace & (n_kept >= 1)).alias(
-            "keep_c4"
-        ),
-        F.array_join(kept, "\n").alias("clean_text"),
-    )
+    return {
+        "lines": lines,
+        "kept": kept,
+        "n_sentences": n_sentences,
+        "has_lorem": has_lorem,
+        "has_brace": has_brace,
+        "ok_sentences": ok_sent,
+        "keep": ok_sent & ~has_lorem & ~has_brace & (F.size(kept) >= 1),
+    }
+
+
+def c4_keep(
+    col: Column, min_words_per_line: int = 5, min_sentences: int = 3
+) -> Column:
+    """``keep_c4`` as a boolean Column predicate (same expression the
+    :func:`c4_rules` battery emits) — for pipelines that filter in
+    the scan projection instead of joining a verdict frame back."""
+    c = F.coalesce(col, F.lit(""))
+    return _c4_parts(c, min_words_per_line, min_sentences)["keep"]
+
+
+def c4_clean(col: Column, min_words_per_line: int = 5) -> Column:
+    """C4 ``clean_text`` as a Column (surviving lines rejoined with
+    newlines) — the scan-speed companion of :func:`c4_keep`."""
+    c = F.coalesce(col, F.lit(""))
+    return F.array_join(_c4_parts(c, min_words_per_line, 0)["kept"], "\n")
 
 
 TOKEN_ENTROPY_SCALE = 1_000_000
@@ -1730,6 +1763,33 @@ def gopher_rules(
     line exactly as the paper's fractions do. Integer counts ride
     along so consumers can re-threshold without a re-scan."""
     c = F.coalesce(F.col(text_col), F.lit(""))
+    m = _gopher_metrics(c, stoplist)
+    v = _gopher_verdicts(m, min_words, max_words)
+    return df.select(
+        id_col,
+        m["n_words"].cast("int").alias("n_words"),
+        m["word_chars"].cast("int").alias("word_chars"),
+        m["n_symbols"].cast("int").alias("n_symbols"),
+        m["n_alpha_words"].cast("int").alias("n_alpha_words"),
+        m["stop_hits"].cast("int").alias("stop_hits"),
+        m["n_lines"].cast("int").alias("n_lines"),
+        m["n_bullet_lines"].cast("int").alias("n_bullet_lines"),
+        m["n_ellipsis_lines"].cast("int").alias("n_ellipsis_lines"),
+        v["ok_word_count"].alias("ok_word_count"),
+        v["ok_mean_word_len"].alias("ok_mean_word_len"),
+        v["ok_symbol_ratio"].alias("ok_symbol_ratio"),
+        v["ok_alpha_words"].alias("ok_alpha_words"),
+        v["ok_stopwords"].alias("ok_stopwords"),
+        v["ok_bullet_lines"].alias("ok_bullet_lines"),
+        v["ok_ellipsis_lines"].alias("ok_ellipsis_lines"),
+        v["pass_gopher"].alias("pass_gopher"),
+    )
+
+
+def _gopher_metrics(c: Column, stoplist: tuple) -> dict:
+    """The integer Gopher rule inputs as Columns — one definition
+    shared by the :func:`gopher_rules` battery and the
+    :func:`gopher_pass` predicate form, so they cannot drift."""
     toks = tokens(c)
     n_words = F.size(toks)
     word_chars = F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t))
@@ -1760,37 +1820,57 @@ def gopher_rules(
             lines, lambda l: F.trim(l).rlike(r"(\.\.\.|…)$")
         )
     )
-    ok_wc = (n_words >= min_words) & (n_words <= max_words)
-    ok_mwl = (word_chars >= 3 * n_words) & (word_chars <= 10 * n_words)
-    ok_sym = 10 * n_symbols <= n_words
-    ok_alpha = 5 * n_alpha_words >= 4 * n_words
-    ok_stop = stop_hits >= 2
-    ok_bullet = 10 * n_bullet_lines <= 9 * n_lines
-    ok_ellipsis = 10 * n_ellipsis_lines <= 3 * n_lines
-    return df.select(
-        id_col,
-        n_words.cast("int").alias("n_words"),
-        word_chars.cast("int").alias("word_chars"),
-        n_symbols.cast("int").alias("n_symbols"),
-        n_alpha_words.cast("int").alias("n_alpha_words"),
-        stop_hits.cast("int").alias("stop_hits"),
-        n_lines.cast("int").alias("n_lines"),
-        n_bullet_lines.cast("int").alias("n_bullet_lines"),
-        n_ellipsis_lines.cast("int").alias("n_ellipsis_lines"),
-        ok_wc.alias("ok_word_count"),
-        ok_mwl.alias("ok_mean_word_len"),
-        ok_sym.alias("ok_symbol_ratio"),
-        ok_alpha.alias("ok_alpha_words"),
-        ok_stop.alias("ok_stopwords"),
-        ok_bullet.alias("ok_bullet_lines"),
-        ok_ellipsis.alias("ok_ellipsis_lines"),
-        (
-            ok_wc
-            & ok_mwl
-            & ok_sym
-            & ok_alpha
-            & ok_stop
-            & ok_bullet
-            & ok_ellipsis
-        ).alias("pass_gopher"),
+    return {
+        "n_words": n_words,
+        "word_chars": word_chars,
+        "n_symbols": n_symbols,
+        "n_alpha_words": n_alpha_words,
+        "stop_hits": stop_hits,
+        "n_lines": n_lines,
+        "n_bullet_lines": n_bullet_lines,
+        "n_ellipsis_lines": n_ellipsis_lines,
+    }
+
+
+def _gopher_verdicts(m: dict, min_words: int, max_words: int) -> dict:
+    """Division-free boolean verdicts over :func:`_gopher_metrics`."""
+    ok_wc = (m["n_words"] >= min_words) & (m["n_words"] <= max_words)
+    ok_mwl = (m["word_chars"] >= 3 * m["n_words"]) & (
+        m["word_chars"] <= 10 * m["n_words"]
     )
+    ok_sym = 10 * m["n_symbols"] <= m["n_words"]
+    ok_alpha = 5 * m["n_alpha_words"] >= 4 * m["n_words"]
+    ok_stop = m["stop_hits"] >= 2
+    ok_bullet = 10 * m["n_bullet_lines"] <= 9 * m["n_lines"]
+    ok_ellipsis = 10 * m["n_ellipsis_lines"] <= 3 * m["n_lines"]
+    return {
+        "ok_word_count": ok_wc,
+        "ok_mean_word_len": ok_mwl,
+        "ok_symbol_ratio": ok_sym,
+        "ok_alpha_words": ok_alpha,
+        "ok_stopwords": ok_stop,
+        "ok_bullet_lines": ok_bullet,
+        "ok_ellipsis_lines": ok_ellipsis,
+        "pass_gopher": ok_wc
+        & ok_mwl
+        & ok_sym
+        & ok_alpha
+        & ok_stop
+        & ok_bullet
+        & ok_ellipsis,
+    }
+
+
+def gopher_pass(
+    col: Column,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    stoplist: tuple = GOPHER_STOPLIST,
+) -> Column:
+    """``pass_gopher`` as a boolean Column predicate (the exact
+    conjunction :func:`gopher_rules` emits) — for pipelines that
+    filter in the scan projection instead of joining the verdict
+    frame back."""
+    c = F.coalesce(col, F.lit(""))
+    m = _gopher_metrics(c, stoplist)
+    return _gopher_verdicts(m, min_words, max_words)["pass_gopher"]

@@ -1,0 +1,236 @@
+"""corpus_pipeline: the end-to-end composition of the certified
+corpus-preparation stages (functions/pipeline.py) plus the
+predicate/column forms it filters with.
+
+The stage operators are each certified by their own oracle entries;
+these tests pin what only the COMPOSITION can get wrong — stage
+wiring on a corpus with a planted defect for every stage, the
+predicate forms staying bit-equal to the batteries they were
+factored from, and (in test_plans.py) the no-raw-rescan plan shape.
+
+Fixture thresholds are chosen so each stage catches ITS plant and no
+earlier stage steals it: para_max_df=2 (boilerplate = the 3-doc
+plant, not the pairwise passage), substr_min_count=3 (the passage's
+3 occurrences, not the exact-copy pair), so the exact copy reaches
+MinHash with an identical signature (certain LSH candidacy).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cayley_spark.functions._cache import unpersist_intermediates
+from cayley_spark.functions.pipeline import corpus_pipeline
+
+BOILER = "this paragraph is shared boilerplate text with usual words."
+PASSAGE = (
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+)
+
+
+def _doc(seed: str, n: int = 40) -> str:
+    """A '.'-terminated multi-line body that passes the Gopher and C4
+    gates: 5-word lines mixing stoplist fill with seeded words, so
+    every line is unique to its seed."""
+    fill = ("the", "and", "of", "table", "value", "row")
+    words = [
+        fill[i % len(fill)] if i % 3 == 0 else f"{seed}{i}"
+        for i in range(n)
+    ]
+    return "\n".join(
+        " ".join(words[i : i + 5]) + "." for i in range(0, n - 4, 5)
+    )
+
+
+@pytest.fixture(scope="module")
+def fixture_docs(spark):
+    """Twelve docs, one plant per stage:
+
+    - 0/1: clean keepers (distinct bodies);
+    - 2: French text (langid drop);
+    - 3: too short (Gopher/C4 gate drop);
+    - 4: no terminal punctuation anywhere (C4 drop);
+    - 5/6: share the BOILER paragraph with doc 10 (3 distinct docs >
+      para_max_df=2: paragraph dedup trims it everywhere, all
+      survive);
+    - 7/8: the PASSAGE occurs 3 times (once in 7, twice in 8, each
+      line with a distinct tail so paragraph keys differ) >=
+      substr_min_count=3: ExactSubstr keeps doc 7's copy, trims
+      both of doc 8's;
+    - 9: EXACT copy of doc 0 (2-doc duplication sits below both the
+      paragraph and substr thresholds, so it reaches MinHash with an
+      identical signature: dedup_corpus drops 9, keeps 0);
+    - 10: contains the benchmark 5-gram (decontamination drop);
+    - 11: the benchmark document itself (not part of the corpus).
+    """
+    bench_line = "secret benchmark evaluation answer key held out."
+    rows = [
+        (0, "s0", _doc("alpha")),
+        (1, "s1", _doc("bravo")),
+        (2, "s0", "le chat et les chiens et le the les et le les et."),
+        (3, "s1", "the of and table value row."),
+        (4, "s0", _doc("delta").replace(".", "")),
+        (5, "s1", _doc("echo") + "\n" + BOILER),
+        (6, "s0", _doc("foxtrot") + "\n" + BOILER),
+        (7, "s1", _doc("golf") + "\n" + PASSAGE + " seven tail."),
+        (
+            8,
+            "s0",
+            _doc("hotel")
+            + "\n" + PASSAGE + " eight one tail."
+            + "\n" + PASSAGE + " eight two tail.",
+        ),
+        (9, "s1", _doc("alpha")),
+        (10, "s0", _doc("india") + "\n" + BOILER + "\n" + bench_line),
+        (11, "s1", _doc("juliet") + "\n" + bench_line),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    )
+    return docs.where(F.col("doc_id") != 11), docs.where(
+        F.col("doc_id") == 11
+    )
+
+
+def _run(corpus, bench):
+    return corpus_pipeline(
+        corpus,
+        bench,
+        gopher_min_words=20,
+        gopher_stoplist=("the", "and", "of", "table", "value", "row"),
+        para_max_df=2,
+        substr_k=10,
+        substr_min_count=3,
+        jaccard_threshold=0.5,
+        contam_n=5,
+        alpha=0.5,
+        target_frac=10.0,  # rate caps at 1: mixture keeps everything
+        n_shards=4,
+        shard_salt="t",
+    )
+
+
+def test_corpus_pipeline_planted_defects(spark, fixture_docs):
+    corpus, bench = fixture_docs
+    out = _run(corpus, bench)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    unpersist_intermediates(out)
+    # 2: langid; 3/4: quality gates; 9: MinHash exact copy of 0;
+    # 10: decontamination
+    assert set(rows) == {0, 1, 5, 6, 7, 8}
+    # the 3-doc boilerplate paragraph is gone from every survivor
+    for d in (5, 6):
+        assert "boilerplate" not in rows[d]["clean_text"]
+        assert rows[d]["clean_text"] != ""
+    # ExactSubstr keep-one: doc 7 keeps the passage, doc 8 loses
+    # BOTH copies (3 occurrences >= min_count=3, doc 7 is the
+    # (id, pos)-minimal keeper)
+    assert "alpha beta gamma" in rows[7]["clean_text"]
+    assert "alpha beta gamma" not in rows[8]["clean_text"]
+    assert "hotel1" in rows[8]["clean_text"]  # body survives
+    # metadata restored and shards deterministic
+    assert rows[0]["source"] == "s0"
+    assert 0 <= rows[0]["shard"] < 4
+    assert len(rows[0]["sort_key"]) == 32
+
+
+def test_corpus_pipeline_no_benchmark_skips_decontamination(
+    spark, fixture_docs
+):
+    corpus, _ = fixture_docs
+    out = corpus_pipeline(
+        corpus,
+        None,
+        gopher_min_words=20,
+        gopher_stoplist=("the", "and", "of", "table", "value", "row"),
+        para_max_df=2,
+        substr_k=10,
+        substr_min_count=3,
+        jaccard_threshold=0.5,
+        target_frac=10.0,
+        n_shards=4,
+    )
+    ids = {r["doc_id"] for r in out.collect()}
+    unpersist_intermediates(out)
+    # doc 10 survives without a benchmark to be contaminated by
+    assert ids == {0, 1, 5, 6, 7, 8, 10}
+
+
+def test_corpus_pipeline_tracks_and_releases_persists(
+    spark, fixture_docs
+):
+    corpus, bench = fixture_docs
+    out = _run(corpus, bench)
+    out.count()
+    handles = getattr(out, "_cayley_persisted", ())
+    # filtered + with_src + the stage operators' intermediates
+    assert len(handles) >= 2
+    released = unpersist_intermediates(out)
+    assert released == len(handles)
+    assert getattr(out, "_cayley_persisted", ()) == ()
+
+
+def test_gopher_pass_matches_battery(spark):
+    from cayley_spark.functions.text import gopher_pass, gopher_rules
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    )
+    stop = ("the", "a", "table", "value", "row", "fast")
+    battery = gopher_rules(docs, min_words=30, stoplist=stop).select(
+        "doc_id", "pass_gopher"
+    )
+    pred = docs.select(
+        "doc_id",
+        gopher_pass(F.col("text"), min_words=30, stoplist=stop).alias(
+            "p"
+        ),
+    )
+    diff = battery.join(pred, "doc_id").where(
+        F.col("pass_gopher") != F.col("p")
+    )
+    assert diff.count() == 0
+    # sanity: the predicate discriminates on this corpus
+    kept = pred.where("p").count()
+    assert 0 < kept < docs.count()
+
+
+def test_c4_forms_match_battery(spark):
+    from cayley_spark.functions.text import c4_clean, c4_keep, c4_rules
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .withColumn(
+            "text",
+            F.regexp_replace(
+                "text", r"((?:\S+ ){4}\S+) ", "$1.\n\n"
+            ),
+        )
+    )
+    battery = c4_rules(docs).select("doc_id", "keep_c4", "clean_text")
+    forms = docs.select(
+        "doc_id",
+        c4_keep(F.col("text")).alias("k"),
+        c4_clean(F.col("text")).alias("c"),
+    )
+    diff = battery.join(forms, "doc_id").where(
+        (F.col("keep_c4") != F.col("k"))
+        | (F.col("clean_text") != F.col("c"))
+    )
+    assert diff.count() == 0
+
+
+def test_export_shards_keep_columns(spark):
+    from cayley_spark.functions.sampling import export_shards
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "doc_id long, text string"
+    )
+    slim = export_shards(df, n_shards=4, salt="s")
+    wide = export_shards(df, n_shards=4, salt="s", keep=True)
+    assert set(slim.columns) == {"doc_id", "shard", "sort_key"}
+    assert set(wide.columns) == {"doc_id", "text", "shard", "sort_key"}
+    a = {r["doc_id"]: (r["shard"], r["sort_key"]) for r in slim.collect()}
+    b = {r["doc_id"]: (r["shard"], r["sort_key"]) for r in wide.collect()}
+    assert a == b

@@ -328,3 +328,37 @@ def test_entropy_final_agg_rides_window_partitioning(spark, entry):
     plan = plan_of(df)
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_pipeline_never_rescans_raw_text(spark, entry):
+    """p_pipeline (corpus_pipeline): every raw-corpus read flows
+    through a persisted frame. The optimized plan must contain ZERO
+    raw parquet relations outside InMemoryRelation nodes — the
+    scan-speed filters fuse into the one cached survivor scan, and
+    the mixture input is cached so source_mixture's triple
+    self-reference (counts, totals, hash-filter join) cannot
+    re-execute the decontamination anti-join lineage (measured as 3
+    duplicate benchmark scans before the fix). At most two DISTINCT
+    cached plans read raw parquet at all: the corpus survivor frame
+    and the benchmark-slice lineage inside the mixture cache."""
+    df = entry.queries()["p_pipeline"](spark, SF)
+
+    raw = []
+
+    def walk(node):
+        name = node.nodeName()
+        if name == "InMemoryRelation":
+            return
+        if name == "LogicalRelation":
+            raw.append(node)
+            return
+        ch = node.children()
+        for i in range(ch.length()):
+            walk(ch.apply(i))
+
+    walk(df._jdf.queryExecution().optimizedPlan())
+    assert raw == [], f"{len(raw)} raw scans escape the caches"
+
+    from cayley_spark.functions._cache import unpersist_intermediates
+
+    unpersist_intermediates(df)

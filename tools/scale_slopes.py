@@ -284,6 +284,65 @@ def run_ops(spark, sf_dir: str, m: int) -> dict[str, float]:
             ),
         }
 
+    if os.environ.get("SCALE_OPS") == "r12":
+        # Round-12 additions: the persisted ExactSubstr index's two
+        # cost regimes measured SEPARATELY (VERDICT r11 #4 — the
+        # build-vs-warm-admission asymmetry SCALE.md previously
+        # argued instead of measuring), and the composed corpus
+        # pipeline, whose slope is the end-to-end sum-shape of its
+        # certified stages. The %3 split mirrors the d_substr_index
+        # oracle entry; replica token spaces stay disjoint so the
+        # index hit rate is fixed while the corpus grows m-fold.
+        from cayley_spark.functions.dedup_index import SubstrDedupIndex
+        from cayley_spark.functions.pipeline import corpus_pipeline
+
+        ref = docs.where(F.col("doc_id") % 3 == 0)
+        new = docs.where(F.col("doc_id") % 3 != 0)
+        idx_path = f"/tmp/scale_substr_idx_m{m}"
+
+        def _build():
+            # the timed work is build+save (explode -> distinct ->
+            # parquet); the returned frame is the saved index read
+            # back, a negligible 8-byte-row scan for the noop sink
+            SubstrDedupIndex.build(ref, k=10).save(idx_path)
+            return spark.read.parquet(os.path.join(idx_path, "wins"))
+
+        def _trim():
+            # warm admission: corpus side comes from the FILES — the
+            # daily-batch cost that matters at 100 TB
+            idx = SubstrDedupIndex.load(spark, idx_path)
+            return idx.trim(new, min_count=2)
+
+        syn = docs.withColumn(
+            "text",
+            F.regexp_replace("text", r"((?:\S+ ){4}\S+) ", "$1.\n\n"),
+        )
+        pbench = syn.where(F.col("doc_id") % 25 == 0)
+        pcorp = syn.where(F.col("doc_id") % 25 != 0)
+
+        def _pipe():
+            return corpus_pipeline(
+                pcorp,
+                pbench,
+                gopher_min_words=30,
+                gopher_stoplist=(
+                    "the", "a", "table", "value", "row", "fast",
+                ),
+                substr_k=10,
+                substr_min_count=2,
+                jaccard_threshold=0.2,
+                alpha=0.5,
+                target_frac=0.5,
+                n_shards=16,
+                shard_salt="x",
+            )
+
+        ops = {
+            "d_substr_index_build": _build,
+            "d_substr_index_trim": _trim,
+            "p_pipeline": _pipe,
+        }
+
     def persistent_ids():
         mm = spark.sparkContext._jsc.getPersistentRDDs()
         return {int(k) for k in mm.keySet().toArray()}
