@@ -153,14 +153,15 @@ def main(argv: list[str] | None = None) -> int:
     pp = sub.add_parser(
         "pipeline",
         help="corpus transforms: dedup/chunk/pack/split/quality/"
-             "html/mix/shard/paradedup/spans/tiers/substr/compact",
+             "html/mix/shard/paradedup/spans/tiers/substr/compact/"
+             "full (the composed end-to-end chain)",
     )
     pp.add_argument(
         "op",
         choices=[
             "dedup", "chunk", "pack", "split", "quality",
             "html", "mix", "shard", "paradedup", "spans", "tiers",
-            "substr", "compact",
+            "substr", "compact", "full",
         ],
     )
     pp.add_argument("--in", dest="inp", required=True, help="input parquet")
@@ -186,6 +187,15 @@ def main(argv: list[str] | None = None) -> int:
     pp.add_argument("--substr-k", type=int, default=50)
     pp.add_argument("--min-count", type=int, default=2)
     pp.add_argument("--target-mb", type=int, default=512)
+    # `pipeline full` (the composed corpus_pipeline chain)
+    pp.add_argument(
+        "--benchmark",
+        default=None,
+        help="parquet of eval/benchmark docs to decontaminate against",
+    )
+    pp.add_argument("--lang", default="en")
+    pp.add_argument("--min-words", type=int, default=50)
+    pp.add_argument("--contam-n", type=int, default=5)
     args = ap.parse_args(argv)
 
     # Spark-free commands first
@@ -421,6 +431,39 @@ def _pipeline(spark, args) -> int:
         out = exact_substr_dedup(
             df, id_col=args.id_col, text_col=args.text_col,
             k=args.substr_k, min_count=args.min_count,
+        )
+        out.write.mode("overwrite").parquet(args.out)
+        unpersist_intermediates(out)
+    elif args.op == "full":
+        # the composed end-to-end chain (functions/pipeline.py):
+        # language ID -> Gopher -> C4 -> paragraph dedup ->
+        # ExactSubstr -> MinHash dedup -> decontamination (when
+        # --benchmark is given) -> source mixing -> export shards
+        from .functions._cache import unpersist_intermediates
+        from .functions.pipeline import corpus_pipeline
+
+        bench = (
+            spark.read.parquet(args.benchmark)
+            if args.benchmark
+            else None
+        )
+        out = corpus_pipeline(
+            df,
+            bench,
+            id_col=args.id_col,
+            text_col=args.text_col,
+            source_col=args.source_col,
+            lang=args.lang,
+            gopher_min_words=args.min_words,
+            para_max_df=args.max_df,
+            substr_k=args.substr_k,
+            substr_min_count=args.min_count,
+            jaccard_threshold=args.jaccard_threshold,
+            contam_n=args.contam_n,
+            alpha=args.alpha,
+            target_frac=args.target_frac,
+            n_shards=args.n_shards,
+            shard_salt=args.salt,
         )
         out.write.mode("overwrite").parquet(args.out)
         unpersist_intermediates(out)

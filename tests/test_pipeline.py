@@ -34,8 +34,12 @@ def _doc(seed: str, n: int = 40) -> str:
     gates: 5-word lines mixing stoplist fill with seeded words, so
     every line is unique to its seed."""
     fill = ("the", "and", "of", "table", "value", "row")
+    # every third word is a stopword, cycling through ALL of fill
+    # (i % 6 would only ever land on 'the'/'table'), so both the
+    # default Gopher stoplist and the test's custom one get >= 2
+    # distinct hits per document
     words = [
-        fill[i % len(fill)] if i % 3 == 0 else f"{seed}{i}"
+        fill[(i // 3) % len(fill)] if i % 3 == 0 else f"{seed}{i}"
         for i in range(n)
     ]
     return "\n".join(
@@ -234,3 +238,29 @@ def test_export_shards_keep_columns(spark):
     a = {r["doc_id"]: (r["shard"], r["sort_key"]) for r in slim.collect()}
     b = {r["doc_id"]: (r["shard"], r["sort_key"]) for r in wide.collect()}
     assert a == b
+
+
+def test_cli_pipeline_full(spark, tmp_path, fixture_docs):
+    """python -m cayley_spark pipeline full: the composed chain as a
+    parquet-in/parquet-out CLI verb (same plants as the library
+    test; the default Gopher stoplist also hits the/and/of)."""
+    from cayley_spark.__main__ import main
+
+    corpus, bench = fixture_docs
+    src = str(tmp_path / "docs.parquet")
+    bsrc = str(tmp_path / "bench.parquet")
+    out = str(tmp_path / "out")
+    corpus.write.parquet(src)
+    bench.write.parquet(bsrc)
+    assert main([
+        "pipeline", "full", "--in", src, "--out", out,
+        "--benchmark", bsrc, "--min-words", "20", "--max-df", "2",
+        "--substr-k", "10", "--min-count", "3",
+        "--jaccard-threshold", "0.5", "--target-frac", "10.0",
+        "--n-shards", "4", "--salt", "t",
+    ]) == 0
+    got = spark.read.parquet(out)
+    assert {r["doc_id"] for r in got.collect()} == {0, 1, 5, 6, 7, 8}
+    assert {"source", "shard", "sort_key", "clean_text"} <= set(
+        got.columns
+    )
