@@ -161,7 +161,7 @@ def main(argv: list[str] | None = None) -> int:
         choices=[
             "dedup", "chunk", "pack", "split", "quality",
             "html", "mix", "shard", "paradedup", "spans", "tiers",
-            "substr", "compact", "full",
+            "substr", "compact", "full", "admit",
         ],
     )
     pp.add_argument("--in", dest="inp", required=True, help="input parquet")
@@ -196,6 +196,19 @@ def main(argv: list[str] | None = None) -> int:
     pp.add_argument("--lang", default="en")
     pp.add_argument("--min-words", type=int, default=50)
     pp.add_argument("--contam-n", type=int, default=5)
+    # `pipeline admit` (incremental admission against saved indexes)
+    pp.add_argument(
+        "--substr-index", default=None,
+        help="SubstrDedupIndex dir (built/saved beforehand)",
+    )
+    pp.add_argument(
+        "--lsh-index", default=None,
+        help="LSHDedupIndex dir (built/saved beforehand)",
+    )
+    pp.add_argument(
+        "--no-update", action="store_true",
+        help="dry-run: admit without appending to the indexes",
+    )
     args = ap.parse_args(argv)
 
     # Spark-free commands first
@@ -464,6 +477,45 @@ def _pipeline(spark, args) -> int:
             target_frac=args.target_frac,
             n_shards=args.n_shards,
             shard_salt=args.salt,
+        )
+        out.write.mode("overwrite").parquet(args.out)
+        unpersist_intermediates(out)
+    elif args.op == "admit":
+        # incremental admission: quality gates -> ExactSubstr trim
+        # against the fingerprint index -> within-batch +
+        # cross-corpus LSH dedup -> decontamination -> index appends
+        from .functions._cache import unpersist_intermediates
+        from .functions.dedup_index import LSHDedupIndex, SubstrDedupIndex
+        from .functions.pipeline import admit_corpus_batch
+
+        if not args.substr_index or not args.lsh_index:
+            print(
+                "pipeline admit requires --substr-index and --lsh-index",
+                file=sys.stderr,
+            )
+            return 1
+        sidx = SubstrDedupIndex.load(spark, args.substr_index)
+        lidx = LSHDedupIndex.load(spark, args.lsh_index)
+        bench = (
+            spark.read.parquet(args.benchmark) if args.benchmark else None
+        )
+        out = admit_corpus_batch(
+            df,
+            sidx,
+            lidx,
+            bench,
+            id_col=args.id_col,
+            text_col=args.text_col,
+            source_col=args.source_col,
+            lang=args.lang,
+            gopher_min_words=args.min_words,
+            substr_min_count=args.min_count,
+            jaccard_threshold=args.jaccard_threshold,
+            contam_n=args.contam_n,
+            num_hashes=lidx.num_hashes,
+            bands=lidx.bands,
+            minhash_k=lidx.k,
+            update_indexes=not args.no_update,
         )
         out.write.mode("overwrite").parquet(args.out)
         unpersist_intermediates(out)

@@ -200,3 +200,143 @@ def corpus_pipeline(
     return track_persisted(
         out, filtered, with_src, *sub_handles, *dedup_handles
     )
+
+
+def admit_corpus_batch(
+    batch: DataFrame,
+    substr_index,
+    lsh_index,
+    benchmark: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str | None = "source",
+    lang: str = "en",
+    gopher_min_words: int = 50,
+    gopher_stoplist: tuple = GOPHER_STOPLIST,
+    c4_min_words_per_line: int = 5,
+    c4_min_sentences: int = 3,
+    substr_min_count: int = 2,
+    jaccard_threshold: float = 0.8,
+    max_bucket_size: int | None = 256,
+    contam_n: int = 5,
+    minhash_k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    update_indexes: bool = True,
+) -> DataFrame:
+    """Admit one crawl batch against a persisted corpus — the
+    INCREMENTAL form of :func:`corpus_pipeline` (the daily-batch
+    pattern: yesterday's corpus lives in the two persisted indexes,
+    today's batch never re-reads corpus text):
+
+    1. **quality gates** — language ID + Gopher + C4, fused into one
+       batch scan exactly as in the batch pipeline;
+    2. **ExactSubstr admission** — ``substr_index.trim``: every
+       window the corpus already holds is removed from all its batch
+       occurrences, windows fresh to the batch get the within-batch
+       keep-one rule; docs trimmed to empty are dropped;
+    3. **within-batch near-dup removal** — :func:`dedup_corpus` on
+       the trimmed batch (the cross-corpus pass below only sees
+       corpus-vs-batch pairs);
+    4. **cross-corpus near-dup admission** — ``lsh_index.dedup``:
+       exact digests and verified LSH near-dups of indexed docs are
+       dropped, corpus signatures read from files;
+    5. **decontamination** — drop docs sharing any ``contam_n``-gram
+       with ``benchmark`` (skipped when None);
+    6. **index maintenance** (``update_indexes=True``) — the
+       survivors' windows and signatures APPEND to both indexes, so
+       tomorrow's batch sees today's admissions; the survivor frame
+       is locally checkpointed FIRST, because the returned plan's
+       anti-joins read the index files and would otherwise match the
+       batch against its own just-appended rows on a later
+       materialization.
+
+    Returns the admitted rows as (id[, source], clean_text).
+    Paragraph-level boilerplate, mixture rates, and shard assignment
+    are corpus-GLOBAL decisions (document frequency over the whole
+    corpus, per-source totals) — they belong to the batch pipeline /
+    offline compaction, not the admission path.
+
+    Scale shape: one batch scan for the gates; trim and dedup keep
+    their certified shapes (fingerprint semi/anti-joins on 8-byte
+    keys, banded signature joins with the hot-bucket guard — corpus
+    TEXT is never read); appends are file writes of batch-sized
+    frames. ``update_indexes=True`` eagerly materializes the
+    (batch-sized) result via localCheckpoint before appending."""
+    raw = F.col(text_col)
+    meta_cols = [F.col(id_col)] + (
+        [F.col(source_col)] if source_col else []
+    )
+    filtered = (
+        batch.where(language_guess(raw) == lang)
+        .where(
+            gopher_pass(
+                raw, min_words=gopher_min_words, stoplist=gopher_stoplist
+            )
+        )
+        .where(c4_keep(raw, c4_min_words_per_line, c4_min_sentences))
+        .select(
+            *meta_cols,
+            c4_clean(raw, c4_min_words_per_line).alias(text_col),
+        )
+        .persist()
+    )
+    trimmed = substr_index.trim(
+        filtered.select(id_col, text_col),
+        id_col=id_col,
+        text_col=text_col,
+        min_count=substr_min_count,
+    )
+    trim_handles = getattr(trimmed, "_cayley_persisted", ())
+    nonempty = trimmed.where(F.col("clean_text") != "").select(
+        F.col(id_col), F.col("clean_text").alias(text_col)
+    )
+    within = dedup_corpus(
+        nonempty,
+        id_col=id_col,
+        text_col=text_col,
+        k=minhash_k,
+        num_hashes=num_hashes,
+        bands=bands,
+        jaccard_threshold=jaccard_threshold,
+        max_bucket_size=max_bucket_size,
+    )
+    within_handles = getattr(within, "_cayley_persisted", ())
+    cross = lsh_index.dedup(
+        within,
+        id_col=id_col,
+        text_col=text_col,
+        jaccard_threshold=jaccard_threshold,
+        max_bucket_size=max_bucket_size,
+    )
+    cross_handles = getattr(cross, "_cayley_persisted", ())
+    if benchmark is not None:
+        contaminated = benchmark_contamination(
+            cross, benchmark, id_col=id_col, text_col=text_col,
+            n=contam_n,
+        ).select(id_col)
+        clean = cross.join(contaminated, id_col, "left_anti")
+    else:
+        clean = cross
+    if source_col:
+        clean = clean.join(filtered.select(id_col, source_col), id_col)
+    out = clean.select(
+        *meta_cols, F.col(text_col).alias("clean_text")
+    )
+    handles = (filtered, *trim_handles, *within_handles, *cross_handles)
+    if not update_indexes:
+        return track_persisted(out, *handles)
+    # checkpoint BEFORE the appends: the plan's anti-joins scan the
+    # index parquet paths, and append() extends those files — a later
+    # re-materialization would see the batch's own rows in the corpus
+    # side and drop everything
+    from ._cache import unpersist_intermediates
+
+    out = out.localCheckpoint(eager=True)
+    unpersist_intermediates(track_persisted(out, *handles))
+    appendable = out.select(
+        F.col(id_col), F.col("clean_text").alias(text_col)
+    )
+    substr_index.append(appendable, text_col=text_col)
+    lsh_index.append(appendable, id_col=id_col, text_col=text_col)
+    return out

@@ -264,3 +264,172 @@ def test_cli_pipeline_full(spark, tmp_path, fixture_docs):
     assert {"source", "shard", "sort_key", "clean_text"} <= set(
         got.columns
     )
+
+
+@pytest.fixture()
+def corpus_indexes(spark, tmp_path):
+    """A 2-doc admitted corpus persisted into both index forms
+    (the daily-batch starting state for admit_corpus_batch).
+    bands=16/rows=1 makes LSH candidacy near-certain at the
+    moderate Jaccard a line-permuted near-dup produces (0.4-0.5) —
+    verification still gates on exact Jaccard."""
+    from cayley_spark.functions.dedup_index import (
+        LSHDedupIndex,
+        SubstrDedupIndex,
+    )
+
+    c0 = spark.createDataFrame(
+        [
+            (100, "s0", _doc("kilo") + "\n" + PASSAGE + " canon tail."),
+            (101, "s1", _doc("lima")),
+        ],
+        "doc_id long, source string, text string",
+    )
+    sidx = SubstrDedupIndex.build(c0, k=10).save(
+        str(tmp_path / "sidx")
+    )
+    lidx = LSHDedupIndex.build(c0, k=3, num_hashes=16, bands=16).save(
+        str(tmp_path / "lidx")
+    )
+    return c0, sidx, lidx
+
+
+def _admit(batch, sidx, lidx, bench=None, **kw):
+    from cayley_spark.functions.pipeline import admit_corpus_batch
+
+    return admit_corpus_batch(
+        batch,
+        sidx,
+        lidx,
+        bench,
+        gopher_min_words=20,
+        gopher_stoplist=("the", "and", "of", "table", "value", "row"),
+        substr_min_count=2,
+        jaccard_threshold=0.3,
+        num_hashes=16,
+        bands=16,
+        **kw,
+    )
+
+
+def test_admit_corpus_batch_planted_defects(spark, corpus_indexes):
+    """One plant per admission stage, plus the index-growth proof:
+    a second batch duplicating a FIRST-batch survivor is rejected
+    because the appends made the survivor part of the corpus."""
+    c0, sidx, lidx = corpus_indexes
+    lima_lines = _doc("lima").split("\n")
+    bench_line = "secret benchmark evaluation answer key held out."
+    batch1 = spark.createDataFrame(
+        [
+            (0, "s0", _doc("mike")),  # clean keeper
+            (1, "s1", "le chat et les chiens et le the les et le les et."),
+            # corpus passage verbatim inside fresh text: trimmed,
+            # doc survives
+            (2, "s0", _doc("november") + "\n" + PASSAGE + " nov tail."),
+            # exact copy of corpus doc 100: every window indexed ->
+            # trimmed to empty -> dropped
+            (3, "s1", c0.collect()[0]["text"]),
+            # line-permuted near-dup of corpus doc 101: no shared
+            # 10-token window (every window spans a line boundary),
+            # caught by the LSH index instead
+            (4, "s0", "\n".join(reversed(lima_lines))),
+            # within-batch near-dup pair (6 = line-permuted 5):
+            # dedup_corpus keeps the min id
+            (5, "s1", _doc("oscar")),
+            (6, "s0", "\n".join(reversed(_doc("oscar").split("\n")))),
+            # benchmark 5-gram -> decontamination drop
+            (8, "s1", _doc("papa") + "\n" + bench_line),
+        ],
+        "doc_id long, source string, text string",
+    )
+    bench = spark.createDataFrame(
+        [(900, "eval", _doc("quebec") + "\n" + bench_line)],
+        "doc_id long, source string, text string",
+    )
+    out = _admit(batch1, sidx, lidx, bench)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert set(rows) == {0, 2, 5}
+    # the corpus passage is gone from doc 2, its body intact
+    assert "alpha beta" not in rows[2]["clean_text"]
+    assert "november1" in rows[2]["clean_text"]
+    assert rows[0]["source"] == "s0"
+
+    # second batch: an exact copy of batch-1 survivor doc 0 must be
+    # rejected (the appends grew the indexes), a fresh doc admitted
+    batch2 = spark.createDataFrame(
+        [
+            (20, "s0", _doc("mike")),
+            (21, "s1", _doc("romeo")),
+        ],
+        "doc_id long, source string, text string",
+    )
+    out2 = _admit(batch2, sidx, lidx, bench)
+    assert {r["doc_id"] for r in out2.collect()} == {21}
+
+
+def test_admit_corpus_batch_readmission_is_empty(
+    spark, corpus_indexes
+):
+    """Admitting the same batch twice: the second pass rejects every
+    row (all windows now indexed -> trimmed to empty)."""
+    _, sidx, lidx = corpus_indexes
+    batch = spark.createDataFrame(
+        [(0, "s0", _doc("sierra"))],
+        "doc_id long, source string, text string",
+    )
+    first = _admit(batch, sidx, lidx)
+    assert {r["doc_id"] for r in first.collect()} == {0}
+    second = _admit(batch, sidx, lidx)
+    assert second.count() == 0
+
+
+def test_admit_corpus_batch_no_update_leaves_indexes(
+    spark, corpus_indexes
+):
+    """update_indexes=False: a dry-run admission (returns survivors,
+    appends nothing — the same batch still admits afterwards)."""
+    from cayley_spark.functions._cache import unpersist_intermediates
+
+    _, sidx, lidx = corpus_indexes
+    batch = spark.createDataFrame(
+        [(0, "s0", _doc("tango"))],
+        "doc_id long, source string, text string",
+    )
+    dry = _admit(batch, sidx, lidx, update_indexes=False)
+    assert {r["doc_id"] for r in dry.collect()} == {0}
+    unpersist_intermediates(dry)
+    wet = _admit(batch, sidx, lidx)
+    assert {r["doc_id"] for r in wet.collect()} == {0}
+
+
+def test_cli_pipeline_admit(spark, tmp_path, corpus_indexes):
+    """python -m cayley_spark pipeline admit: incremental admission
+    against the saved index dirs (dup-of-corpus rejected, fresh doc
+    admitted and appended)."""
+    from cayley_spark.__main__ import main
+
+    c0, sidx, lidx = corpus_indexes
+    src = str(tmp_path / "batch.parquet")
+    out = str(tmp_path / "admitted")
+    spark.createDataFrame(
+        [
+            (0, "s0", _doc("uniform")),
+            (3, "s1", c0.collect()[0]["text"]),  # corpus copy
+        ],
+        "doc_id long, source string, text string",
+    ).write.parquet(src)
+    assert main([
+        "pipeline", "admit", "--in", src, "--out", out,
+        "--substr-index", sidx.path, "--lsh-index", lidx.path,
+        "--min-words", "20", "--jaccard-threshold", "0.3",
+    ]) == 0
+    got = spark.read.parquet(out)
+    assert {r["doc_id"] for r in got.collect()} == {0}
+    # the admission appended: re-admitting doc 0 now rejects it
+    out2 = str(tmp_path / "admitted2")
+    assert main([
+        "pipeline", "admit", "--in", src, "--out", out2,
+        "--substr-index", sidx.path, "--lsh-index", lidx.path,
+        "--min-words", "20", "--jaccard-threshold", "0.3",
+    ]) == 0
+    assert spark.read.parquet(out2).count() == 0
