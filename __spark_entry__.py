@@ -4076,6 +4076,13 @@ WITH per_cust AS (
         # d_substr/d_dedup_corpus/t_contaminate/t_mixture/t_shards)
         # rewired to read its predecessor instead of `documents`.
         "p_pipeline": r"""
+            -- stext/survivors/basem are MATERIALIZED: DuckDB inlines
+            -- CTEs by default, and the mixture tail references basem
+            -- three times (counts -> totals -> hash-filter join) --
+            -- un-hinted, each reference re-executes the whole
+            -- upstream pipeline (measured 30x: 30.3s -> 1.0s at
+            -- sf0.01), the oracle-side twin of the with_src persist
+            -- in corpus_pipeline itself.
             WITH RECURSIVE syn AS (
               SELECT doc_id, source,
                 regexp_replace(text, '((?:\S+ ){4}\S+) ',
@@ -4195,7 +4202,7 @@ WITH per_cust AS (
                  for i in range(1, len(toks) + 1)],
                 recursive := true)
               FROM sbase
-            ), stext AS (
+            ), stext AS MATERIALIZED (
               SELECT t.id AS doc_id, string_agg(t.tok, ' ' ORDER BY t.i) AS text
               FROM stokpos t
               LEFT JOIN scov c ON t.id = c.id AND t.i = c.cpos
@@ -4245,7 +4252,7 @@ WITH per_cust AS (
               UNION
               SELECT e.b AS id, r.lab
               FROM reach r JOIN edges e ON e.a = r.id
-            ), survivors AS (
+            ), survivors AS MATERIALIZED (
               SELECT id AS doc_id FROM reach GROUP BY id HAVING MIN(lab) = id
             ), cgrams AS (
               SELECT doc_id,
@@ -4264,7 +4271,7 @@ WITH per_cust AS (
               WHERE len(t) >= 5
             ), contaminated AS (
               SELECT DISTINCT c.doc_id FROM cgrams c JOIN bgrams b USING (g)
-            ), basem AS (
+            ), basem AS MATERIALIZED (
               SELECT s.doc_id, c.source, t.text
               FROM survivors s
               JOIN stext t USING (doc_id)
