@@ -337,10 +337,44 @@ def run_ops(spark, sf_dir: str, m: int) -> dict[str, float]:
                 shard_salt="x",
             )
 
+        def _admit():
+            # the composed incremental admission (the daily-batch
+            # form): fresh index copies per run so appends don't
+            # accumulate across reps, dry-run appends OFF so the
+            # measured cost is the admission verdict itself
+            import shutil
+
+            from cayley_spark.functions.dedup_index import (
+                LSHDedupIndex,
+            )
+            from cayley_spark.functions.pipeline import (
+                admit_corpus_batch,
+            )
+
+            lpath = f"/tmp/scale_lsh_idx_m{m}"
+            if not os.path.exists(os.path.join(lpath, "meta")):
+                shutil.rmtree(lpath, ignore_errors=True)
+                LSHDedupIndex.build(ref, k=3).save(lpath)
+            sidx = SubstrDedupIndex.load(spark, idx_path)
+            lidx = LSHDedupIndex.load(spark, lpath)
+            return admit_corpus_batch(
+                syn.where(F.col("doc_id") % 3 != 0),
+                sidx,
+                lidx,
+                gopher_min_words=30,
+                gopher_stoplist=(
+                    "the", "a", "table", "value", "row", "fast",
+                ),
+                substr_min_count=2,
+                jaccard_threshold=0.2,
+                update_indexes=False,
+            )
+
         ops = {
             "d_substr_index_build": _build,
             "d_substr_index_trim": _trim,
             "p_pipeline": _pipe,
+            "p_admit": _admit,
         }
 
     def persistent_ids():
