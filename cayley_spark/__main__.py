@@ -499,6 +499,11 @@ def _pipeline(spark, args) -> int:
         bench = (
             spark.read.parquet(args.benchmark) if args.benchmark else None
         )
+        # durable_out: the admitted rows are written to --out BEFORE
+        # any index append (ADVICE r12) — a crash mid-append can
+        # always be recovered by re-appending the saved output,
+        # whereas append-first would lose the batch permanently
+        # (re-admission returns empty once the windows are indexed)
         out = admit_corpus_batch(
             df,
             sidx,
@@ -516,8 +521,8 @@ def _pipeline(spark, args) -> int:
             bands=lidx.bands,
             minhash_k=lidx.k,
             update_indexes=not args.no_update,
+            durable_out=args.out,
         )
-        out.write.mode("overwrite").parquet(args.out)
         unpersist_intermediates(out)
     elif args.op == "tiers":
         from .functions.text import quality_buckets

@@ -181,11 +181,16 @@ class LSHDedupIndex:
         adds one new file set — after a year of daily batches the
         table is thousands of tiny files, the classic
         read-amplification trap (every admission scan pays per-file
-        open/footer cost). Compaction rewrites the current rows into
-        as few files as the data needs (spark.sql.files.maxPartitionBytes
-        sizing) and swaps via rename — reads before and after return
-        identical rows, only the file count drops. Same staged-swap
-        discipline as GraphStore.compact."""
+        open/footer cost). Compaction rewrites the current DISTINCT
+        rows into as few files as the data needs
+        (spark.sql.files.maxPartitionBytes sizing) and swaps via
+        rename. The distinct squeeze (the SubstrDedupIndex.compact
+        discipline) makes crash-recovery re-appends clean up:
+        re-appending a batch writes byte-identical (id, digest, sh,
+        sig) rows, which are harmless to admission (they only emit
+        duplicate candidate pairs, deduped downstream) and removed
+        here. Admission verdicts before and after compaction are
+        identical. Same staged-swap discipline as GraphStore.compact."""
         if self.path is None:
             raise ValueError("compact requires a saved index; call save(path)")
         from .ann_index import _recover_swap, _swap_dir
@@ -197,7 +202,7 @@ class LSHDedupIndex:
         cur = self.spark.read.parquet(os.path.join(self.path, "sigs"))
         # coalesce to the natural post-scan partitioning: small index
         # → few files; a 100-TB index keeps its scan parallelism
-        cur.coalesce(
+        cur.dropDuplicates().coalesce(
             max(1, cur.rdd.getNumPartitions() // 8)
         ).write.mode("overwrite").parquet(
             os.path.join(self.path, "sigs.save.tmp")

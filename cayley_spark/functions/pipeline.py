@@ -228,6 +228,7 @@ def admit_corpus_batch(
     num_hashes: int = 16,
     bands: int = 4,
     update_indexes: bool = True,
+    durable_out: str | None = None,
 ) -> DataFrame:
     """Admit one crawl batch against a persisted corpus — the
     INCREMENTAL form of :func:`corpus_pipeline` (the daily-batch
@@ -251,10 +252,31 @@ def admit_corpus_batch(
     6. **index maintenance** (``update_indexes=True``) — the
        survivors' windows and signatures APPEND to both indexes, so
        tomorrow's batch sees today's admissions; the survivor frame
-       is locally checkpointed FIRST, because the returned plan's
-       anti-joins read the index files and would otherwise match the
-       batch against its own just-appended rows on a later
+       is materialized FIRST, because the returned plan's anti-joins
+       read the index files and would otherwise match the batch
+       against its own just-appended rows on a later
        materialization.
+
+    **Durability (``durable_out``).** The two appends are not atomic
+    with each other or with the caller's output write, and admission
+    is NOT re-runnable after an append: every admitted window is now
+    indexed, so re-running the same batch returns empty by design.
+    With ``durable_out=None`` the survivors are only a
+    ``localCheckpoint`` (executor-local, non-reliable) while the
+    appends run — a crash after the appends but before the caller
+    persists the result LOSES the batch permanently. Pass
+    ``durable_out=<path>`` (the CLI default) to close the window: the
+    survivor frame is written to that parquet path BEFORE any append,
+    the appends source from the re-read files, and the re-read frame
+    is returned. Crash recovery is then mechanical — re-append the
+    saved output to both indexes (``SubstrDedupIndex.append`` +
+    ``LSHDedupIndex.append`` on the parquet at ``durable_out``):
+    duplicate appends are harmless (window fingerprints are probed
+    with semi-joins and squeezed by ``compact()``; duplicate
+    signature rows only add candidate pairs that dedupe, and
+    ``LSHDedupIndex.compact()`` removes them) — so the recovery
+    re-append is safe even when it repeats an append that DID land
+    before the crash.
 
     Returns the admitted rows as (id[, source], clean_text).
     Paragraph-level boilerplate, mixture rates, and shard assignment
@@ -334,16 +356,26 @@ def admit_corpus_batch(
         filtered, nonempty, *trim_handles, *within_handles,
         *cross_handles,
     )
-    if not update_indexes:
+    if not update_indexes and durable_out is None:
         return track_persisted(out, *handles)
-    # checkpoint BEFORE the appends: the plan's anti-joins scan the
+    # materialize BEFORE the appends: the plan's anti-joins scan the
     # index parquet paths, and append() extends those files — a later
     # re-materialization would see the batch's own rows in the corpus
-    # side and drop everything
+    # side and drop everything. durable_out materializes through a
+    # RELIABLE parquet write (survivors outlive a crash mid-append;
+    # see the durability note above); localCheckpoint is the
+    # caller-managed-durability fallback.
     from ._cache import unpersist_intermediates
 
-    out = out.localCheckpoint(eager=True)
-    unpersist_intermediates(track_persisted(out, *handles))
+    if durable_out is not None:
+        out.write.mode("overwrite").parquet(durable_out)
+        unpersist_intermediates(track_persisted(out, *handles))
+        out = batch.sparkSession.read.parquet(durable_out)
+    else:
+        out = out.localCheckpoint(eager=True)
+        unpersist_intermediates(track_persisted(out, *handles))
+    if not update_indexes:
+        return out
     appendable = out.select(
         F.col(id_col), F.col("clean_text").alias(text_col)
     )

@@ -182,7 +182,18 @@ def export_shards(
     (shard, sort_key) to the existing columns instead of projecting
     them away — the composed-pipeline form (the assignment stays a
     scan-speed expression either way; a keep-columns variant via
-    join-back would shuffle the corpus for nothing)."""
+    join-back would shuffle the corpus for nothing). A ``keep=True``
+    input that ALREADY carries a ``shard`` or ``sort_key`` column is
+    rejected: ``withColumns`` would silently overwrite it, so a double
+    application (or a caller's homonymous metadata column) would
+    clobber data instead of failing loudly."""
+    if keep:
+        clash = [c for c in ("shard", "sort_key") if c in df.columns]
+        if clash:
+            raise ValueError(
+                f"export_shards(keep=True): input already has {clash} "
+                "column(s); rename them or use keep=False"
+            )
     k = shard_key(F.col(id_col), salt)
     shard = (
         F.conv(F.substring(k, 1, 8), 16, 10).cast("long") % n_shards

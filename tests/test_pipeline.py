@@ -240,6 +240,30 @@ def test_export_shards_keep_columns(spark):
     assert a == b
 
 
+def test_export_shards_keep_rejects_column_clash(spark):
+    """keep=True on an input that already carries shard/sort_key must
+    raise, not silently clobber (ADVICE r12): withColumns overwrites
+    homonymous columns, so a double application would destroy the
+    first assignment without a trace."""
+    import pytest
+
+    from cayley_spark.functions.sampling import export_shards
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "doc_id long, text string"
+    )
+    once = export_shards(df, n_shards=4, salt="s", keep=True)
+    with pytest.raises(ValueError, match="shard"):
+        export_shards(once, n_shards=4, salt="t", keep=True)
+    pre = df.withColumn("sort_key", F.lit("mine"))
+    with pytest.raises(ValueError, match="sort_key"):
+        export_shards(pre, n_shards=4, salt="s", keep=True)
+    # keep=False projects its own frame and stays unaffected
+    assert set(
+        export_shards(once, n_shards=4, salt="t").columns
+    ) == {"doc_id", "shard", "sort_key"}
+
+
 def test_cli_pipeline_full(spark, tmp_path, fixture_docs):
     """python -m cayley_spark pipeline full: the composed chain as a
     parquet-in/parquet-out CLI verb (same plants as the library
@@ -400,6 +424,86 @@ def test_admit_corpus_batch_no_update_leaves_indexes(
     unpersist_intermediates(dry)
     wet = _admit(batch, sidx, lidx)
     assert {r["doc_id"] for r in wet.collect()} == {0}
+
+
+def test_admit_corpus_batch_durable_out_survives_append_crash(
+    spark, tmp_path, corpus_indexes, monkeypatch
+):
+    """ADVICE r12 (medium): with durable_out, the admitted rows are
+    written BEFORE any index append, so a crash mid-append never
+    loses the batch — the saved output re-appends to both indexes
+    and tomorrow's batches see the admission."""
+    from cayley_spark.functions.dedup_index import SubstrDedupIndex
+
+    _, sidx, lidx = corpus_indexes
+    batch = spark.createDataFrame(
+        [(0, "s0", _doc("victor"))],
+        "doc_id long, source string, text string",
+    )
+    out = str(tmp_path / "admitted")
+    wins_before = sidx.wins.count()
+    sigs_before = lidx.sigs.count()
+
+    def boom(self, *a, **kw):
+        raise RuntimeError("disk full")
+
+    monkeypatch.setattr(SubstrDedupIndex, "append", boom)
+    with pytest.raises(RuntimeError, match="disk full"):
+        _admit(batch, sidx, lidx, durable_out=out)
+    monkeypatch.undo()
+    # the batch is durable despite the crash; the indexes are intact
+    saved = spark.read.parquet(out)
+    assert {r["doc_id"] for r in saved.collect()} == {0}
+    assert sidx.wins.count() == wins_before
+    assert lidx.sigs.count() == sigs_before
+    # mechanical recovery: re-append the saved output to BOTH indexes
+    appendable = saved.select("doc_id", F.col("clean_text").alias("text"))
+    sidx.append(appendable)
+    lidx.append(appendable)
+    # the recovered admission is visible: re-admitting rejects it
+    again = _admit(batch, sidx, lidx, update_indexes=False)
+    assert again.count() == 0
+
+
+def test_admit_recovery_reappend_is_idempotent(
+    spark, tmp_path, corpus_indexes
+):
+    """A recovery re-append that REPEATS an append which did land
+    (crash after append, before the recovery marker) is harmless:
+    admission verdicts are unchanged, and compact() squeezes the
+    duplicate rows out of both indexes."""
+    _, sidx, lidx = corpus_indexes
+    batch = spark.createDataFrame(
+        [(0, "s0", _doc("whiskey"))],
+        "doc_id long, source string, text string",
+    )
+    out = str(tmp_path / "admitted")
+    admitted = _admit(batch, sidx, lidx, durable_out=out)
+    assert {r["doc_id"] for r in admitted.collect()} == {0}
+    sigs_once = lidx.sigs.count()
+    # recovery repeats both appends from the durable output
+    saved = spark.read.parquet(out)
+    appendable = saved.select("doc_id", F.col("clean_text").alias("text"))
+    sidx.append(appendable)
+    lidx.append(appendable)
+    assert lidx.sigs.count() == 2 * sigs_once - 2  # c0 rows not doubled
+    # verdicts unchanged: the admitted doc still rejects, fresh admits
+    rej = _admit(batch, sidx, lidx, update_indexes=False)
+    assert rej.count() == 0
+    fresh = spark.createDataFrame(
+        [(9, "s1", _doc("xray"))],
+        "doc_id long, source string, text string",
+    )
+    ok = _admit(fresh, sidx, lidx, update_indexes=False)
+    assert {r["doc_id"] for r in ok.collect()} == {9}
+    # compact removes the duplicate signature rows and duplicate
+    # window fingerprints; verdicts still unchanged
+    lidx.compact()
+    sidx.compact()
+    assert lidx.sigs.count() == sigs_once
+    assert sidx.wins.count() == sidx.wins.distinct().count()
+    assert _admit(batch, sidx, lidx, update_indexes=False).count() == 0
+    assert _admit(fresh, sidx, lidx, update_indexes=False).count() == 1
 
 
 def test_cli_pipeline_admit(spark, tmp_path, corpus_indexes):
