@@ -1054,17 +1054,25 @@ def q_sessions(spark, sf):
 
 
 def q_events_topuser(spark, sf):
-    """Window function: top event per user by value (dense ranking)."""
-    from pyspark.sql.window import Window
-
+    """Top event per user by value — the argmax shape. Round 13
+    (VERDICT r12 #5, hot-entity skew audit): formulated as a
+    map-side-combinable max_by aggregate instead of a row_number
+    window. The window form serializes EVERY event of a user into
+    one sorted partition task — a 10^7-event bot key becomes one
+    straggler; max_by partial-aggregates per input partition first,
+    so a hot key costs one combine row per partition regardless of
+    its event count. Ordering (value DESC, event_id ASC) rides one
+    lexicographic struct; results are bit-identical to the window
+    form."""
     ev = _events(spark, sf)
-    w = Window.partitionBy("user_id").orderBy(
-        F.col("value").desc(), F.col("event_id")
+    top = F.max_by(
+        F.struct("event_id", "event_type"),
+        F.struct(F.col("value"), -F.col("event_id")),
     )
-    return (
-        ev.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("user_id", "event_id", "event_type")
+    return ev.groupBy("user_id").agg(top.alias("__t")).select(
+        "user_id",
+        F.col("__t.event_id").alias("event_id"),
+        F.col("__t.event_type").alias("event_type"),
     )
 
 
@@ -1584,6 +1592,82 @@ def q_window_agg(spark, sf):
         F.col("n").alias("n"),
     )
     return a.unionByName(b)
+
+
+def p_admit(spark, sf):
+    """Incremental corpus admission (functions/pipeline.
+    admit_corpus_batch — the DAILY-BATCH form of p_pipeline, the
+    reference's batch-import analog graph/kv/indexing.go:409-480):
+    yesterday's corpus lives only in the two persisted indexes
+    (SubstrDedupIndex window fingerprints + LSHDedupIndex MinHash
+    signatures, built ONCE from the doc_id % 3 = 0 slice and cached
+    on disk like d_substr_index); today's batch (the % 3 != 0 slice)
+    runs quality gates fused into one scan -> ExactSubstr trim
+    against the fingerprint FILES -> within-batch MinHash dedup ->
+    cross-corpus LSH admission from the signature FILES ->
+    benchmark decontamination (the doc_id % 25 = 0 slice, the
+    t_contaminate convention). Corpus text is never re-read — the
+    trim probes 8-byte fingerprints and the admission reads
+    signatures. update_indexes=False keeps the entry idempotent (the
+    append path is regression-tested in tests/test_pipeline.py; its
+    durable-out crash discipline in the same file). Text gets the
+    p_pipeline structure synthesis so the line/sentence gates
+    discriminate. The oracle replays the whole chain as one CTE
+    pipeline composed from the already-certified stage oracles."""
+    import hashlib
+    import os
+
+    from cayley_spark.functions.dedup_index import (
+        LSHDedupIndex,
+        SubstrDedupIndex,
+    )
+    from cayley_spark.functions.pipeline import admit_corpus_batch
+
+    docs = _t_wide(spark, sf, "documents").withColumn(
+        "text",
+        F.regexp_replace("text", r"((?:\S+ ){4}\S+) ", "$1.\n\n"),
+    )
+    bench = docs.where(F.col("doc_id") % 25 == 0)
+    rest = docs.where(F.col("doc_id") % 25 != 0)
+    corpus = rest.where(F.col("doc_id") % 3 == 0)
+    batch = rest.where(F.col("doc_id") % 3 != 0)
+    src = f"{sf}/documents.parquet"
+    # both index geometries ride in the cache key (the d_substr_index
+    # discipline): a stale cache built with other parameters would
+    # otherwise load silently and admit in a disjoint key space
+    fp = hashlib.md5(
+        f"{os.path.abspath(src)}:{os.path.getmtime(src)}"
+        ":admit:sk=10:lk=3:nh=16:b=4".encode()
+    ).hexdigest()[:10]
+    spath = f"/tmp/cayley_admit_sidx_{fp}"
+    lpath = f"/tmp/cayley_admit_lidx_{fp}"
+    from cayley_spark.streaming.sketches import _path_exists
+
+    if not _path_exists(spark, os.path.join(spath, "meta")):
+        SubstrDedupIndex.build(corpus, k=10).save(spath)
+    if not _path_exists(spark, os.path.join(lpath, "meta")):
+        LSHDedupIndex.build(corpus, k=3, num_hashes=16, bands=4).save(
+            lpath
+        )
+    sidx = SubstrDedupIndex.load(spark, spath)
+    lidx = LSHDedupIndex.load(spark, lpath)
+    if sidx.k != 10 or (lidx.k, lidx.num_hashes, lidx.bands) != (3, 16, 4):
+        raise RuntimeError("cached admission index geometry mismatch")
+    return admit_corpus_batch(
+        batch,
+        sidx,
+        lidx,
+        bench,
+        gopher_min_words=30,
+        gopher_stoplist=("the", "a", "table", "value", "row", "fast"),
+        substr_min_count=2,
+        jaccard_threshold=0.2,
+        contam_n=5,
+        minhash_k=3,
+        num_hashes=16,
+        bands=4,
+        update_indexes=False,
+    )
 
 
 def _synth_url():
@@ -2797,88 +2881,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     entries whose last green verdict is OLDEST; entries green in the
     immediately previous round go last (they retain pytest +
     tools/check_oracles.py coverage while they wait).
-    Round-12 window (50) = 2 new entries (p_pipeline = the composed
-    end-to-end corpus pipeline, VERDICT r11 #5; q_window_agg = the
-    q_rolling+q_sliding consolidation scheduled by the COVERAGE.md
-    round-11 ledger, which it replaces) + 8 code-changed entries
-    (rule-3 jumps: d_substr/d_substr_against/d_substr_index ride the
-    hot-window-key guard on _removal_starts, d_index rides the
-    LSHDedupIndex.compact crash-recovery fix, t_gopher/t_gopher_lines
-    and t_c4 ride the predicate-form refactor of gopher_rules/
-    c4_rules, t_shards rides export_shards' keep-columns parameter)
-    + the 40-entry r09-overflow cohort (g_follow .. g_ppr — exactly
-    3 rounds stale at this verdict, the ratified ceiling, scheduled
-    by COVERAGE.md round 11). The r10-green remainder (43) overflows
-    to 51+ and leads the round-13 window; r11-green entries sit last
-    (rule 4). Registry = 137 (+2 −2 this round: the q_window_agg
-    consolidation executes both plans via one multi-assert entry —
-    no operator-surface loss).
+    Round-13 window (50) = 1 new entry (p_admit = the incremental
+    corpus admission operator's driver oracle, VERDICT r12 #1 — the
+    last first-class operator resting on pytest alone) + 4
+    code-changed entries (rule-3 jumps: p_pipeline and t_shards ride
+    export_shards' keep=True column-clash guard + the
+    admit-durability changes in functions/pipeline.py, d_index rides
+    LSHDedupIndex.compact's duplicate-row squeeze — all ADVICE r12;
+    q_events_topuser rides its window->max_by hot-key reformulation,
+    VERDICT r12 #5) + the 43-entry r10-remainder cohort
+    (t_perplexity_ext .. t_contaminate — exactly 3 rounds stale at
+    this verdict, the ratified ceiling, scheduled by COVERAGE.md
+    round 12) + the 2 OLDEST r11-green entries as fills
+    (t_rep_ngrams, q_events_agg). The rest of the r11 cohort (42)
+    leads the round-14 window; r12-green entries sit last (rule 4).
+    Registry = 138 (+1 this round: p_admit).
     """
     return {
-        # --- round-12 additions (never driver-checked): p_pipeline
-        # --- = the composed corpus pipeline; q_window_agg = the
-        # --- rolling+sliding consolidation (replaces both) ---------
-        "p_pipeline": p_pipeline,
-        "q_window_agg": q_window_agg,
+        # --- round-13 addition (never driver-checked): p_admit =
+        # --- the incremental daily-batch admission (VERDICT r12 #1)
+        "p_admit": p_admit,
         # --- code changed since their last verdict (rule-3 jump):
-        # --- the ExactSubstr family rides the hot-window guard,
-        # --- d_index the compact crash-recovery fix, t_gopher/
-        # --- t_gopher_lines/t_c4 the predicate-form refactor,
-        # --- t_shards the keep-columns parameter -------------------
-        "d_substr": d_substr,
-        "d_substr_against": d_substr_against,
-        "d_substr_index": d_substr_index,
-        "d_index": d_index,
-        "t_gopher": t_gopher,
-        "t_gopher_lines": t_gopher_lines,
-        "t_c4": t_c4,
+        # --- p_pipeline/t_shards ride the export_shards clash guard
+        # --- + the admit durable_out change in functions/pipeline.py,
+        # --- d_index the LSHDedupIndex.compact distinct squeeze,
+        # --- q_events_topuser the window->max_by skew reformulation
+        "p_pipeline": p_pipeline,
         "t_shards": t_shards,
-        # --- last verified r09 (3 rounds stale = the ceiling; the
-        # --- 40-entry overflow cohort COVERAGE.md scheduled to
-        # --- lead this window) --------------------------------------
-        "g_follow": g_follow,
-        "g_followr": g_followr,
-        "g_or_short": g_or_short,
-        "g_valuefilter": g_valuefilter,
-        "g_valuefilter_fn": g_valuefilter_fn,
-        "g_write_delete": g_write_delete,
-        "g_recursive": g_recursive,
-        "g_recursive_dist": g_recursive_dist,
-        "q1": q1,
-        "q3": q3,
-        "q4": q4,
-        "q5": q5,
-        "q6": q6,
-        "q14": q14,
-        "q17": q17,
-        "q18": q18,
-        "q_sessions": q_sessions,
+        "d_index": d_index,
         "q_events_topuser": q_events_topuser,
-        "t_urlnorm": t_urlnorm,
-        "d_semdedup": d_semdedup,
-        "t_domains": t_domains,
-        "g_hits": g_hits,
-        "s_kcenter": s_kcenter,
-        "q12": q12,
-        "q_asof": q_asof,
-        "q_range": q_range,
-        "q_rollup": q_rollup,
-        "q_pivot": q_pivot,
-        "q_median": q_median,
-        "m_image": m_image,
-        "m_audio": m_audio,
-        "q_json": q_json,
-        "q_antijoin": q_antijoin,
-        "t_wsample": t_wsample,
-        "t_mixture_up": t_mixture_up,
-        "d_semdedup_far": d_semdedup_far,
-        "t_kmv": t_kmv,
-        "g_lpa": g_lpa,
-        "t_qscore": t_qscore,
-        "g_ppr": g_ppr,
-        # --- r10-green remainder (positions 51+; leads the round-13
-        # --- window at 3 rounds stale; held by pytest +
-        # --- tools/check_oracles.py meanwhile) ----------------------
+        # --- last verified r10 (3 rounds stale = the ceiling; the
+        # --- 43-entry remainder cohort COVERAGE.md scheduled to
+        # --- lead this window) -------------------------------------
         "t_perplexity_ext": t_perplexity_ext,
         "t_qtrain": t_qtrain,
         "t_entropy": t_entropy,
@@ -2922,9 +2956,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_redact": t_redact,
         "t_repetition": t_repetition,
         "t_contaminate": t_contaminate,
-        # --- green in round 11 (rule 4: wait last) ------------------
+        # --- oldest r11-green entries fill the window to 50 ---------
         "t_rep_ngrams": t_rep_ngrams,
         "q_events_agg": q_events_agg,
+        # --- r11-green remainder (positions 51+; leads the round-14
+        # --- window at 3 rounds stale; held by pytest +
+        # --- tools/check_oracles.py meanwhile) ----------------------
         "d_bloom": d_bloom,
         "d_trimspans": d_trimspans,
         "t_split": t_split,
@@ -2967,6 +3004,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_skip": g_skip,
         "g_optional": g_optional,
         "g_both": g_both,
+        # --- green in round 12 (rule 4: wait last) ------------------
+        "q_window_agg": q_window_agg,
+        "d_substr": d_substr,
+        "d_substr_against": d_substr_against,
+        "d_substr_index": d_substr_index,
+        "t_gopher": t_gopher,
+        "t_gopher_lines": t_gopher_lines,
+        "t_c4": t_c4,
+        "g_follow": g_follow,
+        "g_followr": g_followr,
+        "g_or_short": g_or_short,
+        "g_valuefilter": g_valuefilter,
+        "g_valuefilter_fn": g_valuefilter_fn,
+        "g_write_delete": g_write_delete,
+        "g_recursive": g_recursive,
+        "g_recursive_dist": g_recursive_dist,
+        "q1": q1,
+        "q3": q3,
+        "q4": q4,
+        "q5": q5,
+        "q6": q6,
+        "q14": q14,
+        "q17": q17,
+        "q18": q18,
+        "q_sessions": q_sessions,
+        "t_urlnorm": t_urlnorm,
+        "d_semdedup": d_semdedup,
+        "t_domains": t_domains,
+        "g_hits": g_hits,
+        "s_kcenter": s_kcenter,
+        "q12": q12,
+        "q_asof": q_asof,
+        "q_range": q_range,
+        "q_rollup": q_rollup,
+        "q_pivot": q_pivot,
+        "q_median": q_median,
+        "m_image": m_image,
+        "m_audio": m_audio,
+        "q_json": q_json,
+        "q_antijoin": q_antijoin,
+        "t_wsample": t_wsample,
+        "t_mixture_up": t_mixture_up,
+        "d_semdedup_far": d_semdedup_far,
+        "t_kmv": t_kmv,
+        "g_lpa": g_lpa,
+        "t_qscore": t_qscore,
+        "g_ppr": g_ppr,
     }
 
 
@@ -4301,6 +4385,264 @@ WITH per_cust AS (
               md5('x' || CAST(doc_id AS VARCHAR)) AS sort_key,
               text AS clean_text
             FROM mixed
+        """,
+        # p_admit: the INCREMENTAL admission chain replayed as one
+        # CTE pipeline — gates (t_langid/t_gopher/t_c4 oracles on the
+        # batch slice) -> ExactSubstr trim against the corpus slice's
+        # window set (the d_substr_index oracle, corpus side = refg)
+        # -> within-batch MinHash dedup (the d_dedup_corpus oracle
+        # over the trimmed text) -> cross-corpus LSH admission (the
+        # d_index oracle: digest semi-join + banded join with the
+        # hot-bucket guard counting BOTH sides, Jaccard verify) ->
+        # decontamination (the t_contaminate oracle). The persisted
+        # indexes hold exactly the corpus slice's fingerprints /
+        # signatures, so the file-backed Spark path must reproduce
+        # these recomputed-side semantics bit-for-bit.
+        "p_admit": r"""
+            WITH RECURSIVE syn AS (
+              SELECT doc_id, source,
+                regexp_replace(text, '((?:\S+ ){4}\S+) ',
+                  '\1.' || chr(10) || chr(10), 'g') AS text
+              FROM documents
+            ), bat AS (
+              SELECT doc_id, source, COALESCE(text, '') AS text
+              FROM syn WHERE doc_id % 25 <> 0 AND doc_id % 3 <> 0
+            ), corp AS (
+              SELECT doc_id, COALESCE(text, '') AS text
+              FROM syn WHERE doc_id % 25 <> 0 AND doc_id % 3 = 0
+            ), lang AS (
+              SELECT doc_id FROM (
+                SELECT doc_id,
+                  len(list_filter(t, x -> x IN ('der','und','das'))) AS s_de,
+                  len(list_filter(t, x -> x IN ('the','and','of'))) AS s_en,
+                  len(list_filter(t, x -> x IN ('el','los','de'))) AS s_es,
+                  len(list_filter(t, x -> x IN ('le','les','et'))) AS s_fr
+                FROM (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t
+                      FROM bat)
+              ) WHERE (CASE
+                  WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'unknown'
+                  WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                  WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                  WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                  ELSE 'fr' END) = 'en'
+            ), gop AS (
+              SELECT doc_id FROM (
+                SELECT doc_id,
+                  CAST(len(t) AS INT) AS n_words,
+                  CAST(COALESCE(list_sum([length(x) for x in t]), 0)
+                       AS INT) AS word_chars,
+                  CAST(len(string_split(tx, '#')) - 1
+                       + len(regexp_split_to_array(tx, '\.\.\.')) - 1
+                       + len(string_split(tx, '…')) - 1 AS INT) AS n_symbols,
+                  CAST(len([x for x in t if regexp_matches(x, '[a-z]')])
+                       AS INT) AS n_alpha_words,
+                  CAST(len([w for w in ['the','a','table','value','row','fast']
+                            if list_contains(t, w)]) AS INT) AS stop_hits,
+                  CAST(len(ls) AS INT) AS n_lines,
+                  CAST(len([x for x in ls
+                            if regexp_matches(trim(x), '^[-*•]')])
+                       AS INT) AS n_bullet_lines,
+                  CAST(len([x for x in ls
+                            if regexp_matches(trim(x), '(\.\.\.|…)$')])
+                       AS INT) AS n_ellipsis_lines
+                FROM (SELECT doc_id, text AS tx,
+                        regexp_extract_all(lower(text), '\w+') AS t,
+                        string_split(text, chr(10)) AS ls
+                      FROM bat)
+              ) WHERE n_words >= 30 AND n_words <= 100000
+                  AND word_chars >= 3 * n_words AND word_chars <= 10 * n_words
+                  AND 10 * n_symbols <= n_words
+                  AND 5 * n_alpha_words >= 4 * n_words
+                  AND stop_hits >= 2
+                  AND 10 * n_bullet_lines <= 9 * n_lines
+                  AND 10 * n_ellipsis_lines <= 3 * n_lines
+            ), c4 AS (
+              SELECT doc_id, source, array_to_string(kept, chr(10)) AS text
+              FROM (
+                SELECT doc_id, source,
+                  [x for x in ls
+                   if regexp_matches(trim(x), '[.!?"]$')
+                      AND len([w for w in string_split(trim(x), ' ')
+                               if w <> '']) >= 5] AS kept,
+                  CAST(len(regexp_extract_all(tx, '[.!?]')) AS INT)
+                    AS n_sentences,
+                  contains(lower(tx), 'lorem ipsum') AS has_lorem,
+                  contains(tx, '{') AS has_brace
+                FROM (SELECT doc_id, source, text AS tx,
+                        string_split(text, chr(10)) AS ls
+                      FROM bat
+                      WHERE doc_id IN (SELECT doc_id FROM lang)
+                        AND doc_id IN (SELECT doc_id FROM gop))
+              ) WHERE n_sentences >= 3 AND NOT has_lorem AND NOT has_brace
+                  AND len(kept) >= 1
+            ), refg AS MATERIALIZED (
+              SELECT DISTINCT g FROM (
+                SELECT unnest(
+                  [array_to_string(toks[i:i+9], ' ')
+                   for i in range(1, len(toks) - 8)]) AS g
+                FROM (SELECT regexp_extract_all(text, '\w+') AS toks
+                      FROM corp)
+              )
+            ), sbase AS (
+              SELECT doc_id AS id, regexp_extract_all(text, '\w+') AS toks
+              FROM c4
+            ), ssh AS (
+              SELECT id, unnest(
+                [{'pos': i - 1, 'g': array_to_string(toks[i:i+9], ' ')}
+                 for i in range(1, len(toks) - 8)],
+                recursive := true)
+              FROM sbase
+            ), hc AS (
+              SELECT s.id, s.pos FROM ssh s JOIN refg USING (g)
+            ), fresh AS (
+              SELECT * FROM ssh s
+              WHERE NOT EXISTS (SELECT 1 FROM refg r WHERE r.g = s.g)
+            ), occ AS (
+              SELECT id, pos,
+                ROW_NUMBER() OVER (PARTITION BY g ORDER BY id, pos) AS rn,
+                COUNT(*) OVER (PARTITION BY g) AS cnt
+              FROM fresh
+            ), rem AS (
+              SELECT id, pos FROM occ WHERE cnt >= 2 AND rn > 1
+              UNION ALL
+              SELECT id, pos FROM hc
+            ), cov AS (
+              SELECT DISTINCT r.id, r.pos + d.d AS cpos
+              FROM rem r
+              CROSS JOIN (SELECT unnest(range(0, 10)) AS d) d
+            ), stokpos AS (
+              SELECT id, unnest(
+                [{'i': i - 1, 'tok': toks[i]}
+                 for i in range(1, len(toks) + 1)],
+                recursive := true)
+              FROM sbase
+            ), stext AS MATERIALIZED (
+              SELECT t.id AS doc_id, string_agg(t.tok, ' ' ORDER BY t.i) AS text
+              FROM stokpos t
+              LEFT JOIN cov c ON t.id = c.id AND t.i = c.cpos
+              WHERE c.cpos IS NULL
+              GROUP BY t.id
+            ), msh AS (
+              SELECT doc_id AS id,
+                list_distinct([array_to_string(toks[i:i+2], ' ')
+                               for i in range(1, len(toks) - 1)]) AS sh
+              FROM (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS toks
+                    FROM stext)
+              WHERE len(toks) >= 3
+            ), wsig AS (
+              SELECT id, sh,
+                [list_min([md5(CAST(j AS VARCHAR) || ':' || s) for s in sh])
+                 for j in range(0, 16)] AS sig
+              FROM msh
+            ), wbanded AS (
+              SELECT id, unnest(
+                [{'band': b, 'bh': md5(array_to_string(sig[b*4+1:b*4+4], '|'))}
+                 for b in range(0, 4)],
+                recursive := true)
+              FROM wsig
+            ), wbsz AS (
+              SELECT band, bh, COUNT(*) AS n FROM wbanded GROUP BY band, bh
+            ), wbok AS (
+              SELECT wbanded.* FROM wbanded JOIN wbsz USING (band, bh)
+              WHERE wbsz.n <= 256
+            ), wcand AS (
+              SELECT DISTINCT a.id AS id_a, b.id AS id_b
+              FROM wbok a JOIN wbanded b
+                ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
+            ), wpairs AS (
+              SELECT p.id_a, p.id_b
+              FROM wcand p
+              JOIN msh x ON x.id = p.id_a
+              JOIN msh y ON y.id = p.id_b
+              WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                  / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))
+                  >= 0.2
+            ), edges AS (
+              SELECT id_a AS a, id_b AS b FROM wpairs
+              UNION ALL
+              SELECT id_b AS a, id_a AS b FROM wpairs
+            ), reach AS (
+              SELECT doc_id AS id, doc_id AS lab FROM stext
+              UNION
+              SELECT e.b AS id, r.lab
+              FROM reach r JOIN edges e ON e.a = r.id
+            ), survivors AS MATERIALIZED (
+              SELECT id AS doc_id FROM reach GROUP BY id HAVING MIN(lab) = id
+            ), ctoks AS (
+              SELECT doc_id AS id, text,
+                     regexp_extract_all(lower(text), '\w+') AS toks
+              FROM corp
+            ), csh AS (
+              SELECT id,
+                list_distinct([array_to_string(toks[i:i+2], ' ')
+                               for i in range(1, len(toks) - 1)]) AS sh
+              FROM ctoks WHERE len(toks) >= 3
+            ), csig AS (
+              SELECT id, sh,
+                [list_min([md5(CAST(j AS VARCHAR) || ':' || s) for s in sh])
+                 for j in range(0, 16)] AS sig
+              FROM csh
+            ), cbanded AS (
+              SELECT id, unnest(
+                [{'band': b, 'bh': md5(array_to_string(sig[b*4+1:b*4+4], '|'))}
+                 for b in range(0, 4)],
+                recursive := true)
+              FROM csig
+            ), nbanded AS (
+              SELECT w.* FROM wbanded w JOIN survivors s ON w.id = s.doc_id
+            ), xsz AS (
+              SELECT band, bh, COUNT(*) AS n FROM (
+                SELECT band, bh FROM nbanded
+                UNION ALL
+                SELECT band, bh FROM cbanded
+              ) GROUP BY band, bh
+            ), nbok AS (
+              SELECT nbanded.* FROM nbanded JOIN xsz USING (band, bh)
+              WHERE xsz.n <= 256
+            ), xcand AS (
+              SELECT DISTINCT n.id AS id_n, e.id AS id_e
+              FROM nbok n JOIN cbanded e
+                ON n.band = e.band AND n.bh = e.bh
+            ), xdup AS (
+              SELECT DISTINCT c.id_n FROM xcand c
+              JOIN msh x ON x.id = c.id_n
+              JOIN csh y ON y.id = c.id_e
+              WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                  / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))
+                  >= 0.2
+            ), xexact AS (
+              SELECT DISTINCT t.doc_id
+              FROM survivors s
+              JOIN stext t USING (doc_id)
+              JOIN (SELECT DISTINCT md5(text) AS d FROM corp) c
+                ON md5(t.text) = c.d
+            ), xadm AS MATERIALIZED (
+              SELECT s.doc_id FROM survivors s
+              WHERE s.doc_id NOT IN (SELECT id_n FROM xdup)
+                AND s.doc_id NOT IN (SELECT doc_id FROM xexact)
+            ), cgrams AS (
+              SELECT doc_id,
+                unnest(list_distinct([array_to_string(t[i:i+4], ' ')
+                                      for i in range(1, len(t) - 3)])) AS g
+              FROM (SELECT a.doc_id,
+                      regexp_extract_all(lower(t.text), '\w+') AS t
+                    FROM xadm a JOIN stext t USING (doc_id))
+              WHERE len(t) >= 5
+            ), bgrams AS (
+              SELECT DISTINCT
+                unnest([array_to_string(t[i:i+4], ' ')
+                        for i in range(1, len(t) - 3)]) AS g
+              FROM (SELECT regexp_extract_all(lower(text), '\w+') AS t
+                    FROM syn WHERE doc_id % 25 = 0)
+              WHERE len(t) >= 5
+            ), contaminated AS (
+              SELECT DISTINCT c.doc_id FROM cgrams c JOIN bgrams b USING (g)
+            )
+            SELECT a.doc_id, c.source, t.text AS clean_text
+            FROM xadm a
+            JOIN stext t USING (doc_id)
+            JOIN c4 c USING (doc_id)
+            WHERE a.doc_id NOT IN (SELECT doc_id FROM contaminated)
         """,
         "q_json": """
             SELECT event_type,
