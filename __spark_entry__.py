@@ -1053,6 +1053,28 @@ def q_sessions(spark, sf):
     ).select("user_id", "session_start", "session_end", "n_events")
 
 
+def q_sessions_bucketed(spark, sf):
+    """TWO-PHASE sessionization (streaming/sessions._sessionize_
+    bucketed — the hot-entity scale path of q_sessions, SCALE.md
+    round-13 audit): phase 1 sessionizes per (user, 15-minute
+    bucket) so no task ever holds one user's whole history — the
+    10^7-event bot key that would straggle the single-window form
+    costs one bucket per task; phase 2 gap-merges the per-bucket
+    sessions over a frame bounded by session count, not event count.
+    Bit-identical to q_sessions by contract (equivalence property
+    test over spiky synthetic traffic + this oracle, which is the
+    q_sessions oracle verbatim). The 15-minute bucket is DELIBERATELY
+    smaller than the 1 h gap, so most sessions span several buckets
+    and the merge chain is actually exercised."""
+    from cayley_spark.streaming.sessions import sessionize
+
+    ev = _events(spark, sf)
+    return sessionize(
+        ev, gap_seconds=3600, id_col="user_id", ts_col="ts",
+        order_col="event_id", bucket_seconds=900,
+    ).select("user_id", "session_start", "session_end", "n_events")
+
+
 def q_events_topuser(spark, sf):
     """Top event per user by value — the argmax shape. Round 13
     (VERDICT r12 #5, hot-entity skew audit): formulated as a
@@ -2881,35 +2903,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     entries whose last green verdict is OLDEST; entries green in the
     immediately previous round go last (they retain pytest +
     tools/check_oracles.py coverage while they wait).
-    Round-13 window (50) = 1 new entry (p_admit = the incremental
+    Round-13 window (50) = 2 new entries (p_admit = the incremental
     corpus admission operator's driver oracle, VERDICT r12 #1 — the
-    last first-class operator resting on pytest alone) + 4
-    code-changed entries (rule-3 jumps: p_pipeline and t_shards ride
-    export_shards' keep=True column-clash guard + the
+    last first-class operator resting on pytest alone;
+    q_sessions_bucketed = the two-phase hot-entity sessionize scale
+    path, VERDICT r12 #5, bit-identical to q_sessions by contract)
+    + 5 code-changed entries (rule-3 jumps: p_pipeline and t_shards
+    ride export_shards' keep=True column-clash guard + the
     admit-durability changes in functions/pipeline.py, d_index rides
     LSHDedupIndex.compact's duplicate-row squeeze — all ADVICE r12;
-    q_events_topuser rides its window->max_by hot-key reformulation,
+    q_events_topuser rides its window->max_by hot-key reformulation
+    and q_sessions the sessionize bucket_seconds extension, both
     VERDICT r12 #5) + the 43-entry r10-remainder cohort
     (t_perplexity_ext .. t_contaminate — exactly 3 rounds stale at
     this verdict, the ratified ceiling, scheduled by COVERAGE.md
-    round 12) + the 2 OLDEST r11-green entries as fills
-    (t_rep_ngrams, q_events_agg). The rest of the r11 cohort (42)
-    leads the round-14 window; r12-green entries sit last (rule 4).
-    Registry = 138 (+1 this round: p_admit).
+    round 12) = exactly 50, no fills. The r11 cohort (44) leads the
+    round-14 window; r12-green entries sit last (rule 4).
+    Registry = 139 (+2 this round: p_admit, q_sessions_bucketed).
     """
     return {
-        # --- round-13 addition (never driver-checked): p_admit =
-        # --- the incremental daily-batch admission (VERDICT r12 #1)
+        # --- round-13 additions (never driver-checked): p_admit =
+        # --- the incremental daily-batch admission (VERDICT r12 #1);
+        # --- q_sessions_bucketed = the two-phase hot-key sessionize
+        # --- scale path (VERDICT r12 #5), oracle = q_sessions' ------
         "p_admit": p_admit,
+        "q_sessions_bucketed": q_sessions_bucketed,
         # --- code changed since their last verdict (rule-3 jump):
         # --- p_pipeline/t_shards ride the export_shards clash guard
         # --- + the admit durable_out change in functions/pipeline.py,
         # --- d_index the LSHDedupIndex.compact distinct squeeze,
-        # --- q_events_topuser the window->max_by skew reformulation
+        # --- q_events_topuser the window->max_by skew reformulation,
+        # --- q_sessions the sessionize bucket_seconds extension -----
         "p_pipeline": p_pipeline,
         "t_shards": t_shards,
         "d_index": d_index,
         "q_events_topuser": q_events_topuser,
+        "q_sessions": q_sessions,
         # --- last verified r10 (3 rounds stale = the ceiling; the
         # --- 43-entry remainder cohort COVERAGE.md scheduled to
         # --- lead this window) -------------------------------------
@@ -3028,7 +3057,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14": q14,
         "q17": q17,
         "q18": q18,
-        "q_sessions": q_sessions,
         "t_urlnorm": t_urlnorm,
         "d_semdedup": d_semdedup,
         "t_domains": t_domains,
@@ -4026,6 +4054,31 @@ WITH per_cust AS (
             FROM events GROUP BY 2, 3
         """,
         "q_sessions": """
+            WITH m AS (
+              SELECT user_id, ts, event_id,
+                CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id)
+                          <= INTERVAL 3600 SECOND
+                     THEN 0 ELSE 1 END AS new_sess
+              FROM events
+            ), s AS (
+              SELECT user_id, ts,
+                SUM(new_sess) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sess
+              FROM m
+            )
+            SELECT user_id, MIN(ts) AS session_start,
+                   MAX(ts) AS session_end, COUNT(*) AS n_events
+            FROM s GROUP BY user_id, sess
+        """,
+        # q_sessions_bucketed: the two-phase form is bit-identical to
+        # single-phase sessionization BY CONTRACT (the equivalence
+        # property test pins it for any bucket size), so the oracle
+        # is the q_sessions oracle verbatim — the row certifies that
+        # the (key, bucket) phase-1 window + session-level gap-merge
+        # reproduce the event-level semantics on real data.
+        "q_sessions_bucketed": """
             WITH m AS (
               SELECT user_id, ts, event_id,
                 CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id

@@ -32,12 +32,36 @@ def sessionize(
     id_col: str = "user_id",
     ts_col: str = "ts",
     order_col: str | None = None,
+    bucket_seconds: float | None = None,
 ) -> DataFrame:
     """Batch sessionization. Returns one row per session:
     (id, session_start, session_end, n_events). ``order_col`` breaks
-    ties among equal timestamps deterministically."""
+    ties among equal timestamps deterministically.
+
+    ``bucket_seconds`` selects the TWO-PHASE form — the hot-entity
+    scale path (SCALE.md round-13 audit): the default single window
+    partitioned by the key serializes every event of one key into one
+    sorted task, so a 10^7-event bot key becomes a straggler. With
+    ``bucket_seconds`` set, phase 1 sessionizes per (key, time
+    bucket) — no task ever holds more than one bucket of one key —
+    and phase 2 gap-merges the per-bucket sessions with the same
+    lag/running-sum shape over a frame bounded by the key's SESSION
+    count (≤ its bucket count for dense keys — exactly the hot-key
+    case), not its event count. Results are bit-identical to the
+    single-phase form for any bucket size: within-bucket adjacent
+    sessions are > gap apart by construction and never re-merge,
+    cross-bucket adjacent sessions merge iff the inter-session event
+    gap (next start − previous end) is within ``gap_seconds`` — the
+    same predicate event-level sessionization applies to those two
+    events (pinned by the equivalence property test and the driver
+    oracle)."""
     from pyspark.sql.window import Window
 
+    if bucket_seconds is not None:
+        return _sessionize_bucketed(
+            events, gap_seconds, id_col, ts_col, order_col,
+            bucket_seconds,
+        )
     order = [F.col(ts_col)] + ([F.col(order_col)] if order_col else [])
     w = Window.partitionBy(id_col).orderBy(*order)
     dtype = dict(events.dtypes).get(ts_col, "")
@@ -69,6 +93,98 @@ def sessionize(
             F.count(F.lit(1)).alias("n_events"),
         )
         .drop("__sess")
+    )
+
+
+def _sessionize_bucketed(
+    events: DataFrame,
+    gap_seconds: float,
+    id_col: str,
+    ts_col: str,
+    order_col: str | None,
+    bucket_seconds: float,
+) -> DataFrame:
+    """Two-phase sessionize (see :func:`sessionize`). Phase 1 runs
+    the standard lag + running-sum sessionization partitioned by
+    (key, bucket); phase 2 merges adjacent per-bucket sessions whose
+    inter-session gap is within ``gap_seconds``. The merge compares
+    each session's start against the running MAX of preceding
+    session ends (not plain lag), so it stays correct even for
+    overlapping inputs — with time-monotone buckets overlaps cannot
+    occur, but the max costs nothing and removes the assumption."""
+    from pyspark.sql.window import Window
+
+    dtype = dict(events.dtypes).get(ts_col, "")
+    is_ts = dtype.startswith("timestamp")
+    if is_ts:
+        # window() buckets both TIMESTAMP flavors without a cast
+        bucket = F.window(
+            F.col(ts_col), f"{int(round(bucket_seconds * 1000))} milliseconds"
+        ).start
+    else:
+        bucket = F.floor(
+            F.col(ts_col).cast("double") / F.lit(float(bucket_seconds))
+        )
+    order = [F.col(ts_col)] + ([F.col(order_col)] if order_col else [])
+    w1 = Window.partitionBy(id_col, "__bkt").orderBy(*order)
+    if is_ts:
+        gap1 = F.col(ts_col) - F.lag(F.col(ts_col)).over(w1)
+        over1 = gap1 > F.expr(
+            f"INTERVAL {int(round(gap_seconds * 1000))} MILLISECONDS"
+        )
+    else:
+        gap1 = F.col(ts_col).cast("double") - F.lag(
+            F.col(ts_col)
+        ).over(w1).cast("double")
+        over1 = gap1 > gap_seconds
+    new1 = F.when(gap1.isNull() | over1, F.lit(1)).otherwise(F.lit(0))
+    sess1 = F.sum(new1).over(
+        w1.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    parts = (
+        events.withColumn("__bkt", bucket)
+        .withColumn("__sess", sess1)
+        .groupBy(id_col, "__bkt", "__sess")
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    # phase 2: gap-merge the session rows per key. The frame is one
+    # row per (key, bucket, within-bucket session) — for a hot key
+    # with dense traffic that is ~one row per bucket, the bounded
+    # dimension. Running max of preceding ends + the same
+    # new-session/running-sum fold as phase 1.
+    w2 = Window.partitionBy(id_col).orderBy(
+        "session_start", "session_end"
+    )
+    prev_end = F.max("session_end").over(
+        w2.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    if is_ts:
+        gap2 = F.col("session_start") - prev_end
+        over2 = gap2 > F.expr(
+            f"INTERVAL {int(round(gap_seconds * 1000))} MILLISECONDS"
+        )
+    else:
+        gap2 = F.col("session_start").cast("double") - prev_end.cast(
+            "double"
+        )
+        over2 = gap2 > gap_seconds
+    new2 = F.when(gap2.isNull() | over2, F.lit(1)).otherwise(F.lit(0))
+    sess2 = F.sum(new2).over(
+        w2.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        parts.withColumn("__fid", sess2)
+        .groupBy(id_col, "__fid")
+        .agg(
+            F.min("session_start").alias("session_start"),
+            F.max("session_end").alias("session_end"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .drop("__fid")
     )
 
 
