@@ -320,6 +320,16 @@ def admit_corpus_batch(
     nonempty = trimmed.where(F.col("clean_text") != "").select(
         F.col(id_col), F.col("clean_text").alias(text_col)
     ).persist()
+    # persisted: the cross-corpus stage references the within-batch
+    # survivors twice (signature build + its final anti-join) and the
+    # decontamination/source tail references `cross` up to three more
+    # times — without these persists every reference re-executes the
+    # whole within-batch LSH -> verify -> cluster chain from
+    # `nonempty`. At bench scale the re-execution largely rides the
+    # stage operators' internal persists, so isolated wall is
+    # neutral-to-slightly-better (mins 7.6-9.3 s vs 9.0-10.6 s across
+    # noisy reps at sf0.1); the claim is PLAN SHAPE at 100 TB, where
+    # a re-executed clustering loop is a recompute, not a cache hit
     within = dedup_corpus(
         nonempty,
         id_col=id_col,
@@ -329,7 +339,7 @@ def admit_corpus_batch(
         bands=bands,
         jaccard_threshold=jaccard_threshold,
         max_bucket_size=max_bucket_size,
-    )
+    ).persist()
     within_handles = getattr(within, "_cayley_persisted", ())
     cross = lsh_index.dedup(
         within,
@@ -337,7 +347,7 @@ def admit_corpus_batch(
         text_col=text_col,
         jaccard_threshold=jaccard_threshold,
         max_bucket_size=max_bucket_size,
-    )
+    ).persist()
     cross_handles = getattr(cross, "_cayley_persisted", ())
     if benchmark is not None:
         contaminated = benchmark_contamination(
@@ -353,8 +363,8 @@ def admit_corpus_batch(
         *meta_cols, F.col(text_col).alias("clean_text")
     )
     handles = (
-        filtered, nonempty, *trim_handles, *within_handles,
-        *cross_handles,
+        filtered, nonempty, within, cross, *trim_handles,
+        *within_handles, *cross_handles,
     )
     if not update_indexes and durable_out is None:
         return track_persisted(out, *handles)
