@@ -1053,6 +1053,23 @@ def q_sessions(spark, sf):
     ).select("user_id", "session_start", "session_end", "n_events")
 
 
+def s_overlap(spark, sf):
+    """Pairwise source-overlap estimation (functions/sketch.
+    source_overlap — the dataset-overlap audit a mixture plan needs,
+    cf. The Pile §4): per source, the 256 smallest distinct md5
+    digests of its 3-word shingle space (one Arrow kernel keeping
+    per-source running minima at scan speed — no per-source window
+    over the corpus, the round-13 skew-audit discipline); per source
+    pair, the KMV union estimator J ≈ |U ∩ K_a ∩ K_b| / |U| (Beyer
+    et al. 2007 §5.2), EXACT whenever the pair's combined shingle
+    space fits the sketch. Deterministic md5 everywhere, so the
+    oracle replays the sketches bit-for-bit."""
+    from cayley_spark.functions.sketch import source_overlap
+
+    docs = _t_wide(spark, sf, "documents")
+    return source_overlap(docs, sketch_k=256)
+
+
 def q_sessions_bucketed(spark, sf):
     """TWO-PHASE sessionization (streaming/sessions._sessionize_
     bucketed — the hot-entity scale path of q_sessions, SCALE.md
@@ -2917,9 +2934,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     VERDICT r12 #5) + the 43-entry r10-remainder cohort
     (t_perplexity_ext .. t_contaminate — exactly 3 rounds stale at
     this verdict, the ratified ceiling, scheduled by COVERAGE.md
-    round 12) = exactly 50, no fills. The r11 cohort (44) leads the
-    round-14 window; r12-green entries sit last (rule 4).
-    Registry = 139 (+2 this round: p_admit, q_sessions_bucketed).
+    round 12) = exactly 50, no fills. Position 51 is the round-13
+    LATE addition s_overlap (never-verified — it leads the round-14
+    window by rule 1; the r13 window was already full); then the r11
+    cohort (44); r12-green entries sit last (rule 4). Registry = 140
+    (+3 this round: p_admit, q_sessions_bucketed, s_overlap).
     """
     return {
         # --- round-13 additions (never driver-checked): p_admit =
@@ -2985,7 +3004,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_redact": t_redact,
         "t_repetition": t_repetition,
         "t_contaminate": t_contaminate,
-        # --- oldest r11-green entries fill the window to 50 ---------
+        # --- round-13 LATE addition (never driver-checked): the r13
+        # --- window was already full with the r10 cohort at its
+        # --- ceiling, so s_overlap sits at position 51 and leads the
+        # --- round-14 window by rule 1; held by pytest + the local
+        # --- oracle check meanwhile --------------------------------
+        "s_overlap": s_overlap,
+        # --- r11-green (lead the r14 window after s_overlap) --------
         "t_rep_ngrams": t_rep_ngrams,
         "q_events_agg": q_events_agg,
         # --- r11-green remainder (positions 51+; leads the round-14
@@ -4071,6 +4096,43 @@ WITH per_cust AS (
             SELECT user_id, MIN(ts) AS session_start,
                    MAX(ts) AS session_end, COUNT(*) AS n_events
             FROM s GROUP BY user_id, sess
+        """,
+        # s_overlap: the per-source KMV sketches replay as DISTINCT
+        # md5(shingle) + a per-source rank cut (the sketch table is
+        # sources x 256 rows, so the oracle-side window is tiny);
+        # the pairwise estimator is pure list algebra on both sides.
+        "s_overlap": r"""
+            WITH sh AS (
+              SELECT source AS src,
+                unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+                                      for i in range(1, len(toks) - 1)])) AS g
+              FROM (SELECT source, regexp_extract_all(lower(text), '\w+') AS toks
+                    FROM documents)
+              WHERE len(toks) >= 3
+            ), hs AS (
+              SELECT DISTINCT src, md5(g) AS h FROM sh
+            ), rk AS (
+              SELECT src, h,
+                ROW_NUMBER() OVER (PARTITION BY src ORDER BY h) AS r
+              FROM hs
+            ), sk AS (
+              SELECT src, list(h ORDER BY h) AS ks
+              FROM rk WHERE r <= 256 GROUP BY src
+            ), pr AS (
+              SELECT a.src AS src_a, a.ks AS ka, b.src AS src_b, b.ks AS kb
+              FROM sk a JOIN sk b ON a.src < b.src
+            ), uu AS (
+              SELECT src_a, src_b, ka, kb,
+                list_sort(list_distinct(ka || kb))[1:256] AS u
+              FROM pr
+            )
+            SELECT src_a, src_b,
+              CAST(len(list_intersect(list_intersect(u, ka), kb)) AS INT)
+                AS n_common,
+              CAST(len(u) AS INT) AS n_union,
+              CAST(len(list_intersect(list_intersect(u, ka), kb)) AS DOUBLE)
+                / len(u) AS jaccard_est
+            FROM uu
         """,
         # q_sessions_bucketed: the two-phase form is bit-identical to
         # single-phase sessionization BY CONTRACT (the equivalence

@@ -221,3 +221,91 @@ def test_countmin_merge_matches_one_pass_build(spark):
         countmin_merge(
             ga, countmin_build(b, F.col("tok"), depth=3, width=128)
         )
+
+
+def test_source_overlap_exact_below_k_and_estimates(spark):
+    """source_overlap: exact Jaccard when the pair's combined shingle
+    space fits the sketch (completeness), correct extremes (identical
+    sources -> 1.0, disjoint -> 0.0), a close estimate above k, and
+    the no-corpus-shuffle plan shape."""
+    from cayley_spark.functions.dedup import word_shingles
+    from cayley_spark.functions.sketch import source_overlap
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            ("s0", base),                       # 6 shingles
+            ("s1", base),                       # identical to s0
+            ("s2", "one two three four five"),  # disjoint from s0/s1
+            ("s3", base + " iota kappa"),       # superset of s0
+        ],
+        "source string, text string",
+    )
+    out = {
+        (r["src_a"], r["src_b"]): r
+        for r in source_overlap(docs, sketch_k=64).collect()
+    }
+    assert out[("s0", "s1")]["jaccard_est"] == 1.0
+    assert out[("s0", "s2")]["jaccard_est"] == 0.0
+    # exact below k: J(s0, s3) = 6/8 (s3 adds 2 shingles)
+    r = out[("s0", "s3")]
+    assert (r["n_common"], r["n_union"]) == (6, 8)
+    assert r["jaccard_est"] == 6 / 8
+    assert len(out) == 6  # all unordered pairs of 4 sources
+
+    # estimate above k: two sources sharing half their shingle space
+    rows = []
+    for i in range(3000):
+        rows.append(("a", f"w{i} x{i} y{i}"))        # shingle w_i x_i y_i
+    for i in range(1500, 4500):
+        rows.append(("b", f"w{i} x{i} y{i}"))
+    big = spark.createDataFrame(rows, "source string, text string")
+    est = source_overlap(big, sketch_k=256).collect()[0]
+    true_j = 1500 / 4500
+    assert abs(est["jaccard_est"] - true_j) < 0.12, est
+
+    # plan shape: the corpus flows into the Arrow kernel with NO
+    # exchange before it (the per-source minima ride the scan); the
+    # only shuffles are over the bounded partials
+    plan = source_overlap(docs)._jdf.queryExecution().executedPlan().toString()
+    head = plan[plan.index("MapInPandas"):]
+    assert "Exchange" not in head.split("MapInPandas")[1].split("Scan")[0]
+
+
+def test_source_overlap_matches_exact_jaccard_replay(spark):
+    """The operator's sketched verdicts against a direct exact-Jaccard
+    computation at sub-k scale: every pair exact."""
+    from pyspark.sql import functions as F
+
+    from cayley_spark.functions.dedup import word_shingles
+    from cayley_spark.functions.sketch import source_overlap
+
+    docs = spark.createDataFrame(
+        [
+            ("s0", "the quick brown fox jumps over the lazy dog"),
+            ("s0", "pack my box with five dozen liquor jugs"),
+            ("s1", "the quick brown fox jumps over the lazy dog"),
+            ("s2", "sphinx of black quartz judge my vow"),
+            ("s2", "pack my box with five dozen liquor jugs"),
+        ],
+        "source string, text string",
+    )
+    exact = {}
+    sets = {
+        r["source"]: set(r["sh"])
+        for r in docs.select(
+            "source", F.explode(word_shingles(F.col("text"), 3)).alias("g")
+        )
+        .groupBy("source")
+        .agg(F.collect_set("g").alias("sh"))
+        .collect()
+    }
+    for a in sets:
+        for b in sets:
+            if a < b:
+                exact[(a, b)] = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+    got = {
+        (r["src_a"], r["src_b"]): r["jaccard_est"]
+        for r in source_overlap(docs, sketch_k=512).collect()
+    }
+    assert got == exact
