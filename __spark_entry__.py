@@ -2370,12 +2370,16 @@ def t_trigram_lm(spark, sf):
 def q_stratified(spark, sf):
     """Deterministic stratified sample: 20 events per event_type,
     selected by content-addressed hash order (same rows on every
-    engine and run)."""
+    engine and run). Round 13 exercises the TWO-PHASE salted form
+    (SCALE.md hot-stratum audit: phase 1 takes the top-n per
+    (stratum, 8-way salt), phase 2 re-ranks ≤ 8×20 survivors per
+    stratum) — bit-identical to the single-window form by contract,
+    so the oracle is unchanged."""
     from cayley_spark.functions.sampling import stratified_sample
 
     ev = _events(spark, sf)
     return stratified_sample(
-        ev, "event_type", 20, "event_id"
+        ev, "event_type", 20, "event_id", salt_buckets=8
     ).select("event_id", "event_type", "user_id")
 
 

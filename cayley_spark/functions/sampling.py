@@ -210,6 +210,7 @@ def stratified_sample(
     strata_col: str,
     n_per_stratum: int,
     order_col: str,
+    salt_buckets: int | None = None,
 ) -> DataFrame:
     """Deterministic stratified sample: the ``n_per_stratum`` rows of
     each stratum with the smallest ``md5(order_col)`` — a content-
@@ -217,13 +218,45 @@ def stratified_sample(
     rows (``orderBy(rand())`` samples differently per run and per
     partitioning). One shuffle on the stratum key; per-stratum top-n
     via window row_number, which AQE keeps partial when strata are
-    many."""
+    many.
+
+    ``salt_buckets`` selects the TWO-PHASE form — the hot-stratum
+    scale path (SCALE.md round-13 audit): the single window
+    serializes every row of one stratum into one sorted task, so a
+    stratum holding most of a 100 TB corpus becomes a straggler.
+    With ``salt_buckets=B``, phase 1 takes the top-n per (stratum,
+    xxhash64-salt mod B) — B-way parallel per stratum — and phase 2
+    re-ranks only the surviving ≤ B×n rows per stratum. Bit-identical
+    for any B: each stratum's true top-n rows are necessarily each
+    inside their own salt bucket's top-n (pinned by the equivalence
+    test)."""
     from pyspark.sql.window import Window
 
     h = F.md5(F.col(order_col).cast("string"))
     w = Window.partitionBy(strata_col).orderBy(h, F.col(order_col))
+    if salt_buckets is None:
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= n_per_stratum)
+            .drop("__rn")
+        )
+    salted = df.withColumn(
+        "__salt",
+        F.pmod(
+            F.xxhash64(F.col(order_col).cast("string")),
+            F.lit(int(salt_buckets)),
+        ),
+    )
+    w1 = Window.partitionBy(strata_col, "__salt").orderBy(
+        h, F.col(order_col)
+    )
+    partial = (
+        salted.withColumn("__rn1", F.row_number().over(w1))
+        .where(F.col("__rn1") <= n_per_stratum)
+        .drop("__rn1", "__salt")
+    )
     return (
-        df.withColumn("__rn", F.row_number().over(w))
+        partial.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") <= n_per_stratum)
         .drop("__rn")
     )

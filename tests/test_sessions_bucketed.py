@@ -102,3 +102,29 @@ def test_bucketed_phase1_partitions_by_key_and_bucket(spark):
     phase1 = [s for s in specs if "__bkt" in s]
     assert phase1, plan
     assert all("user_id" in s for s in phase1)
+
+
+@pytest.mark.parametrize("buckets", [2, 7, 64])
+def test_stratified_sample_salted_equals_plain(spark, buckets):
+    """Two-phase (salted) stratified_sample ≡ the single-window form
+    for any bucket count (SCALE.md round-13 audit: a hot stratum's
+    top-n no longer sorts the whole stratum in one task — phase 1 is
+    B-way parallel per stratum, phase 2 re-ranks ≤ B×n survivors)."""
+    from cayley_spark.functions.sampling import stratified_sample
+
+    rows = [(f"s{i % 3}", f"doc-{i}") for i in range(500)]
+    rows += [("hot", f"h-{i}") for i in range(3000)]
+    df = spark.createDataFrame(rows, "stratum string, key string")
+    plain = sorted(
+        (r["stratum"], r["key"])
+        for r in stratified_sample(df, "stratum", 25, "key").collect()
+    )
+    for b in (buckets,):
+        salted = sorted(
+            (r["stratum"], r["key"])
+            for r in stratified_sample(
+                df, "stratum", 25, "key", salt_buckets=b
+            ).collect()
+        )
+        assert salted == plain
+    assert sum(1 for s, _ in plain if s == "hot") == 25
