@@ -128,3 +128,107 @@ def test_stratified_sample_salted_equals_plain(spark, buckets):
         )
         assert salted == plain
     assert sum(1 for s, _ in plain if s == "hot") == 25
+
+
+# ---- randomized equivalence (hypothesis): the bit-identical claims
+# ---- hold for arbitrary event layouts, not just the crafted shapes
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+_events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4),        # user
+        st.integers(min_value=0, max_value=5000),     # ts (seconds)
+    ),
+    min_size=1,
+    max_size=120,
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_events_strategy, gap=st.sampled_from([1, 30, 400]),
+       bucket=st.sampled_from([7.0, 100.0, 2500.0]))
+def test_sessionize_bucketed_equivalence_fuzz(spark, rows, gap, bucket):
+    import pandas as pd
+
+    # python reference model: per user, sort, split on gap
+    def model():
+        out = []
+        by_user = {}
+        for i, (u, t) in enumerate(rows):
+            by_user.setdefault(u, []).append((t, i))
+        for u, evs in by_user.items():
+            evs.sort()
+            start, end, n = None, None, 0
+            for t, _ in evs:
+                if start is None:
+                    start, end, n = t, t, 1
+                elif t - end > gap:
+                    out.append((u, start, end, n))
+                    start, end, n = t, t, 1
+                else:
+                    end, n = t, n + 1
+            out.append((u, start, end, n))
+        return sorted(out)
+
+    df = spark.createDataFrame(
+        [(u, float(t), i) for i, (u, t) in enumerate(rows)],
+        "user_id long, ts double, event_id long",
+    )
+    want = model()
+    for bs in (None, bucket):
+        got = sorted(
+            (r["user_id"], r["session_start"], r["session_end"],
+             r["n_events"])
+            for r in sessionize(
+                df, gap_seconds=gap, order_col="event_id",
+                bucket_seconds=bs,
+            ).collect()
+        )
+        assert got == want, (bs, gap)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    keys=st.lists(
+        st.tuples(st.integers(0, 3), st.text("abcdef", min_size=1, max_size=6)),
+        min_size=1, max_size=150,
+    ),
+    n=st.sampled_from([1, 3, 10]),
+    buckets=st.sampled_from([2, 9]),
+)
+def test_stratified_salted_equivalence_fuzz(spark, keys, n, buckets):
+    import hashlib
+
+    from cayley_spark.functions.sampling import stratified_sample
+
+    rows = list({(f"s{s}", k) for s, k in keys})  # distinct keys per test
+    df = spark.createDataFrame(rows, "stratum string, key string")
+
+    def model():
+        by = {}
+        for s, k in rows:
+            by.setdefault(s, []).append(k)
+        out = []
+        for s, ks in by.items():
+            ks.sort(key=lambda k: (hashlib.md5(k.encode()).hexdigest(), k))
+            out += [(s, k) for k in ks[:n]]
+        return sorted(out)
+
+    want = model()
+    for b in (None, buckets):
+        got = sorted(
+            (r["stratum"], r["key"])
+            for r in stratified_sample(
+                df, "stratum", n, "key", salt_buckets=b
+            ).collect()
+        )
+        assert got == want, b
