@@ -1,0 +1,144 @@
+"""WARC / WET reader tests: framing, field extraction, gzip, the
+documents-contract mapping, and the exact reader's binary safety
+(payloads embedding the record delimiter survive byte-precise)."""
+
+from __future__ import annotations
+
+import gzip
+
+from pyspark.sql import functions as F
+
+from cayley_spark.sources.warc import (
+    read_warc,
+    read_wet,
+    wet_to_documents,
+)
+
+
+def _wet_record(rtype, url, text, rid):
+    body = text.encode("utf-8")
+    hdrs = [
+        "WARC/1.0",
+        f"WARC-Type: {rtype}",
+    ]
+    if url:
+        hdrs.append(f"WARC-Target-URI: {url}")
+    hdrs += [
+        "WARC-Date: 2026-01-05T10:00:00Z",
+        f"WARC-Record-ID: <urn:uuid:{rid}>",
+        f"Content-Length: {len(body)}",
+    ]
+    return "\r\n".join(hdrs).encode() + b"\r\n\r\n" + body + b"\r\n\r\n"
+
+
+def _wet_file(tmp_path, name, texts, gz=False):
+    blob = _wet_record("warcinfo", None, "software: synthetic-test", "info")
+    for i, (url, text) in enumerate(texts):
+        blob += _wet_record("conversion", url, text, f"rec-{i}")
+    p = tmp_path / name
+    p.write_bytes(gzip.compress(blob) if gz else blob)
+    return str(p)
+
+
+def test_read_wet_fields_and_payloads(spark, tmp_path):
+    texts = [
+        ("https://example.com/a", "First page text.\nSecond line."),
+        ("http://HÖst.example.org/päge", "Ünïcode payload — naïve café."),
+        ("https://example.com/c", "Tail page."),
+    ]
+    path = _wet_file(tmp_path, "seg.warc.wet", texts)
+    got = read_wet(spark, path).orderBy("record_id").collect()
+    assert len(got) == 3  # warcinfo filtered
+    assert [r["url"] for r in got] == [u for u, _ in texts]
+    assert [r["text"] for r in got] == [t for _, t in texts]
+    assert all(r["warc_date"] == "2026-01-05T10:00:00Z" for r in got)
+    assert got[1]["content_length"] == len(texts[1][1].encode())
+    assert got[0]["record_id"] == "<urn:uuid:rec-0>"
+
+
+def test_read_wet_gzip_and_multifile(spark, tmp_path):
+    _wet_file(tmp_path, "a.warc.wet.gz", [("u://1", "alpha")], gz=True)
+    _wet_file(tmp_path, "b.warc.wet.gz", [("u://2", "beta"), ("u://3", "gamma")], gz=True)
+    got = read_wet(spark, str(tmp_path)).collect()
+    assert sorted(r["text"] for r in got) == ["alpha", "beta", "gamma"]
+
+
+def test_wet_to_documents_contract(spark, tmp_path):
+    path = _wet_file(
+        tmp_path,
+        "c.warc.wet",
+        [
+            ("https://News.Example.com/x?q=1", "doc one"),
+            ("not-a-url", "doc two"),
+        ],
+    )
+    docs = wet_to_documents(read_wet(spark, path))
+    assert docs.columns == ["doc_id", "source", "text"]
+    rows = {r["text"]: r for r in docs.collect()}
+    assert rows["doc one"]["source"] == "news.example.com"
+    assert rows["doc two"]["source"] == "unknown"
+    # content-addressed ids: stable across re-reads
+    again = {r["text"]: r["doc_id"] for r in wet_to_documents(
+        read_wet(spark, path)
+    ).collect()}
+    assert {t: r["doc_id"] for t, r in rows.items()} == again
+
+
+def test_read_warc_exact_binary_framing(spark, tmp_path):
+    """The exact reader recovers payloads byte-precise via
+    Content-Length — including a payload that CONTAINS the record
+    delimiter sequence (the case the scan-speed WET reader documents
+    as its framing caveat)."""
+    tricky = b"\x00\x01binary\r\n\r\nWARC/1.0\r\nnot-a-header\xff\xfe"
+    hdr = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Target-URI: https://example.com/bin\r\n"
+        b"WARC-Date: 2026-01-05T10:00:00Z\r\n"
+        b"WARC-Record-ID: <urn:uuid:bin-1>\r\n"
+        b"Content-Type: application/octet-stream\r\n"
+        + f"Content-Length: {len(tricky)}\r\n\r\n".encode()
+    )
+    req = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: request\r\n"
+        b"WARC-Record-ID: <urn:uuid:req-1>\r\n"
+        b"Content-Length: 2\r\n\r\nGE\r\n\r\n"
+    )
+    p = tmp_path / "x.warc"
+    p.write_bytes(hdr + tricky + b"\r\n\r\n" + req)
+    got = {r["record_id"]: r for r in read_warc(spark, str(p)).collect()}
+    assert bytes(got["<urn:uuid:bin-1>"]["payload"]) == tricky
+    assert got["<urn:uuid:bin-1>"]["content_type"] == "application/octet-stream"
+    assert bytes(got["<urn:uuid:req-1>"]["payload"]) == b"GE"
+
+
+def test_read_warc_per_record_gzip_members(spark, tmp_path):
+    """WARC.gz layout: one gzip member PER RECORD, concatenated —
+    the kernel's member-safe decompression reads all of them."""
+    recs = [
+        _wet_record("conversion", f"u://{i}", f"text {i}", f"g-{i}")
+        for i in range(3)
+    ]
+    p = tmp_path / "m.warc.gz"
+    p.write_bytes(b"".join(gzip.compress(r) for r in recs))
+    got = read_warc(spark, str(p))
+    rows = sorted(
+        (r["url"], bytes(r["payload"]).decode()) for r in got.collect()
+    )
+    assert rows == [(f"u://{i}", f"text {i}") for i in range(3)]
+
+
+def test_wet_feeds_the_corpus_pipeline_contract(spark, tmp_path):
+    """End-to-end smoke: WET -> documents contract -> a text-stack
+    operator consumes it without schema friction."""
+    from cayley_spark.functions.text import quality_stats
+
+    path = _wet_file(
+        tmp_path, "d.warc.wet",
+        [(f"https://s{i}.example.com/p", f"the quick brown fox {i} jumps.")
+         for i in range(4)],
+    )
+    docs = wet_to_documents(read_wet(spark, path))
+    out = quality_stats(docs, id_col="doc_id", text_col="text")
+    assert out.count() == 4
