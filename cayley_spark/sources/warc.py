@@ -58,14 +58,11 @@ def _header(block, name):
     return F.regexp_extract(block, rf"(?m)^{name}:\s*(\S[^\r\n]*)", 1)
 
 
-def read_wet(spark: SparkSession, path: str) -> DataFrame:
-    """Read WET text-extract records as
-    (url, warc_date, record_id, content_length, text).
-
-    Only ``WARC-Type: conversion`` records are returned (the
-    ``warcinfo`` file header record is filtered out). The whole
-    parse is column expressions over one text scan — no UDFs."""
-    raw = spark.read.text(path, lineSep=_RECORD_SEP)
+def parse_wet(raw: DataFrame) -> DataFrame:
+    """Column-expression WET parse over a frame of records read with
+    ``lineSep=_RECORD_SEP`` (one ``value`` column). Pure expressions
+    only, so it applies unchanged to BATCH and STREAMING text reads
+    (:func:`read_wet` / :func:`read_wet_stream`)."""
     # the first record of each file keeps its opening version line
     # (the separator is the terminator+NEXT version line, so only
     # element 0 starts with one) — strip it unconditionally, then
@@ -94,6 +91,32 @@ def read_wet(spark: SparkSession, path: str) -> DataFrame:
         )
     )
     return out.where(F.col("warc_type") == "conversion").drop("warc_type")
+
+
+def read_wet(spark: SparkSession, path: str) -> DataFrame:
+    """Read WET text-extract records as
+    (url, warc_date, record_id, content_length, text).
+
+    Only ``WARC-Type: conversion`` records are returned (the
+    ``warcinfo`` file header record is filtered out). The whole
+    parse is column expressions over one text scan — no UDFs."""
+    return parse_wet(spark.read.text(path, lineSep=_RECORD_SEP))
+
+
+def read_wet_stream(
+    spark: SparkSession, path: str, **options
+) -> DataFrame:
+    """Structured-Streaming twin of :func:`read_wet`: watch a
+    directory for arriving WET segment files (the crawl-delivery
+    pattern) and emit parsed conversion records per micro-batch —
+    the same pure-expression parse, so batch and stream results are
+    identical for identical files. Extra ``options`` reach the file
+    source (e.g. ``maxFilesPerTrigger=1`` for one segment per
+    micro-batch — the natural unit for per-batch admission)."""
+    reader = spark.readStream
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return parse_wet(reader.text(path, lineSep=_RECORD_SEP))
 
 
 def wet_to_documents(wet: DataFrame) -> DataFrame:
