@@ -161,7 +161,7 @@ def main(argv: list[str] | None = None) -> int:
         choices=[
             "dedup", "chunk", "pack", "split", "quality",
             "html", "mix", "shard", "paradedup", "spans", "tiers",
-            "substr", "compact", "full", "admit",
+            "substr", "compact", "full", "admit", "wet",
         ],
     )
     pp.add_argument("--in", dest="inp", required=True, help="input parquet")
@@ -349,6 +349,16 @@ def main(argv: list[str] | None = None) -> int:
 def _pipeline(spark, args) -> int:
     """`pipeline` verb dispatch: read parquet, apply one corpus
     transform, write parquet, report row counts."""
+    if args.op == "wet":
+        # crawl on-ramp: WET segment files (dir/glob, .gz ok) ->
+        # documents-contract parquet — the input of every other verb
+        from .sources.warc import read_wet, wet_to_documents
+
+        docs = wet_to_documents(read_wet(spark, args.inp))
+        docs.write.mode("overwrite").parquet(args.out)
+        n_out = spark.read.parquet(args.out).count()
+        print(f"wet: -> {n_out} documents ({args.out})")
+        return 0
     df = spark.read.parquet(args.inp)
     n_in = df.count()
     if args.op == "dedup":

@@ -129,6 +129,29 @@ def test_read_warc_per_record_gzip_members(spark, tmp_path):
     assert rows == [(f"u://{i}", f"text {i}") for i in range(3)]
 
 
+def test_cli_pipeline_wet(spark, tmp_path):
+    """python -m cayley_spark pipeline wet: crawl dir -> documents
+    parquet (the on-ramp for every other pipeline verb)."""
+    from cayley_spark.__main__ import main
+
+    (tmp_path / "crawl").mkdir()
+    _wet_file(
+        tmp_path / "crawl",
+        "s.warc.wet",
+        [("https://a.example.com/1", "hello world one"),
+         ("https://b.example.com/2", "hello world two")],
+    )
+    out = str(tmp_path / "docs")
+    assert main([
+        "pipeline", "wet", "--in", str(tmp_path / "crawl"), "--out", out,
+    ]) == 0
+    got = spark.read.parquet(out)
+    assert got.columns == ["doc_id", "source", "text"]
+    assert sorted(r["source"] for r in got.collect()) == [
+        "a.example.com", "b.example.com",
+    ]
+
+
 def test_wet_feeds_the_corpus_pipeline_contract(spark, tmp_path):
     """End-to-end smoke: WET -> documents contract -> a text-stack
     operator consumes it without schema friction."""
