@@ -162,17 +162,37 @@ class LSHDedupIndex:
         batch: DataFrame,
         id_col: str = "doc_id",
         text_col: str = "text",
+        if_absent: bool = False,
     ) -> "LSHDedupIndex":
         """Admit ``batch`` into the index: compute its signature rows
         once and APPEND them to the saved table. Requires a saved
         index (call ``save`` first) — append is a files operation, not
-        a recompute."""
+        a recompute.
+
+        ``if_absent=True`` is the CRASH-RECOVERY form (the
+        admit_corpus_batch durability note): only rows whose id is
+        not already indexed are written, so re-appending a batch
+        whose append may or may not have landed is exactly
+        idempotent. This matters beyond storage growth: duplicate
+        signature rows double-count against the ``max_bucket_size``
+        hot-bucket guard (occupancy is counted over raw sig rows), so
+        a plain duplicate append can push a bucket over the cap and
+        turn near-dup REJECTIONS into admissions until ``compact()``
+        squeezes the duplicates out."""
         if self.path is None:
             raise ValueError("append requires a saved index; call save(path)")
         self._check_id_type(batch, id_col)
-        _sig_frame(batch, id_col, text_col, self.k, self.num_hashes).write.mode(
-            "append"
-        ).parquet(os.path.join(self.path, "sigs"))
+        rows = _sig_frame(batch, id_col, text_col, self.k, self.num_hashes)
+        if if_absent:
+            # materialize BEFORE the write: the anti-join reads the
+            # sigs files this write appends to — without the barrier
+            # the write job would list its own destination as input
+            rows = rows.join(
+                self.sigs.select("id"), "id", "left_anti"
+            ).localCheckpoint(eager=True)
+        rows.write.mode("append").parquet(
+            os.path.join(self.path, "sigs")
+        )
         self.sigs = self.spark.read.parquet(os.path.join(self.path, "sigs"))
         return self
 
@@ -185,12 +205,20 @@ class LSHDedupIndex:
         rows into as few files as the data needs
         (spark.sql.files.maxPartitionBytes sizing) and swaps via
         rename. The distinct squeeze (the SubstrDedupIndex.compact
-        discipline) makes crash-recovery re-appends clean up:
-        re-appending a batch writes byte-identical (id, digest, sh,
-        sig) rows, which are harmless to admission (they only emit
-        duplicate candidate pairs, deduped downstream) and removed
-        here. Admission verdicts before and after compaction are
-        identical. Same staged-swap discipline as GraphStore.compact."""
+        discipline) cleans up any duplicate (id, digest, sh, sig)
+        rows a PLAIN duplicate append left behind — note such
+        duplicates are NOT fully verdict-neutral while they exist
+        (they double-count against the max_bucket_size occupancy
+        cap; crash recovery should use ``append(if_absent=True)``,
+        which never creates them). Verdicts after compaction equal a
+        never-duplicated index's. Same staged-swap discipline as
+        GraphStore.compact. Caller contract: release any persisted
+        plans built over this index first (the standard
+        ``unpersist_intermediates`` discipline) — a cached plan
+        captured the PRE-compact file listing, and Spark's cache
+        matcher will substitute it into later path-identical reads,
+        failing with FILE_NOT_EXIST once the swap deletes the old
+        files."""
         if self.path is None:
             raise ValueError("compact requires a saved index; call save(path)")
         from .ann_index import _recover_swap, _swap_dir
@@ -421,17 +449,28 @@ class SubstrDedupIndex:
         )
 
     def append(
-        self, batch: DataFrame, text_col: str = "text"
+        self,
+        batch: DataFrame,
+        text_col: str = "text",
+        if_absent: bool = False,
     ) -> "SubstrDedupIndex":
         """Append the batch's distinct window fingerprints to the
         saved table (a files operation — corpus text is never
-        re-read). Cross-batch duplicate fingerprints are harmless
-        for the semi-join probe and are squeezed out by compact()."""
+        re-read). Cross-batch duplicate fingerprints are GENUINELY
+        harmless here — every probe is a semi/anti-join on fp, which
+        duplicates cannot change — and are squeezed out by compact().
+        ``if_absent=True`` (the crash-recovery form, mirroring
+        LSHDedupIndex.append) still writes only fingerprints absent
+        from the index, keeping recovery re-appends growth-free."""
         if self.path is None:
             raise ValueError("append requires a saved index; call save(path)")
-        self._fp_frame(batch, text_col, self.k).write.mode(
-            "append"
-        ).parquet(os.path.join(self.path, "wins"))
+        rows = self._fp_frame(batch, text_col, self.k)
+        if if_absent:
+            # same read-own-destination barrier as LSHDedupIndex.append
+            rows = rows.join(
+                self.wins.select("fp"), "fp", "left_anti"
+            ).localCheckpoint(eager=True)
+        rows.write.mode("append").parquet(os.path.join(self.path, "wins"))
         self.wins = self.spark.read.parquet(os.path.join(self.path, "wins"))
         return self
 

@@ -269,14 +269,16 @@ def admit_corpus_batch(
     survivor frame is written to that parquet path BEFORE any append,
     the appends source from the re-read files, and the re-read frame
     is returned. Crash recovery is then mechanical — re-append the
-    saved output to both indexes (``SubstrDedupIndex.append`` +
-    ``LSHDedupIndex.append`` on the parquet at ``durable_out``):
-    duplicate appends are harmless (window fingerprints are probed
-    with semi-joins and squeezed by ``compact()``; duplicate
-    signature rows only add candidate pairs that dedupe, and
-    ``LSHDedupIndex.compact()`` removes them) — so the recovery
-    re-append is safe even when it repeats an append that DID land
-    before the crash.
+    saved output to both indexes with ``if_absent=True``
+    (``SubstrDedupIndex.append`` + ``LSHDedupIndex.append`` on the
+    parquet at ``durable_out``), which writes only the rows the
+    crashed append did not land and is therefore exactly idempotent
+    even when it repeats an append that DID land before the crash.
+    (A PLAIN re-append is storage-harmless for window fingerprints —
+    every probe is a semi/anti-join — but duplicate LSH signature
+    rows double-count against the hot-bucket occupancy cap and can
+    flip near-dup rejections into admissions until ``compact()``
+    squeezes them; ``if_absent=True`` avoids the question.)
 
     Returns the admitted rows as (id[, source], clean_text).
     Paragraph-level boilerplate, mixture rates, and shard assignment

@@ -125,7 +125,11 @@ def wet_to_documents(wet: DataFrame) -> DataFrame:
     (record id, url) — stable across re-reads and engines — and
     source is the registered host (the per-source unit mixture /
     overlap operators key on)."""
-    host = F.regexp_extract("url", r"^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1)
+    # (?i): RFC 3986 schemes are case-insensitive — real crawls carry
+    # 'HTTPS://...' URIs, which must not collapse into 'unknown'
+    host = F.regexp_extract(
+        "url", r"(?i)^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1
+    )
     return wet.select(
         F.xxhash64(
             F.concat_ws("|", F.col("record_id"), F.col("url"))
@@ -153,18 +157,26 @@ def _gunzip_members(data: bytes) -> bytes:
     import zlib
 
     out = []
-    while data:
+    while data.startswith(b"\x1f\x8b"):
+        # the startswith guard also tolerates trailing garbage or
+        # padding after the final member (seen in the wild) instead
+        # of crashing the whole multi-file read with a zlib error
         d = zlib.decompressobj(wbits=16 + zlib.MAX_WBITS)
         out.append(d.decompress(data))
         data = d.unused_data
-        if not d.eof:  # truncated member: surface what decoded
-            break
+        if not d.eof:  # truncated member: surface what decoded —
+            break  # the record parser will flag the cut-off record
     return b"".join(out)
 
 
 def _parse_warc_bytes(path: str, blob: bytes):
     """Exact WARC record iterator: Content-Length framing per the
-    spec — payload bytes are never pattern-matched."""
+    spec — payload bytes are never pattern-matched. Malformed input
+    RAISES (with file + byte offset) instead of silently dropping
+    the rest of the file: a bare stop here would be the
+    silent-truncation failure mode the streaming folds ban — one
+    corrupt record mid-segment must not make thousands of later
+    records vanish without a signal."""
     data = _gunzip_members(blob)
     pos = 0
     n = len(data)
@@ -174,12 +186,20 @@ def _parse_warc_bytes(path: str, blob: bytes):
             pos += 2
         if pos >= n:
             break
+
+        def _bad(why: str):
+            return ValueError(
+                f"malformed WARC record in {path} at byte {pos}: {why}"
+            )
+
         hdr_end = data.find(b"\r\n\r\n", pos)
         if hdr_end < 0:
-            break
+            raise _bad("header block has no terminating blank line")
         block = data[pos:hdr_end].decode("utf-8", errors="replace")
         if not block.startswith("WARC/"):
-            break
+            raise _bad(
+                f"expected a WARC/ version line, got {block[:30]!r}"
+            )
         fields = {}
         for line in block.split("\r\n")[1:]:
             k, _, v = line.partition(":")
@@ -187,8 +207,16 @@ def _parse_warc_bytes(path: str, blob: bytes):
         try:
             length = int(fields.get("content-length", ""))
         except ValueError:
-            break
+            raise _bad(
+                "missing or non-integer Content-Length "
+                f"({fields.get('content-length', '<absent>')!r})"
+            ) from None
         body_start = hdr_end + 4
+        if body_start + length > n:
+            raise _bad(
+                f"payload truncated: Content-Length {length} runs "
+                f"past end of data ({n - body_start} bytes left)"
+            )
         payload = data[body_start : body_start + length]
         yield {
             "path": path,

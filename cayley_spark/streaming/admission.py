@@ -24,9 +24,11 @@ the batch's durable output with nothing):
   durable write completed — no appends happened, full re-run is
   correct — and (b) after it — detected by the write's ``_SUCCESS``
   marker, recovered by RE-APPENDING the saved rows to both indexes
-  instead of re-admitting (duplicate appends are admission-harmless
-  and squeezed by each index's ``compact()``; see the
-  admit_corpus_batch durability note).
+  with ``if_absent=True`` (exactly idempotent: only rows the crashed
+  append did not land are written — a PLAIN re-append would be
+  storage-harmless for the fingerprint index but could double-count
+  LSH signature rows against the hot-bucket occupancy cap and flip
+  near-dup rejections into admissions until ``compact()``).
 
 Both indexes must exist at their paths (build them from the
 historical corpus with ``SubstrDedupIndex.build(...).save(path)`` /
@@ -62,7 +64,11 @@ def _admit_fold(
         from ..functions.pipeline import admit_corpus_batch
 
         spark = batch_df.sparkSession
-        if batch_id <= _read_last_batch(spark, out_path):
+        # the marker lives under an underscore-prefixed dir so Spark's
+        # hidden-path filter skips it and spark.read.parquet(out_path)
+        # reads the admitted corpus as ONE batch_id-partitioned dataset
+        marker_base = os.path.join(out_path, "_admission")
+        if batch_id <= _read_last_batch(spark, marker_base):
             return  # committed batch replay: everything already done
         out_dir = os.path.join(out_path, f"batch_id={batch_id}")
         sidx = SubstrDedupIndex.load(spark, substr_path)
@@ -70,16 +76,21 @@ def _admit_fold(
         if _path_exists(spark, os.path.join(out_dir, "_SUCCESS")):
             # crash window (b): the batch's rows are durable but the
             # marker never landed — the appends may or may not have
-            # happened. Recover by re-appending the SAVED rows
-            # (idempotent either way); re-running admission here
-            # would see the batch's own windows in the index and
-            # overwrite the durable output with an empty frame.
+            # happened. Recover by re-appending the SAVED rows with
+            # if_absent=True (exactly idempotent); re-running
+            # admission here would see the batch's own windows in the
+            # index and overwrite the durable output with an empty
+            # frame, and a PLAIN re-append would double-count sig
+            # rows against the hot-bucket occupancy cap.
             saved = spark.read.parquet(out_dir)
             appendable = saved.selectExpr(
                 id_col, f"clean_text as {text_col}"
             )
-            sidx.append(appendable, text_col=text_col)
-            lidx.append(appendable, id_col=id_col, text_col=text_col)
+            sidx.append(appendable, text_col=text_col, if_absent=True)
+            lidx.append(
+                appendable, id_col=id_col, text_col=text_col,
+                if_absent=True,
+            )
         else:
             admit_corpus_batch(
                 batch_df,
@@ -96,7 +107,7 @@ def _admit_fold(
                 durable_out=out_dir,
                 **params,
             )
-        _write_last_batch(spark, out_path, batch_id)
+        _write_last_batch(spark, marker_base, batch_id)
 
     return fold
 

@@ -457,9 +457,10 @@ def test_admit_corpus_batch_durable_out_survives_append_crash(
     assert sidx.wins.count() == wins_before
     assert lidx.sigs.count() == sigs_before
     # mechanical recovery: re-append the saved output to BOTH indexes
+    # (if_absent=True — the documented recovery form)
     appendable = saved.select("doc_id", F.col("clean_text").alias("text"))
-    sidx.append(appendable)
-    lidx.append(appendable)
+    sidx.append(appendable, if_absent=True)
+    lidx.append(appendable, if_absent=True)
     # the recovered admission is visible: re-admitting rejects it
     again = _admit(batch, sidx, lidx, update_indexes=False)
     assert again.count() == 0
@@ -469,9 +470,12 @@ def test_admit_recovery_reappend_is_idempotent(
     spark, tmp_path, corpus_indexes
 ):
     """A recovery re-append that REPEATS an append which did land
-    (crash after append, before the recovery marker) is harmless:
-    admission verdicts are unchanged, and compact() squeezes the
-    duplicate rows out of both indexes."""
+    (crash after append, before the recovery marker) is EXACTLY
+    idempotent with if_absent=True: zero new rows, verdicts
+    unchanged. A plain duplicate append is also exercised: its
+    duplicate rows squeeze out under compact() (and are documented
+    as NOT fully verdict-neutral while they exist — they count
+    against the hot-bucket occupancy cap)."""
     _, sidx, lidx = corpus_indexes
     batch = spark.createDataFrame(
         [(0, "s0", _doc("whiskey"))],
@@ -481,29 +485,47 @@ def test_admit_recovery_reappend_is_idempotent(
     admitted = _admit(batch, sidx, lidx, durable_out=out)
     assert {r["doc_id"] for r in admitted.collect()} == {0}
     sigs_once = lidx.sigs.count()
-    # recovery repeats both appends from the durable output
+    wins_once = sidx.wins.count()
+    # recovery repeats both appends from the durable output in the
+    # documented if_absent form: EXACTLY idempotent
     saved = spark.read.parquet(out)
     appendable = saved.select("doc_id", F.col("clean_text").alias("text"))
-    sidx.append(appendable)
-    lidx.append(appendable)
-    assert lidx.sigs.count() == 2 * sigs_once - 2  # c0 rows not doubled
+    sidx.append(appendable, if_absent=True)
+    lidx.append(appendable, if_absent=True)
+    assert lidx.sigs.count() == sigs_once
+    assert sidx.wins.count() == wins_once
+    from cayley_spark.functions._cache import unpersist_intermediates
+
     # verdicts unchanged: the admitted doc still rejects, fresh admits
     rej = _admit(batch, sidx, lidx, update_indexes=False)
     assert rej.count() == 0
+    unpersist_intermediates(rej)
     fresh = spark.createDataFrame(
         [(9, "s1", _doc("xray"))],
         "doc_id long, source string, text string",
     )
     ok = _admit(fresh, sidx, lidx, update_indexes=False)
     assert {r["doc_id"] for r in ok.collect()} == {9}
-    # compact removes the duplicate signature rows and duplicate
-    # window fingerprints; verdicts still unchanged
+    # release the dry runs' persisted intermediates BEFORE compacting:
+    # their cached plans capture the pre-compact file listing, and
+    # Spark's cache matcher substitutes them into later identical
+    # plans (the staleness compact()'s docstring warns about)
+    unpersist_intermediates(ok)
+    # a PLAIN duplicate append leaves duplicate rows; compact removes
+    # them and verdicts return to the never-duplicated state
+    sidx.append(appendable)
+    lidx.append(appendable)
+    assert lidx.sigs.count() == 2 * sigs_once - 2  # c0 rows not doubled
     lidx.compact()
     sidx.compact()
     assert lidx.sigs.count() == sigs_once
     assert sidx.wins.count() == sidx.wins.distinct().count()
-    assert _admit(batch, sidx, lidx, update_indexes=False).count() == 0
-    assert _admit(fresh, sidx, lidx, update_indexes=False).count() == 1
+    final_rej = _admit(batch, sidx, lidx, update_indexes=False)
+    assert final_rej.count() == 0
+    unpersist_intermediates(final_rej)
+    final_ok = _admit(fresh, sidx, lidx, update_indexes=False)
+    assert final_ok.count() == 1
+    unpersist_intermediates(final_ok)
 
 
 def test_cli_pipeline_admit(spark, tmp_path, corpus_indexes):

@@ -226,3 +226,12 @@ def test_admit_stream_end_to_end_from_wet_files(spark, tmp_path):
     assert [r["source"] for r in b0.collect()] == ["alpha.example.com"]
     # the uniform-doc copy in seg-01 is rejected; victor admitted
     assert [r["source"] for r in b1.collect()] == ["gamma.example.com"]
+    # the output root reads as ONE batch_id-partitioned dataset (the
+    # marker lives under _admission/, skipped by the hidden-path
+    # filter — a marker dir beside the partitions used to make this
+    # read fail with conflicting directory structures)
+    whole = spark.read.parquet(out)
+    assert "batch_id" in whole.columns
+    assert sorted(r["source"] for r in whole.collect()) == [
+        "alpha.example.com", "gamma.example.com",
+    ]

@@ -165,3 +165,54 @@ def test_wet_feeds_the_corpus_pipeline_contract(spark, tmp_path):
     docs = wet_to_documents(read_wet(spark, path))
     out = quality_stats(docs, id_col="doc_id", text_col="text")
     assert out.count() == 4
+
+
+def test_read_warc_malformed_record_raises_with_context(spark, tmp_path):
+    """One corrupt record mid-file must RAISE (file + offset), not
+    silently truncate the rest of the segment."""
+    import pytest
+
+    good = _wet_record("conversion", "u://ok", "good text", "ok")
+    # record with a missing Content-Length header
+    bad = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Record-ID: <urn:uuid:bad>\r\n\r\npayload\r\n\r\n"
+    )
+    p = tmp_path / "bad.warc"
+    p.write_bytes(good + bad + good)
+    with pytest.raises(Exception, match="Content-Length"):
+        read_warc(spark, str(p)).collect()
+    # truncated payload: declared length runs past end of data
+    p2 = tmp_path / "trunc.warc"
+    p2.write_bytes(
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Record-ID: <urn:uuid:t>\r\nContent-Length: 9999\r\n\r\nshort"
+    )
+    with pytest.raises(Exception, match="truncated"):
+        read_warc(spark, str(p2)).collect()
+
+
+def test_read_warc_gz_trailing_garbage_tolerated(spark, tmp_path):
+    """Padding/garbage bytes after the final gzip member must not
+    crash the read (seen in the wild); complete members all parse."""
+    recs = [
+        _wet_record("conversion", f"u://{i}", f"text {i}", f"t-{i}")
+        for i in range(2)
+    ]
+    p = tmp_path / "pad.warc.gz"
+    p.write_bytes(
+        b"".join(gzip.compress(r) for r in recs) + b"\x00\x00PADDING"
+    )
+    got = sorted(r["url"] for r in read_warc(spark, str(p)).collect())
+    assert got == ["u://0", "u://1"]
+
+
+def test_wet_to_documents_uppercase_scheme(spark, tmp_path):
+    """RFC 3986: schemes are case-insensitive — 'HTTPS://Host/x'
+    must attribute to the host, not to 'unknown'."""
+    path = _wet_file(
+        tmp_path, "up.warc.wet",
+        [("HTTPS://Upper.Example.com/x", "upper scheme doc")],
+    )
+    rows = wet_to_documents(read_wet(spark, path)).collect()
+    assert rows[0]["source"] == "upper.example.com"

@@ -35,12 +35,21 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from pyspark.sql import SparkSession
 
+    # mirror bench.py's session EXACTLY (same configs, same warm
+    # graph, same noop-write materialization, GC off the timed path)
+    # — an adjudication measured under a different session shape
+    # would not be comparable to the suite number it adjudicates
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
-        .appName("adjudicate")
+        .appName("cayley_spark-adjudicate")
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "24g"))
+        .config(
+            "spark.cleaner.periodicGC.interval",
+            os.environ.get("SPARK_GRAFT_GC_INTERVAL", "30min"),
+        )
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
