@@ -92,6 +92,70 @@ def _swap_dir(spark: SparkSession, path: str, sub: str) -> None:
         fs.delete(old, True)
 
 
+def _stamp_token(spark: SparkSession, data_dir: str, token: str) -> None:
+    """Write ``token`` into ``{data_dir}/_token`` (underscore prefix:
+    parquet readers skip it). Called on a STAGED tmp dir before its
+    swap, so the stamp and the data move together atomically; the
+    sidecar written after the swap echoes the token, and
+    :func:`_check_token` turns the crash window between the two
+    writes (new data paired with a STALE sidecar — silently wrong
+    parameters/centroids) into a loud load-time error."""
+    sc = spark.sparkContext
+    hp = sc._jvm.org.apache.hadoop.fs.Path
+    fs = hp(data_dir).getFileSystem(sc._jsc.hadoopConfiguration())
+    out = fs.create(hp(os.path.join(data_dir, "_token")), True)
+    try:
+        out.write(bytearray(token.encode("ascii")))
+    finally:
+        out.close()
+
+
+def _read_token(spark: SparkSession, data_dir: str):
+    """The ``_token`` stamp of a data dir, or None for pre-token
+    layouts (legacy saves, streaming folds that write partitions
+    directly)."""
+    sc = spark.sparkContext
+    hp = sc._jvm.org.apache.hadoop.fs.Path
+    fs = hp(data_dir).getFileSystem(sc._jsc.hadoopConfiguration())
+    p = hp(os.path.join(data_dir, "_token"))
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        # byte-at-a-time: py4j copies (never mutates) Python
+        # bytearrays passed to Java read(byte[]), so the buffered
+        # form silently returns zeros; the token is 32 bytes
+        out = []
+        while len(out) < 256:
+            b = stream.read()
+            if b < 0:
+                break
+            out.append(b)
+        return bytes(out).decode("ascii")
+    finally:
+        stream.close()
+
+
+def _check_token(spark: SparkSession, data_dir: str, meta_token) -> None:
+    """Raise when a data dir's stamp and its sidecar's echoed token
+    disagree — the signature of a save() that crashed after swapping
+    the data but before rewriting the sidecar. A stale sidecar is
+    SILENTLY wrong (different k / shingling / centroids change the
+    semantics of every later admission or probe), so loads must fail
+    loudly instead. Both absent = legacy layout, accepted."""
+    data_token = _read_token(spark, data_dir)
+    if data_token is None and meta_token is None:
+        return
+    if data_token != meta_token:
+        raise RuntimeError(
+            f"{data_dir}: data stamp {data_token!r} does not match "
+            f"sidecar token {meta_token!r} — a save() crashed between "
+            "swapping the data and rewriting the sidecar, so the "
+            "sidecar's parameters are stale. Re-run save() with the "
+            "original parameters (or rebuild the index)."
+        )
+
+
 def _recover_swap(spark: SparkSession, path: str, sub: str) -> None:
     """Recover from a crash that landed between ``_swap_dir``'s two
     renames: the target ``{path}/{sub}`` is absent and ``{sub}.old``
@@ -185,6 +249,14 @@ class IVFIndex:
                     f"the saved layout does not — call save() first "
                     f"or they would be silently dropped"
                 )
+            # a crash between a prior save/compact's renames leaves
+            # buckets only in buckets.old — restore it BEFORE the
+            # append, or mode('append') would recreate buckets/ with
+            # only the delta (the centroid guard below cannot catch
+            # this: the centroids sidecar is never swapped) and the
+            # next swap's entry guard would delete buckets.old, the
+            # only full copy
+            _recover_swap(self.spark, path, "buckets")
             # guard: the path must hold THIS index's saved layout —
             # appending to an unrelated/empty dir and then re-reading
             # it would silently replace the in-memory view with only
@@ -233,6 +305,17 @@ class IVFIndex:
         self.bucketed.write.mode("overwrite").partitionBy("c").parquet(
             os.path.join(path, "buckets.save.tmp")
         )
+        # token stamped in the tmp (rides the swap atomically) and
+        # echoed in the sidecar written after: a crash between the
+        # two leaves new buckets paired with STALE centroids — loads
+        # would silently probe the wrong inverted lists; the token
+        # check turns that into a loud error
+        import uuid
+
+        token = uuid.uuid4().hex
+        _stamp_token(
+            self.spark, os.path.join(path, "buckets.save.tmp"), token
+        )
         _swap_dir(self.spark, path, "buckets")
         # The centroid matrix rides along as a 1-row Parquet table,
         # written through Spark's writer so save/load work on ANY
@@ -240,7 +323,8 @@ class IVFIndex:
         # open() sidecar would half-succeed on remote paths (buckets
         # land on S3, sidecar lands on the driver's local disk).
         self.spark.createDataFrame(
-            [(self.centroids,)], "centroids array<array<double>>"
+            [(self.centroids, token)],
+            "centroids array<array<double>>, token string",
         ).coalesce(1).write.mode("overwrite").parquet(
             os.path.join(path, "centroids")
         )
@@ -267,12 +351,25 @@ class IVFIndex:
                 "compact: index holds unsaved in-memory vectors — "
                 "call save() first"
             )
+        # same crash-window restore as every sibling maintenance
+        # entry point (LSHDedupIndex.compact / SubstrDedupIndex.
+        # compact): buckets may live only in buckets.old after an
+        # interrupted swap — recover instead of failing path-not-found
+        _recover_swap(self.spark, path, "buckets")
         cur = self.spark.read.parquet(os.path.join(path, "buckets"))
         # one file run per bucket: repartition on the partition column
         # so each directory's rows land in a single task's writer
         cur.repartition("c").write.mode("overwrite").partitionBy(
             "c"
         ).parquet(os.path.join(path, "buckets.save.tmp"))
+        # compaction preserves semantics, so it must preserve the
+        # save-consistency token: the centroids sidecar is untouched
+        # and still echoes it
+        tok = _read_token(self.spark, os.path.join(path, "buckets"))
+        if tok is not None:
+            _stamp_token(
+                self.spark, os.path.join(path, "buckets.save.tmp"), tok
+            )
         _swap_dir(self.spark, path, "buckets")
         self.bucketed = self.spark.read.parquet(
             os.path.join(path, "buckets")
@@ -285,6 +382,11 @@ class IVFIndex:
         # the bucket layout only in buckets.old — restore before read
         _recover_swap(spark, path, "buckets")
         crow = spark.read.parquet(os.path.join(path, "centroids")).head()
+        _check_token(
+            spark,
+            os.path.join(path, "buckets"),
+            crow["token"] if "token" in crow.__fields__ else None,
+        )
         cents = [list(c) for c in crow["centroids"]]
         bucketed = spark.read.parquet(os.path.join(path, "buckets"))
         return cls(spark, cents, bucketed)
@@ -308,11 +410,17 @@ class IVFIndex:
         queries: dict[int, list[float]],
         k: int = 5,
         nprobe: int = 4,
+        exclude_self: bool = True,
     ) -> DataFrame:
         """queries: {query_id: vector}. Returns
         (query_id, neighbor_id, score) — cosine top-k per query over
-        the probed buckets only; a query vector already in the index
-        is excluded from its own neighbors by id."""
+        the probed buckets only. ``exclude_self=True`` (the corpus
+        self-query convention, matching ``ivf_topk``) drops the
+        neighbor whose id EQUALS the query id — correct when query
+        ids are vector ids, as in dedup/self-join use. Pass
+        ``exclude_self=False`` when query ids are an unrelated
+        namespace: there the id match is coincidental and the filter
+        would silently drop one legitimate neighbor per collision."""
         from pyspark.sql.window import Window
 
         probe_rows = [
@@ -328,9 +436,11 @@ class IVFIndex:
         # whole bucket directories before any row is read
         cs = sorted({c for _, c, _ in probe_rows})
         pruned = self.bucketed.where(F.col("c").isin(cs))
+        scored = pruned.join(F.broadcast(probe_df), "c")
+        if exclude_self:
+            scored = scored.where(F.col("id") != F.col("query_id"))
         scored = (
-            pruned.join(F.broadcast(probe_df), "c")
-            .where(F.col("id") != F.col("query_id"))
+            scored
             .select(
                 "query_id",
                 F.col("id").alias("neighbor_id"),

@@ -40,7 +40,9 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .dedup import lsh_bands, minhash_signature, word_shingles
 
-_META_SCHEMA = "k int, num_hashes int, bands int, id_type string"
+_META_SCHEMA = (
+    "k int, num_hashes int, bands int, id_type string, token string"
+)
 
 
 def _sig_frame(
@@ -121,16 +123,27 @@ class LSHDedupIndex:
     def save(self, path: str) -> "LSHDedupIndex":
         # staged write + rename swap (GraphStore.save discipline):
         # self.sigs may be lazy over the files being replaced (a
-        # loaded index re-saved to its own path)
-        from .ann_index import _swap_dir
+        # loaded index re-saved to its own path). The consistency
+        # token stamped into the staged dir and echoed by the meta
+        # written after makes the crash window between the two (new
+        # sigs + STALE meta — a different shingle space silently
+        # admitting every duplicate) a loud load-time error.
+        import uuid
+
+        from .ann_index import _stamp_token, _swap_dir
 
         self.sigs.write.mode("overwrite").parquet(
             os.path.join(path, "sigs.save.tmp")
         )
+        token = uuid.uuid4().hex
+        _stamp_token(
+            self.spark, os.path.join(path, "sigs.save.tmp"), token
+        )
         _swap_dir(self.spark, path, "sigs")
         id_type = self.sigs.schema["id"].dataType.simpleString()
         self.spark.createDataFrame(
-            [(self.k, self.num_hashes, self.bands, id_type)], _META_SCHEMA
+            [(self.k, self.num_hashes, self.bands, id_type, token)],
+            _META_SCHEMA,
         ).coalesce(1).write.mode("overwrite").parquet(
             os.path.join(path, "meta")
         )
@@ -142,12 +155,17 @@ class LSHDedupIndex:
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "LSHDedupIndex":
-        from .ann_index import _recover_swap
+        from .ann_index import _check_token, _recover_swap
 
         # crash between a prior save/compact's renames: sigs lives
         # only in sigs.old — restore before read
         _recover_swap(spark, path, "sigs")
         meta = spark.read.parquet(os.path.join(path, "meta")).head()
+        _check_token(
+            spark,
+            os.path.join(path, "sigs"),
+            meta["token"] if "token" in meta.__fields__ else None,
+        )
         return cls(
             spark,
             spark.read.parquet(os.path.join(path, "sigs")),
@@ -181,6 +199,15 @@ class LSHDedupIndex:
         squeezes the duplicates out."""
         if self.path is None:
             raise ValueError("append requires a saved index; call save(path)")
+        from .ann_index import _recover_swap
+
+        # a crash between a prior save/compact's renames leaves sigs
+        # only in sigs.old; without this restore, mode('append') would
+        # RECREATE sigs/ holding only this batch — later dedups would
+        # silently admit duplicates of the whole historical corpus,
+        # and the next swap's entry guard would delete sigs.old (the
+        # only full copy), making the loss permanent
+        _recover_swap(self.spark, self.path, "sigs")
         self._check_id_type(batch, id_col)
         rows = _sig_frame(batch, id_col, text_col, self.k, self.num_hashes)
         if if_absent:
@@ -235,6 +262,15 @@ class LSHDedupIndex:
         ).write.mode("overwrite").parquet(
             os.path.join(self.path, "sigs.save.tmp")
         )
+        # compaction preserves semantics → preserve the consistency
+        # token the untouched meta sidecar still echoes
+        from .ann_index import _read_token, _stamp_token
+
+        tok = _read_token(self.spark, os.path.join(self.path, "sigs"))
+        if tok is not None:
+            _stamp_token(
+                self.spark, os.path.join(self.path, "sigs.save.tmp"), tok
+            )
         _swap_dir(self.spark, self.path, "sigs")
         self.sigs = self.spark.read.parquet(os.path.join(self.path, "sigs"))
         return self
@@ -262,9 +298,12 @@ class LSHDedupIndex:
         from ._cache import track_persisted
 
         nsig = nsig.persist()
+        # NOTE: only (id, band, bh) ride the banded explode — the
+        # Jaccard verify re-fetches shingle sets from the persisted
+        # nsig by id for candidate pairs only, so the docstring's
+        # "only the tiny banded projection shuffles" holds literally
         band_n = nsig.where(F.col("sig").isNotNull()).select(
             F.col("id").alias("id_n"),
-            F.col("sh").alias("sh_n"),
             F.posexplode(
                 lsh_bands(F.col("sig"), self.bands, rows)
             ).alias("band", "bh"),
@@ -336,7 +375,7 @@ class LSHDedupIndex:
         )
 
 
-_SUBSTR_META_SCHEMA = "k int"
+_SUBSTR_META_SCHEMA = "k int, token string"
 
 
 class SubstrDedupIndex:
@@ -418,14 +457,22 @@ class SubstrDedupIndex:
     # ---------------- persistence ----------------
 
     def save(self, path: str) -> "SubstrDedupIndex":
-        from .ann_index import _swap_dir
+        # consistency token: see LSHDedupIndex.save — a stale meta's
+        # k silently trims in a disjoint window space
+        import uuid
+
+        from .ann_index import _stamp_token, _swap_dir
 
         self.wins.write.mode("overwrite").parquet(
             os.path.join(path, "wins.save.tmp")
         )
+        token = uuid.uuid4().hex
+        _stamp_token(
+            self.spark, os.path.join(path, "wins.save.tmp"), token
+        )
         _swap_dir(self.spark, path, "wins")
         self.spark.createDataFrame(
-            [(self.k,)], _SUBSTR_META_SCHEMA
+            [(self.k, token)], _SUBSTR_META_SCHEMA
         ).coalesce(1).write.mode("overwrite").parquet(
             os.path.join(path, "meta")
         )
@@ -435,12 +482,17 @@ class SubstrDedupIndex:
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "SubstrDedupIndex":
-        from .ann_index import _recover_swap
+        from .ann_index import _check_token, _recover_swap
 
         # crash between a prior save/compact's renames: wins lives
         # only in wins.old — restore before read
         _recover_swap(spark, path, "wins")
         meta = spark.read.parquet(os.path.join(path, "meta")).head()
+        _check_token(
+            spark,
+            os.path.join(path, "wins"),
+            meta["token"] if "token" in meta.__fields__ else None,
+        )
         return cls(
             spark,
             spark.read.parquet(os.path.join(path, "wins")),
@@ -464,6 +516,12 @@ class SubstrDedupIndex:
         from the index, keeping recovery re-appends growth-free."""
         if self.path is None:
             raise ValueError("append requires a saved index; call save(path)")
+        from .ann_index import _recover_swap
+
+        # same crash-window restore as LSHDedupIndex.append: an
+        # append into the swap window must not recreate wins/ with
+        # only the batch's fingerprints
+        _recover_swap(self.spark, self.path, "wins")
         rows = self._fp_frame(batch, text_col, self.k)
         if if_absent:
             # same read-own-destination barrier as LSHDedupIndex.append
@@ -492,6 +550,14 @@ class SubstrDedupIndex:
         ).write.mode("overwrite").parquet(
             os.path.join(self.path, "wins.save.tmp")
         )
+        # preserve the consistency token across the semantic no-op
+        from .ann_index import _read_token, _stamp_token
+
+        tok = _read_token(self.spark, os.path.join(self.path, "wins"))
+        if tok is not None:
+            _stamp_token(
+                self.spark, os.path.join(self.path, "wins.save.tmp"), tok
+            )
         _swap_dir(self.spark, self.path, "wins")
         self.wins = self.spark.read.parquet(os.path.join(self.path, "wins"))
         return self

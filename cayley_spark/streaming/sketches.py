@@ -42,6 +42,11 @@ def _path_exists(spark, path: str) -> bool:
 
 
 def _read_last_batch(spark, path: str) -> int:
+    from ..functions.ann_index import _recover_swap
+
+    # the marker itself is staged-swapped (below): restore the
+    # crash-between-renames window before probing
+    _recover_swap(spark, path, "last_batch")
     marker = os.path.join(path, "last_batch")
     if not _path_exists(spark, marker):
         return -1  # stream has never committed a batch here
@@ -50,11 +55,21 @@ def _read_last_batch(spark, path: str) -> int:
 
 
 def _write_last_batch(spark, path: str, batch_id: int) -> None:
+    # staged swap, NOT a plain overwrite: Spark's static overwrite
+    # deletes the existing files before the job commits, so a crash
+    # mid-write would leave a marker dir with no readable parquet —
+    # _read_last_batch would then throw on EVERY subsequent batch and
+    # wedge the stream until someone hand-deletes the dir. With the
+    # rename swap the marker is always either the old value or the
+    # new one.
+    from ..functions.ann_index import _swap_dir
+
     spark.createDataFrame(
         [(int(batch_id),)], "batch_id long"
     ).coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(path, "last_batch")
+        os.path.join(path, "last_batch.save.tmp")
     )
+    _swap_dir(spark, path, "last_batch")
 
 
 def countmin_stream(
@@ -109,7 +124,27 @@ def _countmin_fold(key: Column, path: str, depth: int, width: int):
         _recover_swap(spark, path, "cells")
         cur = os.path.join(path, "cells")
         if _path_exists(spark, cur):  # else first batch: no grid yet
-            for r in spark.read.parquet(cur).collect():
+            saved = spark.read.parquet(cur).collect()
+            if saved and (
+                int(saved[0]["depth"]) != int(depth)
+                or int(saved[0]["width"]) != int(width)
+            ):
+                # the _substr_fold discipline: a restart with
+                # different geometry must FAIL, not silently add old
+                # counts into cells the new hash layout never probes
+                # (a permanent under-count) while re-stamping the
+                # rows with the new depth/width — which would also
+                # erase the evidence countmin_estimate's own
+                # geometry validator checks for
+                raise ValueError(
+                    f"countmin stream at {path} carries grid geometry "
+                    f"depth={int(saved[0]['depth'])}/"
+                    f"width={int(saved[0]['width'])}; this stream "
+                    f"declares {depth}/{width} — hash layouts are "
+                    "disjoint. Restart with the original geometry or "
+                    "rebuild the sketch."
+                )
+            for r in saved:
                 k = (int(r["row"]), int(r["bucket"]))
                 cells[k] = cells.get(k, 0) + int(r["cnt"])
         merged = spark.createDataFrame(
@@ -180,6 +215,25 @@ def _bloom_fold(key: Column, path: str, n_bits: int, k: int):
         _recover_swap(spark, path, "bloom")  # crash-window .old restore
         saved_words = os.path.join(path, "bloom", "words")
         if _path_exists(spark, saved_words):  # else first batch
+            saved_meta = spark.read.parquet(
+                os.path.join(path, "bloom", "meta")
+            ).head()
+            if (int(saved_meta["n_bits"]), int(saved_meta["k"])) != (
+                int(n_bits), int(k),
+            ):
+                # same geometry gate as the countmin fold: ORing word
+                # bits positioned mod old-n_bits into a filter probed
+                # mod new-n_bits yields FALSE NEGATIVES — the one
+                # failure a bloom must never have — and bloom_save
+                # would rewrite the meta with the new geometry,
+                # blinding bloom_probe's own declared-vs-carried check
+                raise ValueError(
+                    f"bloom stream at {path} carries geometry "
+                    f"n_bits={int(saved_meta['n_bits'])}/"
+                    f"k={int(saved_meta['k'])}; this stream declares "
+                    f"{n_bits}/{k} — bit positions are disjoint. "
+                    "Restart with the original geometry or rebuild."
+                )
             for r in spark.read.parquet(saved_words).collect():
                 w = int(r["word_idx"])
                 words[w] = words.get(w, 0) | int(r["bits"])
@@ -228,7 +282,23 @@ def _kmv_fold(key: Column, path: str, k: int):
         _recover_swap(spark, path, "minima")  # crash-window .old restore
         saved_minima = os.path.join(path, "minima")
         if _path_exists(spark, saved_minima):  # else first batch
-            for r in spark.read.parquet(saved_minima).collect():
+            saved = spark.read.parquet(saved_minima).collect()
+            if saved and int(saved[0]["k"]) != int(k):
+                # a GROWN k is silently biased: ranks old_k+1..k of
+                # the union fill from survivors, but the true
+                # (old_k+1)-th..k-th minima of the history were
+                # discarded, so h_k is too large and the estimate
+                # under-counts — and the merged rows would be
+                # re-stamped with the new k, erasing the evidence.
+                # (Shrinking is mathematically valid, but the crisp
+                # contract is: one k per sketch; rebuild to change.)
+                raise ValueError(
+                    f"kmv stream at {path} carries k="
+                    f"{int(saved[0]['k'])}; this stream declares "
+                    f"k={k} — estimates would be biased. Restart "
+                    "with the original k or rebuild the sketch."
+                )
+            for r in saved:
                 hashes.add(r["h"])
         top = sorted(hashes)[:k]
         merged = spark.createDataFrame(

@@ -123,6 +123,14 @@ def compact_substr_stream(spark, path: str) -> None:
         ).write.mode("overwrite").parquet(
             os.path.join(path, f"wins.save.tmp/batch_id={int(b)}")
         )
+    # if the index carries a save-consistency token (a batch-saved
+    # index a stream took over), preserve it across the semantic
+    # no-op — the meta sidecar is untouched and still echoes it
+    from ..functions.ann_index import _read_token, _stamp_token
+
+    tok = _read_token(spark, wins_dir)
+    if tok is not None:
+        _stamp_token(spark, os.path.join(path, "wins.save.tmp"), tok)
     _swap_dir(spark, path, "wins")
 
 
