@@ -1143,6 +1143,39 @@ def q_asof(spark, sf):
     return out.withColumnRenamed("ts_right", "click_ts")
 
 
+def q_asof_bucketed(spark, sf):
+    """The TWO-PHASE as-of join scale path (SCALE.md round-13 audit,
+    landed round 14): the q_asof query verbatim with
+    ``bucket_seconds=3600`` — phase 1 runs the running window per
+    (user, 1-hour bucket) so a hot user's history never serializes
+    into one sorted task, each bucket's final click carries across
+    buckets through a window bounded by the user's bucket count, and
+    the result coalesces (within-bucket, incoming carry).
+    Bit-identical to q_asof by contract (same-ts rows share a bucket,
+    so exactness semantics ride phase 1's side ordering unchanged);
+    the oracle is q_asof's oracle verbatim."""
+    from pyspark.sql.window import Window
+
+    from cayley_spark.operators.joins import asof_join
+
+    ev = _events(spark, sf)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    w = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("user_id", "ts", F.col("event_id").alias("click_id"))
+    )
+    out = asof_join(
+        purchases, clicks, on="user_id", left_ts="ts",
+        right_cols=["click_id"], bucket_seconds=3600,
+    )
+    return out.withColumnRenamed("ts_right", "click_ts")
+
+
 def q_range(spark, sf):
     """Bucketed range join (operators/joins.py): every click that
     falls inside a 2-minute window opened by an error event. Interval
@@ -2927,44 +2960,133 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Round-13 window (50) = 2 new entries (p_admit = the incremental
     corpus admission operator's driver oracle, VERDICT r12 #1 — the
     last first-class operator resting on pytest alone;
-    q_sessions_bucketed = the two-phase hot-entity sessionize scale
-    path, VERDICT r12 #5, bit-identical to q_sessions by contract)
-    + 5 code-changed entries (rule-3 jumps: p_pipeline and t_shards
-    ride export_shards' keep=True column-clash guard + the
-    admit-durability changes in functions/pipeline.py, d_index rides
-    LSHDedupIndex.compact's duplicate-row squeeze — all ADVICE r12;
-    q_events_topuser rides its window->max_by hot-key reformulation
-    and q_sessions the sessionize bucket_seconds extension, both
-    VERDICT r12 #5) + the 43-entry r10-remainder cohort
-    (t_perplexity_ext .. t_contaminate — exactly 3 rounds stale at
-    this verdict, the ratified ceiling, scheduled by COVERAGE.md
-    round 12) = exactly 50, no fills. Position 51 is the round-13
-    LATE addition s_overlap (never-verified — it leads the round-14
-    window by rule 1; the r13 window was already full); then the r11
-    cohort (44); r12-green entries sit last (rule 4). Registry = 140
-    (+3 this round: p_admit, q_sessions_bucketed, s_overlap).
+    ROUND-14 WINDOW (executed per the COVERAGE.md round-13
+    arithmetic): s_overlap leads by rule 1 (registered late r13 at
+    position 51, never driver-checked), then q_asof_bucketed (new —
+    the two-phase as-of hot-entity scale path, VERDICT r13 #1), then
+    the rule-3 jump q_asof (asof_join's body gained the
+    bucket_seconds branch), then the 44-entry r11 cohort
+    (t_rep_ngrams .. g_both — exactly 3 rounds stale at this verdict,
+    the ratified ceiling); 3 fills from the r12-green cohort head
+    (q_window_agg, d_substr, d_substr_against) complete the 50.
+    The rest of the r12-green cohort follows; r13-green entries sit
+    last (rule 4). Registry = 141 (+1 this round: q_asof_bucketed).
     """
     return {
-        # --- round-13 additions (never driver-checked): p_admit =
-        # --- the incremental daily-batch admission (VERDICT r12 #1);
-        # --- q_sessions_bucketed = the two-phase hot-key sessionize
-        # --- scale path (VERDICT r12 #5), oracle = q_sessions' ------
+        # --- rule-1 head (never driver-checked): s_overlap was the
+        # --- round-13 late addition the r13 window had no room for;
+        # --- q_asof_bucketed is the round-14 registration — the
+        # --- two-phase as-of hot-entity scale path (VERDICT r13 #1),
+        # --- oracle = q_asof's verbatim -----------------------------
+        "s_overlap": s_overlap,
+        "q_asof_bucketed": q_asof_bucketed,
+        # --- code changed since its last verdict (rule-3 jump):
+        # --- q_asof rides asof_join's bucket_seconds two-phase
+        # --- extension (the single-window default path is untouched
+        # --- but the function body changed) -------------------------
+        "q_asof": q_asof,
+        # --- last verified r11 (3 rounds stale = the ceiling; the
+        # --- 44-entry cohort COVERAGE.md scheduled to lead this
+        # --- window) ------------------------------------------------
+        "t_rep_ngrams": t_rep_ngrams,
+        "q_events_agg": q_events_agg,
+        "d_bloom": d_bloom,
+        "d_trimspans": d_trimspans,
+        "t_split": t_split,
+        "t_postings": t_postings,
+        "t_clean": t_clean,
+        "t_urls": t_urls,
+        "t_tfidf": t_tfidf,
+        "t_vocab": t_vocab,
+        "t_trigram_lm": t_trigram_lm,
+        "t_chunks": t_chunks,
+        "t_pack": t_pack,
+        "t_bpe": t_bpe,
+        "s_knn_quant": s_knn_quant,
+        "q2": q2,
+        "q10": q10,
+        "q11": q11,
+        "q13": q13,
+        "q15": q15,
+        "q16": q16,
+        "q22": q22,
+        "t_paradedup": t_paradedup,
+        "d_spans": d_spans,
+        "t_scripts": t_scripts,
+        "t_tiers": t_tiers,
+        "g_walks": g_walks,
+        "t_cooc": t_cooc,
+        "g_in": g_in,
+        "g_out2": g_out2,
+        "g_tags": g_tags,
+        "g_union": g_union,
+        "g_except": g_except,
+        "g_intersect": g_intersect,
+        "g_unique": g_unique,
+        "g_count": g_count,
+        "g_allnodes": g_allnodes,
+        "g_labeled": g_labeled,
+        "g_compare": g_compare,
+        "g_regex": g_regex,
+        "g_order_limit": g_order_limit,
+        "g_skip": g_skip,
+        "g_optional": g_optional,
+        "g_both": g_both,
+        # --- green in round 12 (the head fills the r14 window's
+        # --- last 3 slots; the rest rotates into round 15) ----------
+        "q_window_agg": q_window_agg,
+        "d_substr": d_substr,
+        "d_substr_against": d_substr_against,
+        "d_substr_index": d_substr_index,
+        "t_gopher": t_gopher,
+        "t_gopher_lines": t_gopher_lines,
+        "t_c4": t_c4,
+        "g_follow": g_follow,
+        "g_followr": g_followr,
+        "g_or_short": g_or_short,
+        "g_valuefilter": g_valuefilter,
+        "g_valuefilter_fn": g_valuefilter_fn,
+        "g_write_delete": g_write_delete,
+        "g_recursive": g_recursive,
+        "g_recursive_dist": g_recursive_dist,
+        "q1": q1,
+        "q3": q3,
+        "q4": q4,
+        "q5": q5,
+        "q6": q6,
+        "q14": q14,
+        "q17": q17,
+        "q18": q18,
+        "t_urlnorm": t_urlnorm,
+        "d_semdedup": d_semdedup,
+        "t_domains": t_domains,
+        "g_hits": g_hits,
+        "s_kcenter": s_kcenter,
+        "q12": q12,
+        "q_range": q_range,
+        "q_rollup": q_rollup,
+        "q_pivot": q_pivot,
+        "q_median": q_median,
+        "m_image": m_image,
+        "m_audio": m_audio,
+        "q_json": q_json,
+        "q_antijoin": q_antijoin,
+        "t_wsample": t_wsample,
+        "t_mixture_up": t_mixture_up,
+        "d_semdedup_far": d_semdedup_far,
+        "t_kmv": t_kmv,
+        "g_lpa": g_lpa,
+        "t_qscore": t_qscore,
+        "g_ppr": g_ppr,
+        # --- green in round 13 (rule 4: wait last; held by pytest +
+        # --- tools/check_oracles.py meanwhile) ----------------------
         "p_admit": p_admit,
         "q_sessions_bucketed": q_sessions_bucketed,
-        # --- code changed since their last verdict (rule-3 jump):
-        # --- p_pipeline/t_shards ride the export_shards clash guard
-        # --- + the admit durable_out change in functions/pipeline.py,
-        # --- d_index the LSHDedupIndex.compact distinct squeeze,
-        # --- q_events_topuser the window->max_by skew reformulation,
-        # --- q_sessions the sessionize bucket_seconds extension -----
         "p_pipeline": p_pipeline,
         "t_shards": t_shards,
         "d_index": d_index,
         "q_events_topuser": q_events_topuser,
         "q_sessions": q_sessions,
-        # --- last verified r10 (3 rounds stale = the ceiling; the
-        # --- 43-entry remainder cohort COVERAGE.md scheduled to
-        # --- lead this window) -------------------------------------
         "t_perplexity_ext": t_perplexity_ext,
         "t_qtrain": t_qtrain,
         "t_entropy": t_entropy,
@@ -3008,106 +3130,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_redact": t_redact,
         "t_repetition": t_repetition,
         "t_contaminate": t_contaminate,
-        # --- round-13 LATE addition (never driver-checked): the r13
-        # --- window was already full with the r10 cohort at its
-        # --- ceiling, so s_overlap sits at position 51 and leads the
-        # --- round-14 window by rule 1; held by pytest + the local
-        # --- oracle check meanwhile --------------------------------
-        "s_overlap": s_overlap,
-        # --- r11-green (lead the r14 window after s_overlap) --------
-        "t_rep_ngrams": t_rep_ngrams,
-        "q_events_agg": q_events_agg,
-        # --- r11-green remainder (positions 51+; leads the round-14
-        # --- window at 3 rounds stale; held by pytest +
-        # --- tools/check_oracles.py meanwhile) ----------------------
-        "d_bloom": d_bloom,
-        "d_trimspans": d_trimspans,
-        "t_split": t_split,
-        "t_postings": t_postings,
-        "t_clean": t_clean,
-        "t_urls": t_urls,
-        "t_tfidf": t_tfidf,
-        "t_vocab": t_vocab,
-        "t_trigram_lm": t_trigram_lm,
-        "t_chunks": t_chunks,
-        "t_pack": t_pack,
-        "t_bpe": t_bpe,
-        "s_knn_quant": s_knn_quant,
-        "q2": q2,
-        "q10": q10,
-        "q11": q11,
-        "q13": q13,
-        "q15": q15,
-        "q16": q16,
-        "q22": q22,
-        "t_paradedup": t_paradedup,
-        "d_spans": d_spans,
-        "t_scripts": t_scripts,
-        "t_tiers": t_tiers,
-        "g_walks": g_walks,
-        "t_cooc": t_cooc,
-        "g_in": g_in,
-        "g_out2": g_out2,
-        "g_tags": g_tags,
-        "g_union": g_union,
-        "g_except": g_except,
-        "g_intersect": g_intersect,
-        "g_unique": g_unique,
-        "g_count": g_count,
-        "g_allnodes": g_allnodes,
-        "g_labeled": g_labeled,
-        "g_compare": g_compare,
-        "g_regex": g_regex,
-        "g_order_limit": g_order_limit,
-        "g_skip": g_skip,
-        "g_optional": g_optional,
-        "g_both": g_both,
-        # --- green in round 12 (rule 4: wait last) ------------------
-        "q_window_agg": q_window_agg,
-        "d_substr": d_substr,
-        "d_substr_against": d_substr_against,
-        "d_substr_index": d_substr_index,
-        "t_gopher": t_gopher,
-        "t_gopher_lines": t_gopher_lines,
-        "t_c4": t_c4,
-        "g_follow": g_follow,
-        "g_followr": g_followr,
-        "g_or_short": g_or_short,
-        "g_valuefilter": g_valuefilter,
-        "g_valuefilter_fn": g_valuefilter_fn,
-        "g_write_delete": g_write_delete,
-        "g_recursive": g_recursive,
-        "g_recursive_dist": g_recursive_dist,
-        "q1": q1,
-        "q3": q3,
-        "q4": q4,
-        "q5": q5,
-        "q6": q6,
-        "q14": q14,
-        "q17": q17,
-        "q18": q18,
-        "t_urlnorm": t_urlnorm,
-        "d_semdedup": d_semdedup,
-        "t_domains": t_domains,
-        "g_hits": g_hits,
-        "s_kcenter": s_kcenter,
-        "q12": q12,
-        "q_asof": q_asof,
-        "q_range": q_range,
-        "q_rollup": q_rollup,
-        "q_pivot": q_pivot,
-        "q_median": q_median,
-        "m_image": m_image,
-        "m_audio": m_audio,
-        "q_json": q_json,
-        "q_antijoin": q_antijoin,
-        "t_wsample": t_wsample,
-        "t_mixture_up": t_mixture_up,
-        "d_semdedup_far": d_semdedup_far,
-        "t_kmv": t_kmv,
-        "g_lpa": g_lpa,
-        "t_qscore": t_qscore,
-        "g_ppr": g_ppr,
     }
 
 
@@ -4172,6 +4194,31 @@ WITH per_cust AS (
             ) WHERE rn = 1
         """,
         "q_asof": """
+            WITH p AS (
+              SELECT event_id AS purchase_id, user_id, ts
+              FROM events WHERE event_type = 'purchase'
+            ), cd AS (
+              SELECT user_id, ts, event_id AS click_id FROM (
+                SELECT user_id, ts, event_id,
+                  ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                     ORDER BY event_id DESC) AS rn
+                FROM events WHERE event_type = 'click'
+              ) WHERE rn = 1
+            ), j AS (
+              SELECT p.purchase_id, p.user_id, p.ts,
+                     cd.ts AS click_ts, cd.click_id,
+                ROW_NUMBER() OVER (PARTITION BY p.purchase_id
+                                   ORDER BY cd.ts DESC) AS rn
+              FROM p LEFT JOIN cd
+                ON p.user_id = cd.user_id AND cd.ts <= p.ts
+            )
+            SELECT purchase_id, user_id, ts, click_ts, click_id
+            FROM j WHERE rn = 1
+        """,
+        # q_asof_bucketed: the two-phase scale path is bit-identical
+        # to the single-window form by contract — the oracle is
+        # q_asof's verbatim
+        "q_asof_bucketed": """
             WITH p AS (
               SELECT event_id AS purchase_id, user_id, ts
               FROM events WHERE event_type = 'purchase'

@@ -46,6 +46,7 @@ def asof_join(
     direction: str = "backward",
     allow_exact: bool = True,
     suffix: str = "_right",
+    bucket_seconds: float | None = None,
 ) -> DataFrame:
     """For each left row, attach the single right row of the same key
     that is nearest in time: the latest right row with
@@ -63,6 +64,25 @@ def asof_join(
 
     Plan shape: union of the two projected sides → one shuffle on the
     key → per-partition sort → running window. No join node at all.
+
+    ``bucket_seconds`` selects the TWO-PHASE form — the hot-entity
+    scale path (SCALE.md round-13 audit, the sessionize discipline):
+    the default window partitioned by the key alone serializes every
+    row of one key into one sorted task, so a 10^7-row hot entity
+    becomes a straggler. With ``bucket_seconds`` set, phase 1 runs the
+    same running window per (key, time bucket) — no task ever holds
+    more than one bucket of one key — then each bucket's FINAL
+    non-null right struct (its carry, extracted by a ``max_by``/
+    ``min_by`` riding phase 1's own exchange) flows across buckets
+    through a running window over the per-(key, bucket) carry table,
+    whose frame is bounded by the key's BUCKET count, not its row
+    count; the result is ``coalesce(within-bucket value, incoming
+    carry)``. Bit-identical to the single-window form for ANY bucket
+    size, both directions, and both ``allow_exact`` settings: buckets
+    partition the time axis, so same-timestamp rows always share a
+    bucket (exactness is decided entirely by phase 1's side ordering)
+    and a carry from another bucket is strictly earlier/later than
+    every probe it reaches.
     """
     keys = [on] if isinstance(on, str) else list(on)
     right_ts = right_ts or left_ts
@@ -117,13 +137,17 @@ def asof_join(
         ).alias("__r"),
     )
     u = lt.unionByName(rt)
-    w = Window.partitionBy(*keys).orderBy("__ts", "__side")
-    if direction == "backward":
-        w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        u = u.withColumn("__r", F.last("__r", ignorenulls=True).over(w))
+    backward = direction == "backward"
+    if bucket_seconds is None:
+        w = Window.partitionBy(*keys).orderBy("__ts", "__side")
+        if backward:
+            w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            u = u.withColumn("__r", F.last("__r", ignorenulls=True).over(w))
+        else:
+            w = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+            u = u.withColumn("__r", F.first("__r", ignorenulls=True).over(w))
     else:
-        w = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-        u = u.withColumn("__r", F.first("__r", ignorenulls=True).over(w))
+        u = _asof_bucketed(u, keys, backward, bucket_seconds)
     out_names = {
         c: (c + suffix if c in left.columns else c) for c in attach
     }
@@ -140,6 +164,79 @@ def asof_join(
         for i, c in enumerate(attach)
     ]
     return u.select(*sel)
+
+
+def _asof_bucketed(
+    u: DataFrame,
+    keys: list[str],
+    backward: bool,
+    bucket_seconds: float,
+) -> DataFrame:
+    """Two-phase running-window fold for :func:`asof_join` (see its
+    docstring). ``u`` is the tagged union carrying ``__ts``/``__side``/
+    ``__r``; returns it with ``__r`` replaced by the as-of value.
+
+    Phase 1 runs the standard running last/first per (key, time
+    bucket). Each bucket's carry — its FINAL non-null right struct
+    (backward; FIRST, forward) — is the running column's value at the
+    bucket's boundary row, extracted by ONE ``max_by``/``min_by``
+    aggregate that rides phase 1's own (key, bucket) exchange: one
+    output row per (key, bucket) whether or not the bucket holds right
+    rows (an all-left bucket carries NULL, which the cross-bucket
+    window skips via ``ignorenulls``). Phase 2's running carry is
+    shifted one bucket back (frame ending at -1), so a bucket receives
+    only strictly earlier (later, forward) buckets' finals — exactness
+    at equal timestamps is therefore decided entirely by phase 1's
+    side ordering, because equal timestamps always share a bucket.
+    The phase-2 frame is bounded by the key's BUCKET count; the join
+    back is an equi-join on (key, bucket) that reuses the same
+    partitioning.
+    """
+    dtype = dict(u.dtypes)["__ts"]
+    if dtype.startswith("timestamp"):
+        # integer-microsecond bucketing (the range_join discipline).
+        # NOT F.window(): the TimeWindowing rule injects an
+        # isnotnull(ts) filter that would silently DROP null-ts left
+        # rows; unix_micros preserves NULL, handles both TIMESTAMP
+        # flavors via the cast, and pmod keeps the alignment exact
+        # int64 at any magnitude (a double `/` loses ulps past ±2^53
+        # µs from epoch).
+        bus = int(round(bucket_seconds * 1_000_000))
+        ts_us = F.unix_micros(F.col("__ts").cast("timestamp"))
+        bucket = ts_us - F.pmod(ts_us, F.lit(bus))
+    else:
+        bucket = F.floor(
+            F.col("__ts").cast("double") / F.lit(float(bucket_seconds))
+        )
+    u = u.withColumn("__bkt", bucket)
+    w1 = Window.partitionBy(*keys, "__bkt").orderBy("__ts", "__side")
+    if backward:
+        w1 = w1.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        within = F.last("__r", ignorenulls=True).over(w1)
+        pick = F.max_by
+    else:
+        w1 = w1.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        within = F.first("__r", ignorenulls=True).over(w1)
+        pick = F.min_by
+    u = u.withColumn("__within", within)
+    carry = u.groupBy(*keys, "__bkt").agg(
+        pick("__within", F.struct("__ts", "__side")).alias("__carry")
+    )
+    order = F.col("__bkt").asc() if backward else F.col("__bkt").desc()
+    w2 = (
+        Window.partitionBy(*keys)
+        .orderBy(order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    incoming = carry.select(
+        *keys,
+        "__bkt",
+        F.last("__carry", ignorenulls=True).over(w2).alias("__in"),
+    )
+    u = u.join(incoming, keys + ["__bkt"], "left")
+    return u.withColumn(
+        "__r", F.coalesce(F.col("__within"), F.col("__in"))
+    ).drop("__bkt", "__within", "__in")
 
 
 def range_join(
