@@ -11,13 +11,17 @@ Two readers with complementary guarantees:
   expressions (whole-stage codegen) for header fields and payload —
   no Python in the hot path, and uncompressed files SPLIT across
   executors (Hadoop's text reader handles multi-byte custom
-  delimiters across split boundaries). Framing caveat: records are
+  delimiters across split boundaries). Framing caveats: records are
   delimited by the ``\\r\\n\\r\\nWARC/1.0\\r\\n`` terminator
   sequence, so a payload that itself contains that exact byte
   sequence would mis-split; WET text extracts do not contain WARC
   headers by construction, and the exact reader below exists for
-  adversarial inputs. Trailing payload newlines are trimmed with the
-  record terminator (text-extract semantics).
+  adversarial inputs. A file framed by any OTHER WARC version
+  (e.g. WARC/1.1) would never split — instead of silently yielding
+  zero rows, an in-plan guard detects the unconsumed version-line
+  boundary and fails the job loudly (use :func:`read_warc` there).
+  Trailing payload newlines are trimmed with the record terminator
+  (text-extract semantics).
 
 - :func:`read_warc` — the EXACT path for full WARC files: payloads
   are recovered byte-precise by ``Content-Length`` framing per the
@@ -53,9 +57,12 @@ _WET_SCHEMA = (
 
 
 def _header(block, name):
-    """Extract one WARC header value from the header block (case
-    per spec; tolerant of missing headers -> empty string)."""
-    return F.regexp_extract(block, rf"(?m)^{name}:\s*(\S[^\r\n]*)", 1)
+    """Extract one WARC header value from the header block
+    (case-INSENSITIVE: ISO 28500 field names are case-insensitive,
+    and a legal non-canonical 'warc-target-uri:' must not silently
+    yield an empty url — read_warc's dict parse already lowercases;
+    tolerant of missing headers -> empty string)."""
+    return F.regexp_extract(block, rf"(?mi)^{name}:\s*(\S[^\r\n]*)", 1)
 
 
 def parse_wet(raw: DataFrame) -> DataFrame:
@@ -63,11 +70,36 @@ def parse_wet(raw: DataFrame) -> DataFrame:
     ``lineSep=_RECORD_SEP`` (one ``value`` column). Pure expressions
     only, so it applies unchanged to BATCH and STREAMING text reads
     (:func:`read_wet` / :func:`read_wet_stream`)."""
+    # VERSION GUARD (loud, in-plan): the lineSep framing splits ONLY
+    # on the WARC/1.0 terminator sequence. A file using any other
+    # version (e.g. WARC/1.1) never splits — it arrives as one giant
+    # record whose leading warcinfo block gets filtered, silently
+    # yielding ZERO rows: exactly the silent-truncation failure mode
+    # this module bans. Detect it precisely: after splitting, no
+    # record may still contain a full record-boundary sequence
+    # (blank line + a version line) for ANY version — 1.0 occurrences
+    # were all consumed by the separator, so a survivor means a
+    # missed boundary — and the file-opening version line (the one
+    # position the separator never touches) must be exactly 1.0.
+    bad = F.col("value").rlike(r"\r\n\r\nWARC/\d+\.\d+\r\n") | F.col(
+        "value"
+    ).rlike(r"\A(\r\n)?WARC/(?!1\.0\r\n)")
+    guard = F.assert_true(
+        ~bad,
+        F.lit(
+            "parse_wet: input is not WARC/1.0-framed (a record still "
+            "contains a WARC/x.y boundary the line separator did not "
+            "consume) — use read_warc for exact Content-Length parsing"
+        ),
+    )
     # the first record of each file keeps its opening version line
     # (the separator is the terminator+NEXT version line, so only
     # element 0 starts with one) — strip it unconditionally, then
     # split header block from payload at the first blank line
-    rec = F.regexp_replace(F.col("value"), r"\A(?:\r\n)?WARC/1\.0\r\n", "")
+    rec = F.when(
+        guard.isNull(),
+        F.regexp_replace(F.col("value"), r"\A(?:\r\n)?WARC/1\.0\r\n", ""),
+    )
     hdr = F.substring_index(F.col("r"), "\r\n\r\n", 1)
     # payload = everything after the first CRLFCRLF; the LAST record
     # of a file retains the file-final record terminator — trim
@@ -126,9 +158,13 @@ def wet_to_documents(wet: DataFrame) -> DataFrame:
     source is the registered host (the per-source unit mixture /
     overlap operators key on)."""
     # (?i): RFC 3986 schemes are case-insensitive — real crawls carry
-    # 'HTTPS://...' URIs, which must not collapse into 'unknown'
+    # 'HTTPS://...' URIs, which must not collapse into 'unknown'.
+    # Authority userinfo is stripped: the greedy optional
+    # ``[^/?#]*@`` consumes everything through the LAST '@' of the
+    # authority, so 'https://user@host/' and 'https://u:p@host:8080/'
+    # both attribute source 'host' — not 'user@host' or 'u'.
     host = F.regexp_extract(
-        "url", r"(?i)^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1
+        "url", r"(?i)^[a-z][a-z0-9+.-]*://(?:[^/?#]*@)?([^/:?#@]+)", 1
     )
     return wet.select(
         F.xxhash64(

@@ -130,7 +130,18 @@ def admit_corpus_stream(
     trigger/checkpoint and starts it. Extra keyword arguments pass
     through to :func:`admit_corpus_batch` (gate thresholds,
     jaccard_threshold, contam_n, ...); the LSH geometry always
-    follows the index's own saved parameters."""
+    follows the index's own saved parameters — passing ``num_hashes``
+    / ``bands`` / ``minhash_k`` here is rejected UP FRONT (it would
+    otherwise surface only as a duplicate-kwarg TypeError at the
+    first micro-batch, long after ``start()``)."""
+    reserved = {"num_hashes", "bands", "minhash_k"} & params.keys()
+    if reserved:
+        raise ValueError(
+            "admit_corpus_stream: LSH geometry always follows the "
+            "saved index's own parameters — remove "
+            f"{sorted(reserved)} (set geometry when BUILDING the "
+            "index at lsh_path)"
+        )
     return docs.writeStream.foreachBatch(
         _admit_fold(
             substr_path, lsh_path, out_path, benchmark,

@@ -216,3 +216,99 @@ def test_wet_to_documents_uppercase_scheme(spark, tmp_path):
     )
     rows = wet_to_documents(read_wet(spark, path)).collect()
     assert rows[0]["source"] == "upper.example.com"
+
+
+def test_read_wet_version_mismatch_fails_loudly(spark, tmp_path):
+    """A WET file framed by any non-1.0 WARC version never splits on
+    the 1.0 line separator — before the round-14 guard it silently
+    yielded ZERO rows (the giant record's warcinfo type filtered it).
+    The in-plan guard must fail the job loudly instead."""
+    import pytest
+
+    blob = _wet_record("warcinfo", None, "software: synthetic", "info")
+    blob += _wet_record("conversion", "u://1", "some text", "r-0")
+    blob = blob.replace(b"WARC/1.0", b"WARC/1.1")
+    p = tmp_path / "v11.warc.wet"
+    p.write_bytes(blob)
+    with pytest.raises(Exception, match="WARC/1.0-framed|assert"):
+        read_wet(spark, str(p)).collect()
+    # mixed versions: the file OPENS 1.0 (so the start check passes)
+    # but a later record is 1.1 — the unconsumed-boundary check fires
+    mixed = _wet_record("warcinfo", None, "software: synthetic", "info")
+    mixed += _wet_record("conversion", "u://1", "ok text", "r-0")
+    mixed += _wet_record("conversion", "u://2", "lost text", "r-1").replace(
+        b"WARC/1.0", b"WARC/1.1"
+    )
+    p2 = tmp_path / "mixed.warc.wet"
+    p2.write_bytes(mixed)
+    with pytest.raises(Exception, match="WARC/1.0-framed|assert"):
+        read_wet(spark, str(p2)).collect()
+    # control: a well-formed 1.0 file still parses
+    ok = _wet_file(tmp_path, "ok.warc.wet", [("u://9", "fine")])
+    assert read_wet(spark, ok).count() == 1
+
+
+def test_read_wet_header_names_case_insensitive(spark, tmp_path):
+    """ISO 28500 field names are case-insensitive: a legal
+    non-canonical WET file ('warc-target-uri:', 'content-length:')
+    must not silently produce empty url/record_id or null
+    content_length."""
+    blob = _wet_record("warcinfo", None, "software: synthetic", "info")
+    rec = _wet_record("conversion", "https://lc.example.com/x", "lower hdrs", "lc-0")
+    rec = (
+        rec.replace(b"WARC-Type:", b"warc-type:")
+        .replace(b"WARC-Target-URI:", b"warc-target-uri:")
+        .replace(b"WARC-Record-ID:", b"WARC-RECORD-ID:")
+        .replace(b"Content-Length:", b"content-length:")
+    )
+    p = tmp_path / "lc.warc.wet"
+    p.write_bytes(blob + rec)
+    got = read_wet(spark, str(p)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["url"] == "https://lc.example.com/x"
+    assert r["record_id"] == "<urn:uuid:lc-0>"
+    assert r["content_length"] == len(b"lower hdrs")
+
+
+def test_wet_to_documents_strips_authority_userinfo(spark, tmp_path):
+    """RFC 3986 authority userinfo must not leak into the source key:
+    'https://user@host/' attributes 'host' (not 'user@host') and
+    'https://u:p@host:8080/' attributes 'host' (not 'u')."""
+    path = _wet_file(
+        tmp_path, "ui.warc.wet",
+        [
+            ("https://user@host.example.com/a", "userinfo doc"),
+            ("https://u:p@host.example.com:8080/b", "userinfo port doc"),
+            ("https://plain.example.com/c", "plain doc"),
+        ],
+    )
+    rows = {r["text"]: r["source"] for r in wet_to_documents(
+        read_wet(spark, path)
+    ).collect()}
+    assert rows["userinfo doc"] == "host.example.com"
+    assert rows["userinfo port doc"] == "host.example.com"
+    assert rows["plain doc"] == "plain.example.com"
+
+
+def test_admit_corpus_stream_rejects_geometry_kwargs(spark, tmp_path):
+    """admit_corpus_stream always takes LSH geometry from the saved
+    index; passing num_hashes/bands/minhash_k must fail at CALL time
+    with a clear message, not as a duplicate-kwarg TypeError inside
+    the first micro-batch."""
+    import pytest
+
+    from cayley_spark.streaming.admission import admit_corpus_stream
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .selectExpr("value as doc_id", "'x' as text", "'s' as source")
+    )
+    with pytest.raises(ValueError, match="geometry always follows"):
+        admit_corpus_stream(
+            stream,
+            str(tmp_path / "sub"),
+            str(tmp_path / "lsh"),
+            str(tmp_path / "out"),
+            num_hashes=64,
+        )
