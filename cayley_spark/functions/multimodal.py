@@ -116,7 +116,7 @@ def _wav_decode(data: bytes):
 # ---------------- optional real codecs (PIL / PyAV) ----------------
 
 
-def _pil_decode(data: bytes):  # pragma: no cover - PIL absent in CI container
+def _pil_decode(data: bytes):
     """JPEG/PNG/WebP/... → (w, h, c, ndarray) via Pillow when it is
     installed; None otherwise. Auto-detected per Python worker at
     import time — environments with Pillow decode these formats for
@@ -155,7 +155,7 @@ def _decode_image(data: bytes):
     return None
 
 
-def _av_sample_frames(data: bytes, every_ms: int):  # pragma: no cover - av absent
+def _av_sample_frames(data: bytes, every_ms: int):
     """MP4/MKV/... → [(ts_ms, netpbm frame bytes)] via PyAV when it is
     installed; None otherwise. Sampled at the requested cadence; each
     frame re-encoded as P6 netpbm so downstream image operators
