@@ -436,13 +436,21 @@ def run_ops(spark, sf_dir: str, m: int) -> dict[str, float]:
                     "text", r"((?:\S+ ){4}\S+) ", "$1.\n\n"
                 ),
             )
+            # lang="unknown" + suffixed stoplist (round-14 fix): the
+            # z<k>-suffixed corpus IDs as unknown and carries no
+            # unsuffixed stopwords, so the original r13 run's default
+            # lang="en" gate zeroed the batch at stage 1 — this row's
+            # original "flat" verdict measured gates + empty joins.
+            # Re-run with survivors flowing (SCALE.md round-14 note).
             return admit_corpus_batch(
                 syn_b,
                 sidx,
                 lidx,
+                lang="unknown",
                 gopher_min_words=30,
-                gopher_stoplist=(
-                    "the", "a", "table", "value", "row", "fast",
+                gopher_stoplist=tuple(
+                    f"{w}z0"
+                    for w in ("the", "a", "table", "value", "row", "fast")
                 ),
                 substr_min_count=2,
                 jaccard_threshold=0.2,
@@ -454,6 +462,128 @@ def run_ops(spark, sf_dir: str, m: int) -> dict[str, float]:
             "lsh_dedup_vs_index": _lsh_warm,
             "admit_vs_index": _admit_fixed,
         }
+
+    if os.environ.get("SCALE_OPS") == "r14":
+        # VERDICT r13 #6: certify the crawl ON-RAMP — WET bytes
+        # through read_wet -> wet_to_documents -> admit_corpus_batch
+        # — at 1/3/10x WET volume against FIXED indexes. This is the
+        # complementary axis to the r13 pass (fixed batch, growing
+        # index): here the index is pinned to replica 0's
+        # doc_id % 3 == 0 slice (identical at every m) while the WET
+        # bytes grow m-fold. Replica token spaces are disjoint, so
+        # the batch decomposes into 1 unit that hits the index
+        # (replica 0 — constant bytes) and m-1 units of pure misses;
+        # every linear-in-batch component (parse, gates, window
+        # fingerprinting, signature hashing, within-batch dedup at
+        # fixed dup rate, anti-join probes) grows m-fold and the
+        # fixed index-side scan does not, so slope <= growth
+        # certifies the on-ramp.
+        import shutil
+
+        from cayley_spark.functions.dedup_index import (
+            LSHDedupIndex,
+            SubstrDedupIndex,
+        )
+        from cayley_spark.functions.pipeline import admit_corpus_batch
+        from cayley_spark.sources.warc import read_wet, wet_to_documents
+
+        # the corpus text gets the p_pipeline/p_admit structure
+        # synthesis (periods + paragraph breaks every 5 tokens) so
+        # the C4 line/sentence gates discriminate instead of zeroing
+        # the batch — survivors must flow through every admission
+        # stage or the slope is gates-only
+        docs = docs.withColumn(
+            "text",
+            F.regexp_replace("text", r"((?:\S+ ){4}\S+) ", "$1.\n\n"),
+        )
+
+        # synthesize WET segments from the m-fold docs: one
+        # conversion record per doc with exact WARC/1.0 framing —
+        # each text-writer row ends "\r\n\r" so the writer's own
+        # "\n" completes the record terminator byte-exactly
+        wet_dir = f"/tmp/scale_r14_wet_m{m}"
+        shutil.rmtree(wet_dir, ignore_errors=True)
+        rec = F.concat(
+            F.lit(
+                "WARC/1.0\r\nWARC-Type: conversion\r\n"
+                "WARC-Target-URI: https://"
+            ),
+            F.col("source"),
+            F.lit(".example.com/"),
+            F.col("doc_id").cast("string"),
+            F.lit(
+                "\r\nWARC-Date: 2026-01-05T10:00:00Z\r\n"
+                "WARC-Record-ID: <urn:uuid:"
+            ),
+            F.col("doc_id").cast("string"),
+            F.lit(">\r\nContent-Length: "),
+            F.octet_length("text").cast("string"),
+            F.lit("\r\n\r\n"),
+            F.col("text"),
+            F.lit("\r\n\r"),
+        )
+        docs.select(rec.alias("value")).write.mode("overwrite").text(
+            wet_dir
+        )
+
+        spath = "/tmp/scale_r14_sidx"
+        lpath = "/tmp/scale_r14_lidx"
+        shutil.rmtree(spath, ignore_errors=True)
+        shutil.rmtree(lpath, ignore_errors=True)
+        ref = docs.where(
+            (F.col("doc_id") < OFFSET) & (F.col("doc_id") % 3 == 0)
+        ).select("doc_id", "text")
+        SubstrDedupIndex.build(ref, k=10).save(spath)
+        LSHDedupIndex.build(ref, k=3).save(lpath)
+
+        # the scale corpus suffixes every token with z<k>, so the
+        # stoplist carries each replica's suffixed forms — pass rate
+        # is replica-uniform, keeping the gate survivor RATE constant
+        # as m grows
+        stop = tuple(
+            f"{w}z{k}"
+            for w in ("the", "a", "table", "value", "row", "fast")
+            for k in range(m)
+        )
+
+        def _wet_parse():
+            # the scan-speed claim alone: splittable text read +
+            # pure-expression parse + documents-contract mapping
+            return wet_to_documents(read_wet(spark, wet_dir))
+
+        def _wet_admit():
+            sidx = SubstrDedupIndex.load(spark, spath)
+            lidx = LSHDedupIndex.load(spark, lpath)
+            # lang="unknown": the z<k>-suffixed synthetic corpus IDs
+            # as unknown, and the default lang="en" would zero the
+            # batch at the first fused gate — every later stage would
+            # then run on an EMPTY frame and the slope would measure
+            # gates only (the round-14 methodological catch: the
+            # r12/r13 composed-admit rows had exactly this hole).
+            # Survivor counts are printed per m as the audit.
+            return admit_corpus_batch(
+                wet_to_documents(read_wet(spark, wet_dir)),
+                sidx,
+                lidx,
+                lang="unknown",
+                gopher_min_words=30,
+                gopher_stoplist=stop,
+                substr_min_count=2,
+                jaccard_threshold=0.2,
+                update_indexes=False,
+            )
+
+        # survivor audit (untimed): the slope is only honest if rows
+        # actually flow through every admission stage at every m
+        n_adm = _wet_admit().count()
+        print(
+            json.dumps(
+                {"op": "wet_admit_survivors", "m": m, "rows": n_adm}
+            ),
+            flush=True,
+        )
+
+        ops = {"wet_parse": _wet_parse, "wet_admit": _wet_admit}
 
     def persistent_ids():
         mm = spark.sparkContext._jsc.getPersistentRDDs()
