@@ -1596,6 +1596,66 @@ def q_events_agg(spark, sf):
     return a.unionByName(b)
 
 
+def p_wet(spark, sf):
+    """WET crawl on-ramp parse (sources/warc.py, VERDICT r13 #6):
+    every documents row is rendered as an exact WARC/1.0 WET
+    conversion record (synthetic segment files under /tmp, cache-keyed
+    on the source parquet's mtime like p_admit's indexes; each
+    text-writer row ends CR LF CR so the writer's own LF completes the
+    record terminator byte-exactly), read back through the SPLITTABLE
+    read_wet scan — real file I/O through the lineSep framing, the
+    version guard, and the header regexps — and mapped onto the
+    documents contract by wet_to_documents. Output is (source, text,
+    url, record_id, content_length): the oracle derives every field
+    ANALYTICALLY from the documents table (synthesized url and
+    record id, host = source + '.example.com', byte length, text with
+    the parser's documented trailing-newline trim) — it never replays
+    the parse, so a framing or extraction bug cannot cancel out.
+    doc_id is omitted: it is xxhash64-derived, which DuckDB cannot
+    replay (its determinism is pinned by
+    test_wet_to_documents_contract)."""
+    import hashlib
+    import os
+
+    from cayley_spark.sources.warc import read_wet, wet_to_documents
+
+    src = f"{sf}/documents.parquet"
+    fp = hashlib.md5(
+        f"{os.path.abspath(src)}:{os.path.getmtime(src)}:wet:v1".encode()
+    ).hexdigest()[:10]
+    wet_dir = f"/tmp/cayley_wet_{fp}"
+    from cayley_spark.streaming.sketches import _path_exists
+
+    if not _path_exists(spark, os.path.join(wet_dir, "_SUCCESS")):
+        docs = _t_wide(spark, sf, "documents")
+        rec = F.concat(
+            F.lit(
+                "WARC/1.0\r\nWARC-Type: conversion\r\n"
+                "WARC-Target-URI: https://"
+            ),
+            F.col("source"),
+            F.lit(".example.com/"),
+            F.col("doc_id").cast("string"),
+            F.lit(
+                "\r\nWARC-Date: 2026-01-05T10:00:00Z\r\n"
+                "WARC-Record-ID: <urn:uuid:"
+            ),
+            F.col("doc_id").cast("string"),
+            F.lit(">\r\nContent-Length: "),
+            F.octet_length("text").cast("string"),
+            F.lit("\r\n\r\n"),
+            F.col("text"),
+            F.lit("\r\n\r"),
+        )
+        docs.select(rec.alias("value")).write.mode("overwrite").text(
+            wet_dir
+        )
+    return wet_to_documents(
+        read_wet(spark, wet_dir),
+        keep=("url", "record_id", "content_length"),
+    ).drop("doc_id")
+
+
 def p_pipeline(spark, sf):
     """End-to-end corpus-preparation pipeline (functions/pipeline.
     corpus_pipeline — the COMPOSITION of the individually certified
@@ -2964,13 +3024,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     arithmetic): s_overlap leads by rule 1 (registered late r13 at
     position 51, never driver-checked), then q_asof_bucketed (new —
     the two-phase as-of hot-entity scale path, VERDICT r13 #1), then
-    the rule-3 jump q_asof (asof_join's body gained the
-    bucket_seconds branch), then the 44-entry r11 cohort
+    p_wet (new — the WET on-ramp parse with an analytic oracle,
+    VERDICT r13 #6), then the rule-3 jump q_asof (asof_join's body
+    gained the bucket_seconds branch), then the 44-entry r11 cohort
     (t_rep_ngrams .. g_both — exactly 3 rounds stale at this verdict,
-    the ratified ceiling); 3 fills from the r12-green cohort head
-    (q_window_agg, d_substr, d_substr_against) complete the 50.
-    The rest of the r12-green cohort follows; r13-green entries sit
-    last (rule 4). Registry = 141 (+1 this round: q_asof_bucketed).
+    the ratified ceiling); 2 fills from the r12-green cohort head
+    (q_window_agg, d_substr) complete the 50. The rest of the
+    r12-green cohort follows; r13-green entries sit last (rule 4).
+    Registry = 142 (+2 this round: q_asof_bucketed, p_wet).
     """
     return {
         # --- rule-1 head (never driver-checked): s_overlap was the
@@ -2980,6 +3041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- oracle = q_asof's verbatim -----------------------------
         "s_overlap": s_overlap,
         "q_asof_bucketed": q_asof_bucketed,
+        "p_wet": p_wet,
         # --- code changed since its last verdict (rule-3 jump):
         # --- q_asof rides asof_join's bucket_seconds two-phase
         # --- extension (the single-window default path is untouched
@@ -4214,6 +4276,21 @@ WITH per_cust AS (
             )
             SELECT purchase_id, user_id, ts, click_ts, click_id
             FROM j WHERE rn = 1
+        """,
+        # p_wet: the oracle DERIVES every parsed field analytically
+        # from the documents table — synthesized url/record id, host,
+        # byte length, the parser's trailing-newline trim — instead
+        # of replaying the regexp parse, so framing bugs can't cancel
+        "p_wet": """
+            SELECT lower(source) || '.example.com' AS source,
+                   regexp_replace(text, '[\r\n]+$', '') AS text,
+                   'https://' || source || '.example.com/'
+                     || CAST(doc_id AS VARCHAR) AS url,
+                   '<urn:uuid:' || CAST(doc_id AS VARCHAR) || '>'
+                     AS record_id,
+                   CAST(octet_length(encode(text)) AS INT)
+                     AS content_length
+            FROM documents
         """,
         # q_asof_bucketed: the two-phase scale path is bit-identical
         # to the single-window form by contract — the oracle is

@@ -151,12 +151,14 @@ def read_wet_stream(
     return parse_wet(reader.text(path, lineSep=_RECORD_SEP))
 
 
-def wet_to_documents(wet: DataFrame) -> DataFrame:
+def wet_to_documents(wet: DataFrame, keep: tuple = ()) -> DataFrame:
     """Map WET records onto the repo's documents-table contract
     (doc_id, source, text): doc_id is a content-addressed xxhash64 of
     (record id, url) — stable across re-reads and engines — and
     source is the registered host (the per-source unit mixture /
-    overlap operators key on)."""
+    overlap operators key on). ``keep`` appends passthrough columns
+    from the WET frame (e.g. ``("url", "record_id")``) after the
+    contract columns — the export_shards ``keep`` convention."""
     # (?i): RFC 3986 schemes are case-insensitive — real crawls carry
     # 'HTTPS://...' URIs, which must not collapse into 'unknown'.
     # Authority userinfo is stripped: the greedy optional
@@ -174,6 +176,7 @@ def wet_to_documents(wet: DataFrame) -> DataFrame:
             F.nullif(F.lower(host), F.lit("")), F.lit("unknown")
         ).alias("source"),
         "text",
+        *keep,
     )
 
 
