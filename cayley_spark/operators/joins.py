@@ -177,20 +177,21 @@ def _asof_bucketed(
     ``__r``; returns it with ``__r`` replaced by the as-of value.
 
     Phase 1 runs the standard running last/first per (key, time
-    bucket). Each bucket's carry — its FINAL non-null right struct
-    (backward; FIRST, forward) — is the running column's value at the
-    bucket's boundary row, extracted by ONE ``max_by``/``min_by``
-    aggregate that rides phase 1's own (key, bucket) exchange: one
-    output row per (key, bucket) whether or not the bucket holds right
-    rows (an all-left bucket carries NULL, which the cross-bucket
-    window skips via ``ignorenulls``). Phase 2's running carry is
+    bucket). Each bucket's carry — its FINAL right struct (backward;
+    FIRST, forward) — is one ``max_by``/``min_by`` aggregate over the
+    RIGHT rows alone (``__r`` is non-null exactly on right rows), so
+    the carry branch scans a (keys, ts, side, attach-struct)
+    projection with the left columns pruned and never recomputes the
+    phase-1 window. The bucket LIST left-joined against it is a
+    2-column distinct over the union (buckets holding only left rows
+    must still receive an incoming carry). Phase 2's running carry is
     shifted one bucket back (frame ending at -1), so a bucket receives
     only strictly earlier (later, forward) buckets' finals — exactness
     at equal timestamps is therefore decided entirely by phase 1's
     side ordering, because equal timestamps always share a bucket.
     The phase-2 frame is bounded by the key's BUCKET count; the join
-    back is an equi-join on (key, bucket) that reuses the same
-    partitioning.
+    back is an equi-join on (key, bucket) against the (key, bucket)
+    partitioning the main path already holds.
     """
     dtype = dict(u.dtypes)["__ts"]
     if dtype.startswith("timestamp"):
@@ -218,9 +219,13 @@ def _asof_bucketed(
         w1 = w1.rowsBetween(Window.currentRow, Window.unboundedFollowing)
         within = F.first("__r", ignorenulls=True).over(w1)
         pick = F.min_by
-    u = u.withColumn("__within", within)
-    carry = u.groupBy(*keys, "__bkt").agg(
-        pick("__within", F.struct("__ts", "__side")).alias("__carry")
+    carry = (
+        u.where(F.col("__r").isNotNull())  # right rows only
+        .groupBy(*keys, "__bkt")
+        .agg(pick("__r", F.struct("__ts", "__side")).alias("__carry"))
+    )
+    bl = u.select(*keys, "__bkt").distinct().join(
+        carry, keys + ["__bkt"], "left"
     )
     order = F.col("__bkt").asc() if backward else F.col("__bkt").desc()
     w2 = (
@@ -228,12 +233,14 @@ def _asof_bucketed(
         .orderBy(order)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    incoming = carry.select(
+    incoming = bl.select(
         *keys,
         "__bkt",
         F.last("__carry", ignorenulls=True).over(w2).alias("__in"),
     )
-    u = u.join(incoming, keys + ["__bkt"], "left")
+    u = u.withColumn("__within", within).join(
+        incoming, keys + ["__bkt"], "left"
+    )
     return u.withColumn(
         "__r", F.coalesce(F.col("__within"), F.col("__in"))
     ).drop("__bkt", "__within", "__in")
