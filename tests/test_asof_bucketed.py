@@ -198,3 +198,33 @@ def test_asof_bucketed_equivalence_fuzz(
             ]
             want = min(cand)[1] if cand else None
         assert got[lid] == want, (direction, exact, lid)
+
+
+def test_bucketed_multi_key(spark):
+    """Composite join keys through the bucketed path: every phase
+    (bucket window, carry, bucket list, running carry, join-back)
+    partitions on ALL keys."""
+    import random
+
+    rnd = random.Random(5)
+    lrows = [
+        (i, rnd.randrange(2), rnd.randrange(3), float(rnd.randrange(500)))
+        for i in range(200)
+    ]
+    seen = set()
+    rrows = []
+    for i in range(300):
+        k = (rnd.randrange(2), rnd.randrange(3), float(rnd.randrange(500)))
+        if k in seen:
+            continue
+        seen.add(k)
+        rrows.append((*k, float(i)))
+    left = spark.createDataFrame(lrows, "lid long, a long, b long, ts double")
+    right = spark.createDataFrame(rrows, "a long, b long, ts double, val double")
+    for direction in ("backward", "forward"):
+        base = _canon(asof_join(left, right, on=["a", "b"], direction=direction))
+        two = _canon(
+            asof_join(left, right, on=["a", "b"], direction=direction,
+                      bucket_seconds=40.0)
+        )
+        assert two == base, direction

@@ -209,3 +209,33 @@ def test_quote_state_updates_across_batches(spark, tmp_path):
     assert len(rows) == 1
     assert rows[0]["bid"] == 2.0
     assert str(rows[0]["ts_right"]) == "2024-01-01 00:06:00"
+
+
+def test_stream_multi_key(spark, tmp_path):
+    """Composite join keys through the stateful fold (group key is a
+    tuple; probe columns re-assembled positionally)."""
+    probes = [(1, 0, "x", "2024-01-01 00:05:00"), (2, 1, "x", "2024-01-01 00:05:00")]
+    quotes = [(0, "x", "2024-01-01 00:04:00", 1.5), (1, "x", "2024-01-01 00:03:00", 2.5)]
+    pdir = tmp_path / "pm"
+    pdir.mkdir()
+    with open(pdir / "b0.json", "w") as f:
+        for pid, a, b, ts in probes:
+            f.write(json.dumps({"pid": pid, "a": a, "b": b, "ts": ts}) + "\n")
+    qdir = tmp_path / "qm"
+    qdir.mkdir()
+    with open(qdir / "b0.json", "w") as f:
+        for a, b, ts, bid in quotes:
+            f.write(json.dumps({"a": a, "b": b, "ts": ts, "bid": bid}) + "\n")
+    p = spark.readStream.schema("pid long, a long, b string, ts timestamp").json(str(pdir))
+    q = spark.readStream.schema("a long, b string, ts timestamp, bid double").json(str(qdir))
+    out = asof_join_stream(p, q, on=["a", "b"])
+    h = (
+        out.writeStream.format("memory").queryName("asof_mk")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_mk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    h.awaitTermination(120)
+    rows = {r["pid"]: (r["a"], r["b"], r["bid"]) for r in spark.table("asof_mk").collect()}
+    assert rows == {1: (0, "x", 1.5), 2: (1, "x", 2.5)}
