@@ -2094,6 +2094,31 @@ def t_wsample(spark, sf):
     ).orderBy("doc_id")
 
 
+def t_qsketch(spark, sf):
+    """Bottom-k SAMPLE sketch + positional quantiles
+    (functions/sketch.sample_sketch_build/_quantiles, round 14): the
+    64 documents with the smallest md5(doc_id) digests form a
+    content-addressed uniform sample (the KMV argument applied to a
+    value-carrying sample — the quantile/distribution member of the
+    sketch family, where approx_percentile would ship an opaque
+    datasketch blob no other engine reads); quantiles of text length
+    are selected POSITIONALLY (the q_median convention — no
+    interpolation arithmetic) at ceil(q*n), so the oracle replays
+    digest selection, the min-per-key duplicate rule, and the rank
+    arithmetic exactly. Scale path: per-partition Arrow kernel with
+    O(k) state, one corpus scan, nothing else moves."""
+    from cayley_spark.functions.sketch import (
+        sample_sketch_build,
+        sample_sketch_quantiles,
+    )
+
+    docs = _t_wide(spark, sf, "documents")
+    sk = sample_sketch_build(
+        docs, F.col("doc_id"), F.length("text"), k=64
+    )
+    return sample_sketch_quantiles(sk, [0.1, 0.25, 0.5, 0.75, 0.9, 1.0])
+
+
 def t_kmv(spark, sf):
     """KMV distinct-count sketch (functions/sketch.kmv_build —
     Bar-Yossef et al. 2002 / Beyer et al. 2007): the 128 smallest
@@ -3025,13 +3050,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     position 51, never driver-checked), then q_asof_bucketed (new —
     the two-phase as-of hot-entity scale path, VERDICT r13 #1), then
     p_wet (new — the WET on-ramp parse with an analytic oracle,
-    VERDICT r13 #6), then the rule-3 jump q_asof (asof_join's body
-    gained the bucket_seconds branch), then the 44-entry r11 cohort
-    (t_rep_ngrams .. g_both — exactly 3 rounds stale at this verdict,
-    the ratified ceiling); 2 fills from the r12-green cohort head
-    (q_window_agg, d_substr) complete the 50. The rest of the
-    r12-green cohort follows; r13-green entries sit last (rule 4).
-    Registry = 142 (+2 this round: q_asof_bucketed, p_wet).
+    VERDICT r13 #6), t_qsketch (new — the bottom-k sample sketch's
+    positional quantiles), then the rule-3 jump q_asof (asof_join's
+    body gained the bucket_seconds branch), then the 44-entry r11
+    cohort (t_rep_ngrams .. g_both — exactly 3 rounds stale at this
+    verdict, the ratified ceiling); 1 fill from the r12-green cohort
+    head (q_window_agg) completes the 50. The rest of the r12-green
+    cohort follows; r13-green entries sit last (rule 4).
+    Registry = 143 (+3 this round: q_asof_bucketed, p_wet,
+    t_qsketch).
     """
     return {
         # --- rule-1 head (never driver-checked): s_overlap was the
@@ -3042,6 +3069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_overlap": s_overlap,
         "q_asof_bucketed": q_asof_bucketed,
         "p_wet": p_wet,
+        "t_qsketch": t_qsketch,
         # --- code changed since its last verdict (rule-3 jump):
         # --- q_asof rides asof_join's bucket_seconds two-phase
         # --- extension (the single-window default path is untouched
@@ -4291,6 +4319,27 @@ WITH per_cust AS (
                    CAST(octet_length(encode(text)) AS INT)
                      AS content_length
             FROM documents
+        """,
+        # t_qsketch: digest selection, the min-per-key rule, and the
+        # positional rank arithmetic replay exactly; q is cast DOUBLE
+        # on both sides (a bare VALUES literal would be DECIMAL in
+        # DuckDB and hash-mismatch)
+        "t_qsketch": """
+            WITH s AS (
+              SELECT md5(CAST(doc_id AS VARCHAR)) AS h,
+                     MIN(CAST(length(text) AS DOUBLE)) AS v
+              FROM documents GROUP BY 1 ORDER BY h LIMIT 64
+            ), r AS (
+              SELECT v, h, ROW_NUMBER() OVER (ORDER BY v, h) AS rn,
+                     COUNT(*) OVER () AS n
+              FROM s
+            )
+            SELECT CAST(t.q AS DOUBLE) AS q, r.v AS value
+            FROM r JOIN (VALUES (0.1),(0.25),(0.5),(0.75),(0.9),(1.0))
+                     AS t(q)
+              ON r.rn = GREATEST(
+                   1, CAST(CEIL(CAST(t.q AS DOUBLE) * r.n) AS BIGINT))
+            ORDER BY q
         """,
         # q_asof_bucketed: the two-phase scale path is bit-identical
         # to the single-window form by contract — the oracle is

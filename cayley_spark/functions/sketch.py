@@ -529,3 +529,149 @@ def kmv_estimate(sketch: DataFrame) -> float:
         return float(len(rows))
     frac = int(rows[-1]["h"], 16) / float(1 << 128)
     return (k - 1) / frac
+
+
+# ---------------- bottom-k sample sketch (quantiles) ----------------
+
+
+def sample_sketch_build(
+    df: DataFrame, key: Column, value: Column, k: int = 256
+) -> DataFrame:
+    """Bottom-k SAMPLE sketch — the quantile/distribution member of
+    the sketch family (Count-Min = frequencies, KMV = distinct count,
+    bloom = membership; this = the VALUE DISTRIBUTION over distinct
+    keys). The k distinct keys with the lexicographically smallest
+    ``md5(key)`` digests form a content-addressed uniform sample of
+    the key population (md5 is uniform on keys, so "smallest k
+    digests" = "uniform k-subset", the KMV argument); each carries
+    its value, and any distributional statistic — quantiles, mean,
+    histogram — is computed exactly over the sample.
+
+    Output: (rank INT, h STRING, v DOUBLE, k INT), rank ascending by
+    digest. Deterministic and partitioning-independent (the sample is
+    a pure function of the key set), mergeable by
+    :func:`sample_sketch_merge` (bottom-k of a union = bottom-k of
+    the per-part bottom-k's — the same multiset-union property as
+    KMV), and SQL-replayable EXACTLY
+    (``SELECT md5(key), MIN(value) GROUP BY 1 ORDER BY 1 LIMIT k``)
+    — unlike ``approx_percentile``'s opaque datasketch blob.
+
+    Duplicate key rows: the caller's contract is key -> value
+    functional dependency (sample over ENTITIES); if violated, the
+    MINIMUM value per key wins — a deterministic, oracle-replayable
+    tie rule, never "whichever row arrived first".
+
+    100-TB plan: a per-partition Arrow kernel keeps only the running
+    k smallest (digest, value) pairs (O(k) state per partition, no
+    corpus sort, no shuffle); at most k rows per partition reach the
+    final tiny merge. One corpus scan, nothing else moves."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    from pyspark.sql.window import Window
+
+    hashed = df.select(
+        F.md5(F.coalesce(key.cast("string"), F.lit(""))).alias("h"),
+        value.cast("double").alias("v"),
+    )
+
+    def _partition_minima(batches):
+        import pandas as pd
+
+        best = None
+        for pdf in batches:
+            cand = pdf if best is None else pd.concat([best, pdf])
+            cand = (
+                cand.groupby("h", as_index=False)["v"].min()
+                .sort_values("h")
+            )
+            best = cand.iloc[:k]
+        if best is not None and len(best):
+            yield best
+
+    part = hashed.mapInPandas(_partition_minima, "h string, v double")
+    # <= k rows per partition reach this merge; the groupBy re-applies
+    # the min rule across partitions of the same key
+    top = (
+        part.groupBy("h")
+        .agg(F.min("v").alias("v"))
+        .orderBy("h")
+        .limit(k)
+    )
+    return top.select(
+        F.row_number().over(Window.orderBy("h")).cast("int").alias("rank"),
+        "h",
+        "v",
+        F.lit(k).cast("int").alias("k"),
+    )
+
+
+def sample_sketch_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Union of two bottom-k sample sketches built with the same k:
+    the k smallest digests of the union of survivors — EXACTLY the
+    sketch of the concatenated corpora, so per-shard/per-day samples
+    roll up without re-reading anything. A key present in both sides
+    keeps the minimum value (the build's own duplicate rule).
+    Geometry (k) is validated like the KMV/bloom/countmin merges."""
+    ka = [int(r[0]) for r in a.select("k").distinct().collect()]
+    kb = [int(r[0]) for r in b.select("k").distinct().collect()]
+    if len(set(ka)) > 1 or len(set(kb)) > 1:
+        raise ValueError(
+            "sample_sketch_merge: sketch carries conflicting k values"
+        )
+    if ka and kb and ka[0] != kb[0]:
+        raise ValueError(
+            f"sample_sketch_merge: geometry mismatch k={ka[0]} vs k={kb[0]}"
+        )
+    k = ka[0] if ka else (kb[0] if kb else 0)
+    if k == 0:
+        return a.limit(0)
+    from pyspark.sql.window import Window
+
+    u = (
+        a.select("h", "v")
+        .unionByName(b.select("h", "v"))
+        .groupBy("h")
+        .agg(F.min("v").alias("v"))
+        .orderBy("h")
+        .limit(k)
+    )
+    return u.select(
+        F.row_number().over(Window.orderBy("h")).cast("int").alias("rank"),
+        "h",
+        "v",
+        F.lit(k).cast("int").alias("k"),
+    )
+
+
+def sample_sketch_quantiles(
+    sketch: DataFrame, qs: list[float]
+) -> DataFrame:
+    """Positional (type-1) quantiles of the sampled value
+    distribution: for each q, the value at row ceil(q*n) of the
+    sample ordered by (v, h) — n <= k rows, so every window here is
+    bounded by the sketch size, never the corpus. Positional
+    selection (the q_median convention) means NO interpolation
+    arithmetic: when values are integers the result is an observed
+    integer, and a SQL oracle replays the selection exactly. Returns
+    (q DOUBLE, value DOUBLE) ordered by q. Estimation error vs the
+    true population quantile is the usual sampling error
+    (O(1/sqrt(k)) in rank space), not a property of the selection."""
+    import math
+
+    from pyspark.sql.window import Window
+
+    n = sketch.count()
+    if n == 0:
+        raise ValueError("sample_sketch_quantiles: empty sketch")
+    ranked = sketch.select("v", "h").withColumn(
+        "__r", F.row_number().over(Window.orderBy("v", "h"))
+    )
+    targets = [
+        (float(q), int(max(1, math.ceil(float(q) * n)))) for q in qs
+    ]
+    tdf = sketch.sparkSession.createDataFrame(targets, "q double, idx int")
+    return (
+        ranked.join(F.broadcast(tdf), F.col("__r") == F.col("idx"))
+        .select("q", F.col("v").alias("value"))
+        .orderBy("q")
+    )

@@ -314,3 +314,59 @@ def _kmv_fold(key: Column, path: str, k: int):
         _write_last_batch(spark, path, batch_id)
 
     return _fold
+
+
+def sample_stream(
+    docs: DataFrame, key: Column, value: Column, path: str, k: int = 256
+):
+    """Maintain a persisted bottom-k SAMPLE sketch at ``path`` over a
+    stream (the quantile member of this maintenance family): per
+    micro-batch, sketch the batch and keep the k smallest-digest
+    (key, value) survivors of the union with the saved sample — the
+    same multiset-union property as KMV makes the maintained sample
+    EXACTLY the one-pass sample of everything applied so far
+    (test-pinned), so quantiles over a month of stream equal
+    quantiles over the month's batch build. Replay of a committed
+    batch is mathematically a no-op (set semantics on digests + the
+    deterministic min-value rule); the batch-id guard still skips the
+    wasted rewrite."""
+    return docs.writeStream.foreachBatch(_sample_fold(key, value, path, k))
+
+
+def _sample_fold(key: Column, value: Column, path: str, k: int):
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        from ..functions.sketch import sample_sketch_build
+
+        spark = batch_df.sparkSession
+        if batch_id <= _read_last_batch(spark, path):
+            return
+        batch_sk = sample_sketch_build(batch_df, key, value, k=k)
+        pairs = {r["h"]: r["v"] for r in batch_sk.collect()}  # <= k rows
+        from ..functions.ann_index import _recover_swap, _swap_dir
+
+        _recover_swap(spark, path, "sample")
+        saved_dir = os.path.join(path, "sample")
+        if _path_exists(spark, saved_dir):  # else first batch
+            saved = spark.read.parquet(saved_dir).collect()
+            if saved and int(saved[0]["k"]) != int(k):
+                raise ValueError(
+                    f"sample stream at {path} carries k="
+                    f"{int(saved[0]['k'])}; this stream declares k={k} "
+                    "— the sample would be biased. Restart with the "
+                    "original k or rebuild."
+                )
+            for r in saved:
+                h, v = r["h"], r["v"]
+                pairs[h] = v if h not in pairs else min(pairs[h], v)
+        top = sorted(pairs.items())[:k]
+        merged = spark.createDataFrame(
+            [(i + 1, h, float(v), int(k)) for i, (h, v) in enumerate(top)],
+            "rank int, h string, v double, k int",
+        )
+        merged.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(path, "sample.save.tmp")
+        )
+        _swap_dir(spark, path, "sample")
+        _write_last_batch(spark, path, batch_id)
+
+    return _fold
