@@ -189,13 +189,28 @@ class GraphStore:
 
     @classmethod
     def load(
-        cls, spark: SparkSession, path: str, dedup_nodes: bool = False
+        cls,
+        spark: SparkSession,
+        path: str,
+        dedup_nodes: bool = False,
+        as_of: int | None = None,
     ) -> "GraphStore":
         """``dedup_nodes=True`` collapses duplicate dictionary rows by
         id (summing refcounts) — needed for stores built by streaming
         appends (streaming/ingest.py), where each micro-batch writes
         its own node increment. Batch ``save()`` output is already
-        unique, so the default skips the shuffle."""
+        unique, so the default skips the shuffle.
+
+        ``as_of`` = TIME TRAVEL over the delta log: fold only batches
+        ``<= as_of`` (``save_deltas`` returns each batch's id, base =
+        0), reconstructing the store exactly as it stood after that
+        batch — the LSM log is an ordered history, so any past state
+        is a prefix fold. ``as_of=0`` is the base alone. History
+        ends where compaction folded it into the base:
+        ``as_of < folded-through`` raises (those states are no longer
+        reconstructable — retention is the compaction cadence, the
+        usual lakehouse trade), while ``as_of == folded-through`` is
+        the compacted base itself."""
         nodes = spark.read.parquet(f"{path}/nodes")
         if dedup_nodes:
             nodes = nodes.groupBy("id").agg(
@@ -215,20 +230,34 @@ class GraphStore:
         # window; see _FOLDED_MARKER) — re-applying them would
         # duplicate adds and mis-match tombstones against folded rows
         folded = _read_folded_through(spark, path)
-        if folded > 0:
+        if as_of is not None and as_of < folded:
+            raise ValueError(
+                f"load(as_of={as_of}): compaction folded the log "
+                f"through batch {folded} into the base — earlier "
+                f"states are no longer reconstructable (compact() "
+                f"cadence = time-travel retention)"
+            )
+        if folded > 0 or as_of is not None:
 
-            def _past(df):
+            def _slice(df):
                 if df is None or "__batch" not in df.columns:
                     # pre-watermark dnodes rows have no batch stamp;
                     # keep them (conservative — they predate any
-                    # watermark-writing compaction)
+                    # watermark-writing compaction, hence any as_of)
                     return df
-                out = df.where(
+                cond = (
                     F.coalesce(F.col("__batch"), F.lit(1 << 30)) > folded
                 )
+                if as_of is not None:
+                    # unknown-batch rows predate watermarking: keep
+                    # (coalesce to 0 — they are older than any as_of)
+                    cond = cond & (
+                        F.coalesce(F.col("__batch"), F.lit(0)) <= as_of
+                    )
+                out = df.where(cond)
                 return out if out.limit(1).count() > 0 else None
 
-            adds, dels, dnodes = _past(adds), _past(dels), _past(dnodes)
+            adds, dels, dnodes = _slice(adds), _slice(dels), _slice(dnodes)
         if adds is not None or dels is not None or dnodes is not None:
             nodes, quads = _merge_delta_log(spark, nodes, quads, adds, dels, dnodes)
         return cls(spark, nodes, quads)

@@ -360,3 +360,58 @@ def test_save_overwrite_crash_window_and_self_overwrite(spark, tmp_path):
         ("<a>", "<b>", "<c>", None),
         ("<x>", "<y>", "<z>", None),
     ]
+
+
+def test_load_as_of_time_travel(spark, tmp_path):
+    """as_of folds a PREFIX of the log: every historical state is
+    reconstructable until compaction folds it away."""
+    path = str(tmp_path / "tt")
+    st = GraphStore.from_quad_values(spark, SIMPLE_SOCIAL)
+    st.save(path)
+    base_terms = _quad_terms(GraphStore.load(spark, path))
+    b1 = GraphStore.save_deltas(
+        spark, path, add=[(_i("harry"), _i("follows"), _i("alice"))]
+    )
+    b2 = GraphStore.save_deltas(
+        spark,
+        path,
+        add=[(_i("ivy"), _i("follows"), _i("bob"))],
+        delete=[(_i("harry"), _i("follows"), _i("alice"))],
+    )
+    assert (b1, b2) == (1, 2)
+    # as_of=0: the base alone
+    assert _quad_terms(GraphStore.load(spark, path, as_of=0)) == base_terms
+    # as_of=1: harry->alice present, ivy absent
+    t1 = _quad_terms(GraphStore.load(spark, path, as_of=b1))
+    assert ("<harry>", "<follows>", "<alice>", None) in t1
+    assert not any(s == "<ivy>" for s, _, _, _ in t1)
+    # as_of=2 == full load: harry->alice deleted again, ivy present
+    t2 = _quad_terms(GraphStore.load(spark, path, as_of=b2))
+    assert t2 == _quad_terms(GraphStore.load(spark, path))
+    assert ("<harry>", "<follows>", "<alice>", None) not in t2
+    assert ("<ivy>", "<follows>", "<bob>", None) in t2
+    # as_of past the log head = the full state too
+    assert _quad_terms(GraphStore.load(spark, path, as_of=99)) == t2
+
+
+def test_load_as_of_respects_compaction_retention(spark, tmp_path):
+    """compact() is the retention boundary: pre-watermark states
+    raise loudly; the watermark itself is the compacted base; later
+    batches stay reconstructable."""
+    path = str(tmp_path / "ttc")
+    st = GraphStore.from_quad_values(spark, SIMPLE_SOCIAL)
+    st.save(path)
+    GraphStore.save_deltas(
+        spark, path, add=[(_i("harry"), _i("follows"), _i("alice"))]
+    )
+    GraphStore.compact(spark, path)  # folds through batch 1
+    after_fold = _quad_terms(GraphStore.load(spark, path))
+    b2 = GraphStore.save_deltas(
+        spark, path, add=[(_i("ivy"), _i("follows"), _i("bob"))]
+    )
+    with pytest.raises(ValueError, match="no longer reconstructable"):
+        GraphStore.load(spark, path, as_of=0)
+    # the watermark state = the compacted base exactly
+    assert _quad_terms(GraphStore.load(spark, path, as_of=1)) == after_fold
+    t2 = _quad_terms(GraphStore.load(spark, path, as_of=b2))
+    assert ("<ivy>", "<follows>", "<bob>", None) in t2
