@@ -131,6 +131,17 @@ def main(argv: list[str] | None = None) -> int:
             )
         if name == "dump":
             s.add_argument("--out", required=True)
+        if name in ("dump", "query"):
+            s.add_argument(
+                "--as-of",
+                type=int,
+                default=None,
+                dest="as_of",
+                help="time travel: read the store as it stood after "
+                "this delta-log batch (save_deltas returns batch "
+                "ids; 0 = the base; bounded below by the compaction "
+                "watermark)",
+            )
         if name == "repl":
             s.add_argument("--lang", default="gizmo")
         if name == "http":
@@ -311,7 +322,7 @@ def main(argv: list[str] | None = None) -> int:
             f"{before['quads']} -> {after['quads']} quads"
         )
     elif args.cmd == "dump":
-        st = GraphStore.load(spark, args.db)
+        st = GraphStore.load(spark, args.db, as_of=args.as_of)
         n = _write_any(st, args.out)
         print(f"dumped {n} quads to {args.out}")
     elif args.cmd == "convert":
@@ -337,7 +348,7 @@ def main(argv: list[str] | None = None) -> int:
         q = args.querystr
         if q is None:
             q = sys.stdin.read()
-        st = GraphStore.load(spark, args.db).persist()
+        st = GraphStore.load(spark, args.db, as_of=args.as_of).persist()
         rows = get_session(st, args.lang).execute(
             q, limit=args.limit, collation=Collation.JSON
         )

@@ -415,3 +415,24 @@ def test_load_as_of_respects_compaction_retention(spark, tmp_path):
     assert _quad_terms(GraphStore.load(spark, path, as_of=1)) == after_fold
     t2 = _quad_terms(GraphStore.load(spark, path, as_of=b2))
     assert ("<ivy>", "<follows>", "<bob>", None) in t2
+
+
+def test_cli_dump_as_of(spark, tmp_path):
+    """`dump --as-of N` exposes time travel on the CLI."""
+    from cayley_spark.__main__ import main
+
+    nq = tmp_path / "in.nq"
+    nq.write_text("<alice> <follows> <bob> .\n")
+    db = str(tmp_path / "db")
+    assert main(["load", "--db", db, "--quads", str(nq)]) == 0
+    GraphStore.save_deltas(
+        spark, db, add=[(_i("carol"), _i("follows"), _i("dan"))]
+    )
+    out0 = str(tmp_path / "v0.nq")
+    out1 = str(tmp_path / "v1.nq")
+    assert main(["dump", "--db", db, "--out", out0, "--as-of", "0"]) == 0
+    assert main(["dump", "--db", db, "--out", out1, "--as-of", "1"]) == 0
+    v0 = sorted(l for l in open(out0).read().splitlines() if l.strip())
+    v1 = sorted(l for l in open(out1).read().splitlines() if l.strip())
+    assert v0 == ["<alice> <follows> <bob> ."]
+    assert v1 == ["<alice> <follows> <bob> .", "<carol> <follows> <dan> ."]
