@@ -585,6 +585,83 @@ def run_ops(spark, sf_dir: str, m: int) -> dict[str, float]:
 
         ops = {"wet_parse": _wet_parse, "wet_admit": _wet_admit}
 
+    if os.environ.get("SCALE_OPS") == "r14b":
+        # Slopes for the remaining round-14 operators (the measured-
+        # slope discipline: no operator ships on plan-shape reasoning
+        # alone).
+        import shutil
+
+        from cayley_spark.functions.ann_index import IVFIndex
+        from cayley_spark.functions.sketch import sample_sketch_build
+        from cayley_spark.operators.joins import asof_join
+
+        # asof two-phase under the HOT-ENTITY regime the form exists
+        # for: 8 keys total, every key's series grows m-fold (the
+        # single-window form would serialize each key into one task);
+        # bucket size fixed, so bucket count grows ~ m while rows per
+        # (key, bucket) stay constant — phase 1 task size is flat and
+        # the phase-2 carry table grows ~ m at tiny row width.
+        n_base = 200_000
+        probes = (
+            spark.range(n_base * m)
+            .select(
+                F.col("id").alias("pid"),
+                (F.col("id") % 8).alias("k"),
+                F.col("id").cast("double").alias("ts"),
+            )
+        )
+        quotes = (
+            spark.range(n_base * m)
+            .select(
+                (F.col("id") % 8).alias("k"),
+                (F.col("id").cast("double") + F.lit(0.5)).alias("ts"),
+                (F.col("id") % 1000).cast("double").alias("bid"),
+            )
+        )
+
+        def _asof_two_phase():
+            return asof_join(
+                probes, quotes, on="k", left_ts="ts",
+                right_cols=["bid"], bucket_seconds=1024.0,
+            )
+
+        def _sample_sk():
+            return sample_sketch_build(
+                docs, F.col("doc_id"), F.length("text"), k=256
+            )
+
+        # ivf_add_vs_index: FIXED delta appended to an m-fold index —
+        # the ivf_stream per-batch cost. Centroid count is FIXED so
+        # the axis is pure index-DATA growth (a first run with
+        # n_centroids=8m read 4.5x — that slope was the m-fold count
+        # of touched partition dirs per append, i.e. FS commit
+        # overhead ∝ min(batch, centroids), a config axis, not index
+        # bytes); expected flat (an append reads only the centroid
+        # sidecar, never the inverted lists).
+        ipath = f"/tmp/scale_r14b_ivf_m{m}"
+        shutil.rmtree(ipath, ignore_errors=True)
+        IVFIndex.build(
+            emb.selectExpr(
+                "vec_id", "cast(embedding as array<double>) as embedding"
+            ),
+            n_centroids=16,
+        ).save(ipath)
+        delta_vecs = emb.where(F.col("vec_id") < OFFSET).limit(500).selectExpr(
+            "vec_id + 90000000 as vec_id",
+            "cast(embedding as array<double>) as embedding",
+        )
+
+        def _ivf_add():
+            idx = IVFIndex.load(spark, ipath)
+            idx.add(delta_vecs, path=ipath)
+            return idx.bucketed.limit(0)  # the timed work is the append
+
+        ops = {
+            "asof_bucketed_hotkeys": _asof_two_phase,
+            "sample_sketch": _sample_sk,
+            "ivf_add_vs_index": _ivf_add,
+        }
+
     def persistent_ids():
         mm = spark.sparkContext._jsc.getPersistentRDDs()
         return {int(k) for k in mm.keySet().toArray()}
