@@ -57,6 +57,7 @@ def asof_join_stream(
     quote_cols: list[str] | None = None,
     allow_exact: bool = True,
     suffix: str = "_right",
+    expire_after_seconds: float | None = None,
 ) -> DataFrame:
     """Streaming backward as-of join of two streams on ``on``.
 
@@ -68,6 +69,18 @@ def asof_join_stream(
     nothing. Ties among same-(key, ts) quotes resolve to the
     latest-processed one — the batch operator's documented
     "pre-aggregate upstream" precondition applies here too.
+
+    ``expire_after_seconds`` OPTS INTO state eviction for
+    key-churning workloads (keys that stop quoting forever — session
+    ids, short-lived entities — would otherwise accumulate state at
+    key cardinality): once the watermark passes
+    ``quote_ts + expire_after_seconds`` the key's state is dropped,
+    and a LATER probe for that key gets NULLs — an explicit semantic
+    trade (the default keeps the as-of contract exact at
+    key-cardinality state; see the module docstring). Requires a
+    timestamp-typed time axis and ``withWatermark`` upstream on BOTH
+    inputs — raises loudly otherwise rather than silently never
+    expiring.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -89,11 +102,16 @@ def asof_join_stream(
     lcols = [c for c in probes.columns if c not in keys]
     qtypes = dict(quotes.dtypes)
     ptypes = dict(probes.dtypes)
+    # every projected COPY of a watermarked timestamp column must
+    # shed its event-time metadata (alias with explicit empty
+    # metadata) — otherwise the union carries two event-time columns
+    # and Spark rejects the stateful query; the watermark rides on
+    # __ts alone
     lt = probes.select(
         *keys,
         F.col(probe_ts).alias("__ts"),
         F.lit(l_side).alias("__side"),
-        *[F.col(c) for c in lcols],
+        *[F.col(c).alias(c, metadata={}) for c in lcols],
         *[
             F.lit(None).cast(qtypes[c]).alias(f"__r{i}")
             for i, c in enumerate(attach)
@@ -104,7 +122,10 @@ def asof_join_stream(
         F.col(quote_ts).alias("__ts"),
         F.lit(r_side).alias("__side"),
         *[F.lit(None).cast(ptypes[c]).alias(c) for c in lcols],
-        *[F.col(c).alias(f"__r{i}") for i, c in enumerate(attach)],
+        *[
+            F.col(c).alias(f"__r{i}", metadata={})
+            for i, c in enumerate(attach)
+        ],
     )
     u = lt.unionByName(rt)
 
@@ -118,6 +139,33 @@ def asof_join_stream(
     out_cols = list(probes.columns) + [out_names[c] for c in attach]
     n_attach = len(attach)
     probe_side = l_side
+
+    expire_ms = None
+    session_tz = None
+    if expire_after_seconds is not None:
+        if not dict(u.dtypes)["__ts"].startswith("timestamp"):
+            raise ValueError(
+                "expire_after_seconds needs a timestamp-typed time "
+                "axis (event-time timeouts are watermark-driven)"
+            )
+        has_wm = "EventTimeWatermark" in str(
+            probes._jdf.queryExecution().analyzed()
+        ) and "EventTimeWatermark" in str(
+            quotes._jdf.queryExecution().analyzed()
+        )
+        if not has_wm:
+            raise ValueError(
+                "expire_after_seconds needs withWatermark on BOTH "
+                "input streams — without one the state would silently "
+                "never expire"
+            )
+        expire_ms = int(round(expire_after_seconds * 1000))
+        # applyInPandasWithState hands workers naive timestamps in the
+        # session timezone (the sessionize discipline) — capture it so
+        # the timeout epoch arithmetic is right under any session tz
+        session_tz = probes.sparkSession.conf.get(
+            "spark.sql.session.timeZone", "UTC"
+        )
     # positional access inside the fold: pandas itertuples mangles
     # dunder names like __ts, so resolve column positions up front
     cols = u.columns
@@ -126,8 +174,31 @@ def asof_join_stream(
     i_probe = [cols.index(c) for c in probes.columns]
     i_r = [cols.index(f"__r{i}") for i in range(n_attach)]
 
+    def _epoch_ms(naive_ts):
+        # naive timestamps arrive localized to the captured session tz
+        from datetime import timedelta, timezone
+
+        if session_tz[:1] in ("+", "-"):  # fixed-offset form
+            hh, _, mm = session_tz[1:].partition(":")
+            off = timedelta(hours=int(hh), minutes=int(mm or 0))
+            tz = timezone(off if session_tz[0] == "+" else -off)
+        else:
+            try:
+                from zoneinfo import ZoneInfo
+
+                tz = ZoneInfo(session_tz)
+            except Exception:
+                tz = timezone.utc
+        return int(naive_ts.replace(tzinfo=tz).timestamp() * 1000)
+
     def fold(key, pdf_iter, state):
         import pandas as pd
+
+        if state.hasTimedOut:
+            # the watermark passed quote_ts + ttl: drop the state —
+            # a later probe for this key starts from nothing
+            state.remove()
+            return
 
         pdf = pd.concat(list(pdf_iter))
         # stable sort: equal-(ts, side) rows keep arrival order — the
@@ -163,6 +234,17 @@ def asof_join_stream(
             )
         if cur is not None:
             state.update(tuple(cur))
+            if expire_ms is not None:
+                ts = cur[0]
+                if hasattr(ts, "to_pydatetime"):
+                    ts = ts.to_pydatetime()
+                # a stale quote + short ttl can compute a timeout at
+                # or before the current watermark, which Spark
+                # rejects — clamp one ms past it (the key then times
+                # out at the next trigger, the intended outcome)
+                target = _epoch_ms(ts) + expire_ms
+                wm = state.getCurrentWatermarkMs()
+                state.setTimeoutTimestamp(max(target, wm + 1))
         if out:
             yield pd.DataFrame(out, columns=out_cols)
 
@@ -171,5 +253,7 @@ def asof_join_stream(
         out_schema,
         state_schema,
         "append",
-        GroupStateTimeout.NoTimeout,
+        GroupStateTimeout.EventTimeTimeout
+        if expire_ms is not None
+        else GroupStateTimeout.NoTimeout,
     )

@@ -239,3 +239,86 @@ def test_stream_multi_key(spark, tmp_path):
     h.awaitTermination(120)
     rows = {r["pid"]: (r["a"], r["b"], r["bid"]) for r in spark.table("asof_mk").collect()}
     assert rows == {1: (0, "x", 1.5), 2: (1, "x", 2.5)}
+
+
+def test_state_expiry_with_watermark(spark, tmp_path):
+    """expire_after_seconds drops a key's quote state once the
+    watermark passes quote_ts + ttl: a later probe gets NULLs (the
+    documented eviction trade); fresh keys keep matching."""
+    import shutil
+
+    qd = tmp_path / "qe"
+    qd.mkdir()
+    pdir = tmp_path / "pe"
+    pdir.mkdir()
+    hold = tmp_path / "hold"
+    hold.mkdir()
+
+    def jline(d, name, **row):
+        with open(d / name, "w") as f:
+            f.write(json.dumps(row) + "\n")
+
+    # staged files, released one run at a time
+    jline(qd, "b0.json", sym="A", ts="2024-01-01 10:00:00", bid=1.0)
+    jline(hold, "q_b1.json", sym="C", ts="2024-01-01 11:00:00", bid=3.0)
+    jline(hold, "p_b1.json", pid=7, sym="C", ts="2024-01-01 11:00:00")
+    jline(hold, "q_b2.json", sym="D", ts="2024-01-01 11:00:10", bid=4.0)
+    jline(hold, "p_b3.json", pid=1, sym="A", ts="2024-01-01 11:00:20")
+
+    probes = (
+        spark.readStream.schema("pid long, sym string, ts timestamp")
+        .json(str(pdir))
+        .withWatermark("ts", "1 second")
+    )
+    quotes = (
+        spark.readStream.schema("sym string, ts timestamp, bid double")
+        .json(str(qd))
+        .withWatermark("ts", "1 second")
+    )
+    out = asof_join_stream(
+        probes, quotes, on="sym", expire_after_seconds=60.0
+    )
+    sink = str(tmp_path / "out_exp")
+    writer = (
+        out.writeStream.format("parquet")
+        .option("path", sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_exp"))
+    )
+
+    def run():
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination(120)
+
+    run()  # batch 1: quote A enters state
+    shutil.move(str(hold / "q_b1.json"), str(qd / "b1.json"))
+    shutil.move(str(hold / "p_b1.json"), str(pdir / "b1.json"))
+    run()  # batch 2: C matches; watermark advances past A's ttl
+    shutil.move(str(hold / "q_b2.json"), str(qd / "b2.json"))
+    run()  # batch 3: A (no data in batch) times out, state dropped
+    shutil.move(str(hold / "p_b3.json"), str(pdir / "b3.json"))
+    run()  # batch 4: the late probe for A finds nothing
+    rows = {r["pid"]: r["bid"] for r in spark.read.parquet(sink).collect()}
+    assert rows[7] == 3.0  # the fresh key matched normally
+    assert rows[1] is None  # A's state expired before the probe
+
+
+def test_expiry_requires_watermark_and_timestamps(spark, tmp_path):
+    probes = spark.readStream.schema(
+        "pid long, sym string, ts timestamp"
+    ).json(str(tmp_path))
+    quotes = spark.readStream.schema(
+        "sym string, ts timestamp, bid double"
+    ).json(str(tmp_path))
+    with pytest.raises(ValueError, match="withWatermark"):
+        asof_join_stream(
+            probes, quotes, on="sym", expire_after_seconds=30.0
+        )
+    p2 = spark.readStream.schema("pid long, sym string, ts double").json(
+        str(tmp_path)
+    )
+    q2 = spark.readStream.schema("sym string, ts double, bid double").json(
+        str(tmp_path)
+    )
+    with pytest.raises(ValueError, match="timestamp-typed"):
+        asof_join_stream(p2, q2, on="sym", expire_after_seconds=30.0)
