@@ -436,3 +436,28 @@ def test_cli_dump_as_of(spark, tmp_path):
     v1 = sorted(l for l in open(out1).read().splitlines() if l.strip())
     assert v0 == ["<alice> <follows> <bob> ."]
     assert v1 == ["<alice> <follows> <bob> .", "<carol> <follows> <dan> ."]
+
+
+def test_history_metadata(spark, tmp_path):
+    """GraphStore.history reports the reconstructable as_of range."""
+    path = str(tmp_path / "hist")
+    GraphStore.from_quad_values(spark, SIMPLE_SOCIAL).save(path)
+    assert GraphStore.history(spark, path) == {
+        "folded_through": 0,
+        "latest_batch": 0,
+    }
+    GraphStore.save_deltas(
+        spark, path, add=[(_i("x"), _i("follows"), _i("y"))]
+    )
+    GraphStore.save_deltas(
+        spark, path, add=[(_i("y"), _i("follows"), _i("z"))]
+    )
+    assert GraphStore.history(spark, path) == {
+        "folded_through": 0,
+        "latest_batch": 2,
+    }
+    GraphStore.compact(spark, path)
+    assert GraphStore.history(spark, path) == {
+        "folded_through": 2,
+        "latest_batch": 2,
+    }
