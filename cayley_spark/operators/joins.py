@@ -223,9 +223,25 @@ def _asof_bucketed(
         u.where(F.col("__r").isNotNull())  # right rows only
         .groupBy(*keys, "__bkt")
         .agg(pick("__r", F.struct("__ts", "__side")).alias("__carry"))
+        .select(
+            *[F.col(c).alias(f"__ck{i}") for i, c in enumerate(keys)],
+            F.col("__bkt").alias("__cbkt"),
+            "__carry",
+        )
     )
-    bl = u.select(*keys, "__bkt").distinct().join(
-        carry, keys + ["__bkt"], "left"
+    # NULL-SAFE: window partitioning groups NULL keys into one group
+    # (single-window semantics), so both carry joins must match them
+    # too — plain equi-joins would silently drop the NULL-key group's
+    # carries (and the null-bucket rows, though those are nulled by
+    # the caller's null-ts guard regardless)
+    ccond = F.col("__bkt").eqNullSafe(F.col("__cbkt"))
+    for i, c in enumerate(keys):
+        ccond = ccond & F.col(c).eqNullSafe(F.col(f"__ck{i}"))
+    bl = (
+        u.select(*keys, "__bkt")
+        .distinct()
+        .join(carry, ccond, "left")
+        .drop("__cbkt", *[f"__ck{i}" for i in range(len(keys))])
     )
     order = F.col("__bkt").asc() if backward else F.col("__bkt").desc()
     w2 = (
@@ -234,16 +250,31 @@ def _asof_bucketed(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     incoming = bl.select(
-        *keys,
-        "__bkt",
-        F.last("__carry", ignorenulls=True).over(w2).alias("__in"),
+        *[F.col(c).alias(f"__k{i}") for i, c in enumerate(keys)],
+        F.col("__bkt").alias("__bkt2"),
+        F.last("__carry", ignorenulls=True).over(
+            w2
+        ).alias("__in"),
     )
-    u = u.withColumn("__within", within).join(
-        incoming, keys + ["__bkt"], "left"
+    # NULL-SAFE join-back: window partitioning groups NULL keys into
+    # one group (single-window semantics), so the carry join must
+    # match them too — a plain equi-join would silently drop every
+    # NULL-key row's incoming carry. (__bkt is null-safe as well,
+    # though null-bucket rows are nulled by the caller's null-ts
+    # guard regardless.)
+    cond = F.col("__bkt").eqNullSafe(F.col("__bkt2"))
+    for i, c in enumerate(keys):
+        cond = cond & F.col(c).eqNullSafe(F.col(f"__k{i}"))
+    u = u.withColumn("__within", within).join(incoming, cond, "left")
+    return (
+        u.withColumn(
+            "__r", F.coalesce(F.col("__within"), F.col("__in"))
+        )
+        .drop(
+            "__bkt", "__bkt2", "__within", "__in",
+            *[f"__k{i}" for i in range(len(keys))],
+        )
     )
-    return u.withColumn(
-        "__r", F.coalesce(F.col("__within"), F.col("__in"))
-    ).drop("__bkt", "__within", "__in")
 
 
 def range_join(

@@ -228,3 +228,37 @@ def test_bucketed_multi_key(spark):
                       bucket_seconds=40.0)
         )
         assert two == base, direction
+
+
+def test_bucketed_null_keys_match_single_window(spark):
+    """Window partitioning groups NULL keys into one group, so the
+    single-window form matches NULL-key probes to NULL-key quotes;
+    the bucketed form's carry join-back must be NULL-SAFE to agree —
+    a plain equi-join would silently drop cross-bucket carries for
+    the NULL-key group."""
+    left = spark.createDataFrame(
+        [(1, None, 100.0), (2, "A", 100.0), (3, None, 5.0)],
+        "lid long, sym string, ts double",
+    )
+    right = spark.createDataFrame(
+        [(None, 10.0, 7.0), ("A", 10.0, 8.0)],
+        "sym string, ts double, bid double",
+    )
+    for direction in ("backward", "forward"):
+        base = _canon(asof_join(left, right, on="sym", direction=direction))
+        # bucket of 20: the ts=100 probes sit many buckets past the
+        # ts=10 quotes, so the NULL-key match MUST flow through the
+        # cross-bucket carry (backward); forward exercises the
+        # no-match side
+        two = _canon(
+            asof_join(left, right, on="sym", direction=direction,
+                      bucket_seconds=20.0)
+        )
+        assert two == base, direction
+    rows = {
+        r.lid: r.bid
+        for r in asof_join(
+            left, right, on="sym", bucket_seconds=20.0
+        ).collect()
+    }
+    assert rows[1] == 7.0 and rows[2] == 8.0 and rows[3] is None
