@@ -559,7 +559,12 @@ def sample_sketch_build(
     Duplicate key rows: the caller's contract is key -> value
     functional dependency (sample over ENTITIES); if violated, the
     MINIMUM value per key wins — a deterministic, oracle-replayable
-    tie rule, never "whichever row arrived first".
+    tie rule, never "whichever row arrived first". NULL-valued rows
+    are EXCLUDED before sampling (SQL analog: ``WHERE value IS NOT
+    NULL``): a key with no measurable value cannot participate in a
+    value distribution, and keeping it would make quantile rank
+    arithmetic depend on engine NULL-ordering defaults (Spark sorts
+    NULLS FIRST ascending, DuckDB NULLS LAST — a silent divergence).
 
     100-TB plan: a per-partition Arrow kernel keeps only the running
     k smallest (digest, value) pairs (O(k) state per partition, no
@@ -572,7 +577,7 @@ def sample_sketch_build(
     hashed = df.select(
         F.md5(F.coalesce(key.cast("string"), F.lit(""))).alias("h"),
         value.cast("double").alias("v"),
-    )
+    ).where(F.col("v").isNotNull())
 
     def _partition_minima(batches):
         import pandas as pd

@@ -144,3 +144,18 @@ def test_sample_stream_equals_one_pass(spark, tmp_path):
     bad = _sample_fold(F.col("key"), F.col("val"), path, 16)
     with pytest.raises(ValueError, match="carries k="):
         bad(df.limit(5), 99)
+
+
+def test_null_values_excluded_before_sampling(spark):
+    """NULL-valued rows never enter the sample: a key whose only
+    value is NULL is absent; a key with mixed NULL/non-NULL values
+    keeps its non-NULL minimum (the WHERE-value-IS-NOT-NULL analog —
+    keeping NULLs would tie quantile ranks to engine NULL-ordering
+    defaults)."""
+    rows = [(1, None), (2, 5.0), (2, None), (3, 1.0)]
+    df = spark.createDataFrame(rows, "key long, val double")
+    sk = sample_sketch_build(df, F.col("key"), F.col("val"), k=16)
+    got = {r["h"]: r["v"] for r in sk.collect()}
+    h = lambda x: hashlib.md5(str(x).encode()).hexdigest()  # noqa: E731
+    assert h(1) not in got
+    assert got[h(2)] == 5.0 and got[h(3)] == 1.0
