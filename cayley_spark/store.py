@@ -415,6 +415,19 @@ class GraphStore:
         return batch
 
     @classmethod
+    def history(cls, spark: SparkSession, path: str) -> dict:
+        """Time-travel metadata for a saved store: which ``as_of``
+        values :meth:`load` can reconstruct. Returns
+        ``{"folded_through": F, "latest_batch": L}`` — valid ``as_of``
+        values are ``F..L`` inclusive (``F`` is the compacted base's
+        state; ``L`` is the current head; ``F == L == 0`` means no
+        deltas were ever written). One metadata read each, no data
+        scan."""
+        folded = _read_folded_through(spark, path)
+        latest = max(folded, _log_max_batch(spark, path))
+        return {"folded_through": folded, "latest_batch": latest}
+
+    @classmethod
     def compact(
         cls, spark: SparkSession, path: str, dedup_nodes: bool = False
     ) -> "GraphStore":
