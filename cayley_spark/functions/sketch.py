@@ -616,7 +616,13 @@ def sample_sketch_merge(a: DataFrame, b: DataFrame) -> DataFrame:
     sketch of the concatenated corpora, so per-shard/per-day samples
     roll up without re-reading anything. A key present in both sides
     keeps the minimum value (the build's own duplicate rule).
-    Geometry (k) is validated like the KMV/bloom/countmin merges."""
+    Geometry (k) is validated like the KMV/bloom/countmin merges —
+    with one documented carve-out: an EMPTY sketch carries no rows,
+    so its k is unknowable from the data and it merges with any
+    geometry (the merge is still exact: union with nothing). The k
+    column is the sketch's only geometry record by design — the
+    sketch stays a plain DataFrame that round-trips through any
+    format without side metadata (ADVICE r14 adjudication)."""
     ka = [int(r[0]) for r in a.select("k").distinct().collect()]
     kb = [int(r[0]) for r in b.select("k").distinct().collect()]
     if len(set(ka)) > 1 or len(set(kb)) > 1:
@@ -665,6 +671,14 @@ def sample_sketch_quantiles(
 
     from pyspark.sql.window import Window
 
+    bad = [q for q in qs if not (0 <= float(q) <= 1)]
+    if bad:
+        # ceil(q*n) > n matches no rank in the join below, so an
+        # out-of-range q would silently DROP its output row instead
+        # of failing (ADVICE r14) — validate up front
+        raise ValueError(
+            f"sample_sketch_quantiles: q must be in [0, 1], got {bad}"
+        )
     n = sketch.count()
     if n == 0:
         raise ValueError("sample_sketch_quantiles: empty sketch")

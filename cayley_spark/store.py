@@ -412,20 +412,38 @@ class GraphStore:
             dst.quads.dropDuplicates(["s", "p", "o", "l"]).withColumn(
                 "__batch", F.lit(batch).cast("int")
             ).write.mode("append").parquet(f"{path}/delta/dels")
+        # marker LAST (after the data lands): history() reads it
+        # instead of scanning the log's __batch column
+        _write_latest_batch(spark, path, batch)
         return batch
 
     @classmethod
-    def history(cls, spark: SparkSession, path: str) -> dict:
+    def history(
+        cls, spark: SparkSession, path: str, exact: bool = False
+    ) -> dict:
         """Time-travel metadata for a saved store: which ``as_of``
         values :meth:`load` can reconstruct. Returns
         ``{"folded_through": F, "latest_batch": L}`` — valid ``as_of``
         values are ``F..L`` inclusive (``F`` is the compacted base's
         state; ``L`` is the current head; ``F == L == 0`` means no
-        deltas were ever written). One metadata read each, no data
-        scan."""
+        deltas were ever written).
+
+        Default cost is two small metadata reads (the compaction
+        watermark + the ``_latest_batch`` marker ``save_deltas``
+        writes after each append) — no data scan. The marker is
+        written AFTER the batch's parquet lands, so a writer crash in
+        that window (or a log written by a pre-marker version) can
+        leave ``latest_batch`` one batch low; pass ``exact=True`` to
+        aggregate ``max(__batch)`` over the log instead (an O(log)
+        column scan — the next ``save_deltas`` also heals the marker,
+        since batch numbering always seeds from the scan)."""
         folded = _read_folded_through(spark, path)
-        latest = max(folded, _log_max_batch(spark, path))
-        return {"folded_through": folded, "latest_batch": latest}
+        latest = (
+            _log_max_batch(spark, path)
+            if exact
+            else _read_latest_batch(spark, path)
+        )
+        return {"folded_through": folded, "latest_batch": max(folded, latest)}
 
     @classmethod
     def compact(
@@ -1129,6 +1147,51 @@ def _write_folded_through(
 ) -> None:
     fs, jvm = _hadoop_fs(spark, quads_dir)
     hp = jvm.org.apache.hadoop.fs.Path(f"{quads_dir}/{_FOLDED_MARKER}")
+    out = fs.create(hp, True)
+    try:
+        out.write(bytearray(str(int(value)).encode("utf-8")))
+    finally:
+        out.close()
+
+
+# Latest-batch marker (ADVICE r14): a one-line file under the delta
+# log recording the id of the last batch save_deltas appended, so
+# history() answers from metadata instead of max(__batch) over the
+# log's data files. Written AFTER the batch's parquet lands (a crash
+# between the two leaves it one low — the documented history()
+# staleness window); lives INSIDE {path}/delta so compact's log
+# delete clears it together with the batches it describes.
+_LATEST_MARKER = "_latest_batch"
+
+
+def _read_latest_batch(spark: SparkSession, path: str) -> int:
+    fs, jvm = _hadoop_fs(spark, path)
+    hp = jvm.org.apache.hadoop.fs.Path(f"{path}/delta/{_LATEST_MARKER}")
+    if not fs.exists(hp):
+        # no marker: pre-marker log (or none) — fall back to the scan
+        # so history() stays correct on stores written by older code
+        return _log_max_batch(spark, path)
+    try:
+        stream = fs.open(hp)
+        try:
+            line = jvm.java.io.BufferedReader(
+                jvm.java.io.InputStreamReader(stream, "UTF-8")
+            ).readLine()
+        finally:
+            stream.close()
+        return int((line or "0").strip())
+    except Exception:
+        # unreadable marker (torn write, checksum mismatch, garbage
+        # content) — the scan is always authoritative, and the next
+        # save_deltas rewrites the marker from it
+        return _log_max_batch(spark, path)
+
+
+def _write_latest_batch(
+    spark: SparkSession, path: str, value: int
+) -> None:
+    fs, jvm = _hadoop_fs(spark, path)
+    hp = jvm.org.apache.hadoop.fs.Path(f"{path}/delta/{_LATEST_MARKER}")
     out = fs.create(hp, True)
     try:
         out.write(bytearray(str(int(value)).encode("utf-8")))

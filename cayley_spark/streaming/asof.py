@@ -166,6 +166,23 @@ def asof_join_stream(
         session_tz = probes.sparkSession.conf.get(
             "spark.sql.session.timeZone", "UTC"
         )
+        # validate HERE, on the driver, where a failure is visible:
+        # the worker-side fallback below would silently localize to
+        # UTC and fire expiry hours off (ADVICE r14) — expiry is
+        # opt-in, so an unresolvable zone is a loud precondition
+        # failure like the missing-watermark check above
+        if session_tz[:1] not in ("+", "-"):
+            try:
+                from zoneinfo import ZoneInfo
+
+                ZoneInfo(session_tz)
+            except Exception:
+                raise ValueError(
+                    f"asof_join_stream: expire_after_seconds needs the "
+                    f"session timezone for timeout epoch arithmetic, but "
+                    f"spark.sql.session.timeZone={session_tz!r} is not "
+                    f"resolvable by zoneinfo on this driver"
+                )
     # positional access inside the fold: pandas itertuples mangles
     # dunder names like __ts, so resolve column positions up front
     cols = u.columns
