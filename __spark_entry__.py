@@ -944,6 +944,104 @@ def q_tpch_mix1(spark, sf):
     return a.unionByName(b).unionByName(c)
 
 
+def q_tpch_topn(spark, sf):
+    """Consolidated TPC-H top-N trio Q3+Q10+Q18 (registry
+    consolidation round 15, COVERAGE.md cap policy item 2 /
+    VERDICT r14 #6): three near-duplicate join + decimal-agg +
+    deterministic-top-N shapes merged into one multi-assert entry.
+    The three plans execute end-to-end unchanged — q3/q10/q18 remain
+    the implementations — and results harmonize into (q, k, v, v2):
+    the grouping/identity columns pack into k (dates via CAST(date),
+    so both engines render 'YYYY-MM-DD'), the headline aggregate is
+    v, and the one extra numeric each query carries (q10's
+    c_acctbal, q18's o_totalprice) survives verbatim in v2."""
+    null_d = F.lit(None).cast("double")
+    a = q3(spark, sf).select(
+        F.lit("q3").alias("q"),
+        F.concat(
+            F.col("o_orderkey").cast("string"),
+            F.lit("|"),
+            F.col("o_orderdate").cast("date").cast("string"),
+        ).alias("k"),
+        F.col("revenue").alias("v"),
+        null_d.alias("v2"),
+    )
+    b = q10(spark, sf).select(
+        F.lit("q10").alias("q"),
+        F.concat(
+            F.col("c_custkey").cast("string"),
+            F.lit("|"),
+            F.col("c_name"),
+            F.lit("|"),
+            F.col("n_name"),
+        ).alias("k"),
+        F.col("revenue").alias("v"),
+        F.col("c_acctbal").cast("double").alias("v2"),
+    )
+    c = q18(spark, sf).select(
+        F.lit("q18").alias("q"),
+        F.concat(
+            F.col("c_name"),
+            F.lit("|"),
+            F.col("c_custkey").cast("string"),
+            F.lit("|"),
+            F.col("o_orderkey").cast("string"),
+            F.lit("|"),
+            F.col("o_orderdate").cast("date").cast("string"),
+        ).alias("k"),
+        F.col("total_qty").alias("v"),
+        F.col("o_totalprice").cast("double").alias("v2"),
+    )
+    return a.unionByName(b).unionByName(c)
+
+
+def q_tpch_exists(spark, sf):
+    """Consolidated TPC-H Q4+Q22 (registry consolidation round 15):
+    the EXISTS → left-semi shape and the NOT-EXISTS → left-anti +
+    above-average-balance shape merged into one multi-assert entry;
+    q4/q22 execute unchanged. Harmonized (q, k, v, v2): q4 rows key
+    on o_orderpriority with v = order_count; q22 rows key on the
+    country code with v = numcust and totacctbal riding in v2."""
+    a = q4(spark, sf).select(
+        F.lit("q4").alias("q"),
+        F.col("o_orderpriority").alias("k"),
+        F.col("order_count").cast("double").alias("v"),
+        F.lit(None).cast("double").alias("v2"),
+    )
+    b = q22(spark, sf).select(
+        F.lit("q22").alias("q"),
+        F.col("cntrycode").cast("string").alias("k"),
+        F.col("numcust").cast("double").alias("v"),
+        F.col("totacctbal").alias("v2"),
+    )
+    return a.unionByName(b)
+
+
+def q_tpch_scalar(spark, sf):
+    """Consolidated TPC-H Q6+Q14+Q17 (registry consolidation round
+    15): three lineitem-filter + exact-decimal-aggregate scalar
+    shapes (pushed-filter range agg, conditional promo ratio,
+    decorrelated avg-quantity threshold) merged into one
+    multi-assert entry; q6/q14/q17 execute unchanged. Harmonized
+    (q, k, v) — each contributes its scalar under its own key."""
+    a = q6(spark, sf).select(
+        F.lit("q6").alias("q"),
+        F.lit("revenue").alias("k"),
+        F.col("revenue").alias("v"),
+    )
+    b = q14(spark, sf).select(
+        F.lit("q14").alias("q"),
+        F.lit("promo_revenue").alias("k"),
+        F.col("promo_revenue").alias("v"),
+    )
+    c = q17(spark, sf).select(
+        F.lit("q17").alias("q"),
+        F.lit("avg_yearly").alias("k"),
+        F.col("avg_yearly").alias("v"),
+    )
+    return a.unionByName(b).unionByName(c)
+
+
 def q22(spark, sf):
     """TPC-H Q22 (global sales opportunity): rich-but-inactive
     customers per nation — above-average balance (division-free:
@@ -1174,6 +1272,67 @@ def q_asof_bucketed(spark, sf):
         right_cols=["click_id"], bucket_seconds=3600,
     )
     return out.withColumnRenamed("ts_right", "click_ts")
+
+
+def q_asof_stream(spark, sf):
+    """The STREAMING as-of join's driver oracle (VERDICT r14 #7):
+    q_asof's query run through ``streaming/asof.asof_join_stream``
+    over a ONE-micro-batch stream. The operator's documented
+    contract is that a single-batch run reproduces the batch
+    operator row-for-row (streaming/asof.py module docstring — the
+    sorted fold IS the batch semantics within a batch), so the
+    oracle is q_asof's SQL verbatim. Each side lands as one parquet
+    file, so availableNow cannot split the data across batches; the
+    work dir is wiped per call, so the file-source checkpoint never
+    suppresses a re-run."""
+    import os
+    import shutil
+    import tempfile
+
+    from cayley_spark.streaming.asof import asof_join_stream
+    from pyspark.sql.window import Window
+
+    ev = _events(spark, sf)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    w = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("user_id", "ts", F.col("event_id").alias("click_id"))
+    )
+    tag = os.path.basename(sf.rstrip("/")) or "sf"
+    base = os.path.join(tempfile.gettempdir(), f"cayley_q_asof_stream_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    p_dir = os.path.join(base, "probes")
+    q_dir = os.path.join(base, "quotes")
+    out_dir = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    purchases.coalesce(1).write.parquet(p_dir)
+    clicks.coalesce(1).write.parquet(q_dir)
+    sp = spark.readStream.schema(purchases.schema).parquet(p_dir)
+    sq = spark.readStream.schema(clicks.schema).parquet(q_dir)
+    res = asof_join_stream(
+        sp, sq, on="user_id", probe_ts="ts", quote_cols=["click_id"]
+    )
+    q = (
+        res.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(out_dir).select(
+        "purchase_id",
+        "user_id",
+        "ts",
+        F.col("ts_right").alias("click_ts"),
+        "click_id",
+    )
 
 
 def q_range(spark, sf):
@@ -3042,89 +3201,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     entries whose last green verdict is OLDEST; entries green in the
     immediately previous round go last (they retain pytest +
     tools/check_oracles.py coverage while they wait).
-    Round-13 window (50) = 2 new entries (p_admit = the incremental
-    corpus admission operator's driver oracle, VERDICT r12 #1 — the
-    last first-class operator resting on pytest alone;
-    ROUND-14 WINDOW (executed per the COVERAGE.md round-13
-    arithmetic): s_overlap leads by rule 1 (registered late r13 at
-    position 51, never driver-checked), then q_asof_bucketed (new —
-    the two-phase as-of hot-entity scale path, VERDICT r13 #1), then
-    p_wet (new — the WET on-ramp parse with an analytic oracle,
-    VERDICT r13 #6), t_qsketch (new — the bottom-k sample sketch's
-    positional quantiles), then the rule-3 jump q_asof (asof_join's
-    body gained the bucket_seconds branch), then the 44-entry r11
-    cohort (t_rep_ngrams .. g_both — exactly 3 rounds stale at this
-    verdict, the ratified ceiling); 1 fill from the r12-green cohort
-    head (q_window_agg) completes the 50. The rest of the r12-green
-    cohort follows; r13-green entries sit last (rule 4).
-    Registry = 143 (+3 this round: q_asof_bucketed, p_wet,
-    t_qsketch).
+
+    ROUND-15 WINDOW (executed per the COVERAGE.md round-14
+    arithmetic + the round-15 consolidation): rule 1 leads with
+    q_asof_stream (the streaming as-of join's driver oracle, VERDICT
+    r14 #7) and the three consolidation entries q_tpch_topn /
+    q_tpch_exists / q_tpch_scalar (VERDICT r14 #6 — they absorb the
+    eight retired singles q3 q10 q18 / q4 q22 / q6 q14 q17, six of
+    which were r12-stale and due this round anyway); then the
+    37-entry r12-green remainder (d_substr .. g_ppr — exactly 3
+    rounds stale at the r14 verdict, the ratified ceiling); 9 fills
+    from the r13-green cohort head (p_admit .. t_qtrain) complete
+    the 50. The rest of the r13 cohort follows; r14-green entries
+    sit last (rule 4).
+    Registry = 139 (+4 this round: q_asof_stream, q_tpch_topn,
+    q_tpch_exists, q_tpch_scalar; -8 consolidated: q3 q4 q6 q10 q14
+    q17 q18 q22 — their plans still execute inside the consolidated
+    entries).
     """
     return {
-        # --- rule-1 head (never driver-checked): s_overlap was the
-        # --- round-13 late addition the r13 window had no room for;
-        # --- q_asof_bucketed is the round-14 registration — the
-        # --- two-phase as-of hot-entity scale path (VERDICT r13 #1),
-        # --- oracle = q_asof's verbatim -----------------------------
-        "s_overlap": s_overlap,
-        "q_asof_bucketed": q_asof_bucketed,
-        "p_wet": p_wet,
-        "t_qsketch": t_qsketch,
-        # --- code changed since its last verdict (rule-3 jump):
-        # --- q_asof rides asof_join's bucket_seconds two-phase
-        # --- extension (the single-window default path is untouched
-        # --- but the function body changed) -------------------------
-        "q_asof": q_asof,
-        # --- last verified r11 (3 rounds stale = the ceiling; the
-        # --- 44-entry cohort COVERAGE.md scheduled to lead this
-        # --- window) ------------------------------------------------
-        "t_rep_ngrams": t_rep_ngrams,
-        "q_events_agg": q_events_agg,
-        "d_bloom": d_bloom,
-        "d_trimspans": d_trimspans,
-        "t_split": t_split,
-        "t_postings": t_postings,
-        "t_clean": t_clean,
-        "t_urls": t_urls,
-        "t_tfidf": t_tfidf,
-        "t_vocab": t_vocab,
-        "t_trigram_lm": t_trigram_lm,
-        "t_chunks": t_chunks,
-        "t_pack": t_pack,
-        "t_bpe": t_bpe,
-        "s_knn_quant": s_knn_quant,
-        "q2": q2,
-        "q10": q10,
-        "q11": q11,
-        "q13": q13,
-        "q15": q15,
-        "q16": q16,
-        "q22": q22,
-        "t_paradedup": t_paradedup,
-        "d_spans": d_spans,
-        "t_scripts": t_scripts,
-        "t_tiers": t_tiers,
-        "g_walks": g_walks,
-        "t_cooc": t_cooc,
-        "g_in": g_in,
-        "g_out2": g_out2,
-        "g_tags": g_tags,
-        "g_union": g_union,
-        "g_except": g_except,
-        "g_intersect": g_intersect,
-        "g_unique": g_unique,
-        "g_count": g_count,
-        "g_allnodes": g_allnodes,
-        "g_labeled": g_labeled,
-        "g_compare": g_compare,
-        "g_regex": g_regex,
-        "g_order_limit": g_order_limit,
-        "g_skip": g_skip,
-        "g_optional": g_optional,
-        "g_both": g_both,
-        # --- green in round 12 (the head fills the r14 window's
-        # --- last 3 slots; the rest rotates into round 15) ----------
-        "q_window_agg": q_window_agg,
+        # --- rule-1 head (never driver-checked): the r15
+        # --- registrations — the streaming as-of oracle and the
+        # --- three TPC-H consolidation entries ---------------------
+        "q_asof_stream": q_asof_stream,
+        "q_tpch_topn": q_tpch_topn,
+        "q_tpch_exists": q_tpch_exists,
+        "q_tpch_scalar": q_tpch_scalar,
+        # --- last verified r12 (3 rounds stale = the ceiling; the
+        # --- 37-entry remainder after the consolidation absorbed
+        # --- q3 q4 q6 q14 q17 q18) ---------------------------------
         "d_substr": d_substr,
         "d_substr_against": d_substr_against,
         "d_substr_index": d_substr_index,
@@ -3140,13 +3245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_recursive": g_recursive,
         "g_recursive_dist": g_recursive_dist,
         "q1": q1,
-        "q3": q3,
-        "q4": q4,
         "q5": q5,
-        "q6": q6,
-        "q14": q14,
-        "q17": q17,
-        "q18": q18,
         "t_urlnorm": t_urlnorm,
         "d_semdedup": d_semdedup,
         "t_domains": t_domains,
@@ -3168,8 +3267,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_lpa": g_lpa,
         "t_qscore": t_qscore,
         "g_ppr": g_ppr,
-        # --- green in round 13 (rule 4: wait last; held by pytest +
-        # --- tools/check_oracles.py meanwhile) ----------------------
+        # --- green in round 13 (the head fills the r15 window's
+        # --- last 9 slots; the rest rotates into round 16) ----------
         "p_admit": p_admit,
         "q_sessions_bucketed": q_sessions_bucketed,
         "p_pipeline": p_pipeline,
@@ -3220,6 +3319,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_redact": t_redact,
         "t_repetition": t_repetition,
         "t_contaminate": t_contaminate,
+        # --- green in round 14 (rule 4: wait last; held by pytest +
+        # --- tools/check_oracles.py meanwhile) ----------------------
+        "s_overlap": s_overlap,
+        "q_asof_bucketed": q_asof_bucketed,
+        "p_wet": p_wet,
+        "t_qsketch": t_qsketch,
+        "q_asof": q_asof,
+        "t_rep_ngrams": t_rep_ngrams,
+        "q_events_agg": q_events_agg,
+        "d_bloom": d_bloom,
+        "d_trimspans": d_trimspans,
+        "t_split": t_split,
+        "t_postings": t_postings,
+        "t_clean": t_clean,
+        "t_urls": t_urls,
+        "t_tfidf": t_tfidf,
+        "t_vocab": t_vocab,
+        "t_trigram_lm": t_trigram_lm,
+        "t_chunks": t_chunks,
+        "t_pack": t_pack,
+        "t_bpe": t_bpe,
+        "s_knn_quant": s_knn_quant,
+        "q2": q2,
+        "q11": q11,
+        "q13": q13,
+        "q15": q15,
+        "q16": q16,
+        "t_paradedup": t_paradedup,
+        "d_spans": d_spans,
+        "t_scripts": t_scripts,
+        "t_tiers": t_tiers,
+        "g_walks": g_walks,
+        "t_cooc": t_cooc,
+        "g_in": g_in,
+        "g_out2": g_out2,
+        "g_tags": g_tags,
+        "g_union": g_union,
+        "g_except": g_except,
+        "g_intersect": g_intersect,
+        "g_unique": g_unique,
+        "g_count": g_count,
+        "g_allnodes": g_allnodes,
+        "g_labeled": g_labeled,
+        "g_compare": g_compare,
+        "g_regex": g_regex,
+        "g_order_limit": g_order_limit,
+        "g_skip": g_skip,
+        "g_optional": g_optional,
+        "g_both": g_both,
+        "q_window_agg": q_window_agg,
     }
 
 
@@ -3987,19 +4136,144 @@ WITH lo AS (
         ORDER BY numwait DESC, s_name LIMIT 20
         )
         """,
-        "q10": """
-SELECT c_custkey, c_name, c_acctbal, n_name,
-          CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-                        AS DECIMAL(18,4))) AS DOUBLE) AS revenue
-        FROM lineitem
-        JOIN orders ON l_orderkey = o_orderkey
-        JOIN customer ON o_custkey = c_custkey
-        JOIN nation ON c_nationkey = n_nationkey
-        WHERE l_returnflag = 'R'
-          AND o_orderdate >= TIMESTAMP '1996-10-01'
-          AND o_orderdate < TIMESTAMP '1997-01-01'
-        GROUP BY 1, 2, 3, 4
-        ORDER BY revenue DESC, c_custkey LIMIT 20
+        # q_tpch_topn / q_tpch_exists / q_tpch_scalar: the round-15
+        # registry consolidation (COVERAGE.md cap policy item 2) —
+        # each branch wraps the retired single-entry oracle verbatim
+        # and harmonizes exactly like the Spark side (dates through
+        # CAST(date) so both engines render ISO strings)
+        "q_tpch_topn": r"""
+            SELECT 'q3' AS q,
+                   CAST(o_orderkey AS VARCHAR) || '|' ||
+                     CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS k,
+                   revenue AS v, CAST(NULL AS DOUBLE) AS v2
+            FROM (
+            SELECT o_orderkey, o_orderdate,
+              CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+              AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+            GROUP BY o_orderkey, o_orderdate
+            ORDER BY revenue DESC, o_orderkey
+            LIMIT 10
+            )
+            UNION ALL
+            SELECT 'q10' AS q,
+                   CAST(c_custkey AS VARCHAR) || '|' || c_name
+                     || '|' || n_name AS k,
+                   revenue AS v, CAST(c_acctbal AS DOUBLE) AS v2
+            FROM (
+            SELECT c_custkey, c_name, c_acctbal, n_name,
+              CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                            AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1996-10-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY 1, 2, 3, 4
+            ORDER BY revenue DESC, c_custkey LIMIT 20
+            )
+            UNION ALL
+            SELECT 'q18' AS q,
+                   c_name || '|' || CAST(c_custkey AS VARCHAR)
+                     || '|' || CAST(o_orderkey AS VARCHAR) || '|' ||
+                     CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS k,
+                   total_qty AS v, CAST(o_totalprice AS DOUBLE) AS v2
+            FROM (
+            WITH big AS (
+              SELECT l_orderkey,
+                     SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250
+            )
+            SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+                   o_totalprice, CAST(sum_qty AS DOUBLE) AS total_qty
+            FROM orders
+            JOIN big ON o_orderkey = l_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+            )
+        """,
+        "q_tpch_exists": r"""
+            SELECT 'q4' AS q, o_orderpriority AS k,
+                   CAST(order_count AS DOUBLE) AS v,
+                   CAST(NULL AS DOUBLE) AS v2
+            FROM (
+            SELECT o_orderpriority, COUNT(*) AS order_count
+            FROM orders o
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-07-01'
+              AND EXISTS (
+                SELECT 1 FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey
+                  AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+            GROUP BY o_orderpriority
+            )
+            UNION ALL
+            SELECT 'q22' AS q, CAST(cntrycode AS VARCHAR) AS k,
+                   CAST(numcust AS DOUBLE) AS v, totacctbal AS v2
+            FROM (
+            WITH cust AS (
+              SELECT * FROM customer
+              WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+            ), stats AS (
+              SELECT COUNT(*) AS n_pos,
+                     SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_pos
+              FROM cust WHERE c_acctbal > 0
+            )
+            SELECT c_nationkey AS cntrycode, COUNT(*) AS numcust,
+              CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                AS totacctbal
+            FROM cust, stats
+            WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n_pos > sum_pos
+              AND c_custkey NOT IN (
+                SELECT o_custkey FROM orders
+                WHERE o_orderdate >= TIMESTAMP '2000-01-01')
+            GROUP BY c_nationkey
+            )
+        """,
+        "q_tpch_scalar": r"""
+            SELECT 'q6' AS q, 'revenue' AS k, revenue AS v
+            FROM (
+            SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
+            )
+            UNION ALL
+            SELECT 'q14' AS q, 'promo_revenue' AS k, promo_revenue AS v
+            FROM (
+            SELECT 100.0 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+                     THEN l_extendedprice * (1 - l_discount)
+                     ELSE 0.0 END AS DECIMAL(18,4))) AS DOUBLE)
+                 / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                     AS DECIMAL(18,4))) AS DOUBLE) AS promo_revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+              AND l_shipdate < TIMESTAMP '1996-04-01'
+            )
+            UNION ALL
+            SELECT 'q17' AS q, 'avg_yearly' AS k, avg_yearly AS v
+            FROM (
+            WITH a AS (
+              SELECT l_partkey AS ak, COUNT(*) AS nq,
+                     SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq
+              FROM lineitem GROUP BY l_partkey
+            )
+            SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                     AS DOUBLE) / 7.0 AS avg_yearly
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#13'
+            JOIN a ON l_partkey = ak
+            WHERE CAST(l_quantity AS DECIMAL(18,2)) * 5 * nq < sq
+            )
         """,
         "q11": """
 WITH per_part AS (
@@ -4043,25 +4317,6 @@ WITH rel AS (
             SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
         GROUP BY 1, 2, 3
         """,
-        "q22": """
-WITH cust AS (
-          SELECT * FROM customer
-          WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
-        ), stats AS (
-          SELECT COUNT(*) AS n_pos,
-                 SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_pos
-          FROM cust WHERE c_acctbal > 0
-        )
-        SELECT c_nationkey AS cntrycode, COUNT(*) AS numcust,
-          CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
-            AS totacctbal
-        FROM cust, stats
-        WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n_pos > sum_pos
-          AND c_custkey NOT IN (
-            SELECT o_custkey FROM orders
-            WHERE o_orderdate >= TIMESTAMP '2000-01-01')
-        GROUP BY c_nationkey
-        """,
         "q12": """
 SELECT CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
                     THEN 'LATE' ELSE 'ONTIME' END AS ship_class,
@@ -4098,19 +4353,6 @@ WITH per_cust AS (
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
             GROUP BY l_returnflag, l_linestatus
         """,
-        "q3": """
-            SELECT o_orderkey, o_orderdate,
-              CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
-            FROM lineitem
-            JOIN orders ON l_orderkey = o_orderkey
-            JOIN customer ON o_custkey = c_custkey
-            WHERE c_mktsegment = 'BUILDING'
-              AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
-              AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
-            GROUP BY o_orderkey, o_orderdate
-            ORDER BY revenue DESC, o_orderkey
-            LIMIT 10
-        """,
         "q5": """
             SELECT n_name,
               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
@@ -4122,62 +4364,6 @@ WITH per_cust AS (
             JOIN region ON n_regionkey = r_regionkey
             WHERE c_nationkey = s_nationkey AND r_name = 'ASIA'
             GROUP BY n_name
-        """,
-        "q6": """
-            SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
-            FROM lineitem
-            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-              AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
-              AND l_discount >= 0.05 AND l_discount <= 0.07
-              AND l_quantity < 24
-        """,
-        "q4": """
-            SELECT o_orderpriority, COUNT(*) AS order_count
-            FROM orders o
-            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
-              AND o_orderdate < TIMESTAMP '1996-07-01'
-              AND EXISTS (
-                SELECT 1 FROM lineitem l
-                WHERE l.l_orderkey = o.o_orderkey
-                  AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
-            GROUP BY o_orderpriority
-        """,
-        "q14": """
-            SELECT 100.0 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
-                     THEN l_extendedprice * (1 - l_discount)
-                     ELSE 0.0 END AS DECIMAL(18,4))) AS DOUBLE)
-                 / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-                     AS DECIMAL(18,4))) AS DOUBLE) AS promo_revenue
-            FROM lineitem JOIN part ON l_partkey = p_partkey
-            WHERE l_shipdate >= TIMESTAMP '1996-03-01'
-              AND l_shipdate < TIMESTAMP '1996-04-01'
-        """,
-        "q17": """
-            WITH a AS (
-              SELECT l_partkey AS ak, COUNT(*) AS nq,
-                     SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq
-              FROM lineitem GROUP BY l_partkey
-            )
-            SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
-                     AS DOUBLE) / 7.0 AS avg_yearly
-            FROM lineitem
-            JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#13'
-            JOIN a ON l_partkey = ak
-            WHERE CAST(l_quantity AS DECIMAL(18,2)) * 5 * nq < sq
-        """,
-        "q18": """
-            WITH big AS (
-              SELECT l_orderkey,
-                     SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
-              FROM lineitem GROUP BY l_orderkey
-              HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250
-            )
-            SELECT c_name, c_custkey, o_orderkey, o_orderdate,
-                   o_totalprice, CAST(sum_qty AS DOUBLE) AS total_qty
-            FROM orders
-            JOIN big ON o_orderkey = l_orderkey
-            JOIN customer ON o_custkey = c_custkey
-            ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
         """,
         # q_events_agg: the two former standalone oracles verbatim
         # under a union (the q_tpch_rev consolidation pattern) — the
@@ -4282,6 +4468,31 @@ WITH per_cust AS (
                                    ORDER BY value DESC, event_id) AS rn
               FROM events
             ) WHERE rn = 1
+        """,
+        # q_asof_stream: the streaming operator's single-batch run
+        # equals the batch as-of join row-for-row by contract
+        # (streaming/asof.py), so the oracle is q_asof's verbatim
+        "q_asof_stream": """
+            WITH p AS (
+              SELECT event_id AS purchase_id, user_id, ts
+              FROM events WHERE event_type = 'purchase'
+            ), cd AS (
+              SELECT user_id, ts, event_id AS click_id FROM (
+                SELECT user_id, ts, event_id,
+                  ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                     ORDER BY event_id DESC) AS rn
+                FROM events WHERE event_type = 'click'
+              ) WHERE rn = 1
+            ), j AS (
+              SELECT p.purchase_id, p.user_id, p.ts,
+                     cd.ts AS click_ts, cd.click_id,
+                ROW_NUMBER() OVER (PARTITION BY p.purchase_id
+                                   ORDER BY cd.ts DESC) AS rn
+              FROM p LEFT JOIN cd
+                ON p.user_id = cd.user_id AND cd.ts <= p.ts
+            )
+            SELECT purchase_id, user_id, ts, click_ts, click_id
+            FROM j WHERE rn = 1
         """,
         "q_asof": """
             WITH p AS (

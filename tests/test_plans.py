@@ -36,7 +36,7 @@ def entry():
 
 def test_q6_filters_push_to_parquet_scan(spark, entry):
     """q6's date/discount/quantity predicates must reach the scan."""
-    df = entry.queries()["q6"](spark, SF)
+    df = entry.q6(spark, SF)  # retired registry single; plan unchanged inside q_tpch_scalar
     plan = plan_of(df)
     assert "PushedFilters: [" in plan
     pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
@@ -155,7 +155,7 @@ def test_pack_uses_range_partitioning_not_single_task(spark, entry):
 def test_q4_compiles_to_semi_join(spark, entry):
     """the EXISTS predicate must become a semi join, not a full join
     plus dedup of multiplied rows."""
-    df = entry.queries()["q4"](spark, SF)
+    df = entry.q4(spark, SF)  # retired registry single; plan unchanged inside q_tpch_exists
     assert "LeftSemi" in plan_of(df)
 
 
