@@ -3208,11 +3208,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     r14 #7) and the three consolidation entries q_tpch_topn /
     q_tpch_exists / q_tpch_scalar (VERDICT r14 #6 — they absorb the
     eight retired singles q3 q10 q18 / q4 q22 / q6 q14 q17, six of
-    which were r12-stale and due this round anyway); then the
-    37-entry r12-green remainder (d_substr .. g_ppr — exactly 3
-    rounds stale at the r14 verdict, the ratified ceiling); 9 fills
-    from the r13-green cohort head (p_admit .. t_qtrain) complete
-    the 50. The rest of the r13 cohort follows; r14-green entries
+    which were r12-stale and due this round anyway); g_pagerank
+    jumps by rule 3 (graphs/algorithms.py gained pre-partitioned
+    pinned iteration frames this round — g_hits/g_ppr are in the
+    window via the r12 cohort anyway); then the 37-entry r12-green
+    remainder (d_substr .. g_ppr — exactly 3 rounds stale at the
+    r14 verdict, the ratified ceiling); 8 fills from the r13-green
+    cohort head (p_admit .. t_perplexity_ext) complete the 50. The rest of the r13 cohort follows; r14-green entries
     sit last (rule 4).
     Registry = 139 (+4 this round: q_asof_stream, q_tpch_topn,
     q_tpch_exists, q_tpch_scalar; -8 consolidated: q3 q4 q6 q10 q14
@@ -3227,6 +3229,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tpch_topn": q_tpch_topn,
         "q_tpch_exists": q_tpch_exists,
         "q_tpch_scalar": q_tpch_scalar,
+        # --- rule-3 jump: graphs/algorithms.py gained pre-partitioned
+        # --- pinned iteration frames this round (pagerank/hits/ppr);
+        # --- g_hits and g_ppr are already in the window via the r12
+        # --- cohort, g_pagerank (r13-green) jumps here ---------------
+        "g_pagerank": g_pagerank,
         # --- last verified r12 (3 rounds stale = the ceiling; the
         # --- 37-entry remainder after the consolidation absorbed
         # --- q3 q4 q6 q14 q17 q18) ---------------------------------
@@ -3291,7 +3298,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_html": t_html,
         "t_mixture": t_mixture,
         "g_triangles": g_triangles,
-        "g_pagerank": g_pagerank,
         "g_degrees": g_degrees,
         "g_predstats": g_predstats,
         "m_dhash": m_dhash,

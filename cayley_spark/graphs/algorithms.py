@@ -57,22 +57,41 @@ def pagerank(
     """
     if scale % damping_den:
         raise ValueError("scale must be divisible by damping_den")
-    # edges, nodes and degrees are read EVERY iteration — materialize
-    # each once (lazy localCheckpoint: the first action computes and
-    # pins the blocks, later iterations reread them instead of
-    # re-running the upstream scan/dedup lineage 2 per round)
-    e = edges.select(
-        F.col(src).alias("src"), F.col(dst).alias("dst")
-    ).localCheckpoint(eager=False)
+    # edges, nodes and degrees are read EVERY iteration — pin each
+    # once, PRE-PARTITIONED on the key its loop join uses. persist()
+    # rather than localCheckpoint for the pinned frames: an
+    # InMemoryRelation preserves the cached plan's HashPartitioning
+    # (spark.sql.optimizer.canChangeCachedPlanOutputPartitioning
+    # defaults false exactly so downstream plans can rely on it),
+    # while under AQE a localCheckpoint captures the adaptive plan's
+    # partitioning as UNKNOWN and every later join re-shuffles the
+    # pinned side (pinned by tests/test_algorithms.py's plan test).
+    # With the cache partitioned on the join key, each iteration's
+    # edge⋈ranks⋈deg chain and the nodes⋈inc merge plan WITHOUT an
+    # Exchange on the big pinned sides — only the small per-round
+    # score/contribution frames shuffle. At cluster scale that is
+    # the difference between re-shuffling the edge set every
+    # iteration and never (the GraphX routing-table trade, expressed
+    # in DataFrames). Block lifetime is unchanged vs the previous
+    # checkpoint form: freed on unpersist or when the frame becomes
+    # unreachable (ContextCleaner).
+    npart = int(
+        edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .repartition(npart, "src")
+        .persist()
+    )
     nodes = (
         e.select(F.col("src").alias("id"))
         .unionAll(e.select(F.col("dst").alias("id")))
         .dropDuplicates(["id"])
-        .localCheckpoint(eager=False)
+        .persist()
     )
-    deg = e.groupBy("src").agg(
-        F.count(F.lit(1)).alias("deg")
-    ).localCheckpoint(eager=False)
+    # no explicit repartition: dropDuplicates already hash-shuffles
+    # on id at npart, and the cache pins that partitioning
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
     ranks = nodes.withColumn("r", F.lit(scale).cast("long"))
     teleport = scale * (damping_den - damping_num) // damping_den
     for _ in range(iters):
@@ -120,8 +139,8 @@ def hits(
 
     Scale shape: one (join + groupBy) per half-step on 8-byte node
     ids; the max for normalization is a 1-row broadcast cross join
-    (the verdict-audited scalar pattern). Edges/nodes localCheckpoint
-    once and are reread every iteration. Overflow-safe by
+    (the verdict-audited scalar pattern). Edges/nodes pin once as
+    partitioned persists and are reread every iteration. Overflow-safe by
     construction: score <= scale, so a summed half-step is bounded by
     max_degree * scale and the scaled numerator by
     max_degree * scale² (needs max_degree < 9.2e18/scale² = 9.2e6
@@ -132,15 +151,28 @@ def hits(
             f"hits() needs iters >= 1 (got {iters}): the authority "
             "frame is only defined after the first half-step"
         )
-    e = edges.select(
-        F.col(src).alias("src"), F.col(dst).alias("dst")
-    ).localCheckpoint(eager=False)
-    nodes = (
-        e.select(F.col("src").alias("id"))
-        .unionAll(e.select(F.col("dst").alias("id")))
-        .dropDuplicates(["id"])
-        .localCheckpoint(eager=False)
+    # two pinned edge copies, one per join direction: each half-step
+    # joins scores on src then on dst, so a single unpartitioned copy
+    # would re-shuffle the edge set twice per iteration. Partitioned
+    # persists (an InMemoryRelation preserves its HashPartitioning —
+    # see pagerank's comment; a localCheckpoint under AQE does NOT)
+    # make both half-step joins exchange-free on the edge side —
+    # 2x pinned storage for zero edge shuffles per iteration, the
+    # standard iterative-graph trade.
+    npart = int(
+        edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
     )
+    base = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    e_s = base.repartition(npart, "src").persist()
+    e_d = base.repartition(npart, "dst").persist()
+    nodes = (
+        e_s.select(F.col("src").alias("id"))
+        .unionAll(e_s.select(F.col("dst").alias("id")))
+        .dropDuplicates(["id"])
+        .persist()
+    )
+    # no explicit repartition: dropDuplicates already hash-shuffles
+    # on id at npart, and the cache pins that partitioning
 
     def _norm(raw: DataFrame, col: str) -> DataFrame:
         # raw: (id, v) partial — absent nodes score 0; normalize so
@@ -164,14 +196,14 @@ def hits(
     a = None
     for _ in range(iters):
         a_raw = (
-            e.join(h.withColumnRenamed("id", "src"), "src")
+            e_s.join(h.withColumnRenamed("id", "src"), "src")
             .groupBy("dst")
             .agg(F.sum("h").alias("v"))
             .withColumnRenamed("dst", "id")
         )
         a = _norm(a_raw, "a")
         h_raw = (
-            e.join(a.withColumnRenamed("id", "dst"), "dst")
+            e_d.join(a.withColumnRenamed("id", "dst"), "dst")
             .groupBy("src")
             .agg(F.sum("a").alias("v"))
             .withColumnRenamed("src", "id")
@@ -511,18 +543,26 @@ def personalized_pagerank(
         raise ValueError("scale must be divisible by damping_den")
     if not seeds:
         raise ValueError("seeds must be non-empty")
-    e = edges.select(
-        F.col(src).alias("src"), F.col(dst).alias("dst")
-    ).localCheckpoint(eager=False)
+    # pre-partitioned pinned frames, exactly pagerank's layout (and
+    # for the same AQE reason, persist not localCheckpoint): the
+    # loop joins stay exchange-free on the edge/node sides
+    npart = int(
+        edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .repartition(npart, "src")
+        .persist()
+    )
     nodes = (
         e.select(F.col("src").alias("id"))
         .unionAll(e.select(F.col("dst").alias("id")))
         .dropDuplicates(["id"])
-        .localCheckpoint(eager=False)
+        .persist()
     )
-    deg = e.groupBy("src").agg(
-        F.count(F.lit(1)).alias("deg")
-    ).localCheckpoint(eager=False)
+    # no explicit repartition: dropDuplicates already hash-shuffles
+    # on id at npart, and the cache pins that partitioning
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
     is_seed = F.col("id").isin(list(seeds))
     seed_mass = F.when(is_seed, F.lit(scale)).otherwise(F.lit(0))
     teleport = scale * (damping_den - damping_num) // damping_den

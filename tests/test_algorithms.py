@@ -363,3 +363,63 @@ def test_personalized_pagerank_exact_replica(spark):
     assert got[1] > got[2] > got[3] > 0
     with pytest.raises(ValueError):
         personalized_pagerank(edges, [], iters=3)
+
+
+def test_partitioned_persist_survives_as_join_partitioning(spark):
+    """The iterative algorithms (pagerank/hits/personalized_pagerank)
+    pin their edge/node frames as repartition(k, key).persist() so
+    the per-iteration joins shuffle only the small score side. That
+    rests on a Spark property this test pins: an InMemoryRelation
+    preserves the cached plan's HashPartitioning
+    (spark.sql.optimizer.canChangeCachedPlanOutputPartitioning
+    defaults false), so an equi-join on the cache key plans NO
+    requirement-driven Exchange above the cached side — while a
+    localCheckpoint under AQE loses the partitioning (captured as
+    UNKNOWN from the unfinalized adaptive plan), which is exactly why
+    the algorithms persist instead of checkpointing their pinned
+    frames. Requirement-driven shuffles carry the ENSURE_REQUIREMENTS
+    tag, so counting that tag sees only live-join shuffles, never the
+    REPARTITION_BY_NUM exchange serialized inside the cached-plan
+    dump."""
+    from pyspark.sql import Row
+
+    e = (
+        spark.createDataFrame([Row(src=i % 7, dst=i % 5) for i in range(100)])
+        .repartition(8, "src")
+        .persist()
+    )
+    e.count()
+    scores = spark.createDataFrame(
+        [Row(src=i, r=i * 10) for i in range(7)]
+    )
+    try:
+        j = e.join(scores.hint("merge"), "src")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        # exactly one requirement-driven Exchange: the scores side
+        assert plan.count("ENSURE_REQUIREMENTS") == 1, plan
+
+        # the rename-through-project case the loops rely on: a frame
+        # persisted partitioned on id, renamed id->src, still joins
+        # exchange-free against the src-partitioned edge cache
+        # (alias-aware output partitioning)
+        ranks = (
+            spark.createDataFrame([Row(id=i, r=i) for i in range(7)])
+            .repartition(8, "id")
+            .persist()
+        )
+        ranks.count()
+        try:
+            j2 = e.join(
+                ranks.withColumnRenamed("id", "src").hint("merge"), "src"
+            )
+            plan2 = j2._jdf.queryExecution().executedPlan().toString()
+            assert plan2.count("ENSURE_REQUIREMENTS") == 0, plan2
+            # groupBy on the cache key needs no new shuffle either
+            # (deg's plan inside pagerank)
+            g = e.groupBy("src").count()
+            plang = g._jdf.queryExecution().executedPlan().toString()
+            assert plang.count("ENSURE_REQUIREMENTS") == 0, plang
+        finally:
+            ranks.unpersist()
+    finally:
+        e.unpersist()
