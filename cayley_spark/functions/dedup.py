@@ -85,9 +85,24 @@ def duplicate_clusters(
             f"{id_type} (map it to a dense integer id first)"
         )
     edges = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
-    edges = edges.unionAll(
-        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).persist()
+    # pinned PRE-PARTITIONED on the loop's join key: an
+    # InMemoryRelation preserves its HashPartitioning (see
+    # graphs/algorithms.pagerank — the same r15 pattern, pinned by
+    # tests/test_algorithms.py), so every round's edges⋈labels join
+    # plans no Exchange on the big edge side; only the small label
+    # frame shuffles per round. A bare persist() of the union kept
+    # whatever partitioning the pair generator left, and the join
+    # re-shuffled the full edge set every round.
+    npart = int(
+        pairs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    edges = (
+        edges.unionAll(
+            edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        .repartition(npart, "a")
+        .persist()
+    )
     labels = ids.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("lab")
     ).localCheckpoint(eager=True)

@@ -489,10 +489,22 @@ def label_propagation(
         .where(F.col("u") != F.col("v"))
         .dropDuplicates(["u", "v"])
     )
-    # both directions once: message volume = 2·|E| per round
-    both = und.unionAll(
-        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint(eager=False)
+    # both directions once: message volume = 2·|E| per round. Pinned
+    # PRE-PARTITIONED on "v" — the key every round's edges⋈labels
+    # join uses — as a partitioned persist (InMemoryRelation keeps
+    # its HashPartitioning; a localCheckpoint under AQE loses it, see
+    # pagerank's comment), so the edge frame never re-shuffles inside
+    # the loop; only the small per-round label frame does.
+    npart = int(
+        edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    both = (
+        und.unionAll(
+            und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        .repartition(npart, "v")
+        .persist()
+    )
     labels = (
         both.select(F.col("u").alias("id"))
         .dropDuplicates(["id"])

@@ -734,8 +734,25 @@ class GraphStore:
                 merged_nodes = merged_nodes.unionByName(
                     self.spark.createDataFrame(fresh_rows, NODE_SCHEMA)
                 )
+            # The select() before the union is a cache barrier, not a
+            # no-op: Dataset.union flattens nested Unions EAGERLY
+            # (CombineUnions at Dataset-build time), so when
+            # self.quads is a persisted union (tpch_graph's 11-branch
+            # edge union, or any unioned store), the flattened plan no
+            # longer contains a subtree equal to the cached plan and
+            # CacheManager.useCachedData silently stops substituting —
+            # every downstream reference of the delta store then
+            # re-derives the whole quad table from the base relations
+            # (measured: g_write_delete re-ran the 11-branch build as
+            # 200+-task stages per reference, ~7.5 s vs ~1 s cached at
+            # sf0.1). A Project above the cached frame blocks the
+            # flattening while remaining transparent to the optimizer.
             out = GraphStore(
-                self.spark, merged_nodes, out.quads.unionByName(other.quads)
+                self.spark,
+                merged_nodes,
+                out.quads.select("s", "p", "o", "l").unionByName(
+                    other.quads
+                ),
             )
         if delete:
             dels = GraphStore.from_quad_values(self.spark, list(delete))

@@ -366,7 +366,9 @@ def test_personalized_pagerank_exact_replica(spark):
 
 
 def test_partitioned_persist_survives_as_join_partitioning(spark):
-    """The iterative algorithms (pagerank/hits/personalized_pagerank)
+    """The iterative algorithms (pagerank/hits/personalized_pagerank,
+    and since r15 label_propagation and functions/dedup.
+    duplicate_clusters — g_lpa/d_cluster/connected_components)
     pin their edge/node frames as repartition(k, key).persist() so
     the per-iteration joins shuffle only the small score side. That
     rests on a Spark property this test pins: an InMemoryRelation
