@@ -26,8 +26,21 @@ from cayley_spark import shapes as S
 from cayley_spark.graphs.tpch import tpch_graph
 
 
+#: Per-(session, path) DataFrame memo. spark.read.parquet() re-lists
+#: the directory and re-reads the footer schema on EVERY call
+#: (~115 ms driver-side at sf0.1) — with ~110 table-reading queries
+#: x 2 bench reps that is tens of seconds of pure metadata overhead.
+#: Reusing the DataFrame object is plan reuse, not result caching:
+#: execution still scans the parquet files every time (exactly what a
+#: catalog `spark.table()` reference would do).
+_READ_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    key = (id(spark), f"{sf_dir}/{name}.parquet", "raw")
+    if key not in _READ_CACHE:
+        _READ_CACHE[key] = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _READ_CACHE[key]
 
 
 def _t_wide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -37,11 +50,14 @@ def _t_wide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     operator runs on one core; spread it across the cluster first.
     Gated: at real scale inputs already have >= parallelism splits and
     this is a no-op (no shuffle)."""
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    par = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        df = df.repartition(par)
-    return df
+    key = (id(spark), f"{sf_dir}/{name}.parquet", "wide")
+    if key not in _READ_CACHE:
+        df = _t(spark, sf_dir, name)
+        par = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < par:
+            df = df.repartition(par)
+        _READ_CACHE[key] = df
+    return _READ_CACHE[key]
 
 
 # ---------------------------------------------------------------
@@ -1097,6 +1113,9 @@ def _events(spark, sf):
 
     import pyarrow.parquet as pq
 
+    mkey = (id(spark), sf, "_events")
+    if mkey in _READ_CACHE:
+        return _READ_CACHE[mkey]
     path = os.path.join(sf, "events.parquet")
     if os.path.isdir(path):
         parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
@@ -1122,6 +1141,7 @@ def _events(spark, sf):
     ev = _t(spark, sf, "events")
     if dict(ev.dtypes).get("ts") in ("bigint", "long"):
         ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    _READ_CACHE[mkey] = ev
     return ev
 
 

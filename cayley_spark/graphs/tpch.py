@@ -148,10 +148,41 @@ def tpch_graph(spark: SparkSession, sf_dir: str, cache: bool = True) -> GraphSto
         return _GRAPH_CACHE[key]
     st = _build_tpch_graph(spark, sf_dir)
     if cache:
+        st = GraphStore(
+            spark,
+            _coalesce_for_cache(st.nodes),
+            _coalesce_for_cache(st.quads),
+        )
         st.nodes.persist()
         st.quads.persist()
         _GRAPH_CACHE[key] = st
     return st
+
+
+def _coalesce_for_cache(df: DataFrame) -> DataFrame:
+    """Right-size the cached relation's partition count BEFORE
+    persisting. The nodes union's branches each end in their own
+    post-shuffle/post-scan splits, so the cached frame inherits
+    branches x splits partitions (229 at sf0.1) of a few MB each —
+    and EVERY later cache scan pays that task count (the dictionary
+    side of each rendered query). Merge to
+    max(defaultParallelism, est_bytes / 256 MB) with a shuffle-free
+    coalesce: locally that is one task per core; at cluster scale the
+    size term keeps partitions at the guide's 100 MB-1 GB target
+    (spark_optimization_guide §2.2/§6) instead of collapsing a large
+    table onto the core count. Measured at sf0.1: node-dictionary
+    scans drop 229 -> 32 tasks, g_intersect 1.14 -> 0.68 s warm,
+    graph load ~8 % faster; coalesce never increases the partition
+    count, so well-split inputs pass through unchanged."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    nparts = df.rdd.getNumPartitions()
+    if nparts <= par:
+        return df
+    est = int(
+        df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+    target = max(par, est // (256 << 20) + 1)
+    return df.coalesce(target) if target < nparts else df
 
 
 def _build_tpch_graph(spark: SparkSession, sf_dir: str) -> GraphStore:
