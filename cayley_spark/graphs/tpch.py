@@ -174,15 +174,28 @@ def _coalesce_for_cache(df: DataFrame) -> DataFrame:
     scans drop 229 -> 32 tasks, g_intersect 1.14 -> 0.68 s warm,
     graph load ~8 % faster; coalesce never increases the partition
     count, so well-split inputs pass through unchanged."""
+    # Decide the target WITHOUT touching df.rdd: under AQE, .rdd
+    # finalizes the adaptive plan by EXECUTING the query's shuffle
+    # stages, so a getNumPartitions() probe here ran the whole graph
+    # build once before the cache populated it again (~5 s per load at
+    # sf0.1, measured 2026-08-17). coalesce() never increases a
+    # partition count, so the probe is unnecessary: applying it to an
+    # already-well-split frame is a no-op.
     par = df.sparkSession.sparkContext.defaultParallelism
-    nparts = df.rdd.getNumPartitions()
-    if nparts <= par:
-        return df
     est = int(
         df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
     )
-    target = max(par, est // (256 << 20) + 1)
-    return df.coalesce(target) if target < nparts else df
+    if est >= 1 << 50:
+        # the unknown-size sentinel (spark.sql.defaultSizeInBytes =
+        # Long.Max) poisons any union containing a stats-less leaf —
+        # the nodes union's createDataFrame(pred_rows) branch is a
+        # LogicalRDD with no estimate. Fall back to one partition per
+        # core; the size term below only drives the target when real
+        # estimates exist.
+        target = par
+    else:
+        target = max(par, est // (256 << 20) + 1)
+    return df.coalesce(int(target))
 
 
 def _build_tpch_graph(spark: SparkSession, sf_dir: str) -> GraphStore:
