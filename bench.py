@@ -159,26 +159,37 @@ def main() -> None:
     import __spark_entry__ as E
 
     t0 = time.time()
-    from cayley_spark.graphs.tpch import tpch_graph
+    from concurrent.futures import ThreadPoolExecutor
 
-    g = tpch_graph(spark, sf_dir)
-    g.quads.count()  # materialize the persisted graph once
-    g.nodes.count()
+    from pyspark.sql import functions as _F
 
     # Warm the Python worker fleet during load: the first pandas-UDF
     # stage otherwise pays ~0.25s x cpus of worker spawn + pandas
     # import inside whichever query hits it first (a fixed environment
     # cost, not a query cost — the reference's baseline numbers are
     # likewise measured against a loaded, warmed memstore).
-    from pyspark.sql import functions as _F
+    def _warm_workers():
+        @_F.pandas_udf("boolean")
+        def _warm(s):
+            return s.astype(str).str.len() > 0
 
-    @_F.pandas_udf("boolean")
-    def _warm(s):
-        return s.astype(str).str.len() > 0
+        spark.range(cpus * 4).repartition(cpus).select(
+            _warm(_F.col("id").cast("string"))
+        ).write.mode("overwrite").format("noop").save()
 
-    spark.range(cpus * 4).repartition(cpus).select(
-        _warm(_F.col("id").cast("string"))
-    ).write.mode("overwrite").format("noop").save()
+    from cayley_spark.graphs.tpch import tpch_graph
+
+    # The load's pieces are independent jobs — worker warm-up vs the
+    # graph build, then quads vs nodes cache population — so they
+    # overlap on a small thread pool (guide §2.6 back-fill; the graph
+    # build is driver-bound py4j chatter that leaves executors idle).
+    # load_sec still times the identical work, just not serialized.
+    with ThreadPoolExecutor(max_workers=3) as _pool:
+        warm_f = _pool.submit(_warm_workers)
+        g = tpch_graph(spark, sf_dir)
+        qc = _pool.submit(g.quads.count)  # materialize the persisted graph
+        nc = _pool.submit(g.nodes.count)
+        qc.result(), nc.result(), warm_f.result()
     load_sec = round(time.time() - t0, 3)
 
     def _persistent_ids() -> set[int]:

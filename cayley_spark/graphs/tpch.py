@@ -199,10 +199,26 @@ def _coalesce_for_cache(df: DataFrame) -> DataFrame:
 
 
 def _build_tpch_graph(spark: SparkSession, sf_dir: str) -> GraphStore:
-    t = {
-        n: spark.read.parquet(f"{sf_dir}/{n}.parquet")
-        for n in ("region", "nation", "customer", "supplier", "orders", "lineitem")
-    }
+    # The build is driver-bound py4j latency, not compute: six
+    # read.parquet schema reads (~0.7 s each on a fresh session) and
+    # ~5k expression-construction round trips. The reads are
+    # independent — overlap them on a small thread pool (each Python
+    # thread gets its own py4j connection; DataFrame construction is
+    # pure). Order is preserved by map(), so the built plan is
+    # byte-identical to the sequential form.
+    from concurrent.futures import ThreadPoolExecutor
+
+    names = ("region", "nation", "customer", "supplier", "orders", "lineitem")
+    with ThreadPoolExecutor(max_workers=len(names)) as pool:
+        t = dict(
+            zip(
+                names,
+                pool.map(
+                    lambda n: spark.read.parquet(f"{sf_dir}/{n}.parquet"),
+                    names,
+                ),
+            )
+        )
     cust, nat, reg, supp = t["customer"], t["nation"], t["region"], t["supplier"]
     orders, li = t["orders"], t["lineitem"]
 
@@ -212,24 +228,33 @@ def _build_tpch_graph(spark: SparkSession, sf_dir: str) -> GraphStore:
         "inner",
     )
 
-    edges = [
-        _edge(orders, ent_id("order", "o_orderkey"), "placed_by",
-              ent_id("customer", "o_custkey")),
-        _edge(cust, ent_id("customer", "c_custkey"), "in_nation",
-              ent_id("nation", "c_nationkey")),
-        _edge(supp, ent_id("supplier", "s_suppkey"), "in_nation",
-              ent_id("nation", "s_nationkey")),
-        _edge(nat, ent_id("nation", "n_nationkey"), "in_region",
-              ent_id("region", "n_regionkey")),
-        _edge(cust, ent_id("customer", "c_custkey"), "in_segment",
-              str_id("c_mktsegment")),
-        _edge(nat, ent_id("nation", "n_nationkey"), "named", str_id("n_name")),
-        _edge(reg, ent_id("region", "r_regionkey"), "named", str_id("r_name")),
-        _edge(cust, ent_id("customer", "c_custkey"), "balance",
-              float_id("c_acctbal")),
-        _edge(orders, ent_id("order", "o_orderkey"), "status",
-              str_id("o_orderstatus")),
-        _edge(
+    part_keys = li.select(F.col("l_partkey").alias("k")).distinct()
+    from ..values import IRI
+    from ..store import _node_row
+
+    # Each branch below is an independent pure DataFrame build —
+    # thunks run on the pool to overlap their py4j round trips; list
+    # order (hence union order and the final plan) is unchanged.
+    edge_thunks = [
+        lambda: _edge(orders, ent_id("order", "o_orderkey"), "placed_by",
+                      ent_id("customer", "o_custkey")),
+        lambda: _edge(cust, ent_id("customer", "c_custkey"), "in_nation",
+                      ent_id("nation", "c_nationkey")),
+        lambda: _edge(supp, ent_id("supplier", "s_suppkey"), "in_nation",
+                      ent_id("nation", "s_nationkey")),
+        lambda: _edge(nat, ent_id("nation", "n_nationkey"), "in_region",
+                      ent_id("region", "n_regionkey")),
+        lambda: _edge(cust, ent_id("customer", "c_custkey"), "in_segment",
+                      str_id("c_mktsegment")),
+        lambda: _edge(nat, ent_id("nation", "n_nationkey"), "named",
+                      str_id("n_name")),
+        lambda: _edge(reg, ent_id("region", "r_regionkey"), "named",
+                      str_id("r_name")),
+        lambda: _edge(cust, ent_id("customer", "c_custkey"), "balance",
+                      float_id("c_acctbal")),
+        lambda: _edge(orders, ent_id("order", "o_orderkey"), "status",
+                      str_id("o_orderstatus")),
+        lambda: _edge(
             nat_next,
             F.xxhash64(F.concat(F.lit("I:nation:"),
                                 F.col("a.n_nationkey").cast("string"))),
@@ -237,32 +262,33 @@ def _build_tpch_graph(spark: SparkSession, sf_dir: str) -> GraphStore:
             F.xxhash64(F.concat(F.lit("I:nation:"),
                                 F.col("b.n_nationkey").cast("string"))),
         ),
-        _edge(li, ent_id("order", "l_orderkey"), "contains",
-              ent_id("part", "l_partkey"), ent_id("supplier", "l_suppkey")),
+        lambda: _edge(li, ent_id("order", "l_orderkey"), "contains",
+                      ent_id("part", "l_partkey"),
+                      ent_id("supplier", "l_suppkey")),
     ]
+    node_thunks = [
+        lambda: _ent_nodes(cust, "customer", "c_custkey"),
+        lambda: _ent_nodes(orders, "order", "o_orderkey"),
+        lambda: _ent_nodes(nat, "nation", "n_nationkey"),
+        lambda: _ent_nodes(reg, "region", "r_regionkey"),
+        lambda: _ent_nodes(supp, "supplier", "s_suppkey"),
+        lambda: _ent_nodes(part_keys, "part", "k"),
+        lambda: _str_nodes(cust, "c_mktsegment"),
+        lambda: _str_nodes(nat, "n_name"),
+        lambda: _str_nodes(reg, "r_name"),
+        lambda: _str_nodes(orders, "o_orderstatus"),
+        lambda: _float_nodes(cust, "c_acctbal"),
+        lambda: spark.createDataFrame(
+            [_node_row(IRI(p)) for p in PREDICATES], NODE_SCHEMA
+        ),
+    ]
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        built = list(pool.map(lambda f: f(), edge_thunks + node_thunks))
+    edges = built[: len(edge_thunks)]
+    node_dfs = built[len(edge_thunks):]
     quads = edges[0]
     for e in edges[1:]:
         quads = quads.unionAll(e)
-
-    part_keys = li.select(F.col("l_partkey").alias("k")).distinct()
-    node_dfs = [
-        _ent_nodes(cust, "customer", "c_custkey"),
-        _ent_nodes(orders, "order", "o_orderkey"),
-        _ent_nodes(nat, "nation", "n_nationkey"),
-        _ent_nodes(reg, "region", "r_regionkey"),
-        _ent_nodes(supp, "supplier", "s_suppkey"),
-        _ent_nodes(part_keys, "part", "k"),
-        _str_nodes(cust, "c_mktsegment"),
-        _str_nodes(nat, "n_name"),
-        _str_nodes(reg, "r_name"),
-        _str_nodes(orders, "o_orderstatus"),
-        _float_nodes(cust, "c_acctbal"),
-    ]
-    from ..values import IRI
-    from ..store import _node_row
-
-    pred_rows = [_node_row(IRI(p)) for p in PREDICATES]
-    node_dfs.append(spark.createDataFrame(pred_rows, NODE_SCHEMA))
     nodes = node_dfs[0]
     for d in node_dfs[1:]:
         nodes = nodes.unionAll(d)
