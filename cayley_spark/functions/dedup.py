@@ -371,7 +371,7 @@ def ngram_jaccard_pairs(
     # the na/nb joins alone would pay it twice more
     sizes = postings.groupBy("blk", "id").agg(
         F.count(F.lit(1)).alias("n")
-    )
+    ).persist()
     dfreq = postings.groupBy("blk", "s").agg(F.count(F.lit(1)).alias("df"))
     # Adaptive plan choice (the AQE idea, one level up): the direct
     # postings self-join materializes exactly sum(df^2) rows — cheap
@@ -379,6 +379,12 @@ def ngram_jaccard_pairs(
     # little but its verification re-join pays |cand| x setsize. One
     # tiny aggregate prices both plans before committing.
     sum_df2 = dfreq.agg(F.sum(F.col("df") * F.col("df"))).collect()[0][0] or 0
+    # sizes is referenced by both the na and nb joins, whose map
+    # stages are scheduled concurrently — materialize it once here
+    # (the pricing job above has already populated the postings cache,
+    # so this is one cheap cached-scan aggregate instead of two racing
+    # ones re-aggregating per side).
+    sizes.count()
     if sum_df2 <= direct_join_budget:
         a = postings.select("blk", F.col("id").alias("id_a"), "s")
         b = postings.select("blk", F.col("id").alias("id_b"), "s")
@@ -468,6 +474,7 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard"),
         postings,
+        sizes,
     )
 
 
