@@ -9,7 +9,13 @@ narrative choice. This tool makes it mechanical: run `python bench.py`
      pure parquet scan + persist whose clean-host anchor is
      11.4-11.9 s across r13/r14; 1.3x that bounds acceptable drift),
   2. every guard entry's settled re-run resolved below 2x its history
-     (the bench's own mover guard found nothing it could not settle).
+     (the bench's own mover guard found nothing it could not settle),
+  3. the MEDIAN per-query ratio vs the previous canonical is <= the
+     median gate (default 1.2) over queries with >= 0.3 s of history —
+     a run with a degraded mid-suite window can pass 1. and 2. yet
+     carry 20-30% inflation on every sub-guard-threshold query (the
+     first r15 cut did exactly that: load_sec 9.7, all 12 movers
+     settled, median vs the clean r14 canonical 1.28).
 
 On reject: keep the BENCH_DETAIL.json the run wrote aside as
 BENCH_DETAIL.rejected-<n>.json, restore the previous committed detail
@@ -38,7 +44,37 @@ def main() -> int:
     ap.add_argument("--tries", type=int, default=3)
     ap.add_argument("--cooldown", type=float, default=300.0)
     ap.add_argument("--load-gate", type=float, default=15.5)
+    # Whole-suite health gate (added after the first r15 cut): a run
+    # with a degraded mid-suite window can pass load_sec (clean start)
+    # and settle every >1.5x guard mover, yet still carry 20-30%
+    # uniform inflation on the sub-threshold rest. Reject when the
+    # MEDIAN per-query ratio vs the previous canonical (queries with
+    # history >= 0.3 s, post-guard-substitution numbers) exceeds this.
+    # Genuine optimizations push the median DOWN; clean-to-clean round
+    # variance observed on this chain is well inside +/-10%.
+    ap.add_argument("--median-gate", type=float, default=1.2)
+    # Comparison baseline for the median gate. Default: the canonical
+    # in place before this session (same as the bench guard's history).
+    # Pass an explicit file after an instance change (ADJUDICATIONS
+    # r15_instance_floor): medians are only meaningful same-instance.
+    ap.add_argument("--baseline", type=str, default=None)
     args = ap.parse_args()
+
+    # History = the canonical in place before any run of this session.
+    # Stash it in memory: bench.py overwrites the file, and a git
+    # checkout restore would resurrect whatever happens to be committed
+    # (in r15 that was itself a degraded run — the very bug this gate
+    # exists to catch).
+    try:
+        with open(DETAIL) as f:
+            hist = json.load(f)
+    except Exception:
+        hist = None
+    if args.baseline:
+        with open(args.baseline) as f:
+            hist_q = json.load(f).get("queries", {})
+    else:
+        hist_q = (hist or {}).get("queries", {})
 
     for attempt in range(1, args.tries + 1):
         print(f"[cut_canonical] attempt {attempt}/{args.tries}", flush=True)
@@ -63,6 +99,14 @@ def main() -> int:
             for n, g in guard.items()
             if g["settled_rerun"] > 2 * g["history"]
         }
+        ratios = sorted(
+            d["queries"][n] / hist_q[n]
+            for n in d["queries"]
+            if n in hist_q and hist_q[n] >= 0.3
+        )
+        median = (
+            round(ratios[len(ratios) // 2], 3) if ratios else None
+        )
         verdict = []
         if load > args.load_gate:
             verdict.append(
@@ -72,18 +116,33 @@ def main() -> int:
             verdict.append(
                 f"guard could not settle {sorted(unresolved)} below 2x history"
             )
+        if median is not None and median > args.median_gate:
+            verdict.append(
+                f"median vs history {median} > gate {args.median_gate} "
+                "(suite-wide degradation)"
+            )
         print(
             f"  run {d['provenance']['run_utc']}: value={d['value']} "
-            f"load_sec={load} guard={sorted(guard) or 'empty'} wall={wall}s"
+            f"load_sec={load} median_vs_history={median} "
+            f"guard={sorted(guard) or 'empty'} wall={wall}s"
         )
         if not verdict:
             print("[cut_canonical] ACCEPTED — BENCH_DETAIL.json is canonical")
             return 0
-        rej = os.path.join(REPO, f"BENCH_DETAIL.rejected-{attempt}.json")
+        n = 1
+        while os.path.exists(
+            os.path.join(REPO, f"BENCH_DETAIL.rejected-{n}.json")
+        ):
+            n += 1
+        rej = os.path.join(REPO, f"BENCH_DETAIL.rejected-{n}.json")
         shutil.copy(DETAIL, rej)
-        subprocess.run(
-            ["git", "checkout", "--", "BENCH_DETAIL.json"], cwd=REPO
-        )
+        if hist is not None:
+            with open(DETAIL, "w") as f:
+                json.dump(hist, f, indent=1, sort_keys=True)
+        else:
+            subprocess.run(
+                ["git", "checkout", "--", "BENCH_DETAIL.json"], cwd=REPO
+            )
         print(f"[cut_canonical] REJECTED: {'; '.join(verdict)} -> {rej}")
         if attempt < args.tries:
             print(f"  cooling down {args.cooldown}s", flush=True)
