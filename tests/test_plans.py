@@ -362,3 +362,21 @@ def test_pipeline_never_rescans_raw_text(spark, entry):
     from cayley_spark.functions._cache import unpersist_intermediates
 
     unpersist_intermediates(df)
+
+
+def test_jaccard_sizes_cached_for_both_join_sides(spark, entry):
+    """ngram_jaccard_pairs persists the per-doc set-size frame and
+    materializes it once; the na/nb verification joins must both read
+    the InMemoryRelation instead of re-running the groupBy over the
+    postings cache (r15: the two aggregates raced, 2.3x A/B win)."""
+    import re
+
+    df = entry.queries()["d_jaccard"](spark, SF)
+    plan = optimized_of(df)
+    # no LIVE aggregate over (blk, id): the only live Aggregate is the
+    # intersection count over (id_a, id_b). The set-size groupBys may
+    # only appear inside InMemoryRelation stored lineage.
+    assert "Aggregate [blk" not in plan, plan
+    # both join sides read the cached sizes frame (output column n)
+    sizes_refs = re.findall(r"InMemoryRelation \[[^\]]*\bn#\d+L?\]", plan)
+    assert len(sizes_refs) >= 2, plan
