@@ -22,6 +22,81 @@ import sys
 import time
 
 
+# Queries whose settled re-run reads HIGH by design: the suite run
+# populates their incremental state (d_index grows the substring index,
+# p_admit grows admission state), so a suite-end re-run measures a
+# bigger input, not a settled steady state (ledgered,
+# ADJUDICATIONS.json r15 notes). The mover guard skips them.
+STATE_GROWING = frozenset({"d_index", "p_admit"})
+
+
+def _guard_adopt(suite: float, settled: float, hist: float) -> float:
+    """Adopted timing for a flagged mover (VERDICT r15 #3).
+
+    The settled re-run replaces an inflated in-suite reading, but it is
+    floored at the entry's committed history: a warm suite-end re-run
+    can land BELOW a clean baseline (driver 8-cpu run: q_asof_bucketed
+    0.73 settled vs 0.95 history), and the guard must never manufacture
+    a number better than a clean canonical run would produce. Never
+    above the in-suite reading either (substitution only lowers).
+    """
+    return min(suite, max(settled, hist))
+
+
+def _boot_time_utc() -> str:
+    """Instance boot time (ISO, UTC) from /proc/stat btime — canonical
+    comparisons are only meaningful same-instance (r15 adjudication),
+    so the provenance must record which instance produced the run."""
+    import datetime
+
+    try:
+        with open("/proc/stat") as f:
+            for line in f:
+                if line.startswith("btime "):
+                    t = int(line.split()[1])
+                    return datetime.datetime.fromtimestamp(
+                        t, datetime.timezone.utc
+                    ).strftime("%Y-%m-%dT%H:%M:%SZ")
+    except Exception:
+        pass
+    return "unknown"
+
+
+def _one_line(timings: dict[str, float], sf: float, load_sec: float) -> str:
+    """The ONE printed JSON line (driver contract). The driver captures
+    only the last ~2000 chars of stdout, so emit at the highest
+    precision that fits, degrading 3 -> 2 sig figs; when even that
+    overflows (registry ~150 entries), keep the suite total EXACT and
+    the slowest-40 queries at 3 sig figs (VERDICT r15 #2: the old
+    fallback reused the failed loop's 1-sig-fig value, so r10-r15 all
+    printed exactly "200.0" and per-query speedups were quantized to
+    one tick). Full 3-decimal numbers are always in BENCH_DETAIL.json."""
+
+    def _sig(x: float, n: int) -> float:
+        return float(f"{x:.{n}g}")
+
+    for prec in (3, 2):
+        out = {
+            "metric": "suite_seconds",
+            "value": round(sum(timings.values()), 3),
+            "unit": "sec",
+            "queries": {k: _sig(v, prec) for k, v in timings.items()},
+            "sf": sf,
+            "load_sec": round(load_sec, 3),
+        }
+        line = json.dumps(out, separators=(",", ":"))
+        if len(line) <= 1900:
+            return line
+    top40 = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:40])
+    out["queries"] = {k: _sig(v, 3) for k, v in top40.items()}
+    out["n_queries_total"] = len(timings)
+    line = json.dumps(out, separators=(",", ":"))
+    if len(line) > 1900:  # extreme names/values: drop to 2 sig figs
+        out["queries"] = {k: _sig(v, 2) for k, v in top40.items()}
+        line = json.dumps(out, separators=(",", ":"))
+    return line
+
+
 def _movie_bench(spark) -> dict[str, float]:
     """The reference's own timed integration queries over its 30k-movie
     dataset (471,705 quads) — the only historical baseline numbers
@@ -281,7 +356,14 @@ def main() -> None:
     suspects = [
         n
         for n, t in timings.items()
-        if n in hist and hist[n] > 0 and t > 1.5 * hist[n] and t > 0.5
+        if n in hist
+        and hist[n] > 0
+        and t > 1.5 * hist[n]
+        and t > 0.5
+        # state-growing queries read high in a settled re-run by design
+        # (the suite populated their incremental state) — exempt them
+        # rather than substitute a number measured on a bigger input
+        and n not in STATE_GROWING
     ]
     if suspects:
         jvm_gc()
@@ -302,20 +384,14 @@ def main() -> None:
             }
             # the settled re-run is the steady-state estimate for a
             # query the suite context inflated; the suite reading
-            # stays visible in the guard record
-            if min(runs) < timings[name]:
-                timings[name] = min(runs)
+            # stays visible in the guard record. Substitution is
+            # floored at the entry's history (_guard_adopt) so the
+            # printed line never reads below a clean baseline.
+            timings[name] = _guard_adopt(
+                timings[name], min(runs), hist[name]
+            )
 
     timings.update(_movie_bench(spark))
-
-    # Round 4's single line grew past the driver's stdout tail capture
-    # (BENCH_r04.json: "parsed": null — the front of the warm map was
-    # truncated away).  The printed line is now a compact summary only
-    # (3-sig-fig warm numbers, no cold/untimed maps); the full
-    # warm/cold/untimed/load detail is written to BENCH_DETAIL.json
-    # next to this script so round-over-round comparison stays in-repo.
-    def _sig(x: float, n: int = 2) -> float:
-        return float(f"{x:.{n}g}")
 
     # BENCH_DETAIL.json is the CANONICAL warm-suite number (README
     # "Benchmarks"): headline claims cite its value + provenance, not
@@ -350,6 +426,9 @@ def main() -> None:
             "run_utc": datetime.datetime.now(
                 datetime.timezone.utc
             ).strftime("%Y-%m-%dT%H:%M:%SZ"),
+            # canonical comparisons are only valid same-instance
+            # (r15 adjudication): record which instance ran this
+            "boot_utc": _boot_time_utc(),
             "host_kernel": platform.release(),
             "machine": platform.machine(),
             "python": platform.python_version(),
@@ -369,33 +448,7 @@ def main() -> None:
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
 
-    # the driver captures only the LAST 2000 chars of stdout
-    # (BENCH_r04.json "tail"): emit at the highest precision that
-    # fits with margin, degrading 3→2→1 significant figures. Full
-    # 3-decimal numbers are always in BENCH_DETAIL.json.
-    for prec in (3, 2, 1):
-        out = {
-            "metric": "suite_seconds",
-            "value": _sig(sum(timings.values()), prec),
-            "unit": "sec",
-            "queries": {k: _sig(v, prec) for k, v in timings.items()},
-            "sf": sf,
-            "load_sec": _sig(load_sec, prec),
-        }
-        line = json.dumps(out, separators=(",", ":"))
-        if len(line) <= 1900:
-            break
-    if len(line) > 1900:
-        # registry outgrew even 1-sig-fig: keep the suite total exact
-        # and the slowest 40 queries (the ones perf review looks at);
-        # the full map is always in BENCH_DETAIL.json
-        out["queries"] = dict(
-            sorted(timings.items(), key=lambda kv: -kv[1])[:40]
-        )
-        out["queries"] = {k: _sig(v, 1) for k, v in out["queries"].items()}
-        out["n_queries_total"] = len(timings)
-        line = json.dumps(out, separators=(",", ":"))
-    print(line)
+    print(_one_line(timings, sf, load_sec))
     spark.stop()
 
 

@@ -39,6 +39,17 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 DETAIL = os.path.join(REPO, "BENCH_DETAIL.json")
 
 
+def true_median(sorted_vals):
+    """True median — averages the two middle elements for even n.
+    (The previous vals[n//2] was the UPPER median — ADVICE r15.)"""
+    if not sorted_vals:
+        return None
+    mid = len(sorted_vals) // 2
+    if len(sorted_vals) % 2:
+        return sorted_vals[mid]
+    return (sorted_vals[mid - 1] + sorted_vals[mid]) / 2
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--tries", type=int, default=3)
@@ -72,9 +83,17 @@ def main() -> int:
         hist = None
     if args.baseline:
         with open(args.baseline) as f:
-            hist_q = json.load(f).get("queries", {})
+            base = json.load(f)
     else:
-        hist_q = (hist or {}).get("queries", {})
+        base = hist or {}
+    hist_q = base.get("queries", {})
+    base_boot = (base.get("provenance") or {}).get("boot_utc")
+    if not hist_q:
+        print(
+            "[cut_canonical] WARNING: baseline has no queries — the "
+            "median gate is DISABLED; check the --baseline path",
+            flush=True,
+        )
 
     for attempt in range(1, args.tries + 1):
         print(f"[cut_canonical] attempt {attempt}/{args.tries}", flush=True)
@@ -104,10 +123,34 @@ def main() -> int:
             for n in d["queries"]
             if n in hist_q and hist_q[n] >= 0.3
         )
-        median = (
-            round(ratios[len(ratios) // 2], 3) if ratios else None
-        )
+        if ratios:
+            median = round(true_median(ratios), 3)
+        else:
+            median = None
+            print(
+                "[cut_canonical] WARNING: no queries shared with the "
+                "baseline (>=0.3 s history) — median gate disabled "
+                "for this attempt",
+                flush=True,
+            )
+        run_boot = (d.get("provenance") or {}).get("boot_utc")
         verdict = []
+        # Canonical comparisons are only meaningful same-instance
+        # (ADJUDICATIONS r15_instance_floor): refuse when the run's
+        # boot time differs from the baseline's instead of silently
+        # gating cross-instance (VERDICT r15 #6).
+        if base_boot and run_boot and base_boot != run_boot:
+            verdict.append(
+                f"instance changed: run boot {run_boot} != baseline "
+                f"boot {base_boot} — cross-instance medians are "
+                "meaningless; re-baseline first"
+            )
+        elif not base_boot:
+            print(
+                "[cut_canonical] WARNING: baseline has no boot_utc — "
+                "cannot verify same-instance comparison",
+                flush=True,
+            )
         if load > args.load_gate:
             verdict.append(
                 f"load_sec {load} > gate {args.load_gate} (sick host)"
