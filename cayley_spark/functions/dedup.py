@@ -93,16 +93,15 @@ def duplicate_clusters(
     # frame shuffles per round. A bare persist() of the union kept
     # whatever partitioning the pair generator left, and the join
     # re-shuffled the full edge set every round.
-    npart = int(
-        pairs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    # npart sized by bytes (see graphs/algorithms.pagerank and
+    # _sizing.pin_partitions — VERDICT r15 #4: a constant count
+    # over-partitions small frames locally and under-splits at scale)
+    from .._sizing import pin_partitions
+
+    both = edges.unionAll(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
-    edges = (
-        edges.unionAll(
-            edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-        )
-        .repartition(npart, "a")
-        .persist()
-    )
+    edges = both.repartition(pin_partitions(both), "a").persist()
     labels = ids.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("lab")
     ).localCheckpoint(eager=True)

@@ -30,6 +30,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from .._sizing import pin_partitions
+
 #: default fixed-point scale: ranks are stored as rank * 1e9
 #: ("parts-per-billion"); keeps worst-case int64 headroom at
 #: ~10^8 nodes per connected sink even after the damping multiply.
@@ -75,22 +77,27 @@ def pagerank(
     # in DataFrames). Block lifetime is unchanged vs the previous
     # checkpoint form: freed on unpersist or when the frame becomes
     # unreachable (ContextCleaner).
-    npart = int(
-        edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
-    )
-    e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .repartition(npart, "src")
-        .persist()
-    )
+    #
+    # npart is sized from the edge frame's BYTES, not
+    # spark.sql.shuffle.partitions (VERDICT r15 #4): a constant
+    # partition count launches full-width task waves over a few MB
+    # locally and under-splits a huge graph on a cluster; 64 MB per
+    # pinned partition, clamped to [defaultParallelism,
+    # shuffle.partitions], scales both ways.
+    proj = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    npart = pin_partitions(proj)
+    e = proj.repartition(npart, "src").persist()
     nodes = (
         e.select(F.col("src").alias("id"))
         .unionAll(e.select(F.col("dst").alias("id")))
         .dropDuplicates(["id"])
+        .repartition(npart, "id")
         .persist()
     )
-    # no explicit repartition: dropDuplicates already hash-shuffles
-    # on id at npart, and the cache pins that partitioning
+    # the explicit repartition matches the node pin to npart —
+    # dropDuplicates shuffles at spark.sql.shuffle.partitions, which
+    # no longer equals npart; one extra small exchange at build time
+    # keeps the loop's nodes⋈inc join exchange-free on the pinned side
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
     ranks = nodes.withColumn("r", F.lit(scale).cast("long"))
     teleport = scale * (damping_den - damping_num) // damping_den
@@ -159,20 +166,21 @@ def hits(
     # make both half-step joins exchange-free on the edge side —
     # 2x pinned storage for zero edge shuffles per iteration, the
     # standard iterative-graph trade.
-    npart = int(
-        edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
-    )
+    # npart sized by bytes, see pagerank (VERDICT r15 #4)
     base = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    npart = pin_partitions(base)
     e_s = base.repartition(npart, "src").persist()
     e_d = base.repartition(npart, "dst").persist()
     nodes = (
         e_s.select(F.col("src").alias("id"))
         .unionAll(e_s.select(F.col("dst").alias("id")))
         .dropDuplicates(["id"])
+        .repartition(npart, "id")
         .persist()
     )
-    # no explicit repartition: dropDuplicates already hash-shuffles
-    # on id at npart, and the cache pins that partitioning
+    # explicit repartition: match the node pin to npart so the
+    # normalize step's nodes⋈raw join stays exchange-free (see
+    # pagerank's comment)
 
     def _norm(raw: DataFrame, col: str) -> DataFrame:
         # raw: (id, v) partial — absent nodes score 0; normalize so
@@ -495,16 +503,12 @@ def label_propagation(
     # its HashPartitioning; a localCheckpoint under AQE loses it, see
     # pagerank's comment), so the edge frame never re-shuffles inside
     # the loop; only the small per-round label frame does.
-    npart = int(
-        edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    # npart sized by bytes, see pagerank (VERDICT r15 #4)
+    both_proj = und.unionAll(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
-    both = (
-        und.unionAll(
-            und.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        )
-        .repartition(npart, "v")
-        .persist()
-    )
+    npart = pin_partitions(both_proj)
+    both = both_proj.repartition(npart, "v").persist()
     labels = (
         both.select(F.col("u").alias("id"))
         .dropDuplicates(["id"])
@@ -525,7 +529,15 @@ def label_propagation(
                 "label", F.struct((-F.col("cnt")).alias("nc"), F.col("label"))
             ).alias("label")
         ).localCheckpoint(eager=False)
-    return labels.select("id", F.col("label").alias("community"))
+    # the pinned edge frame outlives the call via the returned lazy
+    # plan; attach it so unpersist_intermediates can release it
+    # (duplicate_clusters' contract — a bare persist would live in
+    # CacheManager for the session lifetime, ADVICE r15)
+    from ..functions._cache import track_persisted
+
+    return track_persisted(
+        labels.select("id", F.col("label").alias("community")), both
+    )
 
 
 def personalized_pagerank(
@@ -557,23 +569,20 @@ def personalized_pagerank(
         raise ValueError("seeds must be non-empty")
     # pre-partitioned pinned frames, exactly pagerank's layout (and
     # for the same AQE reason, persist not localCheckpoint): the
-    # loop joins stay exchange-free on the edge/node sides
-    npart = int(
-        edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
-    )
-    e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .repartition(npart, "src")
-        .persist()
-    )
+    # loop joins stay exchange-free on the edge/node sides.
+    # npart sized by bytes, see pagerank (VERDICT r15 #4)
+    proj = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    npart = pin_partitions(proj)
+    e = proj.repartition(npart, "src").persist()
     nodes = (
         e.select(F.col("src").alias("id"))
         .unionAll(e.select(F.col("dst").alias("id")))
         .dropDuplicates(["id"])
+        .repartition(npart, "id")
         .persist()
     )
-    # no explicit repartition: dropDuplicates already hash-shuffles
-    # on id at npart, and the cache pins that partitioning
+    # explicit repartition: match the node pin to npart (see
+    # pagerank's comment)
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
     is_seed = F.col("id").isin(list(seeds))
     seed_mass = F.when(is_seed, F.lit(scale)).otherwise(F.lit(0))

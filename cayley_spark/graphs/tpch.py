@@ -181,17 +181,21 @@ def _coalesce_for_cache(df: DataFrame) -> DataFrame:
     # sf0.1, measured 2026-08-17). coalesce() never increases a
     # partition count, so the probe is unnecessary: applying it to an
     # already-well-split frame is a no-op.
+    from .._sizing import plan_size_bytes
+
     par = df.sparkSession.sparkContext.defaultParallelism
-    est = int(
-        df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-    )
-    if est >= 1 << 50:
-        # the unknown-size sentinel (spark.sql.defaultSizeInBytes =
-        # Long.Max) poisons any union containing a stats-less leaf —
-        # the nodes union's createDataFrame(pred_rows) branch is a
-        # LogicalRDD with no estimate. Fall back to one partition per
-        # core; the size term below only drives the target when real
-        # estimates exist.
+    est = plan_size_bytes(df)
+    if est is None:
+        # no usable estimate: the unknown-size sentinel
+        # (spark.sql.defaultSizeInBytes = Long.Max) poisons any union
+        # containing a stats-less leaf — the nodes union's
+        # createDataFrame(pred_rows) branch is a LogicalRDD with no
+        # estimate. (plan_size_bytes cuts the sentinel family at 2**62,
+        # not the old 2**50, so genuine petabyte estimates are no
+        # longer misread as unknown, and it guards the private-API
+        # call — ADVICE r15.) Fall back to one partition per core; the
+        # size term below only drives the target when real estimates
+        # exist.
         target = par
     else:
         target = max(par, est // (256 << 20) + 1)

@@ -1,7 +1,30 @@
+from pathlib import Path
+
 import pytest
 from pyspark.sql import SparkSession
 
 from cayley_spark import GraphStore, IRI, String
+
+# ---- fast/slow tiers (see pytest.ini) --------------------------------
+# tests/slow_tests.txt lists the nodeids measured >= 8 s (from a full
+# --durations=0 run); they are auto-marked `slow` here so the default
+# run (-m "not slow", pytest.ini addopts) finishes inside the
+# verification budget. Parametrized cases are listed per-param, so a
+# function whose sweep is slow for only some inputs keeps its fast
+# cases in the default tier.
+_SLOW_FILE = Path(__file__).with_name("slow_tests.txt")
+
+
+def pytest_collection_modifyitems(config, items):
+    slow_ids = {
+        line.strip()
+        for line in _SLOW_FILE.read_text().splitlines()
+        if line.strip() and not line.startswith("#")
+    }
+    for item in items:
+        nodeid = item.nodeid.replace("\\", "/")
+        if nodeid in slow_ids or f"tests/{nodeid}" in slow_ids:
+            item.add_marker(pytest.mark.slow)
 
 
 @pytest.fixture(scope="session")
