@@ -1130,10 +1130,20 @@ def dedup_against(
     rows = num_hashes // bands
 
     def prep(df, side):
-        sh = df.select(
-            F.col(id_col).alias(f"id_{side}"),
-            word_shingles(F.col(text_col), k).alias(f"sh_{side}"),
-        ).where(F.size(f"sh_{side}") > 0)
+        # sh persisted BELOW sig (minhash_lsh_pairs' barrier, r16):
+        # without it Catalyst's project-collapse inlines the
+        # tokenize+shingle tree into each of sig's 16 hash minima and
+        # the size filter — ~18 shingle evaluations per row in the one
+        # sig cache build. The cached shingle column makes each of
+        # those references a column read.
+        sh = (
+            df.select(
+                F.col(id_col).alias(f"id_{side}"),
+                word_shingles(F.col(text_col), k).alias(f"sh_{side}"),
+            )
+            .where(F.size(f"sh_{side}") > 0)
+            .persist()
+        )
         sig = sh.select(
             f"id_{side}",
             f"sh_{side}",
@@ -1145,10 +1155,10 @@ def dedup_against(
                 lsh_bands(F.col("sig"), bands, rows)
             ).alias("band", "bh"),
         )
-        return sig, banded
+        return sh, sig, banded
 
-    sig_n, band_n = prep(new, "n")
-    sig_e, band_e = prep(existing, "e")
+    sh_n, sig_n, band_n = prep(new, "n")
+    sh_e, sig_e, band_e = prep(existing, "e")
     # hot-bucket guard: occupancy counted over BOTH sides (the pair
     # product of a bucket is n_new x n_existing), new side filtered —
     # a skipped bucket's byte-identical members still fall to the
@@ -1182,5 +1192,5 @@ def dedup_against(
     from ._cache import track_persisted
 
     return track_persisted(
-        new.join(dup_ids, id_col, "left_anti"), sig_n, sig_e
+        new.join(dup_ids, id_col, "left_anti"), sh_n, sig_n, sh_e, sig_e
     )

@@ -50,20 +50,32 @@ def _sig_frame(
 ) -> DataFrame:
     """(id, digest, sh, sig) for every row of ``df`` — sig/sh NULL for
     documents with no k-shingle (shorter than k tokens), which keeps
-    them visible to the exact-digest pass."""
-    sh = word_shingles(F.col(text_col), k)
+    them visible to the exact-digest pass.
+
+    Expression shape (r16, the _signed/quality_gate_struct lesson):
+    the shingle array is bound ONCE as a higher-order-function lambda
+    variable and the (sh, sig) pair rides ONE inline() generator —
+    the previous two-select form let project-collapse inline the
+    tokenize+shingle tree into the size guard, the null test and each
+    of the 16 hash minima (~20 evaluations per row in the one build/
+    persist pass). inline() evaluates its input exactly once per row
+    and the struct is always non-null (null FIELDS for sub-k docs),
+    so every document still emits exactly one row."""
+
+    def pair(s):
+        has = F.size(s) > 0
+        return F.struct(
+            F.when(has, s).alias("sh"),
+            F.when(has, minhash_signature(s, num_hashes)).alias("sig"),
+        )
+
+    bound = F.transform(
+        F.array(word_shingles(F.col(text_col), k)), pair
+    )
     return df.select(
         F.col(id_col).alias("id"),
         F.md5(F.col(text_col)).alias("digest"),
-        F.when(F.size(sh) > 0, sh).alias("sh"),
-    ).select(
-        "id",
-        "digest",
-        "sh",
-        F.when(
-            F.col("sh").isNotNull(),
-            minhash_signature(F.col("sh"), num_hashes),
-        ).alias("sig"),
+        F.inline(bound),
     )
 
 

@@ -69,12 +69,16 @@ _LANG_MARKERS = {
 }
 
 
-def language_guess(col: Column) -> Column:
+def language_guess(col: Column, _toks: Column | None = None) -> Column:
     """Deterministic language-ID heuristic: count marker-word hits per
     language, pick the argmax (ties break by language code order).
     A real pipeline would use fastText/CLD3 — out of scope here; the
-    point is the distributed shape: pure column expressions."""
-    toks = tokens(col)
+    point is the distributed shape: pure column expressions.
+
+    ``_toks``: pre-bound token array (``tokens(col)``) — passed by
+    :func:`quality_gate_struct` so the fused gate evaluates the
+    tokenization once per row instead of once per reference."""
+    toks = tokens(col) if _toks is None else _toks
 
     def hits(markers):
         # one-parameter lambda: pyspark maps each python param to a
@@ -1347,13 +1351,19 @@ def c4_rules(
 
 
 def _c4_parts(
-    c: Column, min_words_per_line: int, min_sentences: int
+    c: Column,
+    min_words_per_line: int,
+    min_sentences: int,
+    _lines: Column | None = None,
 ) -> dict:
     """The C4 rule sub-expressions as Columns, shared by the
     :func:`c4_rules` battery and the predicate/clean-column forms
     (:func:`c4_keep` / :func:`c4_clean`) the composed pipeline
-    filters with — one definition, so the forms cannot drift."""
-    lines = F.split(c, "\n", -1)
+    filters with — one definition, so the forms cannot drift.
+
+    ``_lines``: pre-bound line array (``split(c, "\\n")``) — passed by
+    :func:`quality_gate_struct`, see :func:`_gopher_metrics`."""
+    lines = F.split(c, "\n", -1) if _lines is None else _lines
     kept = F.filter(
         lines,
         lambda l: F.trim(l).rlike(r'[.!?"]$')
@@ -1786,11 +1796,20 @@ def gopher_rules(
     )
 
 
-def _gopher_metrics(c: Column, stoplist: tuple) -> dict:
+def _gopher_metrics(
+    c: Column,
+    stoplist: tuple,
+    _toks: Column | None = None,
+    _lines: Column | None = None,
+) -> dict:
     """The integer Gopher rule inputs as Columns — one definition
     shared by the :func:`gopher_rules` battery and the
-    :func:`gopher_pass` predicate form, so they cannot drift."""
-    toks = tokens(c)
+    :func:`gopher_pass` predicate form, so they cannot drift.
+
+    ``_toks``/``_lines``: pre-bound token/line arrays — passed by
+    :func:`quality_gate_struct` so the fused gate evaluates each
+    shared array once per row instead of once per reference."""
+    toks = tokens(c) if _toks is None else _toks
     n_words = F.size(toks)
     word_chars = F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t))
     n_symbols = (
@@ -1810,7 +1829,7 @@ def _gopher_metrics(c: Column, stoplist: tuple) -> dict:
             lambda w: F.array_contains(toks, w),
         )
     )
-    lines = F.split(c, "\n", -1)
+    lines = F.split(c, "\n", -1) if _lines is None else _lines
     n_lines = F.size(lines)
     n_bullet_lines = F.size(
         F.filter(lines, lambda l: F.trim(l).rlike(r"^[-*•]"))
@@ -1874,3 +1893,69 @@ def gopher_pass(
     c = F.coalesce(col, F.lit(""))
     m = _gopher_metrics(c, stoplist)
     return _gopher_verdicts(m, min_words, max_words)["pass_gopher"]
+
+
+def quality_gate_struct(
+    col: Column,
+    lang: str = "en",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    stoplist: tuple = GOPHER_STOPLIST,
+    min_words_per_line: int = 5,
+    min_sentences: int = 3,
+) -> Column:
+    """The composed quality gate (language ID ∧ Gopher ∧ C4) as ONE
+    struct Column ``(keep boolean, clean string)`` — the scan form
+    :func:`~cayley_spark.functions.pipeline.corpus_pipeline` filters
+    with. Semantically identical to the separate
+    ``language_guess(col) == lang``, :func:`gopher_pass`,
+    :func:`c4_keep` predicates plus the :func:`c4_clean` projection
+    (pinned by tests/test_text.py), built from the SAME metric
+    helpers so the forms cannot drift.
+
+    Why it exists (spark_optimization_guide §1.2 "per-task work"):
+    Catalyst inlines a projected text column into every predicate
+    reference and does no common-subexpression elimination across a
+    higher-order-function-heavy Filter — composing the four gate
+    expressions directly re-evaluated the tokenization 25x and the
+    caller's derived-text projection 36x PER ROW (measured in the
+    r16 plan dump; the gate scan was 3x slower than this form at
+    sf0.1). Binding the shared pieces (coalesced text, token array,
+    line array) as a higher-order function's lambda variable
+    evaluates each ONCE per row — lambdafunction arguments are
+    single-evaluation — and every gate reference is then a cheap
+    variable access. The struct rides ONE transform over a
+    one-element array; callers filter on ``.getField("keep")`` and
+    project ``.getField("clean")``.
+
+    Null/empty text: binding tokenizes ``coalesce(col, '')`` where
+    ``language_guess`` alone reads the raw column, but the composed
+    verdict is identical — C4 requires >= 1 kept line, and null or
+    empty text has none, so such rows are dropped by both forms
+    regardless of the other gates' quirks on null input."""
+    c0 = F.coalesce(col, F.lit(""))
+    bound = F.struct(
+        c0.alias("c"),
+        tokens(c0).alias("toks"),
+        F.split(c0, "\n", -1).alias("lines"),
+    )
+
+    def body(s):
+        c, toks, lines = s["c"], s["toks"], s["lines"]
+        lang_ok = language_guess(c, _toks=toks) == lang
+        gop = _gopher_verdicts(
+            _gopher_metrics(c, stoplist, _toks=toks, _lines=lines),
+            min_words,
+            max_words,
+        )["pass_gopher"]
+        parts = _c4_parts(
+            c, min_words_per_line, min_sentences, _lines=lines
+        )
+        # c4_clean is array_join over _c4_parts(..., 0)["kept"];
+        # "kept" does not depend on min_sentences, so one parts call
+        # serves both the predicate and the cleaned text
+        clean = F.array_join(parts["kept"], "\n")
+        keep = lang_ok & gop & parts["keep"]
+        return F.struct(keep.alias("keep"), clean.alias("clean"))
+
+    return F.transform(F.array(bound), body)[0]

@@ -225,6 +225,80 @@ def test_c4_forms_match_battery(spark):
     assert diff.count() == 0
 
 
+def test_quality_gate_struct_matches_separate_gates(spark):
+    # the fused (keep, clean) struct the pipelines scan with must be
+    # row-identical to the four stacked gate expressions it replaced
+    # (r16: the stacked form re-tokenized per reference; the fused
+    # form binds the arrays once via a lambda variable)
+    from cayley_spark.functions.text import (
+        c4_clean,
+        c4_keep,
+        gopher_pass,
+        language_guess,
+        quality_gate_struct,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .withColumn(
+            "text",
+            F.regexp_replace("text", r"((?:\S+ ){4}\S+) ", "$1.\n\n"),
+        )
+    )
+    # edge rows: null, empty, whitespace, unicode bullets/ellipses,
+    # lorem-ipsum and brace killers, non-English marker text
+    extra = spark.createDataFrame(
+        [
+            (90001, None),
+            (90002, ""),
+            (90003, "   \n \n"),
+            (90004, "• bullet line.\n… trailing ellipsis\nthe a of and."),
+            (90005, "lorem ipsum dolor sit amet the the the."),
+            (90006, "{json: true} the a of and value row fast."),
+            (90007, "der und das der und das der und das."),
+            (90008, "the quick brown fox jumps over the lazy dog. " * 20),
+        ],
+        "doc_id long, text string",
+    )
+    docs = docs.select("doc_id", "text").unionByName(extra)
+    raw = F.col("text")
+    stop = ("the", "a", "table", "value", "row", "fast")
+    sep = docs.select(
+        "doc_id",
+        (
+            (language_guess(raw) == "en")
+            & gopher_pass(raw, min_words=30, stoplist=stop)
+            & c4_keep(raw, 5, 3)
+        ).alias("keep"),
+        c4_clean(raw, 5).alias("clean"),
+    )
+    gate = quality_gate_struct(
+        raw, lang="en", min_words=30, stoplist=stop,
+        min_words_per_line=5, min_sentences=3,
+    )
+    fused = docs.select(
+        "doc_id",
+        gate.getField("keep").alias("keep"),
+        gate.getField("clean").alias("clean"),
+    )
+    # the composed verdict must agree row-for-row, and the cleaned
+    # text must agree on every KEPT row (clean is only consumed for
+    # survivors; on null text the stacked forms differ internally but
+    # both drop the row)
+    diff = (
+        sep.alias("s")
+        .join(fused.alias("f"), "doc_id")
+        .where(
+            (F.col("s.keep").eqNullSafe(F.col("f.keep")) == False)  # noqa: E712
+            | (F.col("s.keep") & ~F.col("s.clean").eqNullSafe(F.col("f.clean")))
+        )
+    )
+    assert diff.count() == 0
+    # sanity: the gate discriminates and keeps something
+    kept = fused.where("keep").count()
+    assert 0 < kept < docs.count()
+
+
 def test_export_shards_keep_columns(spark):
     from cayley_spark.functions.sampling import export_shards
 
