@@ -336,10 +336,16 @@ def dsir_weights(
     with add-a smoothing over B buckets; T/R are total gram counts of
     the target/raw models. Documents with zero grams drop out (no
     evidence either way), matching the oracle's explode semantics."""
+    # persisted: the plan references doc THREE times — the raw-model
+    # fold below (itself read twice: its total and the join) and the
+    # per-doc join — and each reference would re-run the corpus gram
+    # explode + groupBy shuffle (r16, measured 3 executions in the
+    # before-plan). Bounded by |docs| x min(grams, buckets) rows.
     doc = (
         _gram_rows(raw, id_col, text_col, buckets)
         .groupBy(id_col, "bucket")
         .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
     )
     tgt = (
         _gram_rows(target, id_col, text_col, buckets)
@@ -371,11 +377,16 @@ def dsir_weights(
         (F.col("__R").cast("double") + a * b)
         / (F.col("__T").cast("double") + a * b)
     )
-    return j.groupBy(id_col).agg(
-        F.sum("c").alias("n_grams"),
-        F.sum(F.col("c") * F.col("tc")).alias("target_freq_sum"),
-        F.sum(F.col("c") * F.col("rc")).alias("raw_freq_sum"),
-        (F.sum(per_gram) + F.sum("c") * F.first(shift)).alias("logw"),
+    from ._cache import track_persisted
+
+    return track_persisted(
+        j.groupBy(id_col).agg(
+            F.sum("c").alias("n_grams"),
+            F.sum(F.col("c") * F.col("tc")).alias("target_freq_sum"),
+            F.sum(F.col("c") * F.col("rc")).alias("raw_freq_sum"),
+            (F.sum(per_gram) + F.sum("c") * F.first(shift)).alias("logw"),
+        ),
+        doc,
     )
 
 
@@ -397,12 +408,15 @@ def dsir_sample(
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     w = dsir_weights(raw, target, id_col, text_col, buckets, alpha)
-    return (
+    from ._cache import track_persisted
+
+    return track_persisted(
         w.withColumn(
             "gumbel_key", F.col("logw") + _gumbel(F.col(id_col), seed)
         )
         .orderBy(F.col("gumbel_key").desc(), F.col(id_col))
-        .limit(k)
+        .limit(k),
+        *getattr(w, "_cayley_persisted", ()),
     )
 
 

@@ -285,21 +285,35 @@ def trigram_typicality(
     binary-ish) documents. Integer sums only, so the oracle hash is
     exact; consumers divide for the per-trigram average.
 
-    Plan: one explode + trigram groupBy builds the model (vocabulary
-    ~ |charset|^3, so the join side is broadcastable); docs join the
-    model on trigram and re-aggregate by id. Two shuffles total,
-    both on uniform keys."""
-    tri = df.select(
-        F.col(id_col), F.explode(_trigrams(F.col(text_col))).alias("tri")
+    Plan (r16 shape): the instance explode feeds ONE (id, trigram)
+    count aggregation, which persists; the model fold, its join-back
+    and the per-doc totals all read the compressed counts (freq_sum
+    = Σ c·freq, n_trigrams = Σ c — identical integers to the
+    per-instance formulation). The earlier form referenced the raw
+    instance explode from both the model build and the join side, so
+    the corpus trigram explode executed twice and the join shuffled
+    the uncompressed instance stream; every shuffle now moves one
+    row per DISTINCT (doc, trigram)."""
+    from ._cache import track_persisted
+
+    cnt = (
+        df.select(
+            F.col(id_col),
+            F.explode(_trigrams(F.col(text_col))).alias("tri"),
+        )
+        .groupBy(id_col, "tri")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
     )
-    model = tri.groupBy("tri").agg(F.count(F.lit(1)).alias("freq"))
-    return (
-        tri.join(model, "tri")
+    model = cnt.groupBy("tri").agg(F.sum("c").alias("freq"))
+    return track_persisted(
+        cnt.join(model, "tri")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_trigrams"),
-            F.sum("freq").alias("freq_sum"),
-        )
+            F.sum("c").alias("n_trigrams"),
+            F.sum(F.col("c") * F.col("freq")).alias("freq_sum"),
+        ),
+        cnt,
     )
 
 
@@ -1158,12 +1172,20 @@ def lm_train_trigram(
 def _trigram_model(tri: DataFrame, vocab: DataFrame, scale: int) -> DataFrame:
     """(w1,w2,w3,nll) from trigram instances + a 1-row vocab scalar:
     c3 is the only corpus-sized agg; the bigram-prefix agg is over
-    MODEL-sized rows; vocab broadcasts as a 1-row scalar."""
+    MODEL-sized rows; vocab broadcasts as a 1-row scalar.
+
+    c3 is persisted (r16): the plan reads it twice — the bigram-
+    prefix re-aggregation and the model join — and each read would
+    re-run the corpus trigram explode + groupBy shuffle. Model-sized
+    (one row per distinct trigram); the handle rides the result via
+    track_persisted so scoring callers release it."""
+    from ._cache import track_persisted
+
     c3 = tri.groupBy("w1", "w2", "w3").agg(
         F.count(F.lit(1)).alias("c3")
-    )
+    ).persist()
     c2 = c3.groupBy("w1", "w2").agg(F.sum("c3").alias("c2"))
-    return (
+    return track_persisted(
         c3.join(c2, ["w1", "w2"])
         .crossJoin(F.broadcast(vocab))
         .select(
@@ -1179,7 +1201,8 @@ def _trigram_model(tri: DataFrame, vocab: DataFrame, scale: int) -> DataFrame:
             )
             .cast("long")
             .alias("nll"),
-        )
+        ),
+        c3,
     )
 
 
@@ -1250,12 +1273,17 @@ def lm_perplexity(
         m = F.broadcast(model) if broadcast_model else model
         joined = tri.join(m, ["w1", "w2", "w3"], "left")
         nll = F.coalesce(F.col("nll"), F.lit(int(default_nll)))
-    return (
+    from ._cache import track_persisted
+
+    # propagate the model's persisted c3 handle (self-trained AND
+    # pre-trained paths) so callers can release it after scoring
+    return track_persisted(
         joined.groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_trigrams"),
             F.sum(nll).cast("long").alias("nll_scaled"),
-        )
+        ),
+        *getattr(model, "_cayley_persisted", ()),
     )
 
 
