@@ -663,7 +663,10 @@ def test_dedup_against(docs, spark):
     kept = sorted(r["doc_id"] for r in out.collect())
     assert kept == [3, 5]  # 4 removed: duplicates existing doc 0
     assert set(out.columns) == set(docs.columns)
-    assert unpersist_intermediates(out) == 2
+    # r16: each side tracks its shingle frame AND its signature frame
+    # (the sh persist is the barrier that stops project-collapse from
+    # inlining the tokenize+shingle tree into the 16 hash minima)
+    assert unpersist_intermediates(out) == 4
 
 
 def test_dedup_against_short_exact_dup(spark):
