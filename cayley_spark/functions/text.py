@@ -1364,17 +1364,56 @@ def c4_rules(
     family in functions/dedup.py.) Integer counts ride along for
     re-thresholding without a re-scan."""
     c = F.coalesce(F.col(text_col), F.lit(""))
-    p = _c4_parts(c, min_words_per_line, min_sentences)
-    return df.select(
-        id_col,
-        F.size(p["lines"]).cast("int").alias("n_lines"),
-        F.size(p["kept"]).cast("int").alias("n_kept_lines"),
-        p["n_sentences"].cast("int").alias("n_sentences"),
-        p["has_lorem"].alias("has_lorem"),
-        p["has_brace"].alias("has_brace"),
-        p["ok_sentences"].alias("ok_sentences"),
-        p["keep"].alias("keep_c4"),
-        F.array_join(p["kept"], "\n").alias("clean_text"),
+    # Bind the expensive shared sub-expressions ONCE per row (the
+    # quality_gate_struct pattern, spark_optimization_guide §1.2):
+    # emitting the battery columns directly inlines the kept-line
+    # filter and the sentence regex into every referencing column
+    # (3x each, measured in the r16 plan dump) because Catalyst does
+    # no cross-column CSE over HOF-bearing projections. Lambda
+    # arguments are single-evaluation, and the two-level select keeps
+    # the struct itself evaluated once (CollapseProject does not
+    # inline a non-cheap alias consumed many times).
+    p0 = _c4_parts(c, min_words_per_line, min_sentences)
+    bound = F.struct(
+        c.alias("c"),
+        p0["lines"].alias("lines"),
+        p0["kept"].alias("kept"),
+        p0["n_sentences"].alias("ns"),
+    )
+
+    def body(s):
+        p = _c4_parts(
+            s["c"],
+            min_words_per_line,
+            min_sentences,
+            _lines=s["lines"],
+            _kept=s["kept"],
+            _ns=s["ns"],
+        )
+        return F.struct(
+            F.size(p["lines"]).cast("int").alias("n_lines"),
+            F.size(p["kept"]).cast("int").alias("n_kept_lines"),
+            p["n_sentences"].cast("int").alias("n_sentences"),
+            p["has_lorem"].alias("has_lorem"),
+            p["has_brace"].alias("has_brace"),
+            p["ok_sentences"].alias("ok_sentences"),
+            p["keep"].alias("keep_c4"),
+            F.array_join(p["kept"], "\n").alias("clean_text"),
+        )
+
+    battery = F.transform(F.array(bound), body)[0]
+    fields = (
+        "n_lines",
+        "n_kept_lines",
+        "n_sentences",
+        "has_lorem",
+        "has_brace",
+        "ok_sentences",
+        "keep_c4",
+        "clean_text",
+    )
+    return df.select(id_col, battery.alias("_c4")).select(
+        id_col, *[F.col("_c4").getField(f).alias(f) for f in fields]
     )
 
 
@@ -1383,6 +1422,8 @@ def _c4_parts(
     min_words_per_line: int,
     min_sentences: int,
     _lines: Column | None = None,
+    _kept: Column | None = None,
+    _ns: Column | None = None,
 ) -> dict:
     """The C4 rule sub-expressions as Columns, shared by the
     :func:`c4_rules` battery and the predicate/clean-column forms
@@ -1390,17 +1431,29 @@ def _c4_parts(
     filters with — one definition, so the forms cannot drift.
 
     ``_lines``: pre-bound line array (``split(c, "\\n")``) — passed by
-    :func:`quality_gate_struct`, see :func:`_gopher_metrics`."""
+    :func:`quality_gate_struct`, see :func:`_gopher_metrics`.
+    ``_kept``/``_ns``: pre-bound kept-line array / sentence count —
+    passed by :func:`c4_rules` so the battery evaluates each once."""
     lines = F.split(c, "\n", -1) if _lines is None else _lines
-    kept = F.filter(
-        lines,
-        lambda l: F.trim(l).rlike(r'[.!?"]$')
-        & (
-            F.size(F.filter(F.split(F.trim(l), " ", -1), lambda w: w != ""))
-            >= min_words_per_line
-        ),
+    kept = (
+        F.filter(
+            lines,
+            lambda l: F.trim(l).rlike(r'[.!?"]$')
+            & (
+                F.size(
+                    F.filter(F.split(F.trim(l), " ", -1), lambda w: w != "")
+                )
+                >= min_words_per_line
+            ),
+        )
+        if _kept is None
+        else _kept
     )
-    n_sentences = F.size(F.regexp_extract_all(c, F.lit(r"[.!?]"), 0))
+    n_sentences = (
+        F.size(F.regexp_extract_all(c, F.lit(r"[.!?]"), 0))
+        if _ns is None
+        else _ns
+    )
     has_lorem = F.contains(F.lower(c), F.lit("lorem ipsum"))
     has_brace = F.contains(c, F.lit("{"))
     ok_sent = n_sentences >= min_sentences
@@ -1801,26 +1854,116 @@ def gopher_rules(
     line exactly as the paper's fractions do. Integer counts ride
     along so consumers can re-threshold without a re-scan."""
     c = F.coalesce(F.col(text_col), F.lit(""))
-    m = _gopher_metrics(c, stoplist)
-    v = _gopher_verdicts(m, min_words, max_words)
-    return df.select(
+    # Bind the shared sub-expressions ONCE per row (the
+    # quality_gate_struct pattern, spark_optimization_guide §1.2):
+    # emitting the 16 battery columns directly inlined the
+    # tokenization 24x per row (measured in the r16 plan dump —
+    # Catalyst does no cross-column CSE and the HOF metrics are
+    # CodegenFallback). TWO bound structs, split by input family, so
+    # column pruning still works per family (a line-rules-only
+    # consumer like t_gopher_lines never tokenizes — one opaque
+    # all-battery struct would compute every metric for any field):
+    # the token struct binds (c, toks) at level 1 and the token
+    # metrics at level 2 (each HOF aggregate runs once; the verdicts
+    # then reference cheap bound integers); the line struct binds the
+    # line array once. pass_gopher joins the two via the token
+    # struct's precomputed pass_tok conjunction — integer/boolean
+    # field reads, nothing re-evaluated. The two-level select keeps
+    # each struct evaluated once (CollapseProject does not inline a
+    # non-cheap alias consumed many times).
+    tok_metric_keys = (
+        "n_words",
+        "word_chars",
+        "n_symbols",
+        "n_alpha_words",
+        "stop_hits",
+    )
+    line_metric_keys = ("n_lines", "n_bullet_lines", "n_ellipsis_lines")
+    tok_verdict_keys = (
+        "ok_word_count",
+        "ok_mean_word_len",
+        "ok_symbol_ratio",
+        "ok_alpha_words",
+        "ok_stopwords",
+    )
+    line_verdict_keys = ("ok_bullet_lines", "ok_ellipsis_lines")
+    # one line evaluates both line metrics' shared split; n_lines is
+    # size() of it — cheap enough to re-reference
+    lines = F.split(c, "\n", -1)
+
+    tok_bound = F.struct(c.alias("c"), tokens(c).alias("toks"))
+
+    def tok_body(s):
+        m = _gopher_metrics(
+            s["c"], stoplist, _toks=s["toks"], _lines=F.array(F.lit(""))
+        )
+        inner = F.struct(*[m[k].alias(k) for k in tok_metric_keys])
+
+        def tok_body2(t):
+            m2 = {k: t[k] for k in tok_metric_keys}
+            # line metrics are unused by the token verdicts; feed
+            # zero literals so _gopher_verdicts' dict stays total
+            m2.update(
+                n_lines=F.lit(1), n_bullet_lines=F.lit(0),
+                n_ellipsis_lines=F.lit(0),
+            )
+            v = _gopher_verdicts(m2, min_words, max_words)
+            pass_tok = (
+                v["ok_word_count"]
+                & v["ok_mean_word_len"]
+                & v["ok_symbol_ratio"]
+                & v["ok_alpha_words"]
+                & v["ok_stopwords"]
+            )
+            return F.struct(
+                *[t[k].cast("int").alias(k) for k in tok_metric_keys],
+                *[v[k].alias(k) for k in tok_verdict_keys],
+                pass_tok.alias("pass_tok"),
+            )
+
+        return F.transform(F.array(inner), tok_body2)[0]
+
+    line_bound = F.struct(lines.alias("lines"))
+
+    def line_body(s):
+        # same shared definitions — only the line-metric entries are
+        # referenced, so the dummy text/token args never evaluate
+        m = _gopher_metrics(
+            F.lit(""), stoplist,
+            _toks=F.array().cast("array<string>"), _lines=s["lines"],
+        )
+        inner = F.struct(*[m[k].alias(k) for k in line_metric_keys])
+
+        def line_body2(t):
+            m2 = {k: t[k] for k in line_metric_keys}
+            m2.update(
+                n_words=F.lit(0), word_chars=F.lit(0),
+                n_symbols=F.lit(0), n_alpha_words=F.lit(0),
+                stop_hits=F.lit(0),
+            )
+            v = _gopher_verdicts(m2, min_words, max_words)
+            return F.struct(
+                *[t[k].cast("int").alias(k) for k in line_metric_keys],
+                *[v[k].alias(k) for k in line_verdict_keys],
+            )
+
+        return F.transform(F.array(inner), line_body2)[0]
+
+    gt = F.transform(F.array(tok_bound), tok_body)[0]
+    gl = F.transform(F.array(line_bound), line_body)[0]
+    staged = df.select(id_col, gt.alias("_g_tok"), gl.alias("_g_line"))
+    tok, line = F.col("_g_tok"), F.col("_g_line")
+    return staged.select(
         id_col,
-        m["n_words"].cast("int").alias("n_words"),
-        m["word_chars"].cast("int").alias("word_chars"),
-        m["n_symbols"].cast("int").alias("n_symbols"),
-        m["n_alpha_words"].cast("int").alias("n_alpha_words"),
-        m["stop_hits"].cast("int").alias("stop_hits"),
-        m["n_lines"].cast("int").alias("n_lines"),
-        m["n_bullet_lines"].cast("int").alias("n_bullet_lines"),
-        m["n_ellipsis_lines"].cast("int").alias("n_ellipsis_lines"),
-        v["ok_word_count"].alias("ok_word_count"),
-        v["ok_mean_word_len"].alias("ok_mean_word_len"),
-        v["ok_symbol_ratio"].alias("ok_symbol_ratio"),
-        v["ok_alpha_words"].alias("ok_alpha_words"),
-        v["ok_stopwords"].alias("ok_stopwords"),
-        v["ok_bullet_lines"].alias("ok_bullet_lines"),
-        v["ok_ellipsis_lines"].alias("ok_ellipsis_lines"),
-        v["pass_gopher"].alias("pass_gopher"),
+        *[tok.getField(f).alias(f) for f in tok_metric_keys],
+        *[line.getField(f).alias(f) for f in line_metric_keys],
+        *[tok.getField(f).alias(f) for f in tok_verdict_keys],
+        *[line.getField(f).alias(f) for f in line_verdict_keys],
+        (
+            tok.getField("pass_tok")
+            & line.getField("ok_bullet_lines")
+            & line.getField("ok_ellipsis_lines")
+        ).alias("pass_gopher"),
     )
 
 

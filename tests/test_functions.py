@@ -2206,3 +2206,80 @@ def test_gopher_rules_boundaries(spark):
     )
     row = gopher_rules(b, min_words=10).collect()[0]
     assert row["ok_mean_word_len"]
+
+
+def test_battery_bound_structs_match_stacked_columns(spark):
+    """gopher_rules / c4_rules bind their shared arrays once per row
+    through transform-lambda structs (r16: the stacked-column form
+    inlined the tokenization 24x per row). The bound form must stay
+    row- and schema-identical to the stacked select over the same
+    metric helpers it replaced."""
+    from cayley_spark.functions.text import (
+        _c4_parts,
+        _gopher_metrics,
+        _gopher_verdicts,
+        c4_rules,
+        gopher_rules,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    extra = spark.createDataFrame(
+        [
+            (90001, None),
+            (90002, ""),
+            (90003, "   \n \n"),
+            (90004, "• bullet line.\n… trailing…\nthe a value row."),
+            (90005, "- b\n* c\nlorem ipsum the a table. yes! ok? d."),
+            (90006, "{x} the a of and value row fast. two. three."),
+            (90007, "Ünïcödé wörds häre. the a table value row fast."),
+        ],
+        "doc_id long, text string",
+    )
+    docs = docs.unionByName(extra)
+    stop = ("the", "a", "table", "value", "row", "fast")
+
+    c = F.coalesce(F.col("text"), F.lit(""))
+    m = _gopher_metrics(c, stop)
+    v = _gopher_verdicts(m, 30, 100_000)
+    stacked_g = docs.select(
+        "doc_id",
+        *[m[k].cast("int").alias(k) for k in (
+            "n_words", "word_chars", "n_symbols", "n_alpha_words",
+            "stop_hits", "n_lines", "n_bullet_lines",
+            "n_ellipsis_lines",
+        )],
+        *[v[k].alias(k) for k in (
+            "ok_word_count", "ok_mean_word_len", "ok_symbol_ratio",
+            "ok_alpha_words", "ok_stopwords", "ok_bullet_lines",
+            "ok_ellipsis_lines", "pass_gopher",
+        )],
+    )
+    bound_g = gopher_rules(docs, min_words=30, stoplist=stop)
+    assert [(f.name, f.dataType) for f in stacked_g.schema] == [
+        (f.name, f.dataType) for f in bound_g.schema
+    ]
+    assert sorted(map(tuple, stacked_g.collect())) == sorted(
+        map(tuple, bound_g.collect())
+    )
+
+    p = _c4_parts(c, 5, 3)
+    stacked_c = docs.select(
+        "doc_id",
+        F.size(p["lines"]).cast("int").alias("n_lines"),
+        F.size(p["kept"]).cast("int").alias("n_kept_lines"),
+        p["n_sentences"].cast("int").alias("n_sentences"),
+        p["has_lorem"].alias("has_lorem"),
+        p["has_brace"].alias("has_brace"),
+        p["ok_sentences"].alias("ok_sentences"),
+        p["keep"].alias("keep_c4"),
+        F.array_join(p["kept"], "\n").alias("clean_text"),
+    )
+    bound_c = c4_rules(docs)
+    assert [(f.name, f.dataType) for f in stacked_c.schema] == [
+        (f.name, f.dataType) for f in bound_c.schema
+    ]
+    assert sorted(map(tuple, stacked_c.collect())) == sorted(
+        map(tuple, bound_c.collect())
+    )

@@ -281,6 +281,22 @@ def test_c4_is_pure_expressions(spark, entry):
     assert "Exchange hashpartitioning" not in plan
 
 
+def test_battery_structs_tokenize_once_and_prune(spark, entry):
+    """The quality batteries bind their expensive shared arrays once
+    per row (r16: the stacked-column form inlined the tokenization
+    24x into t_gopher's projection — no cross-column CSE over
+    CodegenFallback HOFs; −67% warm on a compute-bound corpus). And
+    the token/line rule families ride SEPARATE bound structs, so a
+    line-rules-only consumer (t_gopher_lines) still prunes the
+    tokenization entirely."""
+    plan = plan_of(entry.queries()["t_gopher"](spark, SF))
+    assert plan.count("regexp_extract_all") == 1, plan
+    lines_plan = plan_of(entry.queries()["t_gopher_lines"](spark, SF))
+    assert "regexp_extract_all" not in lines_plan, lines_plan
+    c4_plan = plan_of(entry.queries()["t_c4"](spark, SF))
+    assert c4_plan.count("regexp_extract_all") == 1, c4_plan
+
+
 def test_substr_dedup_no_pair_join_bounded_shuffles(spark, entry):
     """d_substr (ExactSubstr): documents must never pair with each
     other — no cartesian/nested-loop — and the whole keep-one plan
