@@ -3222,100 +3222,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     immediately previous round go last (they retain pytest +
     tools/check_oracles.py coverage while they wait).
 
-    ROUND-15 WINDOW (executed per the COVERAGE.md round-14
-    arithmetic + the round-15 consolidation): rule 1 leads with
-    q_asof_stream (the streaming as-of join's driver oracle, VERDICT
-    r14 #7) and the three consolidation entries q_tpch_topn /
-    q_tpch_exists / q_tpch_scalar (VERDICT r14 #6 — they absorb the
-    eight retired singles q3 q10 q18 / q4 q22 / q6 q14 q17, six of
-    which were r12-stale and due this round anyway); g_pagerank
-    jumps by rule 3 (graphs/algorithms.py gained pre-partitioned
-    pinned iteration frames this round — g_hits/g_ppr are in the
-    window via the r12 cohort anyway); then the 37-entry r12-green
-    remainder (d_substr .. g_ppr — exactly 3 rounds stale at the
-    r14 verdict, the ratified ceiling); 8 fills from the r13-green
-    cohort head (p_admit .. t_perplexity_ext) complete the 50. The rest of the r13 cohort follows; r14-green entries
-    sit last (rule 4).
-    Registry = 147 (+4 this round: q_asof_stream, q_tpch_topn,
-    q_tpch_exists, q_tpch_scalar). The eight singles q3 q4 q6 q10 q14
-    q17 q18 q22 were briefly retired into the consolidation entries
-    mid-round and are RESTORED (functions and oracle rows
-    byte-identical to r14): the optimization-round contract says a
-    declared query must never disappear — consolidation shrinks the
-    registry only by addition-then-retirement across a BUILD round
-    boundary, not inside an optimization round. They sit in the
-    window (r12-green = at the rotation ceiling).
+    ROUND-16 WINDOW (executed per the COVERAGE.md round-15
+    arithmetic; an optimization round — no new registrations, no
+    entry removed, reorder only): rule 3 leads with the 10 entries
+    whose operator code changed this round — the quality-battery and
+    URL-canonicalization expression-binding family (t_gopher,
+    t_gopher_lines, t_c4, t_urlnorm, t_domains), the bytes-sized
+    iteration pins (g_pagerank, g_hits, g_ppr, g_lpa), and the
+    per-(doc,trigram) count compression (t_trigram_lm). Then the
+    r13-green cohort at the 3-round rotation ceiling: the 8 fills the
+    r15 restoration displaced (p_admit .. t_perplexity_ext) plus 32
+    of the r13 remainder complete the 50 — this cohort naturally
+    contains most of the round's other changed operators (p_admit,
+    p_pipeline, d_index, t_perplexity, d_against, d_neardup,
+    d_simhash, t_langid, t_dsir). The 9 UNCHANGED r13 entries the
+    jumps displaced (s_knn, t_tokens, t_quality, t_fingerprint,
+    t_bpe_train, t_countmin, t_redact, t_repetition, t_contaminate)
+    sit at positions 51-59 and lead the next rotation; the r14
+    cohort follows; r15-green entries sit last (rule 4).
+    Registry = 147, unchanged from round 15.
     """
     return {
-        # --- rule-1 head (never driver-checked): the r15
-        # --- registrations — the streaming as-of oracle and the
-        # --- three TPC-H consolidation entries ---------------------
-        "q_asof_stream": q_asof_stream,
-        "q_tpch_topn": q_tpch_topn,
-        "q_tpch_exists": q_tpch_exists,
-        "q_tpch_scalar": q_tpch_scalar,
-        # --- r15 restoration: the eight singles the consolidation
-        # --- retired are DECLARED again (functions + oracle rows
-        # --- byte-identical to r14) — the optimization-round contract
-        # --- forbids a declared query from disappearing; the
-        # --- consolidated entries stay as additions. They were
-        # --- r12-green (at the rotation ceiling), so they take
-        # --- window slots here. ------------------------------------
-        "q3": q3,
-        "q4": q4,
-        "q6": q6,
-        "q10": q10,
-        "q14": q14,
-        "q17": q17,
-        "q18": q18,
-        "q22": q22,
-        # --- rule-3 jump: graphs/algorithms.py gained pre-partitioned
-        # --- pinned iteration frames this round (pagerank/hits/ppr);
-        # --- g_hits and g_ppr are already in the window via the r12
-        # --- cohort, g_pagerank (r13-green) jumps here ---------------
-        "g_pagerank": g_pagerank,
-        # --- last verified r12 (3 rounds stale = the ceiling; the
-        # --- 37-entry remainder after the consolidation absorbed
-        # --- q3 q4 q6 q14 q17 q18) ---------------------------------
-        "d_substr": d_substr,
-        "d_substr_against": d_substr_against,
-        "d_substr_index": d_substr_index,
+        # --- rule-3 jumps: operator code changed this round (r16) after
+        # --- their last green verdict — quality-battery + URL-canonical
+        # --- expression binding (t_gopher/t_gopher_lines/t_c4/t_urlnorm/
+        # --- t_domains), bytes-sized iteration pins (g_pagerank/g_hits/
+        # --- g_ppr/g_lpa), per-(doc,trigram) count compression
+        # --- (t_trigram_lm) -------------------------------------------
         "t_gopher": t_gopher,
         "t_gopher_lines": t_gopher_lines,
         "t_c4": t_c4,
-        "g_follow": g_follow,
-        "g_followr": g_followr,
-        "g_or_short": g_or_short,
-        "g_valuefilter": g_valuefilter,
-        "g_valuefilter_fn": g_valuefilter_fn,
-        "g_write_delete": g_write_delete,
-        "g_recursive": g_recursive,
-        "g_recursive_dist": g_recursive_dist,
-        "q1": q1,
-        "q5": q5,
         "t_urlnorm": t_urlnorm,
-        "d_semdedup": d_semdedup,
         "t_domains": t_domains,
+        "g_pagerank": g_pagerank,
         "g_hits": g_hits,
-        "s_kcenter": s_kcenter,
-        "q12": q12,
-        "q_range": q_range,
-        "q_rollup": q_rollup,
-        "q_pivot": q_pivot,
-        "q_median": q_median,
-        "m_image": m_image,
-        "m_audio": m_audio,
-        "q_json": q_json,
-        "q_antijoin": q_antijoin,
-        "t_wsample": t_wsample,
-        "t_mixture_up": t_mixture_up,
-        "d_semdedup_far": d_semdedup_far,
-        "t_kmv": t_kmv,
-        "g_lpa": g_lpa,
-        "t_qscore": t_qscore,
         "g_ppr": g_ppr,
-        # --- green in round 13 (the head fills the r15 window's
-        # --- last 9 slots; the rest rotates into round 16) ----------
+        "g_lpa": g_lpa,
+        "t_trigram_lm": t_trigram_lm,
+        # --- green in round 13, 3 rounds stale = the rotation ceiling:
+        # --- the 8 fills the r15 restoration displaced lead, then the
+        # --- r13 remainder in registry order; the entries this round
+        # --- also CHANGED (p_admit, p_pipeline, d_index, t_perplexity
+        # --- (_ext), d_against, d_neardup, d_simhash, t_langid, t_dsir,
+        # --- d_jaccard sizing callers) sit here naturally --------------
         "p_admit": p_admit,
         "q_sessions_bucketed": q_sessions_bucketed,
         "p_pipeline": p_pipeline,
@@ -3351,22 +3300,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_cluster": d_cluster,
         "d_dedup_corpus": d_dedup_corpus,
         "d_embed": d_embed,
-        "s_knn": s_knn,
         "s_knn_lsh": s_knn_lsh,
         "s_knn_ivf": s_knn_ivf,
+        "t_langid": t_langid,
+        "t_dsir": t_dsir,
+        "d_jaccard": d_jaccard,
+        # --- r13-green, UNCHANGED this round — displaced from the window
+        # --- by the rule-3 jumps (the window caps at 50); they lead the
+        # --- next round's rotation ------------------------------------
+        "s_knn": s_knn,
         "t_tokens": t_tokens,
         "t_quality": t_quality,
         "t_fingerprint": t_fingerprint,
-        "t_langid": t_langid,
-        "t_dsir": t_dsir,
         "t_bpe_train": t_bpe_train,
         "t_countmin": t_countmin,
-        "d_jaccard": d_jaccard,
         "t_redact": t_redact,
         "t_repetition": t_repetition,
         "t_contaminate": t_contaminate,
-        # --- green in round 14 (rule 4: wait last; held by pytest +
-        # --- tools/check_oracles.py meanwhile) ----------------------
+        # --- green in round 14 (t_trigram_lm jumped out by rule 3);
+        # --- rotate into the next window ------------------------------
         "s_overlap": s_overlap,
         "q_asof_bucketed": q_asof_bucketed,
         "p_wet": p_wet,
@@ -3382,7 +3334,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_urls": t_urls,
         "t_tfidf": t_tfidf,
         "t_vocab": t_vocab,
-        "t_trigram_lm": t_trigram_lm,
         "t_chunks": t_chunks,
         "t_pack": t_pack,
         "t_bpe": t_bpe,
@@ -3415,6 +3366,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_optional": g_optional,
         "g_both": g_both,
         "q_window_agg": q_window_agg,
+        # --- green in round 15 (rule 4 tail: verified last round; held
+        # --- by pytest + tools/check_oracles.py between verdicts) ------
+        "q_asof_stream": q_asof_stream,
+        "q_tpch_topn": q_tpch_topn,
+        "q_tpch_exists": q_tpch_exists,
+        "q_tpch_scalar": q_tpch_scalar,
+        "q3": q3,
+        "q4": q4,
+        "q6": q6,
+        "q10": q10,
+        "q14": q14,
+        "q17": q17,
+        "q18": q18,
+        "q22": q22,
+        "d_substr": d_substr,
+        "d_substr_against": d_substr_against,
+        "d_substr_index": d_substr_index,
+        "g_follow": g_follow,
+        "g_followr": g_followr,
+        "g_or_short": g_or_short,
+        "g_valuefilter": g_valuefilter,
+        "g_valuefilter_fn": g_valuefilter_fn,
+        "g_write_delete": g_write_delete,
+        "g_recursive": g_recursive,
+        "g_recursive_dist": g_recursive_dist,
+        "q1": q1,
+        "q5": q5,
+        "d_semdedup": d_semdedup,
+        "s_kcenter": s_kcenter,
+        "q12": q12,
+        "q_range": q_range,
+        "q_rollup": q_rollup,
+        "q_pivot": q_pivot,
+        "q_median": q_median,
+        "m_image": m_image,
+        "m_audio": m_audio,
+        "q_json": q_json,
+        "q_antijoin": q_antijoin,
+        "t_wsample": t_wsample,
+        "t_mixture_up": t_mixture_up,
+        "d_semdedup_far": d_semdedup_far,
+        "t_kmv": t_kmv,
+        "t_qscore": t_qscore,
     }
 
 

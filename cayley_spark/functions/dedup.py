@@ -953,11 +953,25 @@ def simhash64(col: Column, k: int = 2) -> Column:
         F.array_repeat(F.lit(0), 64),
         lambda acc, x: F.zip_with(acc, signs(x), lambda a, s: a + s),
     )
-    # pack sign bits into a long: sum(counts[b] > 0 ? 2^b : 0)
-    out = F.lit(0).cast("long")
-    for b in range(63):
-        out = out + F.when(counts[b] > 0, F.lit(1 << b)).otherwise(F.lit(0))
-    return out + F.when(counts[63] > 0, F.lit(-(1 << 63))).otherwise(F.lit(0))
+
+    # pack sign bits into a long: sum(counts[b] > 0 ? 2^b : 0).
+    # The bit loop references the accumulator 64 times, so bind the
+    # aggregate ONCE as a lambda variable (spark_optimization_guide
+    # §1.2 — Catalyst inlines a column expression into every
+    # reference with no CSE across HOFs; the unbound form re-ran the
+    # whole shingle-hash aggregate 64x per row, 192 tokenizations in
+    # the r16 plan dump).
+    def pack(cnts: Column) -> Column:
+        out = F.lit(0).cast("long")
+        for b in range(63):
+            out = out + F.when(cnts[b] > 0, F.lit(1 << b)).otherwise(
+                F.lit(0)
+            )
+        return out + F.when(cnts[63] > 0, F.lit(-(1 << 63))).otherwise(
+            F.lit(0)
+        )
+
+    return F.transform(F.array(counts), pack)[0]
 
 
 def benchmark_contamination(

@@ -79,21 +79,34 @@ def language_guess(col: Column, _toks: Column | None = None) -> Column:
     :func:`quality_gate_struct` so the fused gate evaluates the
     tokenization once per row instead of once per reference."""
     toks = tokens(col) if _toks is None else _toks
+    langs = sorted(_LANG_MARKERS.items())
 
-    def hits(markers):
-        # one-parameter lambda: pyspark maps each python param to a
-        # lambda variable, so defaults must stay out of the signature
-        return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+    # Bind the per-language marker counts ONCE per row (the
+    # quality_gate_struct pattern, spark_optimization_guide §1.2):
+    # `best` references every score and the argmax chain references
+    # `best` per language, so the flat form re-inlined each score —
+    # and with it the tokenization — quadratically (24 tokenizations
+    # per row in the r16 t_langid plan dump). Binding the score array
+    # as a lambda variable makes every reference an array index.
+    def pick(s):
+        sc = s["sc"]
+        best = F.array_max(sc)
+        out = F.lit("unknown")
+        for i in range(len(langs) - 1, -1, -1):
+            out = F.when(sc[i] == best, F.lit(langs[i][0])).otherwise(out)
+        return F.when(best == 0, F.lit("unknown")).otherwise(out)
 
-    scores = [
-        (lang, hits(markers))
-        for lang, markers in sorted(_LANG_MARKERS.items())
-    ]
-    best = F.greatest(*[s for _, s in scores])
-    out = F.lit("unknown")
-    for lang, s in reversed(scores):
-        out = F.when(s == best, F.lit(lang)).otherwise(out)
-    return F.when(best == 0, F.lit("unknown")).otherwise(out)
+    def body(s):
+        tk = s["toks"]
+        sc = F.array(
+            *[
+                F.size(F.filter(tk, lambda t: t.isin(*markers)))
+                for _, markers in langs
+            ]
+        )
+        return F.transform(F.array(F.struct(sc.alias("sc"))), pick)[0]
+
+    return F.transform(F.array(F.struct(toks.alias("toks"))), body)[0]
 
 
 def fingerprint(col: Column) -> Column:
@@ -411,18 +424,6 @@ def canonicalize_url(col: Column, fold_host_aliases: bool = False) -> Column:
     DuckDB oracle replays the identical chain; no UDFs, scan speed.
     Non-URL input (no scheme://host) passes through unchanged except
     fragment stripping, so the operator is safe on dirty columns."""
-    u = F.regexp_replace(col, r"#.*$", "")
-    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    auth = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
-    # userinfo (user:pass@) is case-SENSITIVE — only the host part
-    # lowercases; host cannot contain '@', so the split is at the
-    # authority's last '@' (greedy .*)
-    userinfo = F.regexp_extract(auth, r"^(.*@)", 1)
-    hostport = F.lower(F.regexp_replace(auth, r"^.*@", ""))
-    if fold_host_aliases:
-        hostport = _fold_host_aliases(hostport)
-    # rest = path[?query] after the authority
-    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
     # percent-encoding: uppercase the two hex digits after every '%'
     def _pct_upper(s: Column) -> Column:
         parts = F.split(s, "%", -1)
@@ -443,41 +444,85 @@ def canonicalize_url(col: Column, fold_host_aliases: bool = False) -> Column:
             F.array_join(fixed, ""),
         )
 
-    path = _pct_upper(F.regexp_extract(rest, r"^([^?]*)", 1))
-    query = _pct_upper(F.regexp_extract(rest, r"\?(.*)$", 1))
-    params = F.array_sort(
-        F.filter(
-            F.split(query, "&", -1),
-            lambda p: (p != "") & ~p.rlike(_TRACKING_PARAM_RE),
+    # Bind the shared pieces ONCE per row at each level (the
+    # quality_gate_struct pattern, spark_optimization_guide §1.2):
+    # the flat expression tree re-inlined the whole extraction chain
+    # into every reference — path alone is referenced 5x by pnorm,
+    # each copy carrying its _pct_upper split/transform and the
+    # fragment-strip regex (~70 regexp_replace per row in the r16
+    # plan dump). Level 1 binds the fragment-stripped URL; level 2
+    # binds the extracted components (scheme, userinfo, hostport,
+    # pct-uppered path, normalized query) so the assembly references
+    # only cheap lambda variables.
+    u0 = F.regexp_replace(col, r"#.*$", "")
+
+    def assemble(s):
+        scheme, hostport, path = s["scheme"], s["hostport"], s["path"]
+        qnorm = s["qnorm"]
+        hp = F.when(
+            (scheme == "http") & hostport.endswith(":80"),
+            F.substring(hostport, 1, F.length(hostport) - 3),
+        ).when(
+            (scheme == "https") & hostport.endswith(":443"),
+            F.substring(hostport, 1, F.length(hostport) - 4),
+        ).otherwise(hostport)
+        pnorm = F.when(path == "", F.lit("/")).otherwise(
+            F.when(
+                (F.length(path) > 1) & path.endswith("/"),
+                F.substring(path, 1, F.length(path) - 1),
+            ).otherwise(path)
         )
-    )
-    qnorm = F.array_join(params, "&")
-    hp = F.when(
-        (scheme == "http") & hostport.endswith(":80"),
-        F.substring(hostport, 1, F.length(hostport) - 3),
-    ).when(
-        (scheme == "https") & hostport.endswith(":443"),
-        F.substring(hostport, 1, F.length(hostport) - 4),
-    ).otherwise(hostport)
-    pnorm = F.when(path == "", F.lit("/")).otherwise(
-        F.when(
-            (F.length(path) > 1) & path.endswith("/"),
-            F.substring(path, 1, F.length(path) - 1),
-        ).otherwise(path)
-    )
-    canon = F.concat(
-        scheme,
-        F.lit("://"),
-        _pct_upper(userinfo),
-        hp,
-        pnorm,
-        F.when(qnorm != "", F.concat(F.lit("?"), qnorm)).otherwise(
-            F.lit("")
-        ),
-    )
-    return F.when(scheme == "", F.regexp_replace(col, r"#.*$", "")).otherwise(
-        canon
-    )
+        canon = F.concat(
+            scheme,
+            F.lit("://"),
+            s["userinfo"],
+            hp,
+            pnorm,
+            F.when(qnorm != "", F.concat(F.lit("?"), qnorm)).otherwise(
+                F.lit("")
+            ),
+        )
+        return F.when(scheme == "", s["u"]).otherwise(canon)
+
+    def extract(s):
+        u = s["u"]
+        scheme = F.lower(
+            F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+        )
+        auth = F.regexp_extract(
+            u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1
+        )
+        # userinfo (user:pass@) is case-SENSITIVE — only the host part
+        # lowercases; host cannot contain '@', so the split is at the
+        # authority's last '@' (greedy .*)
+        userinfo = F.regexp_extract(auth, r"^(.*@)", 1)
+        hostport = F.lower(F.regexp_replace(auth, r"^.*@", ""))
+        if fold_host_aliases:
+            hostport = _fold_host_aliases(hostport)
+        # rest = path[?query] after the authority
+        rest = F.regexp_replace(
+            u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", ""
+        )
+        query = _pct_upper(F.regexp_extract(rest, r"\?(.*)$", 1))
+        params = F.array_sort(
+            F.filter(
+                F.split(query, "&", -1),
+                lambda p: (p != "") & ~p.rlike(_TRACKING_PARAM_RE),
+            )
+        )
+        inner = F.struct(
+            u.alias("u"),
+            scheme.alias("scheme"),
+            _pct_upper(userinfo).alias("userinfo"),
+            hostport.alias("hostport"),
+            _pct_upper(F.regexp_extract(rest, r"^([^?]*)", 1)).alias(
+                "path"
+            ),
+            F.array_join(params, "&").alias("qnorm"),
+        )
+        return F.transform(F.array(inner), assemble)[0]
+
+    return F.transform(F.array(F.struct(u0.alias("u"))), extract)[0]
 
 
 def url_dedup(
